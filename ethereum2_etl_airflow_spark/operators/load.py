@@ -1,0 +1,119 @@
+"""Load stage: staged NDJSON → schema-enforced, date-partitioned Parquet.
+
+Spark re-expression of the reference's BigQuery load jobs
+(`build_load_dag.py:76-96`, `build_hourly_load_dag.py:92-108`):
+
+- schema imposed from the externalized schema system (S1; :mod:`..sources.schemas`)
+- ``WRITE_TRUNCATE`` → ``mode("overwrite")`` (S4, `build_load_dag.py:82`)
+- ``TimePartitioning(field=ts_col)`` → derived ``block_date`` partition
+  column + ``partitionBy`` (S5, `build_load_dag.py:84-85,126-128`)
+- ``only_last_date`` snapshot loads (validators, `build_load_dag.py:127`)
+- the ``blocks_meta`` min/max sidecar (S9, `build_export_dag.py:80-88`)
+- CTAS / query-to-destination-table (S11, `bigquery_utils.py:68-76`)
+
+**Scale-critical deviation** (SURVEY §7.4.4): the reference truncate-reloads
+the *entire history wildcard every hour* (`build_hourly_load_dag.py:98,
+103-104`) — O(history) per tick, untenable at 100 TB.  Default here is
+**dynamic partition overwrite** (only the date partitions present in the
+incoming batch are rewritten, an idempotent incremental load);
+``replicate_truncate=True`` restores bug-for-bug truncate semantics.
+
+Partitioning rationale at scale: one directory per UTC date keeps
+partitions coarse (a day of beacon blocks ≈ 7200 rows × wide schema ≈
+manageable parquet files); all verify predicates filter on ``block_date``
+so Catalyst prunes to the touched dates (SURVEY §4 R1 caveat — filtering
+``DATE(block_timestamp)`` would prune nothing, hence the materialized
+partition column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["derive_block_date", "load_table", "write_partitioned",
+           "compute_meta", "write_meta", "ctas"]
+
+
+def derive_block_date(df: DataFrame, ts_col: str) -> DataFrame:
+    """Materialize the partition column from the table's TimePartitioning
+    field (`build_load_dag.py:126-128`): ``block_date = DATE(ts_col)``."""
+    return df.withColumn("block_date", F.to_date(F.col(ts_col)))
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    replicate_truncate: bool = False,
+    fmt: str = "parquet",
+) -> None:
+    """S4+S5+S6: (dynamically) overwritten, Hive-partitioned columnar sink.
+
+    With ``replicate_truncate=False`` and ``partitionOverwriteMode=dynamic``
+    (session default) only partitions present in ``df`` are replaced —
+    idempotent re-runs, incremental history.  ``replicate_truncate=True``
+    drops everything first (reference `build_load_dag.py:82` semantics).
+    """
+    partition_cols = partition_cols if partition_cols is not None else ["block_date"]
+    w = df.write.mode("overwrite").format(fmt)
+    if replicate_truncate:
+        w = w.option("partitionOverwriteMode", "static")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.save(path)
+
+
+def load_table(
+    spark: SparkSession,
+    df: DataFrame,
+    dest_path: str,
+    ts_col: str | None,
+    only_last_date: bool = False,
+    replicate_truncate: bool = False,
+) -> DataFrame:
+    """Full load: derive partition column, optionally keep only the most
+    recent date (validators snapshot, `build_load_dag.py:127` — exported
+    with ``start_epoch=None,end_epoch=None`` i.e. current full state), and
+    write.  Returns the written DataFrame (pre-write plan) for chaining.
+
+    ``only_last_date`` uses a scalar-subquery max — one cheap extra job
+    over partition stats, not a full shuffle.
+    """
+    if ts_col is None:
+        df.write.mode("overwrite").parquet(dest_path)
+        return df
+    out = derive_block_date(df, ts_col)
+    if only_last_date:
+        last = out.agg(F.max("block_date").alias("d"))
+        out = out.join(F.broadcast(last), out["block_date"] == last["d"], "left_semi")
+        write_partitioned(out, dest_path, replicate_truncate=True)
+    else:
+        write_partitioned(out, dest_path, replicate_truncate=replicate_truncate)
+    return out
+
+
+def compute_meta(df: DataFrame, range_col: str, date_col: str = "block_date") -> DataFrame:
+    """S9/A4: per-date ``(start, end)`` range — the Spark analog of the
+    ``blocks_meta.txt`` sidecar (`build_export_dag.py:80-88`), kept as a
+    queryable table instead of a flat text file.  Map-side partial
+    aggregation makes this one light shuffle at any scale.
+    """
+    return (
+        df.groupBy(F.col(date_col).alias("block_date"))
+        .agg(
+            F.min(range_col).alias("start_block"),
+            F.max(range_col).alias("end_block"),
+        )
+    )
+
+
+def write_meta(meta: DataFrame, path: str) -> None:
+    meta.write.mode("overwrite").parquet(path)
+
+
+def ctas(spark: SparkSession, sql: str, dest_path: str) -> DataFrame:
+    """S11: run SQL, materialize into a destination table
+    (`bigquery_utils.py:68-76` query-to-destination-table)."""
+    df = spark.sql(sql)
+    df.write.mode("overwrite").parquet(dest_path)
+    return spark.read.parquet(dest_path)

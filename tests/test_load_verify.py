@@ -1,0 +1,150 @@
+"""End-to-end load + verify slice (SURVEY §7.1): staged NDJSON →
+schema-enforced partitioned parquet → verify invariants pass/fail."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ethereum2_etl_airflow_spark.operators.load import (
+    compute_meta, derive_block_date, load_table, write_partitioned,
+)
+from ethereum2_etl_airflow_spark.operators.verify import (
+    CHECKS, run_all_checks, run_check,
+)
+from ethereum2_etl_airflow_spark.sources.fixtures import (
+    gen_beacon_blocks, gen_beacon_committees, gen_beacon_validators,
+    write_staging_ndjson,
+)
+from ethereum2_etl_airflow_spark.sources.ndjson import read_ndjson, read_partition
+from ethereum2_etl_airflow_spark.sources.schemas import beacon_schema
+
+# Compressed clock: 300 s/slot → 288 slots/day; genesis at a UTC midnight.
+GENESIS = 1704067200  # 2024-01-01 00:00:00 UTC
+SPS = 300
+N_SLOTS = 3 * 288  # three full days
+DS = "2024-01-03"
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("staging"))
+    blocks = gen_beacon_blocks(spark, N_SLOTS, genesis=GENESIS, secs_per_slot=SPS)
+    write_staging_ndjson(blocks, root, "beacon_blocks", "block_timestamp")
+    committees = gen_beacon_committees(spark, N_SLOTS // 32, genesis=GENESIS,
+                                       secs_per_slot=SPS * 32 // 32)
+    return root, blocks, committees
+
+
+def test_ndjson_scan_imposes_schema(spark, staged):
+    root, blocks, _ = staged
+    st = beacon_schema("beacon_blocks")
+    df = read_ndjson(spark, f"{root}/export/beacon_blocks/*/*.json", st)
+    # unknown `_extra` key silently dropped (ignore_unknown_values analog)
+    assert "_extra" not in df.columns
+    assert df.count() == N_SLOTS
+    # nested arrays survive the round trip
+    row = df.where(F.col("block_slot") == 5).select(
+        F.size("deposits").alias("nd")).first()
+    assert row["nd"] == 1
+
+
+def test_single_partition_scan(spark, staged):
+    root, *_ = staged
+    st = beacon_schema("beacon_blocks")
+    df = read_partition(spark, root, "beacon_blocks", st, DS)
+    assert df.count() == 288
+    assert df.select(F.min(F.to_date("block_timestamp"))).first()[0].isoformat() == DS
+
+
+def test_load_partitioned_and_verify_pass(spark, staged, tmp_path):
+    root, blocks, committees = staged
+    st = beacon_schema("beacon_blocks")
+    staged_df = read_ndjson(spark, f"{root}/export/beacon_blocks/*/*.json", st)
+    dest = str(tmp_path / "tables" / "beacon_blocks")
+    load_table(spark, staged_df, dest, "block_timestamp")
+    out = spark.read.parquet(dest)
+    # hive layout: block_date recovered as partition column
+    assert "block_date" in out.columns
+    assert out.count() == N_SLOTS
+    out.createOrReplaceTempView("beacon_blocks")
+
+    cdest = str(tmp_path / "tables" / "beacon_committees")
+    load_table(spark, committees, cdest, "epoch_timestamp")
+    spark.read.parquet(cdest).createOrReplaceTempView("beacon_committees")
+
+    # dense epochs 0..3 so the gapless-epoch invariant holds
+    vals = gen_beacon_validators(spark, 64, epoch=0, genesis=GENESIS,
+                                 secs_per_slot=SPS)
+    for e in (1, 2, 3):
+        vals = vals.unionByName(gen_beacon_validators(
+            spark, 64, epoch=e, genesis=GENESIS, secs_per_slot=SPS))
+    derive_block_date(vals, "timestamp").createOrReplaceTempView("beacon_validators")
+
+    run_check(spark, "blocks_count", DS)
+    run_check(spark, "blocks_have_latest", DS)
+    run_check(spark, "committees_count", DS)
+    run_check(spark, "validators_count", "2024-01-01")
+
+
+def test_verify_fails_on_gaps(spark, tmp_path):
+    gapped = gen_beacon_blocks(spark, 288, genesis=GENESIS, secs_per_slot=SPS,
+                               gap_slots={17, 95})
+    derive_block_date(gapped, "block_timestamp").createOrReplaceTempView("beacon_blocks")
+    with pytest.raises(Exception) as ei:
+        run_check(spark, "blocks_count", "2024-01-01")
+    assert "not equal to last slot" in str(ei.value)
+
+    gapped_c = gen_beacon_committees(spark, 9, genesis=GENESIS,
+                                     secs_per_slot=SPS, gap_epochs={4})
+    derive_block_date(gapped_c, "epoch_timestamp").createOrReplaceTempView(
+        "beacon_committees")
+    with pytest.raises(Exception):
+        run_check(spark, "committees_count", "2024-01-01")
+
+
+def test_verify_fails_on_missing_latest(spark):
+    one_day = gen_beacon_blocks(spark, 288, genesis=GENESIS, secs_per_slot=SPS)
+    derive_block_date(one_day, "block_timestamp").createOrReplaceTempView(
+        "beacon_blocks")
+    with pytest.raises(Exception) as ei:
+        run_check(spark, "blocks_have_latest", "2024-01-05")
+    assert "no blocks" in str(ei.value)
+
+
+def test_snapshot_only_last_date(spark, tmp_path):
+    """Validators daily load keeps only the last date (only_last_date=True,
+    `build_load_dag.py:127`)."""
+    # 9 epochs x 32 slots x 300 s = exactly one day per step
+    days = [gen_beacon_validators(spark, 32, epoch=e, genesis=GENESIS,
+                                  secs_per_slot=SPS) for e in (0, 9, 18)]
+    df = days[0].unionByName(days[1]).unionByName(days[2])
+    dest = str(tmp_path / "vals")
+    load_table(spark, df, dest, "timestamp", only_last_date=True)
+    out = spark.read.parquet(dest)
+    assert out.select("epoch").distinct().collect()[0][0] == 18
+    assert out.count() == 32
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Incremental re-load of one date must not clobber other partitions
+    (deviation from the reference's truncate-the-world, SURVEY §7.4.4)."""
+    dest = str(tmp_path / "blocks")
+    full = gen_beacon_blocks(spark, 2 * 288, genesis=GENESIS, secs_per_slot=SPS)
+    write_partitioned(derive_block_date(full, "block_timestamp"), dest)
+    day2 = full.where(F.to_date("block_timestamp") == "2024-01-02")
+    write_partitioned(derive_block_date(day2, "block_timestamp"), dest)
+    assert spark.read.parquet(dest).count() == 2 * 288  # day 1 intact
+
+    # replicate_truncate=True restores reference semantics
+    write_partitioned(derive_block_date(day2, "block_timestamp"), dest,
+                      replicate_truncate=True)
+    assert spark.read.parquet(dest).count() == 288
+
+
+def test_meta_sidecar(spark):
+    blocks = gen_beacon_blocks(spark, 2 * 288, genesis=GENESIS, secs_per_slot=SPS)
+    meta = compute_meta(derive_block_date(blocks, "block_timestamp"), "block_slot")
+    rows = {r["block_date"].isoformat(): (r["start_block"], r["end_block"])
+            for r in meta.collect()}
+    assert rows == {"2024-01-01": (0, 287), "2024-01-02": (288, 575)}
