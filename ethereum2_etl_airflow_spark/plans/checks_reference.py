@@ -1,0 +1,360 @@
+"""Reference-surface check queries (SURVEY.md §2.1-2.5) over the driver
+testdata, with DuckDB oracle SQL.
+
+Per FIXTURES.md §B mapping: ``events.ts`` plays ``block_timestamp``,
+``events.event_id`` plays ``block_slot`` (dense 0..N → the gapless
+invariants hold), hourly windows come from ``ts``.
+
+Determinism rules for oracle value-hash parity (exact, order-insensitive):
+- never hash a raw float aggregate whose summation order varies — route
+  double sums through ``FLOOR(x*1000)`` bigints or DECIMAL;
+- DuckDB ``SUM(BIGINT)`` returns HUGEINT → always ``CAST(... AS BIGINT)``;
+- timestamps are emitted as NTZ (DuckDB TIMESTAMP is naive).
+
+Every query is a declarative DataFrame plan: filters and projections reach
+the parquet scan (PushedFilters / ReadSchema), aggregates use partial
+(map-side) aggregation, and date filters prune partitions when the source
+is partitioned — verified in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+import hashlib
+
+from ..functions import chaintime as ct
+from ..operators.load import compute_meta, ctas as ctas_op, derive_block_date
+from ..sources.testdata import load_table
+
+# mid-range execution date over the events table (2024-01-01..2024-01-30)
+DS = "2024-01-15"
+# narrow window for row-returning checks (bounded output at any sf)
+DS_SMALL = "2024-01-03"
+# genesis for chain-time math over events: 2024-01-01 00:00:00 UTC
+EVENTS_GENESIS = 1704067200
+
+__all__ = ["REFERENCE_CHECKS", "DS", "DS_SMALL", "EVENTS_GENESIS"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _millis(col: str) -> F.Column:
+    """Deterministic integer image of a double column (see module doc)."""
+    return F.floor(F.col(col) * 1000).cast("long")
+
+
+# --- S1/S2: NDJSON schema-enforced scan (round-trip through staging) ------
+
+def q_scan_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: events → staged NDJSON (with an injected unknown key) → imposed
+    schema scan → aggregate.  Proves unknown-key dropping + missing→NULL
+    (`build_load_dag.py:80-83` semantics) end-to-end."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    ev = _events(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(),
+                       f"e2etl_ndjson_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    # stage with an extra column the imposed schema doesn't know about
+    (ev.withColumn("extra_unknown", F.lit("drop-me"))
+       .selectExpr("event_id", "CAST(ts AS STRING) AS ts", "user_id",
+                   "event_type", "value", "extra_unknown")
+       .write.mode("overwrite").json(out))
+    st = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        # declared but absent in the staged files → NULL, like BQ load
+        T.StructField("not_in_files", T.StringType()),
+    ])
+    back = spark.read.schema(st).option("mode", "PERMISSIVE").json(out)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_millis("value")).alias("value_millis"),
+                 F.count("not_in_files").alias("n_not_null_missing"))
+            .orderBy("event_type"))
+
+
+ORACLE_SCAN_NDJSON = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis,
+       0 AS n_not_null_missing
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- S3/S5/S6: partitioned sink + single-partition scan -------------------
+
+def q_scan_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S6 write (Hive `block_date=` layout) then S3 single-partition
+    read — Catalyst prunes to one directory (`build_load_dag.py:88-90`)."""
+    import os
+    import tempfile
+
+    ev = derive_block_date(_events(spark, sf_dir), "ts")
+    out = os.path.join(tempfile.gettempdir(),
+                       f"e2etl_part_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    ev.write.mode("overwrite").partitionBy("block_date").parquet(out)
+    one = spark.read.parquet(out).where(F.col("block_date") == F.lit(DS_SMALL))
+    return (one.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.min("event_id").alias("first_event"),
+                 F.max("event_id").alias("last_event"))
+            .orderBy("event_type"))
+
+
+ORACLE_SCAN_PARTITION = f"""
+SELECT event_type, COUNT(*) AS n,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event
+FROM events WHERE CAST(ts AS DATE) = DATE '{DS_SMALL}'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- S4: truncate-and-replace sink ---------------------------------------
+
+def q_sink_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (`build_load_dag.py:82` WRITE_TRUNCATE): write twice in overwrite
+    mode, read back — second write fully replaces the first."""
+    import os
+    import tempfile
+
+    ev = _events(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(),
+                       f"e2etl_ovw_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    ev.limit(10).write.mode("overwrite").parquet(out)  # stale content
+    ev.write.mode("overwrite").parquet(out)            # truncate-replace
+    back = spark.read.parquet(out)
+    return back.groupBy(F.to_date("ts").cast("string").alias("block_date")).agg(
+        F.count("*").alias("n")).orderBy("block_date")
+
+
+ORACLE_SINK_OVERWRITE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS block_date, COUNT(*) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- S9/A4: min-max meta sidecar -----------------------------------------
+
+def q_meta_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 (`build_export_dag.py:80-88` blocks_meta) as a queryable table."""
+    ev = derive_block_date(_events(spark, sf_dir), "ts")
+    meta = compute_meta(ev, "event_id")
+    # date keys surfaced as ISO strings: engine-neutral under any
+    # value-normalization the comparing harness applies
+    return (meta.withColumn("block_date", F.col("block_date").cast("string"))
+            .orderBy("block_date"))
+
+
+ORACLE_META_MINMAX = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS block_date,
+       MIN(event_id) AS start_block, MAX(event_id) AS end_block
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- S11: CTAS ------------------------------------------------------------
+
+def q_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 (`bigquery_utils.py:68-76`): SQL → destination table → re-read."""
+    import os
+    import tempfile
+
+    _events(spark, sf_dir).createOrReplaceTempView("ev_ctas_src")
+    out = os.path.join(tempfile.gettempdir(),
+                       f"e2etl_ctas_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    return ctas_op(
+        spark,
+        """SELECT user_id, COUNT(*) AS n,
+                  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                      AS value_millis
+           FROM ev_ctas_src GROUP BY user_id""",
+        out,
+    ).orderBy("user_id")
+
+
+ORACLE_CTAS = """
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- P1/P2: date-cast filters (`verify/sqls/*.sql:5,9`) -------------------
+
+def q_filter_date_le(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (ev.where(F.to_date("ts") <= F.lit(DS_SMALL).cast("date"))
+            .select("event_id", "event_type").orderBy("event_id"))
+
+
+ORACLE_FILTER_DATE_LE = f"""
+SELECT event_id, event_type FROM events
+WHERE CAST(ts AS DATE) <= DATE '{DS_SMALL}' ORDER BY event_id
+"""
+
+
+def q_filter_date_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (ev.where(F.to_date("ts") == F.lit(DS_SMALL).cast("date"))
+            .select("event_id", "user_id").orderBy("event_id"))
+
+
+ORACLE_FILTER_DATE_EQ = f"""
+SELECT event_id, user_id FROM events
+WHERE CAST(ts AS DATE) = DATE '{DS_SMALL}' ORDER BY event_id
+"""
+
+
+# --- P3: scalar projection with conditional (`blocks_count.sql:1-11`) -----
+
+def q_project_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (ev.where(F.to_date("ts") == F.lit(DS_SMALL).cast("date"))
+            .select(
+                "event_id",
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                 .alias("is_purchase"),
+                F.floor("value").cast("long").alias("value_floor"))
+            .orderBy("event_id"))
+
+
+ORACLE_PROJECT_IF = f"""
+SELECT event_id,
+       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+       CAST(FLOOR(value) AS BIGINT) AS value_floor
+FROM events WHERE CAST(ts AS DATE) = DATE '{DS_SMALL}' ORDER BY event_id
+"""
+
+
+# --- P4/P5: the gapless-invariant guard (assert-style) --------------------
+
+def q_assert_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (`blocks_count.sql:1-11` shape): events.event_id is dense 0..N so
+    MAX+1 == COUNT(*); the false branch raises (raise_error idiom,
+    SURVEY §2.2 P5) — returning 1 proves the invariant evaluated true."""
+    ev = _events(spark, sf_dir)
+    agg = ev.agg(F.max("event_id").alias("mx"), F.count("*").alias("cnt"))
+    return agg.select(
+        F.when(F.col("mx") + 1 == F.col("cnt"), F.lit(1))
+         .otherwise(F.expr("raise_error('gapless invariant violated')"))
+         .cast("int").alias("ok"))
+
+
+ORACLE_ASSERT_CAST = """
+SELECT CASE WHEN MAX(event_id) + 1 = COUNT(*) THEN 1 END AS ok FROM events
+"""
+
+
+# --- A1-A3: scalar aggregates under date filter ---------------------------
+
+def q_agg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (ev.where(F.to_date("ts") <= F.lit(DS).cast("date"))
+            .agg(F.max("event_id").alias("max_slot")))
+
+
+ORACLE_AGG_MAX = f"""
+SELECT MAX(event_id) AS max_slot FROM events
+WHERE CAST(ts AS DATE) <= DATE '{DS}'
+"""
+
+
+def q_agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (ev.where(F.to_date("ts") <= F.lit(DS).cast("date"))
+            .agg(F.count("*").alias("n")))
+
+
+ORACLE_AGG_COUNT = f"""
+SELECT COUNT(*) AS n FROM events WHERE CAST(ts AS DATE) <= DATE '{DS}'
+"""
+
+
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: exact COUNT(DISTINCT) (`committees_count.sql:8`).  At 100 TB the
+    approx_count_distinct sketch is the scale path; the invariant checks
+    need exact, which Spark plans as expand + two-phase hash agg."""
+    ev = _events(spark, sf_dir)
+    return (ev.where(F.to_date("ts") <= F.lit(DS).cast("date"))
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+ORACLE_AGG_COUNT_DISTINCT = f"""
+SELECT COUNT(DISTINCT user_id) AS n_users FROM events
+WHERE CAST(ts AS DATE) <= DATE '{DS}'
+"""
+
+
+# --- T3/T4 + F6: hourly windows ------------------------------------------
+
+def q_range_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly export ranges (`build_hourly_export_dag.py:235-254`): per
+    hour window, row count + first/last id — the hourly blocks_meta."""
+    ev = _events(spark, sf_dir)
+    return (ev.where(F.to_date("ts") <= F.lit(DS_SMALL).cast("date"))
+            .groupBy(F.date_trunc("hour", "ts").cast("timestamp_ntz")
+                     .alias("hour_start"))
+            .agg(F.count("*").alias("n"),
+                 F.min("event_id").alias("start_block"),
+                 F.max("event_id").alias("end_block"))
+            .orderBy("hour_start"))
+
+
+ORACLE_RANGE_HOUR = f"""
+SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n,
+       MIN(event_id) AS start_block, MAX(event_id) AS end_block
+FROM events WHERE CAST(ts AS DATE) <= DATE '{DS_SMALL}'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- T1/T2: slot/epoch column math ---------------------------------------
+
+def q_chain_slot_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2 as column expressions: timestamp → slot (12 s) → epoch (32
+    slots), genesis pinned to the events epoch start."""
+    ev = _events(spark, sf_dir)
+    return (ev.where(F.col("event_id") < 1000)
+            .select(
+                "event_id",
+                ct.slot_for_timestamp(F.col("ts"), EVENTS_GENESIS).alias("slot"),
+                ct.epoch_for_timestamp(F.col("ts"), EVENTS_GENESIS).alias("epoch"))
+            .orderBy("event_id"))
+
+
+ORACLE_CHAIN_SLOT_EPOCH = f"""
+SELECT event_id,
+       CAST(FLOOR((CAST(FLOOR(EPOCH(ts)) AS BIGINT) - {EVENTS_GENESIS}) / 12)
+            AS BIGINT) AS slot,
+       CAST(FLOOR(FLOOR((CAST(FLOOR(EPOCH(ts)) AS BIGINT) - {EVENTS_GENESIS}) / 12)
+            / 32) AS BIGINT) AS epoch
+FROM events WHERE event_id < 1000 ORDER BY event_id
+"""
+
+
+REFERENCE_CHECKS: dict[str, tuple] = {
+    "scan_ndjson": (q_scan_ndjson, ORACLE_SCAN_NDJSON),
+    "scan_partition": (q_scan_partition, ORACLE_SCAN_PARTITION),
+    "sink_overwrite": (q_sink_overwrite, ORACLE_SINK_OVERWRITE),
+    "meta_minmax": (q_meta_minmax, ORACLE_META_MINMAX),
+    "ctas": (q_ctas, ORACLE_CTAS),
+    "filter_date_le": (q_filter_date_le, ORACLE_FILTER_DATE_LE),
+    "filter_date_eq": (q_filter_date_eq, ORACLE_FILTER_DATE_EQ),
+    "project_if": (q_project_if, ORACLE_PROJECT_IF),
+    "assert_cast": (q_assert_cast, ORACLE_ASSERT_CAST),
+    "agg_max": (q_agg_max, ORACLE_AGG_MAX),
+    "agg_count": (q_agg_count, ORACLE_AGG_COUNT),
+    "agg_count_distinct": (q_agg_count_distinct, ORACLE_AGG_COUNT_DISTINCT),
+    "range_hour": (q_range_hour, ORACLE_RANGE_HOUR),
+    "chain_slot_epoch": (q_chain_slot_epoch, ORACLE_CHAIN_SLOT_EPOCH),
+}

@@ -1,0 +1,509 @@
+"""Relational-breadth check queries (SURVEY.md §2.8) over the TPC-H-ish
+driver testdata, with DuckDB oracle SQL.
+
+These cover the categories the reference itself never exercises (no join,
+GROUP BY, window, sort or set-op exists anywhere in its 22 files —
+SURVEY §2.8) but which its delegated engine (BigQuery Standard SQL)
+offers every consumer of the published dataset.  Each is a declarative
+DataFrame plan; Catalyst picks the physical strategy, and the broadcast /
+shuffle choices are asserted in tests/test_plans.py.
+
+Scale notes per query are inline: which side broadcasts, where the
+shuffle lands, and what AQE is expected to do at 1000 executors.
+
+Determinism: double sums are routed through DECIMAL(18,2) (exact,
+order-independent addition; both engines round the same binary double to
+decimal — ties are impossible for binary floats at any decimal scale) and
+surfaced as DOUBLE so the output schema is engine-neutral.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.testdata import load_table
+
+__all__ = ["RELATIONAL_CHECKS"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec_sum(col: str, alias: str) -> F.Column:
+    """Order-independent double sum: double → DECIMAL(18,2) → sum → DOUBLE."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+_DEC_SUM_SQL = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+
+
+# --- flagship: TPC-H Q1-style pricing summary -----------------------------
+
+def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan-heavy aggregate (the classic pricing summary).  One
+    wide scan → partial hash agg per partition → single shuffle on the
+    2-value grouping key.  Column pruning matters: reads 7 of 11 columns;
+    predicate on l_shipdate pushes to parquet row-group stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", "sum_qty"),
+            _dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)")
+                 * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {_DEC_SUM_SQL.format(col="l_quantity", alias="sum_qty")},
+       {_DEC_SUM_SQL.format(col="l_extendedprice", alias="sum_base_price")},
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- joins ----------------------------------------------------------------
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders⋈customer.  customer is the small side —
+    Catalyst broadcasts it under the 64 MB threshold; at 100 TB the same
+    plan holds as long as the dim stays broadcastable, else AQE falls back
+    to shuffled hash join on o_custkey."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             _dec_sum("o_totalprice", "revenue"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_JOIN_INNER = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       {_DEC_SUM_SQL.format(col="o_totalprice", alias="revenue")}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_JOIN_LEFT = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one high-value order.
+    Semi joins never duplicate the left side — cheaper than join+distinct."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    big = o.where(F.col("o_totalprice") > 400000.0)
+    return (
+        c.join(big, c["c_custkey"] == big["o_custkey"], "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_JOIN_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+ORDER BY c_custkey
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_JOIN_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast join: fact lineitem ⋈ broadcast(part).  The
+    F.broadcast hint pins the strategy regardless of stats — the right
+    call whenever the dim fits in executor memory; avoids shuffling the
+    100 TB fact side entirely."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "inner")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"),
+             _dec_sum("l_extendedprice", "revenue"))
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_JOIN_BROADCAST = f"""
+SELECT p_brand, COUNT(*) AS n_items,
+       {_DEC_SUM_SQL.format(col="l_extendedprice", alias="revenue")}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way dim chain region⋈nation⋈customer — both dims broadcast; the
+    join tree collapses into one stage over customer."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"),
+             _dec_sum("c_acctbal", "total_acctbal"))
+        .orderBy("r_name")
+    )
+
+
+ORACLE_JOIN_MULTI = f"""
+SELECT r_name, COUNT(*) AS n_customers,
+       {_DEC_SUM_SQL.format(col="c_acctbal", alias="total_acctbal")}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# --- grouped aggregation / rollup / cube ----------------------------------
+
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_millis"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_AGG_GROUPBY = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy (subtotals + grand total).
+    Spark plans this as Expand + one hash agg — no extra shuffles vs the
+    plain groupBy."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    j = (c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]))
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+ORACLE_AGG_ROLLUP = """
+SELECT r_name, n_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _dec_sum("l_quantity", "sum_qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                 F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+ORACLE_AGG_CUBE = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       {_DEC_SUM_SQL.format(col="l_quantity", alias="sum_qty")}
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+# --- window functions -----------------------------------------------------
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per customer ordered by price (unique tie-break on
+    orderkey → fully deterministic).  One shuffle on the partition key;
+    skewed customers would be AQE-salted at scale."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (o.select("o_custkey", "o_orderkey",
+                     F.row_number().over(w).alias("rn"))
+            .orderBy("o_custkey", "rn"))
+
+
+ORACLE_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders ORDER BY o_custkey, rn
+"""
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() — inter-event gap in seconds per user (sessionization
+    primitive)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    small = ev.where(F.to_date("ts") <= F.lit("2024-01-03").cast("date"))
+    return (
+        small.select(
+            "user_id", "event_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+            .cast("long").alias("gap_s"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+ORACLE_WINDOW_LAG = """
+SELECT user_id, event_id,
+       CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+       - CAST(FLOOR(EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id)))
+              AS BIGINT) AS gap_s
+FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-03'
+ORDER BY user_id, event_id
+"""
+
+
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frame: running sum (ROWS UNBOUNDED PRECEDING) — bigint
+    domain so the in-frame accumulation order can't change the hash."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    small = ev.where(F.to_date("ts") <= F.lit("2024-01-03").cast("date"))
+    return (
+        small.select(
+            "user_id", "event_id",
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).over(w)
+            .alias("running_millis"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+ORACLE_WINDOW_FRAME = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS running_millis
+FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-03'
+ORDER BY user_id, event_id
+"""
+
+
+# --- sort / limit / top-k -------------------------------------------------
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 — Spark plans TakeOrderedAndProject: per-partition
+    top-100 then a single-driver merge; never a full global sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .limit(100))
+
+
+ORACLE_SORT_LIMIT = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via row_number ≤ k — the scalable top-k-per-key
+    idiom (no per-group collect)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice",
+                 F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+ORACLE_TOPK_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3 ORDER BY o_custkey, rn
+"""
+
+
+# --- set operations -------------------------------------------------------
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT of two key domains."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct().orderBy("k")
+
+
+ORACLE_SET_UNION = """
+SELECT c_nationkey AS k FROM customer
+UNION
+SELECT s_nationkey AS k FROM supplier
+ORDER BY k
+"""
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: users who never purchased."""
+    ev = _t(spark, sf_dir, "events")
+    all_u = ev.select("user_id").distinct()
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return all_u.exceptAll(buyers.distinct()).orderBy("user_id")
+
+
+ORACLE_SET_EXCEPT = """
+SELECT DISTINCT user_id FROM events
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id
+"""
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: users who both clicked and purchased."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    b = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return a.intersect(b).orderBy("user_id")
+
+
+ORACLE_SET_INTERSECT = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id
+"""
+
+
+# --- array / string scalar functions --------------------------------------
+
+def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode over the embedding arrays (the model stores arrays —
+    `beacon_blocks.json:72-336` — and dataset-typical queries unnest them).
+    posexplode keeps the dimension index."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+    return (
+        ex.groupBy("vec_id")
+        .agg(F.count("*").alias("n_dims"),
+             F.sum(F.floor(F.col("x").cast("double") * 1000).cast("long"))
+             .alias("sum_millis"))
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_ARRAY_EXPLODE = """
+SELECT vec_id, COUNT(*) AS n_dims,
+       CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+           AS sum_millis
+FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def q_str_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: substr/upper/length/concat/replace."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.upper(F.substring("text", 1, 12)).alias("head"),
+            F.length("text").alias("n_chars_computed"),
+            F.concat_ws("-", "lang", "source").alias("tag"),
+            F.length(F.regexp_replace("text", " ", "")).alias("n_nonspace"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_STR_FNS = """
+SELECT doc_id,
+       UPPER(SUBSTR(text, 1, 12)) AS head,
+       LENGTH(text) AS n_chars_computed,
+       lang || '-' || source AS tag,
+       LENGTH(REPLACE(text, ' ', '')) AS n_nonspace
+FROM documents ORDER BY doc_id
+"""
+
+
+RELATIONAL_CHECKS: dict[str, tuple] = {
+    "q1_pricing": (q_q1_pricing, ORACLE_Q1),
+    "join_inner": (q_join_inner, ORACLE_JOIN_INNER),
+    "join_left": (q_join_left, ORACLE_JOIN_LEFT),
+    "join_semi": (q_join_semi, ORACLE_JOIN_SEMI),
+    "join_anti": (q_join_anti, ORACLE_JOIN_ANTI),
+    "join_broadcast": (q_join_broadcast, ORACLE_JOIN_BROADCAST),
+    "join_multi": (q_join_multi, ORACLE_JOIN_MULTI),
+    "agg_groupby": (q_agg_groupby, ORACLE_AGG_GROUPBY),
+    "agg_rollup": (q_agg_rollup, ORACLE_AGG_ROLLUP),
+    "agg_cube": (q_agg_cube, ORACLE_AGG_CUBE),
+    "window_rank": (q_window_rank, ORACLE_WINDOW_RANK),
+    "window_lag": (q_window_lag, ORACLE_WINDOW_LAG),
+    "window_frame": (q_window_frame, ORACLE_WINDOW_FRAME),
+    "sort_limit": (q_sort_limit, ORACLE_SORT_LIMIT),
+    "topk_group": (q_topk_group, ORACLE_TOPK_GROUP),
+    "set_union": (q_set_union, ORACLE_SET_UNION),
+    "set_except": (q_set_except, ORACLE_SET_EXCEPT),
+    "set_intersect": (q_set_intersect, ORACLE_SET_INTERSECT),
+    "array_explode": (q_array_explode, ORACLE_ARRAY_EXPLODE),
+    "str_fns": (q_str_fns, ORACLE_STR_FNS),
+}
