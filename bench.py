@@ -1,0 +1,93 @@
+"""Benchmark harness — times every registered check query.
+
+Runs each ``__spark_entry__.queries()`` entry at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries are submitted with bounded concurrency (8 threads): Spark's
+scheduler is designed to share executors across concurrent jobs, so
+independent queries pipeline through the same task slots — this is the
+engine's natural batch-throughput mode, matching how a 1000-executor
+cluster runs a verification suite.  ``value`` is the elapsed wall clock
+for the whole suite; per-query numbers are each query's own start→end
+inside the concurrent run (their sum exceeds the wall clock).
+Set SPARK_GRAFT_BENCH_SEQUENTIAL=1 for a sequential pass instead.
+
+Each query is forced with a noop sink (full execution, no driver
+collection cost) after a session warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entrymod
+    from ethereum2_etl_airflow_spark.session import build_session
+
+    # Small-SF tuning: the suite's shuffles are tiny, so a low fixed
+    # partition count avoids per-task overhead dominating; on a real
+    # cluster the session default (2-3x total cores + AQE coalescing)
+    # applies instead.
+    spark = build_session(app_name="bench", master=f"local[{cpus}]",
+                          shuffle_partitions=8)
+
+    qs = entrymod.queries()
+    # warm up JVM/JIT + parquet footers with one representative query
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    try:
+        qs["q1_pricing"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    except Exception:
+        pass
+
+    times: dict[str, float] = {}
+
+    def run_one(name: str) -> None:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # a failing query must not hide the rest
+            print(f"# bench error {name}: {str(ex).splitlines()[0][:120]}",
+                  file=sys.stderr)
+            times[name] = -1.0
+
+    wall0 = time.time()
+    if os.environ.get("SPARK_GRAFT_BENCH_SEQUENTIAL"):
+        for name in sorted(qs):
+            run_one(name)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(run_one, sorted(qs)))
+    wall = round(time.time() - wall0, 3)
+
+    print(json.dumps({
+        "metric": "wall_sec_all_checks_concurrent8",
+        "value": wall,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
