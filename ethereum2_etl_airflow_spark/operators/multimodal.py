@@ -1,0 +1,106 @@
+"""Multimodal column plumbing (SURVEY §2.9 X5).
+
+Image/audio/video payloads are opaque ``BinaryType`` columns with a typed
+metadata struct alongside — the Spark-native layout for multimodal
+training data (binary stays columnar in parquet; metadata predicates
+prune without touching payload bytes).
+
+The Spark-side plumbing here is real and tested: schema, batching,
+``mapInPandas`` signature, partition sizing.  The actual codec calls are
+STUBBED — the image/audio libraries are not in this container — behind
+``decode_stub``: a deterministic fake that derives features from the raw
+bytes, and a clearly-marked ``NotImplementedError`` branch where PIL /
+torchaudio / ffmpeg would plug in.
+
+Scale notes: payload partitions should target ~128 MB of *bytes* (so
+``spark.sql.files.maxPartitionBytes`` governs, not row counts); feature
+extraction is a pure map stage — zero shuffle; Arrow moves each batch to
+Python once, so batch size (``spark.sql.execution.arrow.maxRecordsPerBatch``)
+is the only Python-boundary knob that matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+__all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "attach_binary_payload",
+           "decode_stub", "extract_features"]
+
+#: payload + typed metadata layout for a multimodal table
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("head_hex", T.StringType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("feature_sum", T.LongType()),
+])
+
+
+def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Derive a multimodal-shaped table from the documents fixture: the
+    UTF-8 bytes stand in for an opaque media payload, with real metadata
+    (mime tag + byte length).  At ingest time the same shape comes from
+    ``spark.read.format(\"binaryFile\")`` or parquet with a binary column."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes, mime: str) -> dict:
+    """Deterministic fake decoder.  A real deployment replaces this body
+    with the codec call; the surrounding Spark plumbing is unchanged."""
+    if mime.startswith(("image/", "audio/", "video/")):
+        # Real decode path: PIL.Image.open / torchaudio.load / pyav demux.
+        # Those libraries are not available in this container.
+        raise NotImplementedError(
+            f"codec for {mime!r} not available in this environment; "
+            "plug the real decoder into decode_stub()")
+    # octet-stream fake: features derived purely from the bytes
+    return {
+        "n_bytes": len(payload),
+        "head_hex": payload[:16].hex(),
+        "n_frames": len(payload) // 100,  # fake frame sampling
+        "feature_sum": sum(payload[:256]),
+    }
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column via
+    ``mapInPandas`` — the decode stage shape for any modality: one Python
+    round-trip per Arrow batch, output schema fixed by FEATURE_SCHEMA."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = [decode_stub(p, m)
+                     for p, m in zip(pdf["payload"], pdf["mime"])]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[[f.name for f in FEATURE_SCHEMA.fields]]
+
+    flat = media.select("doc_id", "payload", F.col("meta.mime").alias("mime"))
+    if batch_hint:
+        flat = flat.repartition(batch_hint)
+    return flat.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,89 @@
+"""Similarity search over embedding columns (SURVEY §2.9 X3).
+
+Two tiers, mirroring how ANN is deployed at 100 TB:
+
+- **Brute-force top-k** (the exact baseline): broadcast the query set,
+  score every candidate with the decimal-accumulated cosine kernel
+  (:mod:`..functions.vectors`), rank with a per-query window.  Cost is
+  |Q|·|C| — fine for small query batches over any corpus size because the
+  corpus side stays partition-parallel and nothing shuffles except the
+  final top-k (TakeOrdered per query key).
+- **LSH-bucketed ANN** (the scale path): ``BucketedRandomProjectionLSH``
+  buckets by random hyperplane projections; candidates only form inside
+  matching buckets (near-linear).  Recall < 1 by construction — the exact
+  tier is the oracle for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vectors import cosine_decimal
+
+__all__ = ["topk_cosine_bruteforce", "ann_lsh_candidates"]
+
+
+def topk_cosine_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, rank, cosine) — self-matches
+    excluded; ties broken by vec_id so the ranking is total and
+    deterministic.  The query side is a broadcast (tiny); the candidate
+    scan parallelizes per partition with no shuffle until the top-k."""
+    q = (emb.where(F.col(id_col).isin([int(x) for x in query_ids]))
+         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
+    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id",
+                cosine_decimal(F.col("qv"), F.col("cv"))
+                .cast("decimal(18,9)").alias("cos9"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos9").desc(), F.col("vec_id"))
+    return (
+        scored.select("query_id", "vec_id",
+                      F.row_number().over(w).alias("rank"),
+                      F.col("cos9").cast("double").alias("cosine"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_lsh_candidates(emb: DataFrame, query_ids: list[int], k: int = 10,
+                       bucket_length: float = 2.0, num_hash_tables: int = 3,
+                       seed: int = 42, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via random-hyperplane bucketing.  Returns
+    (query_id, vec_id, rank, dist) — Euclidean on L2-normalized vectors,
+    which orders identically to cosine.  Deterministic under the fixed
+    seed; recall measured against :func:`topk_cosine_bruteforce` in tests.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    base = emb.select(F.col(id_col).alias("id"),
+                      array_to_vector(
+                          F.transform(F.col(vec_col),
+                                      lambda x: x.cast("double"))).alias("raw"))
+    norm = Normalizer(inputCol="raw", outputCol="features", p=2.0)
+    feats = norm.transform(base).select("id", "features")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(feats)
+    q = feats.where(F.col("id").isin([int(x) for x in query_ids]))
+    # generous radius on normalized vectors (max L2 distance is 2.0)
+    pairs = model.approxSimilarityJoin(q, feats, 2.0, distCol="dist")
+    scored = (
+        pairs.select(F.col("datasetA.id").alias("query_id"),
+                     F.col("datasetB.id").alias("vec_id"),
+                     F.col("dist"))
+        .where(F.col("query_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("vec_id"))
+    return (scored.select("query_id", "vec_id",
+                          F.row_number().over(w).alias("rank"), "dist")
+            .where(F.col("rank") <= k)
+            .orderBy("query_id", "rank"))

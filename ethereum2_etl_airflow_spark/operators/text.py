@@ -1,0 +1,137 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY §2.9 X4
++ BASELINE.json mandate: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+All hot-path logic is JVM-side column expressions (regexp/hash built-ins,
+whole-stage codegen) — no Python UDFs, so a 100 TB documents table scans
+at parquet speed with these as pure map operators (no shuffle except the
+final group-bys, which partial-aggregate map-side).
+
+Determinism: token/stopword counts are integers; ratios are surfaced as
+integer numerators/denominators or integer-bucketed scores so oracle
+hashes can't drift on float division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "WORD_RE", "BPE_RE", "tokens", "token_count", "bpe_token_count",
+    "normalize_text", "fingerprint", "lang_scores", "lang_id",
+    "quality_features", "text_stats",
+]
+
+# word tokens: runs of alphanumerics (RE2- and Java-regex-identical)
+WORD_RE = "[A-Za-z0-9]+"
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+#: tiny per-language stopword sets for the n-gram/stopword heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+#: deterministic priority order for arg-max ties
+LANG_PRIORITY = ["en", "de", "es", "fr"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Word tokens (lowercased)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization count — the standard proxy for LLM token
+    budgeting when the real tokenizer isn't in the cluster image."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), 0))
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for content fingerprinting: lowercase + collapsed
+    whitespace + trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content-defined document fingerprint: sha256 over the normalized
+    text.  Equal fingerprints ⇔ equal canonical content — the join key for
+    exact dedup across shards at any scale."""
+    return F.sha2(normalize_text(col), 256)
+
+
+def _stop_hits(col: Column | str, words: list[str]) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    pat = "\\b(" + "|".join(words) + ")\\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), 0))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (integer scores)."""
+    return {lang: _stop_hits(col, ws) for lang, ws in LANG_STOPWORDS.items()}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: arg-max of stopword hits with deterministic
+    priority ties; 'und' (undetermined) when nothing matches."""
+    scores = lang_scores(col)
+    best = F.greatest(*[scores[lang] for lang in LANG_PRIORITY])
+    out = F.lit("und")
+    # walk priority in reverse so earlier languages win equal scores
+    for lang in reversed(LANG_PRIORITY):
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)) \
+               .otherwise(out)
+    return out
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features, all integer-domain:
+
+    - n_chars / n_tokens / n_bpe_tokens / n_punct
+    - stop_hits (any language)
+    - quality_score 0..6: + length in band, + punctuation sane,
+      + has stopwords, + mean word length in band (integer math)
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit("[^A-Za-z0-9\\s]"), 0))
+    all_stop = _stop_hits(c, sorted({w for ws in LANG_STOPWORDS.values() for w in ws}))
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), 2).otherwise(0)
+        + F.when(n_punct * 5 <= n_chars, 1).otherwise(0)
+        + F.when(all_stop > 0, 2).otherwise(0)
+        # mean word length in [3, 12): integer cross-multiplication
+        + F.when((n_chars >= 3 * n_tokens) & (n_chars < 12 * n_tokens), 1)
+        .otherwise(0)
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_c"),
+        n_tokens.alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        n_punct.alias("n_punct"),
+        all_stop.alias("stop_hits"),
+        score.cast("int").alias("quality_score"),
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus stats per (lang, source): docs, chars, tokens."""
+    return (
+        df.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(token_count(text_col)).alias("total_tokens"),
+        )
+    )

@@ -1,0 +1,410 @@
+"""Extension-operator check queries (SURVEY.md §2.9 / BASELINE.json
+mandate: dedup, similarity search, multimodal, text analysis).
+
+Oracle-checked wherever the semantics are SQL-expressible; the LSH/
+streaming/pandas-UDF operators that aren't get rows-only entries
+(``oracle=None``).
+
+Cross-engine determinism for the vector kernels: per-element products in
+DOUBLE, accumulation in DECIMAL(28,14) (order-independent), final scores
+rounded once to DECIMAL(18,9) and surfaced as DOUBLE — identical
+arithmetic on both sides, so even float-derived scores hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+from ..sources.testdata import load_table
+
+__all__ = ["EXTENSION_CHECKS"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- X4: text analysis ----------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (X.text_stats(_docs(spark, sf_dir))
+            .orderBy("lang", "source"))
+
+
+ORACLE_TEXT_STATS = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+           AS total_tokens
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (d.select("doc_id",
+                     X.token_count("text").alias("n_tokens"),
+                     X.bpe_token_count("text").alias("n_bpe_tokens"))
+            .orderBy("doc_id"))
+
+
+ORACLE_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    scores = X.lang_scores(F.col("text"))
+    return (d.select("doc_id",
+                     *[scores[lang].alias(f"{lang}_hits")
+                       for lang in X.LANG_PRIORITY],
+                     X.lang_id(F.col("text")).alias("pred_lang"))
+            .orderBy("doc_id"))
+
+
+def _hits_sql(lang: str) -> str:
+    words = "|".join(X.LANG_STOPWORDS[lang])
+    return (rf"len(regexp_extract_all(lower(text), '\b({words})\b'))"
+            f" AS {lang}_hits")
+
+
+ORACLE_LANG_ID = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_hits_sql('en')}, {_hits_sql('de')}, {_hits_sql('es')}, {_hits_sql('fr')}
+  FROM documents)
+SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+       CASE
+         WHEN en_hits > 0 AND en_hits >= de_hits AND en_hits >= es_hits
+              AND en_hits >= fr_hits THEN 'en'
+         WHEN de_hits > 0 AND de_hits >= es_hits AND de_hits >= fr_hits
+              THEN 'de'
+         WHEN es_hits > 0 AND es_hits >= fr_hits THEN 'es'
+         WHEN fr_hits > 0 THEN 'fr'
+         ELSE 'und'
+       END AS pred_lang
+FROM h ORDER BY doc_id
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_ALL_STOPS = "|".join(sorted({w for ws in X.LANG_STOPWORDS.values() for w in ws}))
+
+ORACLE_QUALITY_SCORE = rf"""
+WITH f AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars_c,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS n_bpe_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b({_ALL_STOPS})\b')) AS stop_hits
+  FROM documents)
+SELECT doc_id, n_chars_c, n_tokens, n_bpe_tokens, n_punct, stop_hits,
+       CAST(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 2 ELSE 0 END
+          + CASE WHEN n_punct * 5 <= n_chars_c THEN 1 ELSE 0 END
+          + CASE WHEN stop_hits > 0 THEN 2 ELSE 0 END
+          + CASE WHEN n_chars_c >= 3 * n_tokens AND n_chars_c < 12 * n_tokens
+                 THEN 1 ELSE 0 END AS INT) AS quality_score
+FROM f ORDER BY doc_id
+"""
+
+
+# --- X1: exact dedup + fingerprint ----------------------------------------
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ a case/whitespace-perturbed copy (ids shifted by 10^6)
+    — the canonical-content dedup must collapse each pair."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    v = d.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                 F.concat(F.upper("text"), F.lit("  ")).alias("text"))
+    return d.unionByName(v)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return (D.dedup_exact(corpus).select("doc_id", "n_copies")
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_EXACT = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || '  ' FROM documents)
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM corpus
+GROUP BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+ORDER BY doc_id
+"""
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", X.fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+ORACLE_DEDUP_FINGERPRINT = r"""
+SELECT doc_id,
+       sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- near-dedup: exact n-gram Jaccard (oracle) ----------------------------
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ truncated variants (every 10th doc, last 5 tokens
+    dropped, rebuilt from tokens) — known near-duplicates to find."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = X.tokens("text")
+    v = (d.where(F.col("doc_id") % 10 == 0)
+         .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                 F.concat_ws(" ", F.slice(toks, 1,
+                                          F.greatest(F.size(toks) - 5, F.lit(1))))
+                 .alias("text")))
+    return d.unionByName(v)
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    return (D.ngram_jaccard_pairs(corpus, threshold_tenths=6)
+            .orderBy("id_a", "id_b"))
+
+
+ORACLE_DEDUP_NGRAM = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(
+           (regexp_extract_all(lower(text), '[a-z0-9]+'))
+             [1:greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 5, 1)],
+           ' ')
+  FROM documents WHERE doc_id % 10 = 0),
+sh AS (
+  SELECT DISTINCT doc_id AS id, UNNEST(
+    CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3 THEN
+      list_transform(
+        range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
+        i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' '
+          || regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' '
+          || regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])
+    ELSE [] END) AS sh
+  FROM corpus),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE 10 * inter >= 6 * (sa.sz + sb.sz - inter)
+ORDER BY id_a, id_b
+"""
+
+
+# --- near-dedup: embedding cosine (oracle) --------------------------------
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ scaled copies (×1.01, ids +10^6): cosine(v, 1.01v)≈1,
+    a planted near-duplicate per vector; all arithmetic in DOUBLE."""
+    e = _emb(spark, sf_dir)
+    orig = e.select("vec_id",
+                    F.transform("embedding", lambda x: x.cast("double"))
+                    .alias("embedding"), "label")
+    var = e.select((F.col("vec_id") + 1000000).alias("vec_id"),
+                   F.transform("embedding",
+                               lambda x: x.cast("double") * 1.01)
+                   .alias("embedding"), "label")
+    return orig.unionByName(var)
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _emb_corpus(spark, sf_dir)
+    return (D.cosine_near_dup_pairs(corpus, block_col="label",
+                                    threshold_millis=999)
+            .orderBy("id_a", "id_b"))
+
+
+_DOT_DEC = ("list_reduce(list_transform(range(1, len({a})+1), "
+            "i -> CAST({a}[i] * {b}[i] AS DECIMAL(28,14))), "
+            "(acc, v) -> CAST(acc + v AS DECIMAL(28,14)))")
+
+ORACLE_EMBED_NEARDUP = f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01), label
+  FROM embeddings),
+pairs AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST({_DOT_DEC.format(a='a.v', b='b.v')} AS DOUBLE) AS dot,
+         sqrt(CAST({_DOT_DEC.format(a='a.v', b='a.v')} AS DOUBLE)) AS na,
+         sqrt(CAST({_DOT_DEC.format(a='b.v', b='b.v')} AS DOUBLE)) AS nb
+  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT label, id_a, id_b,
+       CAST(CAST(dot / (na * nb) AS DECIMAL(18,9)) AS DOUBLE) AS cosine
+FROM pairs
+WHERE CAST(dot / (na * nb) AS DECIMAL(18,9)) >= 999 / 1000.0
+ORDER BY id_a, id_b
+"""
+
+
+# --- X3: similarity search ------------------------------------------------
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.topk_cosine_bruteforce(_emb(spark, sf_dir), _QUERY_IDS, k=10)
+
+
+ORACLE_SIM_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         CAST(CAST(
+           CAST({_DOT_DEC.format(a='q.v', b='c.v')} AS DOUBLE)
+           / (sqrt(CAST({_DOT_DEC.format(a='q.v', b='q.v')} AS DOUBLE))
+              * sqrt(CAST({_DOT_DEC.format(a='c.v', b='c.v')} AS DOUBLE)))
+           AS DECIMAL(18,9)) AS DOUBLE) AS cosine
+  FROM e q JOIN e c ON q.vec_id IN (0,1,2,3,4) AND q.vec_id != c.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank, cosine FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only: MLlib hash functions aren't
+    SQL-expressible; recall vs the exact tier is asserted in tests)."""
+    return S.ann_lsh_candidates(_emb(spark, sf_dir), _QUERY_IDS, k=10)
+
+
+# --- X2: MinHash LSH near-dedup (rows-only) -------------------------------
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    return (D.minhash_near_dups(corpus, jaccard_distance=0.4)
+            .orderBy("id_a", "id_b"))
+
+
+# --- SimHash near-dedup (rows-only) ---------------------------------------
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    sigs = D.simhash_signature(corpus)
+    return (D.simhash_candidates(sigs)
+            .where(F.col("hamming") <= 3)
+            .select("id_a", "id_b", "hamming")
+            .orderBy("id_a", "id_b"))
+
+
+# --- X5: multimodal -------------------------------------------------------
+
+def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.attach_binary_payload(_docs(spark, sf_dir))
+    return (media.select("doc_id",
+                         F.col("meta.mime").alias("mime"),
+                         F.col("meta.n_bytes").alias("n_bytes"),
+                         F.octet_length("payload").cast("long")
+                         .alias("payload_bytes"))
+            .orderBy("doc_id"))
+
+
+ORACLE_MM_META = """
+SELECT doc_id,
+       'application/octet-stream' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: Arrow-batched mapInPandas decode plumbing (stubbed
+    codec) — the Spark-side shape of any image/audio feature extractor."""
+    media = M.attach_binary_payload(_docs(spark, sf_dir))
+    return M.extract_features(media).orderBy("doc_id")
+
+
+# --- streaming: hourly micro-batch analog ---------------------------------
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming file source + 1 h tumbling window + watermark,
+    run to completion with availableNow — the cron-pair replacement.
+    Oracle: the equivalent batch hourly aggregate."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.testdata import ensure_runtime_conf
+    from ..streaming.hourly import hourly_counts_stream, run_available_now
+
+    ensure_runtime_conf(spark)
+    # the file source needs a directory: expose the single-file table via a
+    # symlink in a stable temp dir (read-only testdata stays untouched)
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"e2etl_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = hourly_counts_stream(spark, src_dir, schema, ts_col="ts",
+                                  ts_is_nanos=True)
+    return run_available_now(stream, spark).orderBy("hour_start")
+
+
+ORACLE_STREAM_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n,
+       MIN(event_id) AS start_block, MAX(event_id) AS end_block
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+EXTENSION_CHECKS: dict[str, tuple] = {
+    "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
+    "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
+    "lang_id": (q_lang_id, ORACLE_LANG_ID),
+    "quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_fingerprint": (q_dedup_fingerprint, ORACLE_DEDUP_FINGERPRINT),
+    "dedup_ngram": (q_dedup_ngram, ORACLE_DEDUP_NGRAM),
+    "embed_neardup": (q_embed_neardup, ORACLE_EMBED_NEARDUP),
+    "sim_topk": (q_sim_topk, ORACLE_SIM_TOPK),
+    "sim_lsh": (q_sim_lsh, None),
+    "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "mm_meta": (q_mm_meta, ORACLE_MM_META),
+    "mm_features": (q_mm_features, None),
+    "stream_hourly": (q_stream_hourly, ORACLE_STREAM_HOURLY),
+}
