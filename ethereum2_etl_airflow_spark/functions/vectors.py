@@ -1,11 +1,24 @@
 """Vector column math for embedding operators (SURVEY §2.9 X3).
 
-The dot-product kernel accumulates in DECIMAL so the sum is
+The dot-product kernels accumulate in DECIMAL so the sum is
 order-independent and bit-identical across engines (a float sum's value
 depends on accumulation order; decimal addition is exact).  Per-element
 products are computed in DOUBLE (IEEE, deterministic) then rounded once
-to DECIMAL(28,14) — binary floats can never tie at a decimal rounding
-boundary, so the rounding is unambiguous.
+to DECIMAL — binary floats can never tie at a decimal rounding boundary,
+so the rounding is unambiguous.
+
+Two precision tiers:
+
+- ``dot_compact`` uses DECIMAL(18,9): precision ≤ 18 keeps Spark's (and
+  DuckDB's) decimal in a plain 64-bit long — an order of magnitude faster
+  than BigDecimal-backed wide decimals.  Safe for O(1)-magnitude
+  components, i.e. normalized vectors.
+- ``dot_decimal`` / ``norm_decimal`` use DECIMAL(28,14) for raw vectors.
+
+Bulk pairwise pattern (the 100 TB shape): materialize the L2 norm ONCE
+per vector with :func:`with_normalized`, then score each pair with a
+single ``dot_compact`` — O(|V|) norm work + one fast reduce per pair,
+instead of three wide-decimal reduces per pair.
 
 Everything is ``F.zip_with`` / ``F.aggregate`` column expressions —
 JVM-side, no UDF, no data movement beyond the surrounding join.
@@ -13,34 +26,63 @@ JVM-side, no UDF, no data movement beyond the surrounding join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["dot_decimal", "norm_decimal", "cosine_decimal"]
+__all__ = ["dot_decimal", "dot_compact", "norm_decimal", "cosine_decimal",
+           "with_normalized"]
 
-_DEC = "decimal(28,14)"
+_DEC = "decimal(18,9)"
+_DEC_WIDE = "decimal(28,14)"
 
 
 def _to_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
-def dot_decimal(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ with decimal accumulation; returns DOUBLE."""
+def _dot(a: Column, b: Column, dec: str) -> Column:
     prods = F.zip_with(_to_double(a), _to_double(b),
-                       lambda x, y: (x * y).cast(_DEC))
-    # re-cast each partial sum so the accumulator type stays DECIMAL(28,14)
-    return F.aggregate(prods, F.lit(0).cast(_DEC),
-                       lambda acc, v: (acc + v).cast(_DEC)).cast("double")
+                       lambda x, y: (x * y).cast(dec))
+    # re-cast each partial sum so the accumulator type stays fixed
+    return F.aggregate(prods, F.lit(0).cast(dec),
+                       lambda acc, v: (acc + v).cast(dec)).cast("double")
+
+
+def dot_decimal(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ, wide-decimal accumulation; returns DOUBLE."""
+    return _dot(a, b, _DEC_WIDE)
+
+
+def dot_compact(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ, long-backed DECIMAL(18,9) accumulation — the fast kernel
+    for normalized components; returns DOUBLE."""
+    return _dot(a, b, _DEC)
 
 
 def norm_decimal(a: Column) -> Column:
-    """‖a‖₂ — decimal-accumulated sum of squares, sqrt in double."""
+    """‖a‖₂ — wide-decimal-accumulated sum of squares, sqrt in double."""
     ad = _to_double(a)
-    ss = F.aggregate(F.transform(ad, lambda x: (x * x).cast(_DEC)),
-                     F.lit(0).cast(_DEC), lambda acc, v: (acc + v).cast(_DEC))
+    ss = F.aggregate(F.transform(ad, lambda x: (x * x).cast(_DEC_WIDE)),
+                     F.lit(0).cast(_DEC_WIDE),
+                     lambda acc, v: (acc + v).cast(_DEC_WIDE))
     return F.sqrt(ss.cast("double"))
 
 
 def cosine_decimal(a: Column, b: Column) -> Column:
-    """cos(a, b) in DOUBLE, deterministic given identical float inputs."""
+    """cos(a, b) in DOUBLE, deterministic given identical float inputs.
+    Per-pair norms — fine for small pair counts; for bulk scoring use
+    :func:`with_normalized` + :func:`dot_compact`."""
     return dot_decimal(a, b) / (norm_decimal(a) * norm_decimal(b))
+
+
+def with_normalized(df: DataFrame, vec_col: str = "embedding",
+                    out_col: str = "nv") -> DataFrame:
+    """Append an L2-normalized DOUBLE copy of ``vec_col``.  The norm is a
+    materialized per-row column, so it is computed once per vector — not
+    once per pair, and not once per element.  Zero vectors yield NULL
+    components (0/0); downstream comparisons drop them."""
+    nrm = "__norm_" + out_col
+    return (df.withColumn(nrm, norm_decimal(F.col(vec_col)))
+              .withColumn(out_col,
+                          F.transform(_to_double(F.col(vec_col)),
+                                      lambda x: x / F.col(nrm)))
+              .drop(nrm))

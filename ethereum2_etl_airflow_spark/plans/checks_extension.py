@@ -245,9 +245,16 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
-_DOT_DEC = ("list_reduce(list_transform(range(1, len({a})+1), "
-            "i -> CAST({a}[i] * {b}[i] AS DECIMAL(28,14))), "
-            "(acc, v) -> CAST(acc + v AS DECIMAL(28,14)))")
+# wide-decimal sum of squares → L2 norm (matches vectors.norm_decimal)
+_NORM = ("sqrt(CAST(list_reduce(list_transform({v}, x -> "
+         "CAST(x * x AS DECIMAL(28,14))), "
+         "(acc, u) -> CAST(acc + u AS DECIMAL(28,14))) AS DOUBLE))")
+# normalized copy (matches vectors.with_normalized)
+_NV = "list_transform({v}, x -> x / " + _NORM + ")"
+# compact long-backed dot over normalized components (vectors.dot_compact)
+_DOT_C = ("list_reduce(list_transform(range(1, len({a})+1), "
+          "i -> CAST({a}[i] * {b}[i] AS DECIMAL(18,9))), "
+          "(acc, v) -> CAST(acc + v AS DECIMAL(18,9)))")
 
 ORACLE_EMBED_NEARDUP = f"""
 WITH corpus AS (
@@ -257,16 +264,15 @@ WITH corpus AS (
   SELECT vec_id + 1000000,
          list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01), label
   FROM embeddings),
+n AS (
+  SELECT vec_id, label, {_NV.format(v='v')} AS nv FROM corpus),
 pairs AS (
   SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-         CAST({_DOT_DEC.format(a='a.v', b='b.v')} AS DOUBLE) AS dot,
-         sqrt(CAST({_DOT_DEC.format(a='a.v', b='a.v')} AS DOUBLE)) AS na,
-         sqrt(CAST({_DOT_DEC.format(a='b.v', b='b.v')} AS DOUBLE)) AS nb
-  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id)
-SELECT label, id_a, id_b,
-       CAST(CAST(dot / (na * nb) AS DECIMAL(18,9)) AS DOUBLE) AS cosine
+         CAST({_DOT_C.format(a='a.nv', b='b.nv')} AS DOUBLE) AS cos9
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT label, id_a, id_b, cos9 AS cosine
 FROM pairs
-WHERE CAST(dot / (na * nb) AS DECIMAL(18,9)) >= 999 / 1000.0
+WHERE cos9 >= 999 / 1000.0
 ORDER BY id_a, id_b
 """
 
@@ -284,14 +290,12 @@ ORACLE_SIM_TOPK = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings),
+n AS (
+  SELECT vec_id, {_NV.format(v='v')} AS nv FROM e),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-         CAST(CAST(
-           CAST({_DOT_DEC.format(a='q.v', b='c.v')} AS DOUBLE)
-           / (sqrt(CAST({_DOT_DEC.format(a='q.v', b='q.v')} AS DOUBLE))
-              * sqrt(CAST({_DOT_DEC.format(a='c.v', b='c.v')} AS DOUBLE)))
-           AS DECIMAL(18,9)) AS DOUBLE) AS cosine
-  FROM e q JOIN e c ON q.vec_id IN (0,1,2,3,4) AND q.vec_id != c.vec_id),
+         CAST({_DOT_C.format(a='q.nv', b='c.nv')} AS DOUBLE) AS cosine
+  FROM n q JOIN n c ON q.vec_id IN (0,1,2,3,4) AND q.vec_id != c.vec_id),
 ranked AS (
   SELECT query_id, vec_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id
