@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = ["derive_block_date", "load_table", "write_partitioned",
-           "compute_meta", "write_meta", "ctas"]
+           "compute_meta", "write_meta", "write_latest_snapshot",
+           "read_latest_snapshot", "ctas"]
 
 
 def derive_block_date(df: DataFrame, ts_col: str) -> DataFrame:
@@ -109,6 +110,41 @@ def compute_meta(df: DataFrame, range_col: str, date_col: str = "block_date") ->
 
 def write_meta(meta: DataFrame, path: str) -> None:
     meta.write.mode("overwrite").parquet(path)
+
+
+def write_latest_snapshot(df: DataFrame, base_path: str) -> str:
+    """The ``beacon_validators_latest`` pattern, race-free.
+
+    The reference overwrites the constant ``block_date=latest`` staging
+    partition in place while the load DAG may concurrently read it
+    (`build_hourly_export_dag.py:68-71,146-149` — SURVEY §7.4.4/§7.4.5).
+    Here: write the snapshot to a fresh versioned directory, then
+    atomically repoint a tiny ``_LATEST`` pointer file.  Readers resolve
+    the pointer first, so they always see a complete snapshot; old
+    versions remain until vacuumed.  (The same write-then-swap idea
+    Delta/Iceberg formalize with a commit log.)
+
+    Returns the versioned directory written.
+    """
+    import os
+    import uuid
+
+    version = uuid.uuid4().hex[:12]
+    vdir = os.path.join(base_path, f"v={version}")
+    df.write.mode("overwrite").parquet(vdir)
+    pointer_tmp = os.path.join(base_path, f"._LATEST.{version}.tmp")
+    pointer = os.path.join(base_path, "_LATEST")
+    os.makedirs(base_path, exist_ok=True)
+    with open(pointer_tmp, "w") as fh:
+        fh.write(vdir)
+    os.replace(pointer_tmp, pointer)  # atomic on POSIX
+    return vdir
+
+
+def read_latest_snapshot(spark: SparkSession, base_path: str) -> DataFrame:
+    """Resolve the ``_LATEST`` pointer and read that snapshot version."""
+    with open(f"{base_path}/_LATEST") as fh:
+        return spark.read.parquet(fh.read().strip())
 
 
 def ctas(spark: SparkSession, sql: str, dest_path: str) -> DataFrame:

@@ -148,3 +148,27 @@ def test_meta_sidecar(spark):
     rows = {r["block_date"].isoformat(): (r["start_block"], r["end_block"])
             for r in meta.collect()}
     assert rows == {"2024-01-01": (0, 287), "2024-01-02": (288, 575)}
+
+
+def test_latest_snapshot_swap(spark, tmp_path):
+    """beacon_validators_latest write-then-swap: readers always resolve a
+    complete snapshot; re-publish atomically repoints (SURVEY §7.4.5)."""
+    from ethereum2_etl_airflow_spark.operators.load import (
+        read_latest_snapshot, write_latest_snapshot,
+    )
+
+    base = str(tmp_path / "latest")
+    v1 = gen_beacon_validators(spark, 16, epoch=1, genesis=GENESIS,
+                               secs_per_slot=SPS)
+    d1 = write_latest_snapshot(v1, base)
+    assert read_latest_snapshot(spark, base).count() == 16
+
+    v2 = gen_beacon_validators(spark, 24, epoch=2, genesis=GENESIS,
+                               secs_per_slot=SPS)
+    d2 = write_latest_snapshot(v2, base)
+    assert d1 != d2
+    got = read_latest_snapshot(spark, base)
+    assert got.count() == 24
+    assert got.select("epoch").distinct().first()[0] == 2
+    # previous version still intact for in-flight readers
+    assert spark.read.parquet(d1).count() == 16

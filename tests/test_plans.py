@@ -1,0 +1,90 @@
+"""Physical-plan assertions: the scale properties (pushdown, pruning,
+broadcast, codegen) are tested, not assumed (SURVEY §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ethereum2_etl_airflow_spark.operators.load import derive_block_date
+from ethereum2_etl_airflow_spark.plans.explain import (
+    has_broadcast_join, partition_filters, pushed_filters,
+    read_schema_columns,
+)
+from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.where(F.col("l_quantity") > 30.0).select("l_orderkey")
+    pf = pushed_filters(q)
+    assert any("l_quantity" in f for f in pf), pf
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must not scan all 11 lineitem columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(q)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_q1_reads_only_needed_columns(spark, sf_dir):
+    from ethereum2_etl_airflow_spark.plans.checks_relational import q_q1_pricing
+
+    cols = set(read_schema_columns(q_q1_pricing(spark, sf_dir)))
+    assert "l_partkey" not in cols and "l_suppkey" not in cols
+    assert {"l_returnflag", "l_linestatus", "l_shipdate"} <= cols
+
+
+def test_broadcast_join_chosen_for_small_dim(spark, sf_dir):
+    from ethereum2_etl_airflow_spark.plans.checks_relational import (
+        q_join_broadcast, q_join_inner,
+    )
+
+    assert has_broadcast_join(q_join_broadcast(spark, sf_dir))
+    # and even without the hint, stats pick broadcast for a small dim
+    assert has_broadcast_join(q_join_inner(spark, sf_dir))
+
+
+def test_partition_pruning_on_block_date(spark, sf_dir, tmp_path):
+    """The load-stage contract (SURVEY §4 R1): a block_date predicate
+    lands in the scan's PartitionFilters (pruned at planning time), and
+    the pruned scan reads only that partition's rows."""
+    ev = derive_block_date(load_table(spark, sf_dir, "events"), "ts")
+    dest = str(tmp_path / "ev")
+    ev.write.partitionBy("block_date").parquet(dest)
+    back = spark.read.parquet(dest)
+    one = back.where(F.col("block_date") == "2024-01-03")
+    pf = partition_filters(one)
+    assert any("block_date" in f and "2024-01-03" in f for f in pf), pf
+    # row counts confirm the filter semantics on the partition column
+    expected = ev.where(F.col("block_date") == "2024-01-03").count()
+    assert one.count() == expected > 0
+
+
+def test_verify_sql_prunes_partitions(spark, sf_dir, tmp_path):
+    """The ported verify SQL filters on the partition column, so the scan
+    is pruned (the reference's DATE(ts) predicate would not prune —
+    contrast asserted below)."""
+    ev = derive_block_date(load_table(spark, sf_dir, "events"), "ts")
+    dest = str(tmp_path / "bb")
+    ev.withColumnRenamed("event_id", "block_slot") \
+        .write.partitionBy("block_date").parquet(dest)
+    spark.read.parquet(dest).createOrReplaceTempView("beacon_blocks")
+    q = spark.sql("""SELECT MAX(block_slot) FROM beacon_blocks
+                     WHERE block_date <= DATE'2024-01-05'""")
+    assert any("block_date" in f for f in partition_filters(q))
+    # the anti-pattern: filtering DATE(ts) (non-partition expression)
+    # yields NO partition filter — documents why block_date exists
+    bad = spark.sql("""SELECT MAX(block_slot) FROM beacon_blocks
+                       WHERE CAST(ts AS DATE) <= DATE'2024-01-05'""")
+    assert not any("block_date" in f for f in partition_filters(bad))
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    from ethereum2_etl_airflow_spark.plans.checks_relational import q_sort_limit
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+
+    plan = plan_string(q_sort_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "global sort for a LIMIT query"
