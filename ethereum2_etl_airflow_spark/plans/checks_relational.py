@@ -485,7 +485,45 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- skew handling --------------------------------------------------------
+
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (explicit hot-key mitigation, functions/skew.py):
+    semantically identical to the plain join — the oracle is the unsalted
+    SQL — while the fact side spreads each key over 16 salt buckets."""
+    from ..functions.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.min("event_id").alias("first_event"))
+    joined = salted_join(ev.select("user_id", "event_id", "event_type"),
+                         dim, on="user_id", salt=16)
+    return (joined.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("event_id") - F.col("first_event")).alias("id_delta_sum"))
+            .orderBy("event_type"))
+
+
+ORACLE_JOIN_SALTED = """
+WITH dim AS (SELECT user_id, MIN(event_id) AS first_event
+             FROM events GROUP BY user_id)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id - first_event) AS BIGINT) AS id_delta_sum
+FROM events JOIN dim USING (user_id)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_agg_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: HyperLogLog++ approximate distinct — the scale path for
+    A3 when exactness isn't required (sketches merge map-side; no expand).
+    Sketch values are engine-specific, so no value oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+
+
 RELATIONAL_CHECKS: dict[str, tuple] = {
+    "join_salted": (q_join_salted, ORACLE_JOIN_SALTED),
+    "agg_count_distinct_approx": (q_agg_count_distinct_approx, None),
     "q1_pricing": (q_q1_pricing, ORACLE_Q1),
     "join_inner": (q_join_inner, ORACLE_JOIN_INNER),
     "join_left": (q_join_left, ORACLE_JOIN_LEFT),

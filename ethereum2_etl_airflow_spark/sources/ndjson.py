@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["read_ndjson", "read_partition", "staging_path"]
+__all__ = ["read_ndjson", "read_partition", "staging_path", "stage_export"]
 
 
 def staging_path(root: str, table: str, block_date: str | None = None,
@@ -40,7 +40,10 @@ def staging_path(root: str, table: str, block_date: str | None = None,
     if block_date is not None:
         p += f"/block_date={block_date}"
         if hour is not None:
-            p += f"/{hour}"
+            # deviation from the reference's bare `/{HH}/` directory:
+            # Hive-style `hour=HH` so Spark partition discovery exposes the
+            # hour as a prunable virtual column
+            p += f"/hour={hour}"
     return p
 
 
@@ -62,6 +65,43 @@ def read_ndjson(
         )
         reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     return reader.schema(schema).json(path)
+
+
+def stage_export(
+    df,
+    root: str,
+    table: str,
+    ts_col: str,
+    hourly: bool = False,
+    latest_copy: bool = False,
+) -> str:
+    """Export-side staging writer (S6, `build_export_dag.py:61-64`;
+    hourly + latest variants `build_hourly_export_dag.py:63-71`):
+    distributed NDJSON write under the Hive date(/hour) layout with
+    dynamic partition overwrite (idempotent re-export of a tick).
+
+    ``latest_copy=True`` also publishes the batch as the "latest"
+    snapshot — the reference's constant ``block_date=latest`` tag
+    partition, realized instead as a sibling ``{table}_latest`` tree with
+    the race-free versioned-pointer swap of
+    :func:`..operators.load.write_latest_snapshot` (SURVEY §7.4.5; kept
+    outside the date-partition tree so partition discovery over the
+    staging layout stays consistent).
+
+    Returns the table's staging root.
+    """
+    from ..operators.load import write_latest_snapshot
+
+    base = staging_path(root, table, hourly=hourly)
+    out = df.withColumn("block_date", F.to_date(F.col(ts_col)))
+    parts = ["block_date"]
+    if hourly:
+        out = out.withColumn("hour", F.date_format(F.col(ts_col), "HH"))
+        parts.append("hour")
+    out.write.mode("overwrite").partitionBy(*parts).json(base)
+    if latest_copy:
+        write_latest_snapshot(df, f"{base}_latest")
+    return base
 
 
 def read_partition(

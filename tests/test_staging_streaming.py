@@ -1,0 +1,100 @@
+"""Export-side staging writer (hourly + latest) and incremental
+streaming behavior (new files picked up across micro-batch runs)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from ethereum2_etl_airflow_spark.functions.skew import salted_join
+from ethereum2_etl_airflow_spark.operators.load import read_latest_snapshot
+from ethereum2_etl_airflow_spark.sources.fixtures import gen_beacon_blocks
+from ethereum2_etl_airflow_spark.sources.ndjson import (
+    read_ndjson, read_partition, stage_export, staging_path,
+)
+from ethereum2_etl_airflow_spark.sources.schemas import beacon_schema
+from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+GENESIS = 1704067200
+SPS = 300
+
+
+def test_stage_export_daily_layout(spark, tmp_path):
+    blocks = gen_beacon_blocks(spark, 2 * 288, genesis=GENESIS, secs_per_slot=SPS)
+    root = str(tmp_path)
+    base = stage_export(blocks, root, "beacon_blocks", "block_timestamp")
+    assert sorted(os.path.basename(d) for d in
+                  glob.glob(f"{base}/block_date=*")) == [
+        "block_date=2024-01-01", "block_date=2024-01-02"]
+    back = read_ndjson(spark, f"{base}/*/*.json",
+                       beacon_schema("beacon_blocks"))
+    assert back.count() == 2 * 288
+
+
+def test_stage_export_hourly_layout_and_latest(spark, tmp_path):
+    blocks = gen_beacon_blocks(spark, 48, genesis=GENESIS, secs_per_slot=SPS)
+    root = str(tmp_path)
+    base = stage_export(blocks, root, "beacon_blocks", "block_timestamp",
+                        hourly=True, latest_copy=True)
+    # 48 slots x 300s = 4 hours of data under one date
+    hours = sorted(os.path.basename(d) for d in
+                   glob.glob(f"{base}/block_date=2024-01-01/hour=*"))
+    assert hours == ["hour=00", "hour=01", "hour=02", "hour=03"]
+    one = read_partition(spark, root, "beacon_blocks",
+                         beacon_schema("beacon_blocks"),
+                         "2024-01-01", hour="01", hourly=True)
+    assert one.count() == 12  # one hour of 300 s slots
+    latest = read_latest_snapshot(spark, f"{base}_latest")
+    assert latest.count() == 48
+
+
+def test_streaming_picks_up_new_files(spark, tmp_path):
+    """Two availableNow runs: the second sees files staged after the
+    first — the sensor-less incremental load (SURVEY §2.7 O6)."""
+    from ethereum2_etl_airflow_spark.streaming.hourly import (
+        hourly_counts_stream, run_available_now,
+    )
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    first = ev.where(F.col("event_id") < 500)
+    second = ev.where(F.col("event_id") >= 500)
+    first.write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = hourly_counts_stream(spark, src, schema, ts_col="ts",
+                                  ts_is_nanos=False)
+    r1 = run_available_now(stream, spark)
+    assert r1.agg(F.sum("n")).first()[0] == 500
+
+    second.write.mode("append").parquet(src)
+    r2 = run_available_now(stream, spark)
+    assert r2.agg(F.sum("n")).first()[0] == 1000
+    # per-hour rows equal the batch aggregate
+    batch = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+             .agg(F.count("*").alias("n")).count())
+    assert r2.count() == batch
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type")
+    dim = ev.groupBy("user_id").agg(F.min("event_id").alias("first_event"))
+    plain = ev.join(dim, "user_id")
+    salted = salted_join(ev, dim, on="user_id", salt=8)
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.select(*plain.columns).collect()}
+    assert a == b
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    fact = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (99, "orphan")], "k long, v string")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, d string")
+    out = salted_join(fact, dim, on="k", how="left", salt=4).collect()
+    got = {(r["k"], r["d"]) for r in out}
+    assert got == {(1, "a"), (2, "b"), (99, None)}
