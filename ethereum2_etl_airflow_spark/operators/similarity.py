@@ -31,7 +31,10 @@ def topk_cosine_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
     deterministic.  Norms are materialized once per vector; the query
     side is a broadcast (tiny); the candidate scan parallelizes per
     partition with no shuffle until the top-k."""
-    nv = with_normalized(emb, vec_col, "nv")
+    # cache the normalized vectors: without the barrier the wide-decimal
+    # norm expression is re-evaluated per joined row (|Q|x per candidate)
+    nv = (with_normalized(emb, vec_col, "nv")
+          .select(id_col, "nv").cache())
     q = (nv.where(F.col(id_col).isin([int(x) for x in query_ids]))
          .select(F.col(id_col).alias("query_id"), F.col("nv").alias("qv")))
     c = nv.select(F.col(id_col).alias("vec_id"), F.col("nv").alias("cv"))
