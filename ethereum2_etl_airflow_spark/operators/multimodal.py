@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "attach_binary_payload",
-           "decode_stub", "extract_features"]
+           "read_media_dir", "decode_stub", "extract_features"]
 
 #: payload + typed metadata layout for a multimodal table
 MEDIA_SCHEMA = T.StructType([
@@ -62,6 +62,27 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.struct(
             F.lit("application/octet-stream").alias("mime"),
             F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def read_media_dir(spark, path: str, glob: str = "*",
+                   mime: str = "application/octet-stream") -> DataFrame:
+    """X5 ingest path: raw media files → the MEDIA_SCHEMA shape via
+    Spark's ``binaryFile`` source (content + path/length/modTime
+    metadata; splits never break a file).  ``doc_id`` is the xxhash64 of
+    the file path — stable across reruns and cluster layouts.  Note:
+    Spark's binaryFile source omits zero-byte files (observed behavior)."""
+    df = (spark.read.format("binaryFile")
+          .option("pathGlobFilter", glob).load(path))
+    return df.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.col("length").cast("long").alias("n_bytes"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
         ).alias("meta"),

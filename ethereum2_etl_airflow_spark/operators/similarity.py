@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.vectors import dot_compact, with_normalized
 
-__all__ = ["topk_cosine_bruteforce", "ann_lsh_candidates"]
+__all__ = ["topk_cosine_bruteforce", "ann_ivf_topk", "ann_lsh_candidates"]
 
 
 def topk_cosine_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
@@ -56,6 +56,61 @@ def topk_cosine_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+                 n_lists: int = 16, n_probe: int = 4, seed: int = 42,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into ``n_lists`` KMeans cells, search only each query's ``n_probe``
+    nearest cells.
+
+    The 100 TB shape: the centroid table is tiny (broadcast); cell
+    assignment is one map pass; a query touches ``n_probe/n_lists`` of
+    the corpus.  Returns (query_id, vec_id, rank, cosine) like the exact
+    tier (recall measured against it in tests).  Deterministic under the
+    fixed KMeans seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    nv = (with_normalized(emb, vec_col, "nv")
+          .select(id_col, "nv").cache())
+    feats = nv.select(id_col, array_to_vector("nv").alias("features"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="features",
+                predictionCol="cell")
+    model = km.fit(feats)
+    assigned = model.transform(feats).select(id_col, "cell")
+    corpus = nv.join(assigned, id_col)
+
+    # per-query nearest cells by centroid cosine (centroids are tiny)
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centroids = emb.sparkSession.createDataFrame(
+        centers, "cell int, cvec array<double>")
+    q = (corpus.where(F.col(id_col).isin([int(x) for x in query_ids]))
+         .select(F.col(id_col).alias("query_id"), F.col("nv").alias("qv")))
+    qc = (F.broadcast(q).crossJoin(F.broadcast(centroids))
+          .select("query_id", "qv", "cell",
+                  dot_compact(F.col("qv"), F.col("cvec")).alias("cdot")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("cdot").desc(), F.col("cell"))
+    probes = (qc.select("query_id", "qv", "cell",
+                        F.row_number().over(wq).alias("crank"))
+              .where(F.col("crank") <= n_probe)
+              .select("query_id", "qv", "cell"))
+
+    scored = (probes.join(corpus.select(F.col(id_col).alias("vec_id"),
+                                        F.col("nv").alias("cv"), "cell"),
+                          "cell")
+              .where(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", "vec_id",
+                      dot_compact(F.col("qv"), F.col("cv"))
+                      .cast("decimal(18,9)").cast("double").alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.select("query_id", "vec_id",
+                          F.row_number().over(w).alias("rank"), "cosine")
+            .where(F.col("rank") <= k)
+            .orderBy("query_id", "rank"))
 
 
 def ann_lsh_candidates(emb: DataFrame, query_ids: list[int], k: int = 10,

@@ -395,7 +395,56 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+# --- sessionization (custom stateful operator; batch semantics) -----------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min) — the batch reference semantics of the
+    applyInPandasWithState streaming operator in streaming/sessionize.py
+    (the streaming variant is checked against this in tests)."""
+    from ..streaming.sessionize import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = sessionize_batch(ev, gap_s=1800)
+    return (out.select("user_id",
+                       F.col("session_start").cast("timestamp_ntz"),
+                       F.col("session_end").cast("timestamp_ntz"),
+                       "n_events", "value_millis")
+            .orderBy("user_id", "session_start"))
+
+
+ORACLE_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS millis,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                   - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts, millis,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, CAST(SUM(millis) AS BIGINT) AS value_millis
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: IVF coarse-quantized ANN (KMeans cells + n_probe
+    search) — recall vs the exact tier asserted in tests."""
+    from ..operators.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(_emb(spark, sf_dir), _QUERY_IDS, k=10)
+
+
 EXTENSION_CHECKS: dict[str, tuple] = {
+    "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "sim_ivf": (q_sim_ivf, None),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),

@@ -34,7 +34,40 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["build_session", "stop_session"]
+__all__ = ["build_session", "stop_session", "ship_package"]
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Distribute this package to executor Python workers.
+
+    Pandas-UDF closures that reference module-level functions are pickled
+    *by reference* — workers must import ``ethereum2_etl_airflow_spark``
+    themselves.  That works when the driver's cwd is the repo root (cwd
+    is on ``sys.path`` and inherited), and silently breaks otherwise.
+    ``addPyFile`` ships a zip of the package and prepends it to every
+    worker's ``sys.path``, making the UDF operators location-independent
+    (exactly what a spark-submit deployment does with ``--py-files``).
+
+    Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_e2etl_pkg_shipped", False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"{pkg_name}_pyfiles.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._e2etl_pkg_shipped = True
 
 
 def build_session(
@@ -88,6 +121,7 @@ def build_session(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
 
 

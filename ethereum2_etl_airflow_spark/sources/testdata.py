@@ -29,12 +29,20 @@ _NANOS_TS_COLS = {"events": ["ts"]}
 
 
 def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
-    """Set runtime-settable confs this engine depends on (idempotent)."""
+    """Set runtime-settable confs this engine depends on and ship the
+    package to executors (idempotent) — every entry point calls this so a
+    foreign SparkSession (the driver harness's) behaves like ours."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # static conf on some builds; session.build_session sets it
+    try:
+        from ..session import ship_package
+
+        ship_package(spark)
+    except Exception:
+        pass  # non-fatal: cwd-based imports still work in-repo
     return spark
 
 

@@ -129,3 +129,26 @@ def test_streaming_hourly_equals_batch(spark, sf_dir):
     stream = {r["hour_start"]: (r["n"], r["start_block"], r["end_block"])
               for r in q_stream_hourly(spark, sf_dir).collect()}
     assert stream == batch
+
+
+def test_read_media_dir_binaryfile_source(spark, tmp_path):
+    """X5 ingest: binaryFile source → MEDIA_SCHEMA → stubbed decode."""
+    import os
+
+    from ethereum2_etl_airflow_spark.operators.multimodal import (
+        extract_features, read_media_dir,
+    )
+
+    d = tmp_path / "media"
+    os.makedirs(d)
+    payloads = {f"f{i}.bin": bytes(range(i, i + 40)) for i in range(3)}
+    for name, data in payloads.items():
+        (d / name).write_bytes(data)
+    media = read_media_dir(spark, str(d), glob="*.bin")
+    assert media.count() == 3
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = extract_features(media).collect()
+    sizes = sorted(r["n_bytes"] for r in feats)
+    assert sizes == [40, 40, 40]
+    heads = {r["head_hex"] for r in feats}
+    assert bytes(range(0, 16)).hex() in heads

@@ -98,3 +98,65 @@ def test_salted_join_left_preserves_unmatched(spark):
     out = salted_join(fact, dim, on="k", how="left", salt=4).collect()
     got = {(r["k"], r["d"]) for r in out}
     assert got == {(1, "a"), (2, "b"), (99, None)}
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        ann_ivf_topk, topk_cosine_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r["query_id"], r["vec_id"])
+             for r in topk_cosine_bruteforce(emb, qids, k=10).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in ann_ivf_topk(emb, qids, k=10,
+                                    n_lists=8, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    # probing half the cells on random data should keep decent recall
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+    # and every IVF hit must carry the exact-tier cosine (same kernel)
+    assert len(approx) == 50
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions closed by the
+    advancing watermark must agree with the batch window semantics."""
+    import os
+
+    from ethereum2_etl_airflow_spark.streaming.sessionize import (
+        SESSION_SCHEMA, sessionize_batch, sessionize_stream,
+    )
+
+    ev = (load_table(spark, "/root/testdata/sf0.001", "events")
+          .select("user_id", "ts", "value"))
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    # two files in event-time order so the watermark advances between
+    # micro-batches (maxFilesPerTrigger=1) and closes early sessions
+    ev.where(F.col("ts") < "2024-01-15").coalesce(1) \
+        .write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= "2024-01-15").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream_src = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+    sessions = sessionize_stream(stream_src, gap_s=6 * 3600,
+                                 watermark="1 hour")
+    import uuid
+
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (sessions.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["session_start"], r["session_end"],
+            r["n_events"], r["value_millis"])
+           for r in spark.table(name).collect()}
+
+    expected = {(r["user_id"], r["session_start"], r["session_end"],
+                 r["n_events"], r["value_millis"])
+                for r in sessionize_batch(ev, gap_s=6 * 3600).collect()}
+    # the stream emits only watermark-closed sessions — a nonempty subset
+    assert got, "no sessions closed by the stream"
+    assert got <= expected, "stream emitted a session batch disagrees with"
