@@ -513,6 +513,62 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (functions/asof.py union-marker formulation): each
+    purchase event picks up the user's most recent click at-or-before it.
+    Oracle: DuckDB's native ASOF JOIN — independent implementation, same
+    semantics."""
+    from ..functions.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", "event_id", "ts"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
+    out = asof_join(purchases, clicks, on="user_id",
+                    left_ts="ts", right_ts="click_ts")
+    return (out.select("user_id", "event_id",
+                       F.col("asof_click_id").alias("click_id"))
+            .orderBy("event_id"))
+
+
+ORACLE_JOIN_ASOF = """
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.event_id, c.click_id
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+ORDER BY p.event_id
+"""
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-segment, per-status
+    and grand-total order counts in one pass (Expand + single agg)."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    j.createOrReplaceTempView("gs_oc")
+    return spark.sql("""
+        SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n
+        FROM gs_oc
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+        ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
+    """)
+
+
+ORACLE_AGG_GROUPING_SETS = """
+SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
 def q_agg_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: HyperLogLog++ approximate distinct — the scale path for
     A3 when exactness isn't required (sketches merge map-side; no expand).
@@ -523,6 +579,8 @@ def q_agg_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RELATIONAL_CHECKS: dict[str, tuple] = {
     "join_salted": (q_join_salted, ORACLE_JOIN_SALTED),
+    "join_asof": (q_join_asof, ORACLE_JOIN_ASOF),
+    "agg_grouping_sets": (q_agg_grouping_sets, ORACLE_AGG_GROUPING_SETS),
     "agg_count_distinct_approx": (q_agg_count_distinct_approx, None),
     "q1_pricing": (q_q1_pricing, ORACLE_Q1),
     "join_inner": (q_join_inner, ORACLE_JOIN_INNER),

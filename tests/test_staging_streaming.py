@@ -160,3 +160,55 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     # the stream emits only watermark-closed sessions — a nonempty subset
     assert got, "no sessions closed by the stream"
     assert got <= expected, "stream emitted a session batch disagrees with"
+
+
+def test_asof_join_semantics(spark):
+    from ethereum2_etl_airflow_spark.functions.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5), (2, 50)], "k long, t long") \
+        .select("k", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (2, 60, "z")], "k long, t long, v string") \
+        .select("k", F.timestamp_seconds("t").alias("rts"), "v")
+
+    out = {(r["k"], r["ts"].second + r["ts"].minute * 60, r["asof_v"])
+           for r in asof_join(left, right, "k", "ts", "rts").collect()}
+    # t=10 inclusive -> "a"; t=20 -> "b"; t=5 -> no earlier ref -> NULL;
+    # k=2 t=50 -> ref at 60 is later -> NULL
+    assert out == {(1, 10, "a"), (1, 20, "b"), (1, 5, None), (2, 50, None)}
+
+    strict = {(r["k"], r["ts"].second + r["ts"].minute * 60, r["asof_v"])
+              for r in asof_join(left, right, "k", "ts", "rts",
+                                 strict=True).collect()}
+    # strict: the simultaneous ref at t=10 is no longer visible
+    assert strict == {(1, 10, None), (1, 20, "b"), (1, 5, None), (2, 50, None)}
+
+
+def test_verify_ansi_cast_mode(spark):
+    """P5 bug-for-bug fidelity: under ANSI mode the reference's
+    CAST('<msg>' AS BIGINT) trick errors on a violated invariant and the
+    message text surfaces."""
+    import pytest
+
+    from ethereum2_etl_airflow_spark.operators.load import derive_block_date
+    from ethereum2_etl_airflow_spark.operators.verify import run_check
+    from ethereum2_etl_airflow_spark.sources.fixtures import gen_beacon_blocks
+
+    gapped = gen_beacon_blocks(spark, 288, genesis=GENESIS, secs_per_slot=SPS,
+                               gap_slots={44})
+    derive_block_date(gapped, "block_timestamp") \
+        .createOrReplaceTempView("beacon_blocks")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with pytest.raises(Exception) as ei:
+            run_check(spark, "blocks_count", "2024-01-01", ansi_cast=True)
+        assert "not equal to last slot" in str(ei.value) \
+            or "CAST_INVALID_INPUT" in str(ei.value)
+        # and a clean chain passes under the same mode
+        ok = gen_beacon_blocks(spark, 288, genesis=GENESIS, secs_per_slot=SPS)
+        derive_block_date(ok, "block_timestamp") \
+            .createOrReplaceTempView("beacon_blocks")
+        run_check(spark, "blocks_count", "2024-01-01", ansi_cast=True)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
