@@ -112,6 +112,28 @@ def write_meta(meta: DataFrame, path: str) -> None:
     meta.write.mode("overwrite").parquet(path)
 
 
+def write_meta_txt(meta: DataFrame, root: str, table: str = "beacon_blocks") -> list[str]:
+    """Bug-for-bug sidecar fidelity: one ``{table}_meta.txt`` per date
+    containing exactly ``"{start},{end}"`` under the staged partition dir
+    (`build_export_dag.py:80-88,121-123`).  The queryable parquet meta
+    table (:func:`write_meta`) is the scale path; this exists for
+    consumers of the reference's file contract.  Driver-side write — the
+    meta table is one tiny row per date by construction."""
+    import os
+
+    out = []
+    for r in meta.collect():
+        d = r["block_date"]
+        ds = d if isinstance(d, str) else d.isoformat()
+        pdir = os.path.join(root, "export", table, f"block_date={ds}")
+        os.makedirs(pdir, exist_ok=True)
+        p = os.path.join(pdir, f"{table}_meta.txt")
+        with open(p, "w") as fh:
+            fh.write(f"{r['start_block']},{r['end_block']}")
+        out.append(p)
+    return out
+
+
 def write_latest_snapshot(df: DataFrame, base_path: str) -> str:
     """The ``beacon_validators_latest`` pattern, race-free.
 

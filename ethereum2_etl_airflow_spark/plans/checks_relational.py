@@ -547,6 +547,36 @@ ORDER BY p.event_id
 """
 
 
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: price-band dimension × orders on an interval
+    predicate.  The band table is tiny → BroadcastNestedLoopJoin, which
+    is the right plan for a non-equi join with a broadcastable side; for
+    two large sides the scale pattern is banding the range into equi-join
+    buckets (as done for SimHash)."""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [(i, float(i * 100000), float((i + 1) * 100000)) for i in range(7)],
+        "band int, lo double, hi double")
+    j = o.join(F.broadcast(bands),
+               (o["o_totalprice"] >= bands["lo"])
+               & (o["o_totalprice"] < bands["hi"]), "inner")
+    return (j.groupBy("band")
+            .agg(F.count("*").alias("n"),
+                 _dec_sum("o_totalprice", "band_revenue"))
+            .orderBy("band"))
+
+
+ORACLE_JOIN_RANGE = f"""
+WITH bands AS (
+  SELECT i AS band, i * 100000.0 AS lo, (i + 1) * 100000.0 AS hi
+  FROM range(7) t(i))
+SELECT band, COUNT(*) AS n,
+       {_DEC_SUM_SQL.format(col="o_totalprice", alias="band_revenue")}
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond rollup/cube): per-segment, per-status
     and grand-total order counts in one pass (Expand + single agg)."""
@@ -580,6 +610,7 @@ def q_agg_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 RELATIONAL_CHECKS: dict[str, tuple] = {
     "join_salted": (q_join_salted, ORACLE_JOIN_SALTED),
     "join_asof": (q_join_asof, ORACLE_JOIN_ASOF),
+    "join_range": (q_join_range, ORACLE_JOIN_RANGE),
     "agg_grouping_sets": (q_agg_grouping_sets, ORACLE_AGG_GROUPING_SETS),
     "agg_count_distinct_approx": (q_agg_count_distinct_approx, None),
     "q1_pricing": (q_q1_pricing, ORACLE_Q1),

@@ -172,3 +172,17 @@ def test_latest_snapshot_swap(spark, tmp_path):
     assert got.select("epoch").distinct().first()[0] == 2
     # previous version still intact for in-flight readers
     assert spark.read.parquet(d1).count() == 16
+
+
+def test_meta_txt_fidelity(spark, tmp_path):
+    """Sidecar text format matches the reference byte-for-byte:
+    "{start},{end}" in {table}_meta.txt under the date partition."""
+    from ethereum2_etl_airflow_spark.operators.load import write_meta_txt
+
+    blocks = gen_beacon_blocks(spark, 2 * 288, genesis=GENESIS, secs_per_slot=SPS)
+    meta = compute_meta(derive_block_date(blocks, "block_timestamp"), "block_slot")
+    paths = write_meta_txt(meta, str(tmp_path))
+    assert len(paths) == 2
+    by_date = {p.split("block_date=")[1].split("/")[0]: open(p).read()
+               for p in paths}
+    assert by_date == {"2024-01-01": "0,287", "2024-01-02": "288,575"}

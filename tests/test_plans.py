@@ -88,3 +88,33 @@ def test_topk_avoids_global_sort(spark, sf_dir):
 
     plan = plan_string(q_sort_limit(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, "global sort for a LIMIT query"
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing (bucketBy + sortBy saveAsTable) co-locates both join
+    sides: the sort-merge join runs with NO Exchange on either side —
+    the pre-shuffled layout that makes repeated large-x-large joins
+    affordable at 100 TB."""
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        (o.write.mode("overwrite").format("parquet")
+         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .option("path", str(tmp_path / "orders_b"))
+         .saveAsTable("orders_bucketed"))
+        (li.write.mode("overwrite").format("parquet")
+         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .option("path", str(tmp_path / "lineitem_b"))
+         .saveAsTable("lineitem_bucketed"))
+        j = (spark.table("orders_bucketed")
+             .join(spark.table("lineitem_bucketed"),
+                   F.col("o_orderkey") == F.col("l_orderkey")))
+        plan = plan_string(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
