@@ -77,7 +77,8 @@ def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     nv = (with_normalized(emb, vec_col, "nv")
           .select(id_col, "nv").cache())
     feats = nv.select(id_col, array_to_vector("nv").alias("features"))
-    km = KMeans(k=n_lists, seed=seed, featuresCol="features",
+    # few iterations: centroids only need to bucket, not converge
+    km = KMeans(k=n_lists, seed=seed, maxIter=5, featuresCol="features",
                 predictionCol="cell")
     model = km.fit(feats)
     assigned = model.transform(feats).select(id_col, "cell")

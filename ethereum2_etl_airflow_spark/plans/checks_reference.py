@@ -342,7 +342,52 @@ FROM events WHERE event_id < 1000 ORDER BY event_id
 """
 
 
+# --- F5-F8: scalar date/string/JSON function surface ----------------------
+
+def q_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5-F7 (`build_export_dag.py:63`, `build_hourly_export_dag.py:65,
+    243`): strftime-style formatting, hour extraction, epoch seconds."""
+    ev = _events(spark, sf_dir)
+    return (ev.where(F.col("event_id") < 2000)
+            .select(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+                F.date_format("ts", "HH").alias("hour_str"),
+                F.hour("ts").alias("hour_num"),
+                F.unix_timestamp("ts").alias("epoch_s"))
+            .orderBy("event_id"))
+
+
+ORACLE_DATE_FNS = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d') AS day_str,
+       strftime(ts, '%H') AS hour_str,
+       CAST(hour(ts) AS INT) AS hour_num,
+       CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS epoch_s
+FROM events WHERE event_id < 2000 ORDER BY event_id
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access over the events props JSON column — the
+    kind of query every consumer of staged NDJSON attributes runs."""
+    ev = _events(spark, sf_dir)
+    return (ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .where(F.col("event_id") < 2000)
+        .orderBy("event_id"))
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events WHERE event_id < 2000 ORDER BY event_id
+"""
+
+
 REFERENCE_CHECKS: dict[str, tuple] = {
+    "date_fns": (q_date_fns, ORACLE_DATE_FNS),
+    "json_extract": (q_json_extract, ORACLE_JSON_EXTRACT),
     "scan_ndjson": (q_scan_ndjson, ORACLE_SCAN_NDJSON),
     "scan_partition": (q_scan_partition, ORACLE_SCAN_PARTITION),
     "sink_overwrite": (q_sink_overwrite, ORACLE_SINK_OVERWRITE),
