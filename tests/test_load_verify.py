@@ -186,3 +186,19 @@ def test_meta_txt_fidelity(spark, tmp_path):
     by_date = {p.split("block_date=")[1].split("/")[0]: open(p).read()
                for p in paths}
     assert by_date == {"2024-01-01": "0,287", "2024-01-02": "288,575"}
+
+
+def test_corrupt_record_capture(spark, tmp_path):
+    """Stronger than BigQuery's silent tolerance: corrupt NDJSON lines
+    can be captured into a designated column (SURVEY §1.3)."""
+    p = tmp_path / "bad.json"
+    p.write_text('{"block_slot": 1, "skipped": false}\n'
+                 'this is not json at all\n'
+                 '{"block_slot": 2, "skipped": true}\n')
+    df = read_ndjson(spark, str(p), beacon_schema("beacon_blocks"),
+                     corrupt_col="_corrupt")
+    rows = df.select("block_slot", "_corrupt").collect()
+    good = {r["block_slot"] for r in rows if r["_corrupt"] is None}
+    bad = [r["_corrupt"] for r in rows if r["_corrupt"] is not None]
+    assert good == {1, 2}
+    assert bad == ["this is not json at all"]

@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis): the distributed implementations
+must agree with trivially-correct driver-side references on arbitrary
+small inputs — catching edge cases fixed fixtures don't reach."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ethereum2_etl_airflow_spark.functions import chaintime as ct
+from ethereum2_etl_airflow_spark.functions.asof import asof_join
+
+# one Spark round-trip per example is expensive — keep examples few and
+# inputs small; the point is shape coverage, not volume
+SET = settings(max_examples=12, deadline=None,
+               suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@SET
+@given(st.lists(
+    st.tuples(st.integers(0, 3),              # key
+              st.integers(0, 50),             # probe ts (seconds)
+              ),
+    min_size=1, max_size=12),
+    st.lists(
+    st.tuples(st.integers(0, 3),
+              st.integers(0, 50),
+              st.integers(0, 99)),            # ref value
+    min_size=0, max_size=12))
+def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
+    left = spark.createDataFrame(
+        [(k, i, t) for i, (k, t) in enumerate(left_rows)],
+        "k long, row_id long, t long") \
+        .select("k", "row_id", F.timestamp_seconds("t").alias("ts"))
+    if right_rows:
+        right = spark.createDataFrame(
+            [(k, t, v) for (k, t, v) in right_rows], "k long, t long, v long") \
+            .select("k", F.timestamp_seconds("t").alias("rts"), "v")
+    else:
+        right = spark.createDataFrame([], "k long, rts timestamp, v long")
+
+    got = {r["row_id"]: r["asof_v"]
+           for r in asof_join(left, right, "k", "ts", "rts").collect()}
+
+    # brute force: per probe, max-(ts, then v) reference at-or-before.
+    # mirror the operator's tie rule: among equal rts candidates the
+    # union-marker keeps the last-encountered payload, which after the
+    # (ts, tag) sort is ordering-dependent — so only compare when the
+    # winning timestamp is unique, and otherwise assert membership.
+    for i, (k, t) in enumerate(left_rows):
+        cands = [(rt, v) for (rk, rt, v) in right_rows if rk == k and rt <= t]
+        if not cands:
+            assert got[i] is None
+            continue
+        best_ts = max(rt for rt, _ in cands)
+        vals = {v for rt, v in cands if rt == best_ts}
+        assert got[i] in vals
+
+
+@SET
+@given(st.integers(86_400, 10_000_000))  # past the partial genesis day
+def test_chaintime_slot_roundtrip(_spark_unused, offset):
+    ts = ct.GENESIS_UNIX + offset
+    slot = (ts - ct.GENESIS_UNIX) // ct.SECONDS_PER_SLOT
+    d = datetime.fromtimestamp(ts, tz=timezone.utc)
+    lo, hi = ct.block_range_for_date(d)
+    assert lo <= slot <= hi
+    # the day range is exactly one day of slots
+    assert hi - lo + 1 == 86400 // ct.SECONDS_PER_SLOT
+    elo, ehi = ct.epoch_range_for_date(d)
+    assert elo == lo // ct.SLOTS_PER_EPOCH and ehi == hi // ct.SLOTS_PER_EPOCH
+
+
+# fixture passthrough for hypothesis (session fixture can't be injected
+# into @given directly)
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def _spark_unused():
+    return None
