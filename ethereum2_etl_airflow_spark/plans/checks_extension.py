@@ -245,10 +245,10 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
-# wide-decimal sum of squares → L2 norm (matches vectors.norm_decimal)
+# compact-decimal sum of squares → L2 norm (matches vectors.norm_decimal)
 _NORM = ("sqrt(CAST(list_reduce(list_transform({v}, x -> "
-         "CAST(x * x AS DECIMAL(28,14))), "
-         "(acc, u) -> CAST(acc + u AS DECIMAL(28,14))) AS DOUBLE))")
+         "CAST(x * x AS DECIMAL(18,9))), "
+         "(acc, u) -> CAST(acc + u AS DECIMAL(18,9))) AS DOUBLE))")
 # normalized copy (matches vectors.with_normalized)
 _NV = "list_transform({v}, x -> x / " + _NORM + ")"
 # compact long-backed dot over normalized components (vectors.dot_compact)

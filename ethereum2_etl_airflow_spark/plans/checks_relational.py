@@ -547,6 +547,28 @@ ORDER BY p.event_id
 """
 
 
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): per-user event counts, one column per
+    event type.  The explicit value list keeps the plan a single pass
+    (no extra distinct-values job) and the schema deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (ev.groupBy("user_id").pivot("event_type", types).count()
+            .na.fill(0, types)
+            .orderBy("user_id"))
+
+
+ORACLE_AGG_PIVOT = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'error') AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (theta) join: price-band dimension × orders on an interval
     predicate.  The band table is tiny → BroadcastNestedLoopJoin, which
@@ -611,6 +633,7 @@ RELATIONAL_CHECKS: dict[str, tuple] = {
     "join_salted": (q_join_salted, ORACLE_JOIN_SALTED),
     "join_asof": (q_join_asof, ORACLE_JOIN_ASOF),
     "join_range": (q_join_range, ORACLE_JOIN_RANGE),
+    "agg_pivot": (q_agg_pivot, ORACLE_AGG_PIVOT),
     "agg_grouping_sets": (q_agg_grouping_sets, ORACLE_AGG_GROUPING_SETS),
     "agg_count_distinct_approx": (q_agg_count_distinct_approx, None),
     "q1_pricing": (q_q1_pricing, ORACLE_Q1),
