@@ -82,18 +82,17 @@ def cosine_decimal(a: Column, b: Column) -> Column:
 
 def with_normalized(df: DataFrame, vec_col: str = "embedding",
                     out_col: str = "nv") -> DataFrame:
-    """Append an L2-normalized DOUBLE copy of ``vec_col``.  The norm is a
-    materialized per-row column, so it is computed once per vector — not
-    once per pair, and not once per element.  Zero vectors yield NULL
-    components (0/0); downstream comparisons drop them.
+    """Append an L2-normalized DOUBLE copy of ``vec_col``.  The norm is
+    let-bound (:func:`..functions.let.bind`) so it is computed once per
+    vector — not once per pair, and crucially not once per element (the
+    naive ``withColumn`` staging collapses and inlines the norm
+    expression into the divide lambda — measured 20x slower).  Zero
+    vectors yield NULL components (0/0); downstream comparisons drop
+    them."""
+    from .let import bind
 
-    The intermediate (row + norm) relation is cached: without that
-    barrier CollapseProject inlines the norm *expression* into the
-    divide lambda, re-evaluating it per array element — measured 20x on
-    the normalization stage (0.3s → 6.4s for 4k × 64-dim vectors)."""
-    nrm = "__norm_" + out_col
-    base = df.withColumn(nrm, norm_decimal(F.col(vec_col))).cache()
-    return (base.withColumn(out_col,
-                            F.transform(_to_double(F.col(vec_col)),
-                                        lambda x: x / F.col(nrm)))
-            .drop(nrm))
+    v = F.col(vec_col)
+    return df.withColumn(
+        out_col,
+        bind(norm_decimal(v),
+             lambda nrm: F.transform(_to_double(v), lambda x: x / nrm)))

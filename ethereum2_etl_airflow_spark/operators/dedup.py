@@ -66,10 +66,12 @@ def shingles_of_tokens(t, n: int = 3):
 
 
 def shingles(col, n: int = 3):
-    """n-word shingles straight from a text column — convenient for
-    single-use expressions; for pipelines prefer materializing
-    ``tokens(col)`` once and calling :func:`shingles_of_tokens`."""
-    return shingles_of_tokens(tokens(col), n)
+    """n-word shingles straight from a text column.  The tokenizer is
+    let-bound (:func:`..functions.let.bind`) so it runs once per row —
+    safe to use inline, no cache barrier needed."""
+    from ..functions.let import bind
+
+    return bind(tokens(col), lambda t: shingles_of_tokens(t, n))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold_tenths: int = 6,
@@ -96,16 +98,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold_tenths: int = 6,
     from pyspark.sql import Window
 
     t = threshold_tenths
-    # Materialize the tokenizer output ONCE (cache is an optimization
-    # barrier — CollapseProject would otherwise inline the regex into
-    # every element_at reference of the shingle builder, re-running it
-    # O(n·|shingles|) times per row).
-    toked = (docs.select(F.col(id_col).alias("id"),
-                         tokens(F.col(text_col)).alias("toks"))
-             .where(F.size("toks") >= n).cache())
-    sets = (toked.select("id",
-                         F.array_distinct(shingles_of_tokens(F.col("toks"), n))
-                         .alias("shs"))
+    # the shingle builder references its token array 3n+1 times — the
+    # let-bound shingles() evaluates the tokenizer once per row
+    sets = (docs.select(F.col(id_col).alias("id"),
+                        F.array_distinct(shingles(F.col(text_col), n))
+                        .alias("shs"))
+            .where(F.size("shs") > 0)
             .withColumn("sz", F.size("shs"))
             .cache())
     # Eagerly fill: the plan below scans `sets` from five branches (DF
@@ -160,13 +158,9 @@ def minhash_near_dups(docs: DataFrame, jaccard_distance: float = 0.4,
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    # materialize tokens first (see shingles_of_tokens: expression
-    # inlining would re-run the tokenizer regex per element reference)
-    toked = (docs.select(F.col(id_col).alias("id"),
-                         tokens(F.col(text_col)).alias("toks"))
-             .where(F.size("toks") >= 3).cache())
-    sh = toked.select("id", F.array_distinct(
-        shingles_of_tokens(F.col("toks"))).alias("sh"))
+    sh = (docs.select(F.col(id_col).alias("id"),
+                      F.array_distinct(shingles(F.col(text_col))).alias("sh"))
+          .where(F.size("sh") > 0))
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
     # cache() is load-bearing, not just a reuse win: Spark does not
     # guarantee filter-before-UDF evaluation order, and without the

@@ -172,13 +172,15 @@ FROM documents ORDER BY doc_id
 def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ truncated variants (every 10th doc, last 5 tokens
     dropped, rebuilt from tokens) — known near-duplicates to find."""
+    from ..functions.let import bind
+
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    toks = X.tokens("text")
+    trunc = bind(X.tokens("text"),
+                 lambda t: F.concat_ws(
+                     " ", F.slice(t, 1, F.greatest(F.size(t) - 5, F.lit(1)))))
     v = (d.where(F.col("doc_id") % 10 == 0)
          .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                 F.concat_ws(" ", F.slice(toks, 1,
-                                          F.greatest(F.size(toks) - 5, F.lit(1))))
-                 .alias("text")))
+                 trunc.alias("text")))
     return d.unionByName(v)
 
 
