@@ -436,6 +436,72 @@ ORDER BY user_id, session_start
 """
 
 
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: the applyInPandasWithState streaming path itself —
+    events split into two event-time-ordered files, processed as two
+    micro-batches (maxFilesPerTrigger=1) so the advancing watermark
+    closes sessions via event-time timeouts.  Deterministic file order ⇒
+    deterministic closed-session set (validated against the batch
+    semantics in tests)."""
+    import hashlib
+    import os
+    import uuid
+
+    from ..streaming.sessionize import sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    src = os.path.join(
+        "/tmp", f"e2etl_sess_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS2")):
+        ev.where(F.col("ts") < "2024-01-15").coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        ev.where(F.col("ts") >= "2024-01-15").coalesce(1) \
+            .write.mode("append").parquet(src)
+        open(os.path.join(src, "_SUCCESS2"), "w").close()
+    stream_src = (spark.readStream.schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+    sessions = sessionize_stream(stream_src, gap_s=6 * 3600, watermark="1 hour")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (sessions.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select("user_id",
+                    F.col("session_start").cast("timestamp_ntz"),
+                    F.col("session_end").cast("timestamp_ntz"),
+                    "n_events", "value_millis")
+            .orderBy("user_id", "session_start"))
+
+
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group over an integer domain — windowed
+    middle-element average (interpolation of two bigints halves exactly
+    in binary, so the double is engine-identical)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select("event_type", F.floor(F.col("value") * 1000).cast("long")
+                  .alias("millis"))
+    ranked = m.select(
+        "event_type", "millis",
+        F.row_number().over(Window.partitionBy("event_type")
+                            .orderBy("millis")).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"))
+    # middle element(s): odd n → rn*2 == n+1; even n → rn*2 ∈ {n, n+2}
+    mid = ranked.where((F.col("rn") * 2 == F.col("n"))
+                       | (F.col("rn") * 2 == F.col("n") + 1)
+                       | (F.col("rn") * 2 == F.col("n") + 2))
+    return (mid.groupBy("event_type")
+            .agg((F.sum("millis") / F.count("*")).alias("median_millis"))
+            .orderBy("event_type"))
+
+
+ORACLE_AGG_MEDIAN = """
+SELECT event_type, MEDIAN(CAST(FLOOR(value * 1000) AS BIGINT)) AS median_millis
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: IVF coarse-quantized ANN (KMeans cells + n_probe
     search) — recall vs the exact tier asserted in tests."""
@@ -446,6 +512,8 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTENSION_CHECKS: dict[str, tuple] = {
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "sessionize_stream": (q_sessionize_stream, None),
+    "agg_median": (q_agg_median, ORACLE_AGG_MEDIAN),
     "sim_ivf": (q_sim_ivf, None),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "token_count": (q_token_count, ORACLE_TOKEN_COUNT),

@@ -118,3 +118,37 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
+def test_aqe_skew_join_splits_hot_key(spark, sf_dir):
+    """AQE skew-join: a pathologically hot key in a sort-merge join is
+    split at runtime (SortMergeJoin(skew=true) + AQEShuffleRead skewed)
+    — the automatic tier of skew handling; functions/skew.py::salted_join
+    is the explicit fallback."""
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+
+    saved = {k: spark.conf.get(k) for k in [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor"]}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16kb")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32kb")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        hot = spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 == 0, 7).otherwise(F.col("id") % 1000)
+            .alias("k"), F.col("id").alias("payload"))
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("d"))
+        j = hot.join(dim, "k")
+        # collect() executes THIS DataFrame's QueryExecution (count()
+        # would execute a different one and leave j's plan un-finalized)
+        assert len(j.collect()) == 300000
+        plan = plan_string(j, "simple")
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
