@@ -1,0 +1,39 @@
+"""Physical-layout helpers.
+
+``ensure_parallelism`` exists because Spark's scan parallelism is bounded
+by the *source* layout: a single parquet file with one row group is one
+task no matter how many cores the cluster has (byte-range splits assign a
+row group to exactly one task).  A CPU-heavy narrow stage downstream
+(shingling, signature packing, GEMM blocks) then serializes on one core.
+
+The helper is deliberately scale-aware in both directions:
+
+- Small/badly-laid-out sources (few files, one row group — the local
+  testdata shape): repartition up to the session's parallelism.  The
+  shuffle moves only what a single task held, i.e. it is cheap exactly
+  when it is needed.
+- Big sources (a 100 TB corpus is thousands of splits): the partition
+  count already exceeds the threshold, so this is a **no-op** — no extra
+  shuffle is ever added on the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["ensure_parallelism"]
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ``df`` iff its physical plan yields materially fewer
+    partitions than the session can run concurrently (< half of
+    ``defaultParallelism``).  Returns ``df`` unchanged otherwise."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # streaming / unresolvable plans: leave untouched
+        return df
+    if current >= max(2, target // 2):
+        return df
+    return df.repartition(target)

@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.layout import ensure_parallelism
 from .text import fingerprint, tokens
 
 __all__ = [
@@ -100,6 +101,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold_tenths: int = 6,
     t = threshold_tenths
     # the shingle builder references its token array 3n+1 times — the
     # let-bound shingles() evaluates the tokenizer once per row
+    docs = ensure_parallelism(docs)
     sets = (docs.select(F.col(id_col).alias("id"),
                         F.array_distinct(shingles(F.col(text_col), n))
                         .alias("shs"))
@@ -158,6 +160,7 @@ def minhash_near_dups(docs: DataFrame, jaccard_distance: float = 0.4,
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    docs = ensure_parallelism(docs)
     sh = (docs.select(F.col(id_col).alias("id"),
                       F.array_distinct(shingles(F.col(text_col))).alias("sh"))
           .where(F.size("sh") > 0))
@@ -212,6 +215,7 @@ def simhash_signature(docs: DataFrame, text_col: str = "text",
         return pd.Series(out.astype(np.int64))
 
     toks = tokens(F.col(text_col))
+    docs = ensure_parallelism(docs)
     hashed = (docs.select(F.col(id_col).alias("id"),
                           F.transform(toks, lambda t: F.xxhash64(t)).alias("hs"))
               .where(F.size("hs") > 0))
@@ -270,7 +274,7 @@ def cosine_near_dup_pairs(emb: DataFrame, block_col: str = "label",
     from ..functions.vectors import dot_compact, with_normalized
 
     thr = threshold_millis / 1000.0
-    nv = with_normalized(emb, "embedding", "nv") \
+    nv = with_normalized(ensure_parallelism(emb), "embedding", "nv") \
         .select("vec_id", "nv", block_col).cache()
 
     out_schema = T.StructType([

@@ -124,4 +124,7 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     flat = media.select("doc_id", "payload", F.col("meta.mime").alias("mime"))
     if batch_hint:
         flat = flat.repartition(batch_hint)
+    else:
+        from ..functions.layout import ensure_parallelism
+        flat = ensure_parallelism(flat)
     return flat.mapInPandas(run, schema=FEATURE_SCHEMA)

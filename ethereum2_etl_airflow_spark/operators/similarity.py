@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.layout import ensure_parallelism
 from ..functions.vectors import dot_compact, with_normalized
 
 __all__ = ["topk_cosine_bruteforce", "ann_ivf_topk", "ann_lsh_candidates"]
@@ -33,7 +34,7 @@ def topk_cosine_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
     partition with no shuffle until the top-k."""
     # cache the normalized vectors: without the barrier the wide-decimal
     # norm expression is re-evaluated per joined row (|Q|x per candidate)
-    nv = (with_normalized(emb, vec_col, "nv")
+    nv = (with_normalized(ensure_parallelism(emb), vec_col, "nv")
           .select(id_col, "nv").cache())
     q = (nv.where(F.col(id_col).isin([int(x) for x in query_ids]))
          .select(F.col(id_col).alias("query_id"), F.col("nv").alias("qv")))
@@ -74,7 +75,7 @@ def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    nv = (with_normalized(emb, vec_col, "nv")
+    nv = (with_normalized(ensure_parallelism(emb), vec_col, "nv")
           .select(id_col, "nv").cache())
     feats = nv.select(id_col, array_to_vector("nv").alias("features"))
     # few iterations: centroids only need to bucket, not converge

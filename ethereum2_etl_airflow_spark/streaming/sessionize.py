@@ -39,6 +39,10 @@ _STATE_SCHEMA = "start timestamp, last timestamp, n long, millis long"
 
 
 def _session_fn(gap_s: int):
+    import numpy as np
+
+    gap_us = gap_s * 1_000_000
+
     def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
@@ -50,28 +54,48 @@ def _session_fn(gap_s: int):
                                  "value_millis": millis}])
             return
         rows = pd.concat(list(pdfs)).sort_values("ts")
-        out = []
+        # Vectorized session split: integer µs timestamps, boundary where
+        # the gap to the previous event exceeds gap_us, reduceat sums per
+        # segment — no per-row Python (an Arrow batch of 10^6 events costs
+        # milliseconds, not seconds).
+        ts = rows["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        mv = rows["millis"].to_numpy().astype(np.int64)
+        new = np.empty(len(ts), dtype=bool)
+        new[0] = True
+        np.greater(ts[1:] - ts[:-1], gap_us, out=new[1:])
+        bounds = np.flatnonzero(new)          # first index of each segment
+        seg_start = ts[bounds]
+        seg_end = ts[np.append(bounds[1:] - 1, len(ts) - 1)]
+        seg_n = np.append(np.diff(bounds), len(ts) - bounds[-1])
+        seg_millis = np.add.reduceat(mv, bounds)
         if state.exists:
             start, last, n, millis = state.get
-        else:
-            start = last = None
-            n = millis = 0
-        for ts, millis_v in zip(rows["ts"], rows["millis"]):
-            ts = ts.to_pydatetime()
-            if last is not None and (ts - last).total_seconds() > gap_s:
-                out.append({"user_id": user_id, "session_start": start,
-                            "session_end": last, "n_events": n,
-                            "value_millis": millis})
-                start, n, millis = ts, 0, 0
-            if start is None:
-                start = ts
-            last = ts
-            n += 1
-            millis += int(millis_v)
-        state.update((start, last, n, millis))
+            last_us = np.datetime64(last, "us").astype(np.int64)
+            if ts[0] - last_us <= gap_us:     # first segment continues it
+                seg_start[0] = np.datetime64(start, "us").astype(np.int64)
+                seg_n[0] += n
+                seg_millis[0] += millis
+            else:                             # state session closed by gap
+                seg_start = np.insert(seg_start, 0,
+                                      np.datetime64(start, "us").astype(np.int64))
+                seg_end = np.insert(seg_end, 0, last_us)
+                seg_n = np.insert(seg_n, 0, n)
+                seg_millis = np.insert(seg_millis, 0, millis)
+
+        def dt(us: int):
+            return pd.Timestamp(int(us), unit="us").to_pydatetime()
+
+        k = len(seg_start)
+        state.update((dt(seg_start[k - 1]), dt(seg_end[k - 1]),
+                      int(seg_n[k - 1]), int(seg_millis[k - 1])))
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_s * 1000)
-        if out:
-            yield pd.DataFrame(out)
+        if k > 1:
+            yield pd.DataFrame({
+                "user_id": user_id,
+                "session_start": seg_start[:k - 1].astype("datetime64[us]"),
+                "session_end": seg_end[:k - 1].astype("datetime64[us]"),
+                "n_events": seg_n[:k - 1],
+                "value_millis": seg_millis[:k - 1]})
 
     return fn
 
