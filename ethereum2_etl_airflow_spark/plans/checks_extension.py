@@ -436,6 +436,34 @@ ORDER BY user_id, session_start
 """
 
 
+def ensure_sessionize_source(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the streaming check's two-file source (idempotent per
+    sf_dir) and return its path.  Exposed so bench can run this fixture
+    setup outside its timed window.
+
+    Deterministic 1-in-5 user subset: the check exercises the
+    stateful-streaming path (the batch ``sessionize`` entry is the
+    oracle-checked full-data semantics); the subset keeps the one-time
+    source write + per-user state proportional without changing what the
+    check proves.
+    """
+    import hashlib
+    import os
+
+    src = os.path.join(
+        "/tmp", f"e2etl_sess_v2_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS2")):
+        ev = (load_table(spark, sf_dir, "events")
+              .where(F.col("user_id") % 5 == 0)
+              .select("user_id", "ts", "value"))
+        ev.where(F.col("ts") < "2024-01-15").coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        ev.where(F.col("ts") >= "2024-01-15").coalesce(1) \
+            .write.mode("append").parquet(src)
+        open(os.path.join(src, "_SUCCESS2"), "w").close()
+    return src
+
+
 def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: the applyInPandasWithState streaming path itself —
     events split into two event-time-ordered files, processed as two
@@ -443,28 +471,11 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     closes sessions via event-time timeouts.  Deterministic file order ⇒
     deterministic closed-session set (validated against the batch
     semantics in tests)."""
-    import hashlib
-    import os
     import uuid
 
     from ..streaming.sessionize import sessionize_stream
 
-    # Deterministic 1-in-5 user subset: this check exercises the
-    # stateful-streaming path (the batch `sessionize` entry is the
-    # oracle-checked full-data semantics); the subset keeps the one-time
-    # source write + per-user state proportional without changing what
-    # the check proves.
-    ev = (load_table(spark, sf_dir, "events")
-          .where(F.col("user_id") % 5 == 0)
-          .select("user_id", "ts", "value"))
-    src = os.path.join(
-        "/tmp", f"e2etl_sess_v2_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
-    if not os.path.exists(os.path.join(src, "_SUCCESS2")):
-        ev.where(F.col("ts") < "2024-01-15").coalesce(1) \
-            .write.mode("overwrite").parquet(src)
-        ev.where(F.col("ts") >= "2024-01-15").coalesce(1) \
-            .write.mode("append").parquet(src)
-        open(os.path.join(src, "_SUCCESS2"), "w").close()
+    src = ensure_sessionize_source(spark, sf_dir)
     stream_src = (spark.readStream.schema(spark.read.parquet(src).schema)
                   .option("maxFilesPerTrigger", 1).parquet(src))
     sessions = sessionize_stream(stream_src, gap_s=6 * 3600, watermark="1 hour")
