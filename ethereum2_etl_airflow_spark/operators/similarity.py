@@ -16,6 +16,8 @@ Two tiers, mirroring how ANN is deployed at 100 TB:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.layout import ensure_parallelism
@@ -66,27 +68,54 @@ def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     into ``n_lists`` KMeans cells, search only each query's ``n_probe``
     nearest cells.
 
-    The 100 TB shape: the centroid table is tiny (broadcast); cell
-    assignment is one map pass; a query touches ``n_probe/n_lists`` of
+    The 100 TB shape (FAISS's own recipe): the coarse quantizer trains on
+    a bounded, deterministic sample — never the full corpus — because
+    centroids only need to *bucket*, not converge on all data; cell
+    assignment is then ONE distributed map pass with the centroid matrix
+    broadcast into an Arrow-vectorized GEMM (no iterative jobs over the
+    corpus, no assignment join).  A query touches ``n_probe/n_lists`` of
     the corpus.  Returns (query_id, vec_id, rank, cosine) like the exact
-    tier (recall measured against it in tests).  Deterministic under the
-    fixed KMeans seed.
+    tier (recall measured against it in tests).  Deterministic: seeded
+    init, sample chosen by hash order, ties broken by first-max.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     nv = (with_normalized(ensure_parallelism(emb), vec_col, "nv")
           .select(id_col, "nv").cache())
-    feats = nv.select(id_col, array_to_vector("nv").alias("features"))
-    # few iterations: centroids only need to bucket, not converge
-    km = KMeans(k=n_lists, seed=seed, maxIter=5, featuresCol="features",
-                predictionCol="cell")
-    model = km.fit(feats)
-    assigned = model.transform(feats).select(id_col, "cell")
-    corpus = nv.join(assigned, id_col)
+
+    # --- train: spherical k-means on <=n_train hash-ordered sample rows
+    # (TakeOrdered — one pass, no full sort); argmax dot == argmin
+    # euclidean on unit vectors, so the trained metric IS the search
+    # metric, unlike euclidean KMeans on raw vectors.
+    n_train = 65536
+    sample = (nv.orderBy(F.xxhash64(F.col(id_col)))
+              .limit(n_train).select("nv").collect())
+    X = np.array([r["nv"] for r in sample], dtype=np.float64)
+    n_lists = min(n_lists, len(X))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), n_lists, replace=False)]
+    for _ in range(8):
+        cells = np.argmax(X @ C.T, axis=1)
+        for j in range(n_lists):
+            members = X[cells == j]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    C[j] = m / norm
+            # empty cell: keep the previous centroid (deterministic)
+
+    # --- assign: broadcast the (n_lists x dim) centroid matrix into a
+    # vectorized batch kernel; one narrow map over the corpus.
+    Cb = emb.sparkSession.sparkContext.broadcast(C)
+
+    @F.pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        M = np.vstack(vs.to_numpy())
+        return pd.Series(np.argmax(M @ Cb.value.T, axis=1).astype(np.int32))
+
+    corpus = nv.withColumn("cell", cell_of("nv"))
 
     # per-query nearest cells by centroid cosine (centroids are tiny)
-    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centers = [(i, [float(x) for x in C[i]]) for i in range(n_lists)]
     centroids = emb.sparkSession.createDataFrame(
         centers, "cell int, cvec array<double>")
     q = (corpus.where(F.col(id_col).isin([int(x) for x in query_ids]))
