@@ -137,11 +137,14 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold_tenths: int = 6,
     # cold-cache scans would each recompute the shingling.
     sets.count()
     sh = sets.select("id", "sz", F.explode("shs").alias("h"))
-    df_sh = sh.groupBy("h").agg(F.count("*").alias("df"))
+    # document frequency per shingle as a count window — same shuffle key
+    # a groupBy would use, but no join back (one exchange instead of an
+    # aggregate + join pair)
+    df_c = F.count("*").over(Window.partitionBy("h"))
     # prefix length: sz - ceil(t/10 * sz) + 1, in integer math
     plen = F.col("sz") - F.floor((F.lit(t) * F.col("sz") + 9) / 10) + 1
     w = Window.partitionBy("id").orderBy("df", "h")
-    prefix = (sh.join(df_sh, "h")
+    prefix = (sh.withColumn("df", df_c)
               .withColumn("rn", F.row_number().over(w))
               .where(F.col("rn") <= plen)
               .select("id", "h", "sz", "rn"))
