@@ -35,7 +35,7 @@ from .text import fingerprint, tokens
 
 __all__ = [
     "dedup_exact", "shingles", "shingles_of_tokens", "hashed_shingles",
-    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs", "contamination_pairs",
     "minhash_near_dups", "simhash_signature", "simhash_candidates",
     "cosine_near_dup_pairs",
 ]
@@ -184,6 +184,34 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold_tenths: int = 6,
                 .where(10 * F.col("inter")
                        >= t * (F.col("size_a") + F.col("size_b") - F.col("inter"))))
     return verified.select("id_a", "id_b", "inter", "size_a", "size_b")
+
+
+def contamination_pairs(train: DataFrame, bench: DataFrame,
+                        min_shared: int = 2, n: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: (train_id, bench_id, n_shared) for every
+    train/bench document pair sharing ≥ ``min_shared`` distinct n-gram
+    shingles — the standard train/eval overlap detector for LLM corpora.
+
+    The 100 TB shape: the bench side (an eval suite) is orders of
+    magnitude smaller than the corpus, so its exploded shingle set is
+    BROADCAST — the corpus side streams through a map-side hash join with
+    no shuffle until the per-pair count, and that groupBy partial-
+    aggregates map-side.  Shingles travel as 64-bit hashes (collision
+    regime ~|shingles|²/2⁶⁴ ≈ 0, as everywhere else in this module).
+    """
+    tsh = (ensure_parallelism(train)
+           .select(F.col(id_col).alias("train_id"),
+                   F.explode(F.array_distinct(
+                       hashed_shingles(F.col(text_col), n))).alias("h")))
+    bsh = (bench.select(F.col(id_col).alias("bench_id"),
+                        F.explode(F.array_distinct(
+                            hashed_shingles(F.col(text_col), n))).alias("h")))
+    return (tsh.join(F.broadcast(bsh), "h")
+            .groupBy("train_id", "bench_id")
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
 
 
 def minhash_near_dups(docs: DataFrame, jaccard_distance: float = 0.4,

@@ -528,6 +528,128 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(_emb(spark, sf_dir), _QUERY_IDS, k=10)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: transitive closure of the exact n-gram pair
+    graph via iterative min-label propagation (operators/graph.py).  The
+    oracle reproduces the closure with a recursive CTE."""
+    from ..operators.graph import connected_components
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(corpus, threshold_tenths=6)
+    return (connected_components(pairs)
+            .select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("cluster_id"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(
+           (regexp_extract_all(lower(text), '[a-z0-9]+'))
+             [1:greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 5, 1)],
+           ' ')
+  FROM documents WHERE doc_id % 10 = 0),
+sh AS (
+  SELECT DISTINCT doc_id AS id, UNNEST(
+    CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3 THEN
+      list_transform(
+        range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
+        i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' '
+          || regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' '
+          || regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])
+    ELSE [] END) AS sh
+  FROM corpus),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE 10 * inter >= 6 * (sa.sz + sb.sz - inter)),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(src, node) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node)
+SELECT src AS doc_id, MIN(node) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language sample — md5(id) stratum order is
+    engine-portable, so the oracle reproduces the exact row set."""
+    from ..operators.sampling import stratified_sample
+
+    return (stratified_sample(_docs(spark, sf_dir), "lang", 20)
+            .select("doc_id", "lang").orderBy("lang", "doc_id"))
+
+
+ORACLE_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS rn
+  FROM documents)
+WHERE rn <= 20 ORDER BY lang, doc_id
+"""
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless ~25% hash-fraction sample (md5 hex prefix < '40') —
+    the no-shuffle scale tier."""
+    from ..operators.sampling import hash_fraction_sample
+
+    return (hash_fraction_sample(_docs(spark, sf_dir), "40")
+            .select("doc_id").orderBy("doc_id"))
+
+
+ORACLE_SAMPLE_HASH = """
+SELECT doc_id FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+ORDER BY doc_id
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval overlap pairs: documents with doc_id % 97 == 0 play the
+    benchmark set; pairs sharing >= 2 distinct 3-gram shingles."""
+    d = _docs(spark, sf_dir)
+    return (D.contamination_pairs(d.where(F.col("doc_id") % 97 != 0),
+                                  d.where(F.col("doc_id") % 97 == 0),
+                                  min_shared=2)
+            .orderBy("train_id", "bench_id"))
+
+
+ORACLE_DECONTAMINATE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, UNNEST(
+    CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3 THEN
+      list_transform(
+        range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
+        i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' '
+          || regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' '
+          || regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])
+    ELSE [] END) AS sh
+  FROM documents),
+t AS (SELECT * FROM sh WHERE doc_id % 97 != 0),
+b AS (SELECT * FROM sh WHERE doc_id % 97 = 0)
+SELECT t.doc_id AS train_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+FROM t JOIN b ON t.sh = b.sh
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY train_id, bench_id
+"""
+
+
 EXTENSION_CHECKS: dict[str, tuple] = {
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "sessionize_stream": (q_sessionize_stream, None),
@@ -540,6 +662,10 @@ EXTENSION_CHECKS: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_fingerprint": (q_dedup_fingerprint, ORACLE_DEDUP_FINGERPRINT),
     "dedup_ngram": (q_dedup_ngram, ORACLE_DEDUP_NGRAM),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "sample_stratified": (q_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
+    "sample_hash": (q_sample_hash, ORACLE_SAMPLE_HASH),
+    "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "embed_neardup": (q_embed_neardup, ORACLE_EMBED_NEARDUP),
     "sim_topk": (q_sim_topk, ORACLE_SIM_TOPK),
     "sim_lsh": (q_sim_lsh, None),

@@ -152,3 +152,73 @@ def test_read_media_dir_binaryfile_source(spark, tmp_path):
     assert sizes == [40, 40, 40]
     heads = {r["head_hex"] for r in feats}
     assert bytes(range(0, 16)).hex() in heads
+
+
+def test_connected_components_transitive_closure(spark):
+    from ethereum2_etl_airflow_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long")
+    got = {(r["node"], r["component"])
+           for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (20, 20), (21, 20)}
+
+
+def test_connected_components_chain_converges(spark):
+    """A path graph is the worst diameter case: 0-1-2-...-9 must still
+    collapse to a single component."""
+    from ethereum2_etl_airflow_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long")
+    comps = {r["component"]
+             for r in connected_components(edges).collect()}
+    assert comps == {0}
+
+
+def test_stratified_sample_layout_invariant(spark, docs):
+    """The sample must be a pure function of the data, not its physical
+    layout — same rows whether the input is 1 partition or 16."""
+    from ethereum2_etl_airflow_spark.operators.sampling import stratified_sample
+
+    a = {r["doc_id"]
+         for r in stratified_sample(docs.coalesce(1), "lang", 7).collect()}
+    b = {r["doc_id"]
+         for r in stratified_sample(docs.repartition(16), "lang", 7).collect()}
+    assert a == b
+    per_lang = (stratified_sample(docs, "lang", 7)
+                .groupBy("lang").count().collect())
+    assert all(r["count"] == 7 for r in per_lang)
+
+
+def test_hash_fraction_sample_is_stable_subset(spark, docs):
+    from ethereum2_etl_airflow_spark.operators.sampling import (
+        hash_fraction_sample,
+    )
+
+    n = docs.count()
+    quarter = hash_fraction_sample(docs, "40")
+    half = hash_fraction_sample(docs, "80")
+    nq, nh = quarter.count(), half.count()
+    # binomial bounds, generous
+    assert 0.15 * n < nq < 0.35 * n
+    assert 0.40 * n < nh < 0.60 * n
+    # prefix predicates nest: the 25% sample is inside the 50% sample
+    assert quarter.join(half, "doc_id", "left_anti").count() == 0
+
+
+def test_contamination_finds_planted_overlap(spark):
+    from ethereum2_etl_airflow_spark.operators.dedup import contamination_pairs
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated words about spark execution engines")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    got = contamination_pairs(train, bench, min_shared=2).collect()
+    assert [(r["train_id"], r["bench_id"]) for r in got] == [(1, 100)]
+    assert got[0]["n_shared"] >= 5
