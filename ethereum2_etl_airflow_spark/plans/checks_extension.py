@@ -650,6 +650,93 @@ ORDER BY train_id, bench_id
 """
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: nearest levenshtein neighbor inside each
+    (lang, source) blocking bucket on a 30-char prefix.  Blocking bounds
+    the quadratic term (the standard record-linkage shape: block, then
+    edit-distance only within blocks)."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    pre = d.select("doc_id", "lang", "source",
+                   F.substring("text", 1, 30).alias("pre"))
+    pairs = (pre.alias("a").join(
+        pre.alias("b"),
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id"),
+                F.col("b.doc_id").alias("neighbor_id"),
+                F.levenshtein("a.pre", "b.pre").alias("dist")))
+    w = Window.partitionBy("doc_id").orderBy("dist", "neighbor_id")
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn")
+            .orderBy("doc_id"))
+
+
+ORACLE_FUZZY_MATCH = """
+WITH pre AS (
+  SELECT doc_id, lang, source, substr(text, 1, 30) AS pre FROM documents),
+pairs AS (
+  SELECT a.doc_id, b.doc_id AS neighbor_id,
+         levenshtein(a.pre, b.pre) AS dist
+  FROM pre a JOIN pre b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id != b.doc_id)
+SELECT doc_id, neighbor_id, dist FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY dist, neighbor_id) AS rn
+  FROM pairs)
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (R-7, what both engines
+    implement) over an integer domain: quartile fractions are dyadic, so
+    x + f*(y-x) on bigints is exact in binary and hashes identically."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select("event_type",
+                  F.floor(F.col("value") * 1000).cast("long").alias("millis"))
+    return (m.groupBy("event_type")
+            .agg(F.percentile("millis", 0.25).alias("p25"),
+                 F.percentile("millis", 0.5).alias("p50"),
+                 F.percentile("millis", 0.75).alias("p75"))
+            .orderBy("event_type"))
+
+
+ORACLE_AGG_PERCENTILE = """
+SELECT event_type,
+       quantile_cont(CAST(FLOOR(value * 1000) AS BIGINT), 0.25) AS p25,
+       quantile_cont(CAST(FLOOR(value * 1000) AS BIGINT), 0.5)  AS p50,
+       quantile_cont(CAST(FLOOR(value * 1000) AS BIGINT), 0.75) AS p75
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in exact integer form: element sums
+    of FLOOR(x*1e6) micros (order-free bigint math — the float mean is
+    s/n/1e6, derivable without cross-engine summation-order drift).
+    posexplode keeps this one narrow explode + one combining groupBy."""
+    e = _emb(spark, sf_dir)
+    ex = e.select("label", F.posexplode("embedding").alias("pos0", "val"))
+    return (ex.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+            .agg(F.sum(F.floor(F.col("val") * 1000000).cast("long"))
+                 .alias("sum_micros"),
+                 F.count("*").alias("n"))
+            .orderBy("label", "pos"))
+
+
+ORACLE_EMB_CENTROID = """
+SELECT label, i AS pos,
+       CAST(SUM(CAST(FLOOR(embedding[i] * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_micros,
+       COUNT(*) AS n
+FROM embeddings, range(1, 65) t(i)
+GROUP BY label, i ORDER BY label, pos
+"""
+
+
 EXTENSION_CHECKS: dict[str, tuple] = {
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "sessionize_stream": (q_sessionize_stream, None),
@@ -666,6 +753,9 @@ EXTENSION_CHECKS: dict[str, tuple] = {
     "sample_stratified": (q_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
     "sample_hash": (q_sample_hash, ORACLE_SAMPLE_HASH),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
+    "fuzzy_match": (q_fuzzy_match, ORACLE_FUZZY_MATCH),
+    "agg_percentile": (q_agg_percentile, ORACLE_AGG_PERCENTILE),
+    "emb_centroid": (q_emb_centroid, ORACLE_EMB_CENTROID),
     "embed_neardup": (q_embed_neardup, ORACLE_EMBED_NEARDUP),
     "sim_topk": (q_sim_topk, ORACLE_SIM_TOPK),
     "sim_lsh": (q_sim_lsh, None),
