@@ -6,5 +6,6 @@ builders raise a clear error only when actually invoked without it.
 """
 
 from .build_dags import (  # noqa: F401
-    build_export_dag, build_load_dag, provider_fallback,
+    RateLimiter, build_export_dag, build_load_dag, provider_fallback,
+    wait_for_staged_object,
 )

@@ -8,6 +8,7 @@ a weaker rows-only check for those.
 
 from __future__ import annotations
 
+from .checks_extension import EXTENSION_CHECKS
 from .checks_reference import REFERENCE_CHECKS
 from .checks_relational import RELATIONAL_CHECKS
 
@@ -15,14 +16,13 @@ __all__ = ["all_checks", "spark_queries", "oracle_sqls"]
 
 
 def all_checks() -> dict[str, tuple]:
+    # No import guards: if an extension module fails to import, the whole
+    # contract must crash loudly — a silently shrunk queries() once cost a
+    # round of driver correctness rows for 18 checks.
     out: dict[str, tuple] = {}
     out.update(REFERENCE_CHECKS)
     out.update(RELATIONAL_CHECKS)
-    try:
-        from .checks_extension import EXTENSION_CHECKS
-        out.update(EXTENSION_CHECKS)
-    except ImportError:
-        pass
+    out.update(EXTENSION_CHECKS)
     return out
 
 
