@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["ensure_parallelism"]
+__all__ = ["ensure_parallelism", "finalize_release"]
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -37,3 +37,23 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if current >= max(2, target // 2):
         return df
     return df.repartition(target)
+
+
+def finalize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize ``result`` (eager ``localCheckpoint``), then unpersist
+    the cached intermediates it was built from.
+
+    The dedup/similarity operators cache big intermediates (shingle sets,
+    normalized vectors, LSH features) that several plan branches read;
+    those caches must live until the result is computed, but a long-lived
+    session running many checks (bench/parity run ~70 in one JVM) must
+    not accumulate them.  The results themselves are orders of magnitude
+    smaller (top-k rows, near-dup pairs), so the contract is: compute the
+    result NOW while the caches are warm, drop the caches, hand back the
+    materialized result.  Checkpoint blocks are released by the
+    ContextCleaner once the returned DataFrame is garbage-collected.
+    """
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out

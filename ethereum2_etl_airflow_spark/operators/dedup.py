@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.layout import ensure_parallelism
+from ..functions.layout import ensure_parallelism, finalize_release
 from .text import fingerprint, tokens
 
 __all__ = [
@@ -183,7 +183,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold_tenths: int = 6,
                             F.size(F.array_intersect("shs_a", "shs_b")))
                 .where(10 * F.col("inter")
                        >= t * (F.col("size_a") + F.col("size_b") - F.col("inter"))))
-    return verified.select("id_a", "id_b", "inter", "size_a", "size_b")
+    # pairs are tiny vs the shingle sets; materialize them and drop the
+    # 5-branch cache so long-lived sessions don't accumulate storage
+    return finalize_release(
+        verified.select("id_a", "id_b", "inter", "size_a", "size_b"), sets)
 
 
 def contamination_pairs(train: DataFrame, bench: DataFrame,
@@ -243,12 +246,13 @@ def minhash_near_dups(docs: DataFrame, jaccard_distance: float = 0.4,
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, jaccard_distance,
                                        distCol="jaccard_dist")
-    return (
+    out = (
         pairs.select(F.col("datasetA.id").alias("id_a"),
                      F.col("datasetB.id").alias("id_b"),
                      F.col("jaccard_dist"))
         .where(F.col("id_a") < F.col("id_b"))
     )
+    return finalize_release(out, feats)
 
 
 def simhash_signature(docs: DataFrame, text_col: str = "text",
@@ -308,7 +312,8 @@ def simhash_candidates(sigs: DataFrame) -> DataFrame:
                         F.col("b.simhash").alias("sig_b")))
         out = cand if out is None else out.unionByName(cand)
     dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return out.distinct().withColumn("hamming", dist.cast("int"))
+    return finalize_release(
+        out.distinct().withColumn("hamming", dist.cast("int")), bands)
 
 
 def cosine_near_dup_pairs(emb: DataFrame, block_col: str = "label",
@@ -370,6 +375,7 @@ def cosine_near_dup_pairs(emb: DataFrame, block_col: str = "label",
                 .select(block_col, "id_a", "id_b",
                         dot_compact(F.col("va"), F.col("vb"))
                         .cast("decimal(18,9)").alias("cos9")))
-    return (rescored.where(F.col("cos9") >= F.lit(threshold_millis) / 1000.0)
-            .select(block_col, "id_a", "id_b",
-                    F.col("cos9").cast("double").alias("cosine")))
+    final = (rescored.where(F.col("cos9") >= F.lit(threshold_millis) / 1000.0)
+             .select(block_col, "id_a", "id_b",
+                     F.col("cos9").cast("double").alias("cosine")))
+    return finalize_release(final, nv)

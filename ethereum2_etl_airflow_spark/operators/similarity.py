@@ -4,10 +4,11 @@ Two tiers, mirroring how ANN is deployed at 100 TB:
 
 - **Brute-force top-k** (the exact baseline): broadcast the query set,
   score every candidate with the decimal-accumulated cosine kernel
-  (:mod:`..functions.vectors`), rank with a per-query window.  Cost is
-  |Q|·|C| — fine for small query batches over any corpus size because the
-  corpus side stays partition-parallel and nothing shuffles except the
-  final top-k (TakeOrdered per query key).
+  (:mod:`..functions.vectors`), then rank in TWO phases: a narrow
+  per-partition partial top-k (Arrow pass, no shuffle) followed by a
+  global rank over the ≤ k·P survivors per query.  Cost is |Q|·|C|
+  scoring — fine for small query batches over any corpus size — and no
+  single task ever holds one query's full score set.
 - **LSH-bucketed ANN** (the scale path): ``BucketedRandomProjectionLSH``
   buckets by random hyperplane projections; candidates only form inside
   matching buckets (near-linear).  Recall < 1 by construction — the exact
@@ -16,14 +17,65 @@ Two tiers, mirroring how ANN is deployed at 100 TB:
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.layout import ensure_parallelism
+from ..functions.layout import ensure_parallelism, finalize_release
 from ..functions.vectors import dot_compact, with_normalized
 
-__all__ = ["topk_cosine_bruteforce", "ann_ivf_topk", "ann_lsh_candidates"]
+__all__ = ["topk_cosine_bruteforce", "partial_topk", "ann_ivf_topk",
+           "ann_lsh_candidates"]
+
+
+def partial_topk(scored: DataFrame, k: int,
+                 compact_every: int = 1 << 18) -> DataFrame:
+    """Phase 1 of two-phase exact top-k: reduce each partition to its
+    local top-k rows per ``query_id`` by (cosine desc, vec_id asc) with a
+    narrow Arrow pass — NO shuffle, so no task ever holds one query's full
+    score set (the scale flaw of a single ``Window.partitionBy(query_id)``
+    over all |Q|·|C| scored rows).
+
+    Lossless: the global top-k under a total order is a subset of the
+    union of per-partition top-k under the same order.  Selection only —
+    no arithmetic happens here, so the cosine doubles (and therefore the
+    final hashes) are byte-identical to the single-phase plan.  Memory is
+    bounded: the accumulator compacts to ≤ k rows per query seen whenever
+    it exceeds ``compact_every`` buffered rows."""
+    cols = list(scored.columns)  # (query_id, vec_id, cosine)
+
+    def _compact(frames: list[pd.DataFrame]) -> pd.DataFrame:
+        allf = pd.concat(frames, ignore_index=True)
+        allf = allf.sort_values(["query_id", "cosine", "vec_id"],
+                                ascending=[True, False, True])
+        return allf.groupby("query_id", sort=False).head(k)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: list[pd.DataFrame] = []
+        n = 0
+        for pdf in batches:
+            if len(pdf):
+                acc.append(pdf[cols])
+                n += len(pdf)
+            if n > compact_every:
+                acc = [_compact(acc)]
+                n = len(acc[0])
+        if acc:
+            yield _compact(acc)
+
+    return scored.mapInPandas(gen, scored.schema)
+
+
+def _rank_topk(survivors: DataFrame, k: int) -> DataFrame:
+    """Phase 2: global rank per query over the ≤ k·P surviving rows."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (survivors.select("query_id", "vec_id",
+                             F.row_number().over(w).alias("rank"), "cosine")
+            .where(F.col("rank") <= k)
+            .orderBy("query_id", "rank"))
 
 
 def topk_cosine_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
@@ -32,8 +84,10 @@ def topk_cosine_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
     """Exact cosine top-k: (query_id, vec_id, rank, cosine) — self-matches
     excluded; ties broken by vec_id so the ranking is total and
     deterministic.  Norms are materialized once per vector; the query
-    side is a broadcast (tiny); the candidate scan parallelizes per
-    partition with no shuffle until the top-k."""
+    side is a broadcast (tiny); scoring parallelizes per corpus partition
+    with no shuffle; :func:`partial_topk` then shrinks each partition to
+    ≤ k rows per query before the only shuffle (the final per-query
+    rank over ≤ k·P survivors)."""
     # cache the normalized vectors: without the barrier the wide-decimal
     # norm expression is re-evaluated per joined row (|Q|x per candidate)
     nv = (with_normalized(ensure_parallelism(emb), vec_col, "nv")
@@ -44,21 +98,15 @@ def topk_cosine_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
     scored = (
         F.broadcast(q).crossJoin(c)
         .where(F.col("query_id") != F.col("vec_id"))
+        # rank on the DOUBLE image (ties → vec_id): the decimal and its
+        # double projection could order differently at 1-ulp distances,
+        # and the double is what downstream consumers see
         .select("query_id", "vec_id",
                 dot_compact(F.col("qv"), F.col("cv"))
                 .cast("decimal(18,9)").cast("double").alias("cosine"))
     )
-    # rank on the DOUBLE image (ties → vec_id): the decimal and its double
-    # projection could order differently at 1-ulp distances, and the
-    # double is what downstream consumers see
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.select("query_id", "vec_id",
-                      F.row_number().over(w).alias("rank"), "cosine")
-        .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    out = _rank_topk(partial_topk(scored, k), k)
+    return finalize_release(out, nv)
 
 
 def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
@@ -136,12 +184,10 @@ def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
               .select("query_id", "vec_id",
                       dot_compact(F.col("qv"), F.col("cv"))
                       .cast("decimal(18,9)").cast("double").alias("cosine")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id"))
-    return (scored.select("query_id", "vec_id",
-                          F.row_number().over(w).alias("rank"), "cosine")
-            .where(F.col("rank") <= k)
-            .orderBy("query_id", "rank"))
+    # same two-phase top-k as the exact tier: per-partition partial
+    # selection, then rank over the ≤ k·P survivors
+    out = _rank_topk(partial_topk(scored, k), k)
+    return finalize_release(out, nv)
 
 
 def ann_lsh_candidates(emb: DataFrame, query_ids: list[int], k: int = 10,

@@ -651,19 +651,38 @@ ORDER BY train_id, bench_id
 
 
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy string matching: nearest levenshtein neighbor inside each
-    (lang, source) blocking bucket on a 30-char prefix.  Blocking bounds
-    the quadratic term (the standard record-linkage shape: block, then
-    edit-distance only within blocks)."""
+    """Fuzzy string matching: nearest levenshtein neighbor inside a
+    BOUNDED compound blocking bucket — the standard record-linkage shape
+    (block, then edit-distance only within blocks), with the block key
+    chosen so no block degenerates to O(corpus):
+
+    ``(lang, source, length(text) div 64, lower(substr(text, 1, 2)))``
+
+    The length band and normalized 2-char prefix split the dominant
+    ``('en', 'web')``-style buckets by content, so block size is governed
+    by prefix/length entropy, not corpus size.  Max-block contract: the
+    quadratic term is |block|² with |block| ≈ |corpus| /
+    (|langs|·|sources|·|length bands|·|prefixes|); a corpus whose
+    documents share prefix AND length band (adversarial near-duplicates)
+    must route through the n-gram candidate generator
+    (:func:`..operators.dedup.ngram_jaccard_pairs`) instead — edit
+    distance on near-identical blocks is exactly the dedup problem.
+    True nearest neighbors differing in their first 2 chars or across a
+    length-band boundary are traded for the bound (by-design recall loss,
+    mirrored in the oracle)."""
     d = _docs(spark, sf_dir)
     from pyspark.sql import Window
 
     pre = d.select("doc_id", "lang", "source",
+                   F.floor(F.length("text") / F.lit(64)).alias("len_band"),
+                   F.lower(F.substring("text", 1, 2)).alias("pre2"),
                    F.substring("text", 1, 30).alias("pre"))
     pairs = (pre.alias("a").join(
         pre.alias("b"),
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.len_band") == F.col("b.len_band"))
+        & (F.col("a.pre2") == F.col("b.pre2"))
         & (F.col("a.doc_id") != F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_id"),
                 F.col("b.doc_id").alias("neighbor_id"),
@@ -676,12 +695,17 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_FUZZY_MATCH = """
 WITH pre AS (
-  SELECT doc_id, lang, source, substr(text, 1, 30) AS pre FROM documents),
+  SELECT doc_id, lang, source,
+         CAST(floor(length(text) / 64) AS BIGINT) AS len_band,
+         lower(substr(text, 1, 2)) AS pre2,
+         substr(text, 1, 30) AS pre FROM documents),
 pairs AS (
   SELECT a.doc_id, b.doc_id AS neighbor_id,
          levenshtein(a.pre, b.pre) AS dist
   FROM pre a JOIN pre b
-    ON a.lang = b.lang AND a.source = b.source AND a.doc_id != b.doc_id)
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.len_band = b.len_band AND a.pre2 = b.pre2
+   AND a.doc_id != b.doc_id)
 SELECT doc_id, neighbor_id, dist FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                ORDER BY dist, neighbor_id) AS rn

@@ -222,3 +222,48 @@ def test_contamination_finds_planted_overlap(spark):
     got = contamination_pairs(train, bench, min_shared=2).collect()
     assert [(r["train_id"], r["bench_id"]) for r in got] == [(1, 100)]
     assert got[0]["n_shared"] >= 5
+
+
+def test_partial_topk_bounds_and_exactness(spark, sf_dir):
+    """Two-phase top-k: the partial pass caps the final rank's input at
+    k rows per (query, partition) with no shuffle, and the end result is
+    byte-identical to a single global window."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    k = 10
+    out = S.topk_cosine_bruteforce(emb, qids, k=k)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == set(qids)
+    assert all(1 <= r["rank"] <= k for r in rows)
+
+    # reconstruct the scored relation to measure the survivor bound
+    from ethereum2_etl_airflow_spark.functions.layout import ensure_parallelism
+    from ethereum2_etl_airflow_spark.functions.vectors import (
+        dot_compact, with_normalized,
+    )
+    nv = (with_normalized(ensure_parallelism(emb), "embedding", "nv")
+          .select("vec_id", "nv"))
+    q = (nv.where(F.col("vec_id").isin(qids))
+         .select(F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")))
+    c = nv.select(F.col("vec_id"), F.col("nv").alias("cv"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .where(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", "vec_id",
+                      dot_compact(F.col("qv"), F.col("cv"))
+                      .cast("decimal(18,9)").cast("double").alias("cosine")))
+    survivors = S.partial_topk(scored, k)
+    n_parts = scored.rdd.getNumPartitions()
+    assert survivors.count() <= k * n_parts * len(qids)
+    # tiny compact threshold exercises the mid-stream compaction path
+    small = S.partial_topk(scored, k, compact_every=64)
+    # exactness: survivors re-ranked == single global window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    def final(df):
+        return sorted(tuple(r) for r in df
+                      .select("query_id", "vec_id",
+                              F.row_number().over(w).alias("rank"), "cosine")
+                      .where(F.col("rank") <= k).collect())
+    assert final(survivors) == final(scored) == final(small)
