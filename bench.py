@@ -5,14 +5,20 @@ Runs each ``__spark_entry__.queries()`` entry at ``$SPARK_GRAFT_SF_DIR``
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Queries are submitted with bounded concurrency (8 threads): Spark's
-scheduler is designed to share executors across concurrent jobs, so
-independent queries pipeline through the same task slots — this is the
-engine's natural batch-throughput mode, matching how a 1000-executor
-cluster runs a verification suite.  ``value`` is the elapsed wall clock
-for the whole suite; per-query numbers are each query's own start→end
-inside the concurrent run (their sum exceeds the wall clock).
-Set SPARK_GRAFT_BENCH_SEQUENTIAL=1 for a sequential pass instead.
+Queries are submitted with bounded concurrency: Spark's scheduler is
+designed to share executors across concurrent jobs, so independent
+queries pipeline through the same task slots — this is the engine's
+natural batch-throughput mode, matching how a 1000-executor cluster runs
+a verification suite.  ``value`` is the elapsed wall clock for the whole
+suite; per-query numbers under ``queries`` are each query's own
+start→end inside the concurrent run (their sum exceeds the wall clock
+and slot contention confounds them), so the artifact ALSO carries a
+``queries_sequential`` pass — one query at a time, full machine each —
+which is the number to diff round-over-round for per-query regressions.
+
+Env knobs: SPARK_GRAFT_BENCH_SEQUENTIAL=1 → sequential pass only;
+SPARK_GRAFT_BENCH_SKIP_SEQUENTIAL=1 → concurrent pass only (fast
+iteration); SPARK_GRAFT_BENCH_THREADS=N → concurrency override.
 
 Each query is forced with a noop sink (full execution, no driver
 collection cost) after a session warm-up.
@@ -78,18 +84,18 @@ def main() -> None:
     except Exception:
         pass
 
-    times: dict[str, float] = {}
-
-    def run_one(name: str) -> None:
-        t0 = time.time()
-        try:
-            df = qs[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            times[name] = round(time.time() - t0, 3)
-        except Exception as ex:  # a failing query must not hide the rest
-            print(f"# bench error {name}: {str(ex).splitlines()[0][:120]}",
-                  file=sys.stderr)
-            times[name] = -1.0
+    def make_runner(times: dict[str, float]):
+        def run_one(name: str) -> None:
+            t0 = time.time()
+            try:
+                df = qs[name](spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                times[name] = round(time.time() - t0, 3)
+            except Exception as ex:  # a failing query must not hide the rest
+                print(f"# bench error {name}: {str(ex).splitlines()[0][:120]}",
+                      file=sys.stderr)
+                times[name] = -1.0
+        return run_one
 
     # longest-processing-time-first order: the heavy near-dup/ML queries
     # start immediately so the suite's makespan is their runtime, not
@@ -107,26 +113,45 @@ def main() -> None:
     # Measured makespan at 32 cores: 8 threads ~14s, 32 threads ~11.3s.
     nthreads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "0")) \
         or min(32, int(cpus))
-    wall0 = time.time()
-    if os.environ.get("SPARK_GRAFT_BENCH_SEQUENTIAL"):
-        nthreads = 1
-        for name in order:
-            run_one(name)
-    else:
+    seq_only = bool(os.environ.get("SPARK_GRAFT_BENCH_SEQUENTIAL"))
+    skip_seq = bool(os.environ.get("SPARK_GRAFT_BENCH_SKIP_SEQUENTIAL"))
+
+    def run_concurrent() -> tuple[dict[str, float], float]:
+        times: dict[str, float] = {}
+        run_one = make_runner(times)
         from concurrent.futures import ThreadPoolExecutor
 
+        t0 = time.time()
         with ThreadPoolExecutor(max_workers=nthreads) as pool:
             list(pool.map(run_one, order))
-    wall = round(time.time() - wall0, 3)
+        return times, round(time.time() - t0, 3)
 
-    print(json.dumps({
-        "metric": f"wall_sec_all_checks_concurrent{nthreads}",
-        "value": wall,
-        "unit": "sec",
-        "queries": times,
-        "sf": sf,
-        "cpus": int(cpus),
-    }))
+    def run_sequential() -> tuple[dict[str, float], float]:
+        times: dict[str, float] = {}
+        run_one = make_runner(times)
+        t0 = time.time()
+        for name in order:
+            run_one(name)
+        return times, round(time.time() - t0, 3)
+
+    out: dict = {"unit": "sec", "sf": sf, "cpus": int(cpus)}
+    if seq_only:
+        seq_times, seq_wall = run_sequential()
+        out.update(metric="wall_sec_all_checks_sequential", value=seq_wall,
+                   queries=seq_times, queries_sequential=seq_times,
+                   sequential_wall_sec=seq_wall)
+    else:
+        conc_times, wall = run_concurrent()
+        out.update(metric=f"wall_sec_all_checks_concurrent{nthreads}",
+                   value=wall, queries=conc_times)
+        if not skip_seq:
+            # second pass, one query at a time: slot-contention-free
+            # numbers for round-over-round per-query comparison
+            seq_times, seq_wall = run_sequential()
+            out["queries_sequential"] = seq_times
+            out["sequential_wall_sec"] = seq_wall
+
+    print(json.dumps(out))
     spark.stop()
 
 

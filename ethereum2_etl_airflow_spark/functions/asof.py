@@ -53,10 +53,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
     # tie order at equal __ts: inclusive → reference rows first (their
-    # payload is visible to a simultaneous probe); strict → probe first
+    # payload is visible to a simultaneous probe); strict → probe first.
+    # Final tiebreaker: the payload struct itself — several reference
+    # rows sharing (key, ts) would otherwise resolve arbitrarily per run;
+    # ordering by payload makes last() pick the lexicographically
+    # greatest payload deterministically.
     tie = F.col("__is_left") if not strict else (1 - F.col("__is_left"))
     w = (Window.partitionBy(on)
-         .orderBy(F.col("__ts"), tie)
+         .orderBy(F.col("__ts"), tie, F.col("__payload"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = unioned.withColumn(
         "__asof", F.last("__payload", ignorenulls=True).over(w))

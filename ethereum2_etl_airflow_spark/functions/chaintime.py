@@ -38,13 +38,19 @@ FAR_FUTURE_EPOCH = 2**64 - 1  # "never" sentinel (uint64 max)
 # ---- column expressions (used inside queries; codegen-friendly) ----------
 
 def slot_for_timestamp(ts: Column, genesis_unix: int = GENESIS_UNIX) -> Column:
-    """timestamp column → slot number (floor of elapsed/12s)."""
-    return ((F.unix_timestamp(ts) - F.lit(genesis_unix)) / SECONDS_PER_SLOT).cast("long")
+    """timestamp column → slot number (floor of elapsed/12s).
+
+    FLOOR, not cast-truncation: pre-genesis timestamps have negative
+    elapsed time and must map to the preceding slot (-0.5 → -1, not 0),
+    matching the driver-side ``_slot_at`` helper and the oracle SQL."""
+    return F.floor((F.unix_timestamp(ts) - F.lit(genesis_unix))
+                   / SECONDS_PER_SLOT).cast("long")
 
 
 def epoch_for_slot(slot: Column) -> Column:
-    """slot → epoch (32 slots per epoch)."""
-    return (slot / SLOTS_PER_EPOCH).cast("long")
+    """slot → epoch (32 slots per epoch); FLOOR so negative slots map to
+    the preceding epoch (same rationale as :func:`slot_for_timestamp`)."""
+    return F.floor(slot / SLOTS_PER_EPOCH).cast("long")
 
 
 def epoch_for_timestamp(ts: Column, genesis_unix: int = GENESIS_UNIX) -> Column:

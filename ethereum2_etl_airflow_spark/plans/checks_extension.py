@@ -419,8 +419,7 @@ WITH marked AS (
   SELECT user_id, ts,
          CAST(FLOOR(value * 1000) AS BIGINT) AS millis,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
-                   - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

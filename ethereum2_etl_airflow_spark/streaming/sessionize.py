@@ -116,9 +116,15 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800,
 def sessionize_batch(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     """Batch reference semantics for the streaming operator: a session
     starts where the gap to the previous event exceeds ``gap_s``; pure
-    window functions (lag → cumulative session id → groupBy)."""
+    window functions (lag → cumulative session id → groupBy).
+
+    Gaps compare MICROSECOND deltas (``unix_micros``), the same
+    granularity the streaming operator uses — ``unix_timestamp`` would
+    truncate to seconds and split/merge sessions differently on
+    sub-second data (e.g. a 1800.8 s gap with sub-second offsets)."""
     from pyspark.sql import Window
 
+    gap_us = gap_s * 1_000_000
     w = Window.partitionBy("user_id").orderBy("ts")
     marked = (events
               .withColumn("millis", F.floor(F.col("value") * 1000).cast("long"))
@@ -126,8 +132,8 @@ def sessionize_batch(events: DataFrame, gap_s: int = 1800) -> DataFrame:
               .withColumn(
                   "new_session",
                   (F.col("prev_ts").isNull()
-                   | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
-                      > gap_s)).cast("long")))
+                   | (F.unix_micros("ts") - F.unix_micros("prev_ts")
+                      > gap_us)).cast("long")))
     sess = marked.withColumn(
         "session_id", F.sum("new_session").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

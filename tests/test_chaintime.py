@@ -67,3 +67,25 @@ def test_sentinel_epoch_comparison(spark):
          == F.lit(str(ct.FAR_FUTURE_EPOCH)).cast("decimal(20,0)")).alias("never")
     ).collect()
     assert [r["never"] for r in out] == [True, False]
+
+
+def test_pre_genesis_timestamps_floor_not_truncate(spark):
+    """Negative elapsed must FLOOR to the preceding slot/epoch (-0.5 → -1),
+    matching the driver-side helpers — cast('long') truncates toward 0."""
+    from datetime import datetime, timezone
+
+    from ethereum2_etl_airflow_spark.functions.chaintime import (
+        GENESIS_UNIX, epoch_for_timestamp, slot_for_timestamp,
+    )
+
+    rows = [(datetime.fromtimestamp(GENESIS_UNIX + off, tz=timezone.utc),)
+            for off in (-25, -12, -6, -1, 0, 6, 12)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = [tuple(r) for r in df.select(
+        slot_for_timestamp(F.col("ts")).alias("slot"),
+        epoch_for_timestamp(F.col("ts")).alias("epoch")).collect()]
+    # python floor-division reference
+    exp = [(off // 12, (off // 12) // 32 if off // 12 >= 0 else -1)
+           for off in (-25, -12, -6, -1, 0, 6, 12)]
+    exp = [(s, s // 32) for s, _ in exp]
+    assert got == exp

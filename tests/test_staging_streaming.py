@@ -212,3 +212,24 @@ def test_verify_ansi_cast_mode(spark):
         run_check(spark, "blocks_count", "2024-01-01", ansi_cast=True)
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_asof_join_tied_reference_rows_deterministic(spark):
+    """Several reference rows sharing (key, ts): the payload-struct
+    tiebreaker must resolve to the lexicographically greatest payload,
+    identically on every run/partitioning."""
+    from datetime import datetime
+
+    from ethereum2_etl_airflow_spark.functions.asof import asof_join
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, datetime(2024, 1, 1, 12, 30))],
+                                 "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t, "a"), (1, t, "c"), (1, t, "b")],
+        "k long, rts timestamp, v string")
+    outs = set()
+    for n in (1, 2, 3, 8):
+        out = asof_join(left, right.repartition(n), "k", "ts", "rts")
+        outs.add(out.first()["asof_v"])
+    assert outs == {"c"}
