@@ -19,25 +19,36 @@ Scale notes (100 TB near-dup graphs):
   instead of O(rounds);
 - convergence is O(max component diameter) rounds.  Near-dup components
   are star-ish (a survivor plus its variants) with tiny diameters, so
-  this converges in a handful of rounds; the alternating
-  large-star/small-star scheme (O(log n) rounds on adversarial graphs)
-  is the documented upgrade path if components ever chain;
+  this converges in a handful of rounds; for chained (high-diameter)
+  graphs pass ``algorithm="star"`` — the alternating large-star /
+  small-star scheme (Kiveris et al., "Connected Components in MapReduce
+  and Beyond", SoCC'14) converges in O(log n) rounds regardless of
+  diameter;
 - the convergence probe is ``limit(1)`` over changed labels — it
   short-circuits instead of counting the full frontier.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["connected_components"]
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 30) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 30,
+                         algorithm: str = "label") -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id reachable from ``node``.
-    Deterministic (min is order-free)."""
+    Deterministic (min is order-free).
+
+    ``algorithm="label"`` (default): min-label propagation, O(diameter)
+    rounds — right for the star-ish components near-dedup produces.
+    ``algorithm="star"``: large-star/small-star, O(log n) rounds — right
+    when components can chain (entity-resolution graphs, path-shaped
+    link graphs) and diameter is unbounded."""
+    if algorithm == "star":
+        return _connected_components_star(edges, src, dst, max_iter)
     sym = (edges.select(F.col(src).cast("long").alias("u"),
                         F.col(dst).cast("long").alias("v"))
            .union(edges.select(F.col(dst).cast("long").alias("u"),
@@ -64,3 +75,64 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             break
     sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: for each node u, attach every STRICTLY LARGER
+    neighbor to m = min(closed neighborhood of u).  Output edges are
+    (v, m) with v > m, so the edge set is hi→lo directed afterwards.
+    One shuffle (the per-u window) + the dedup exchange."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
+    return (sym.withColumn("m", m)
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: input is hi→lo directed; for each node u,
+    re-attach u and all its smaller neighbors to m = min(neighbors).
+    Keeps the hi→lo invariant."""
+    w = Window.partitionBy("u")
+    m = F.min("v").over(w)  # v < u always, so min(closed nbhd) = min(v)
+    pairs = (e.withColumn("m", m)
+             .select(F.explode(F.array(
+                 F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                 F.struct(F.col("u").alias("a"), F.col("m").alias("b"))))
+                 .alias("s"))
+             .select(F.col("s.a").alias("u"), F.col("s.b").alias("v")))
+    return pairs.where(F.col("u") != F.col("v")).distinct()
+
+
+def _connected_components_star(edges: DataFrame, src: str, dst: str,
+                               max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al., SoCC'14):
+    each round is two window-shuffles + dedups; the edge set contracts
+    to per-component stars rooted at the component minimum in O(log n)
+    rounds, independent of diameter.  Lineage is cut per round with
+    ``localCheckpoint`` like the label-propagation path."""
+    nodes = (edges.select(F.col(src).cast("long").alias("u"))
+             .union(edges.select(F.col(dst).cast("long").alias("u")))
+             .distinct().localCheckpoint(eager=True))
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # set-equality probe: counts match AND nothing new appeared
+        grew = new.join(e, ["u", "v"], "left_anti").limit(1).count()
+        same_size = new.count() == e.count()
+        e = new
+        if same_size and grew == 0:
+            break
+    # fixpoint: every edge is (node, component-min); roots + isolated
+    # nodes (from degenerate self-loop inputs) label themselves
+    labeled = e.select(F.col("u").alias("node"),
+                       F.col("v").alias("component"))
+    roots = (nodes.join(e.select("u"), "u", "left_anti")
+             .select(F.col("u").alias("node"), F.col("u").alias("component")))
+    return labeled.union(roots)

@@ -541,6 +541,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same closure via the O(log n)-round large-star/small-star scheme
+    (diameter-independent; the scale path for chained components) —
+    checked against the identical recursive-CTE oracle."""
+    from ..operators.graph import connected_components
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(corpus, threshold_tenths=6)
+    return (connected_components(pairs, algorithm="star")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("cluster_id"))
+            .orderBy("doc_id"))
+
+
 ORACLE_DEDUP_CLUSTERS = """
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents
@@ -773,6 +787,7 @@ EXTENSION_CHECKS: dict[str, tuple] = {
     "dedup_fingerprint": (q_dedup_fingerprint, ORACLE_DEDUP_FINGERPRINT),
     "dedup_ngram": (q_dedup_ngram, ORACLE_DEDUP_NGRAM),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "dedup_clusters_star": (q_dedup_clusters_star, ORACLE_DEDUP_CLUSTERS),
     "sample_stratified": (q_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
     "sample_hash": (q_sample_hash, ORACLE_SAMPLE_HASH),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),

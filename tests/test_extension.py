@@ -168,7 +168,7 @@ def test_connected_components_transitive_closure(spark):
 
 def test_connected_components_chain_converges(spark):
     """A path graph is the worst diameter case: 0-1-2-...-9 must still
-    collapse to a single component."""
+    collapse to a single component (both algorithms)."""
     from ethereum2_etl_airflow_spark.operators.graph import connected_components
 
     edges = spark.createDataFrame(
@@ -176,6 +176,40 @@ def test_connected_components_chain_converges(spark):
     comps = {r["component"]
              for r in connected_components(edges).collect()}
     assert comps == {0}
+    star = {(r["node"], r["component"])
+            for r in connected_components(edges, algorithm="star").collect()}
+    assert star == {(i, 0) for i in range(10)}
+
+
+def test_connected_components_star_matches_label(spark):
+    """Same labeling from both algorithms on a mixed graph (chain +
+    star + isolated pair + self-loop node)."""
+    from ethereum2_etl_airflow_spark.operators.graph import connected_components
+
+    raw = ([(i, i + 1) for i in range(5)]            # chain 0..5
+           + [(100, x) for x in (101, 102, 103)]     # star
+           + [(200, 201), (300, 300)])               # pair + self-loop
+    edges = spark.createDataFrame(raw, "id_a long, id_b long")
+    lab = {(r["node"], r["component"])
+           for r in connected_components(edges).collect()}
+    star = {(r["node"], r["component"])
+            for r in connected_components(edges, algorithm="star").collect()}
+    assert lab == star
+
+
+def test_connected_components_star_deep_chain(spark):
+    """large-star/small-star is O(log n) rounds: a 10k-node path graph
+    (diameter 10^4 — label propagation would need 10^4 rounds) must
+    converge within the default round budget."""
+    from ethereum2_etl_airflow_spark.operators.graph import connected_components
+
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    out = connected_components(edges, algorithm="star")
+    assert out.count() == n
+    assert out.select("component").distinct().count() == 1
+    assert out.agg(F.max("component")).first()[0] == 0
 
 
 def test_stratified_sample_layout_invariant(spark, docs):
