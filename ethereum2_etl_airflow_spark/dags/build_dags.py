@@ -51,6 +51,11 @@ __all__ = ["build_export_dag", "build_load_dag", "provider_fallback",
            "wait_for_staged_object", "RateLimiter"]
 
 EXPORT_TABLES = ("beacon_blocks", "beacon_validators", "beacon_committees")
+#: hourly mode adds the point-in-time validators snapshot task, which
+#: stages both the hour partition and the "latest" tag
+#: (`build_hourly_export_dag.py:126-149,203-207`)
+HOURLY_EXPORT_TABLES = ("beacon_blocks", "beacon_validators",
+                        "beacon_validators_hourly", "beacon_committees")
 
 #: O6 sensor policy (`build_load_dag.py:69-70`)
 SENSOR_POKE_SECS = 60
@@ -244,7 +249,7 @@ def build_export_dag(cfg: ExportConfig,
     export_fns = export_fns or {}
     limiter = (RateLimiter(cfg.export_rate_limit)
                if cfg.export_rate_limit else None)
-    for table in EXPORT_TABLES:
+    for table in (HOURLY_EXPORT_TABLES if hourly else EXPORT_TABLES):
         fn = export_fns.get(table)
 
         def task_callable(ds=None, logical_date=None, _fn=fn, _table=table, **_):
@@ -277,7 +282,7 @@ HOURLY_LOAD_TABLES: dict[str, tuple[str, str | None, str | None]] = {
     "beacon_validators": ("beacon_validators", "timestamp", None),
     "beacon_validators_hourly": ("beacon_validators", "timestamp", None),
     "beacon_validators_latest": ("beacon_validators", "timestamp",
-                                 "export_beacon_validators"),
+                                 "export_beacon_validators_hourly"),
     "beacon_committees": ("beacon_committees", "epoch_timestamp", None),
 }
 

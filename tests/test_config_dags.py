@@ -250,7 +250,7 @@ def test_hourly_load_dag_five_table_surface(stub_airflow):
     xwait = tasks["wait_latest_beacon_validators_latest"]
     assert isinstance(xwait, _StubExternalTaskSensor)
     assert xwait.external_dag_id == "eth2_mainnet_hourly_export_dag"
-    assert xwait.external_task_id == "export_beacon_validators"
+    assert xwait.external_task_id == "export_beacon_validators_hourly"
     assert xwait.downstream == ["load_beacon_validators_latest"]
     # the other four wait on staged files, with the hour=HH level
     hwait = tasks["wait_latest_beacon_validators_hourly"]
@@ -395,3 +395,23 @@ def test_hourly_load_dag_end_to_end(stub_airflow, spark, tmp_path):
     latest = read_latest_snapshot(spark, f"{warehouse}/beacon_validators_latest")
     assert latest.count() == 24
     assert latest.select("epoch").distinct().collect()[0]["epoch"] == 1
+
+
+def test_hourly_export_dag_four_task_surface(stub_airflow):
+    """O3: the hourly export DAG carries the reference's 4-task surface,
+    including the distinct point-in-time validators snapshot
+    (build_hourly_export_dag.py:191-212)."""
+    from ethereum2_etl_airflow_spark.dags import build_export_dag
+
+    cfg = read_export_config({
+        "eth2_mainnet_provider_uris": "http://a",
+        "eth2_mainnet_output_bucket": "gs://bkt"})
+    dag = build_export_dag(cfg, hourly=True)
+    assert dag.dag_id == "eth2_mainnet_hourly_export_dag"
+    assert sorted(t.task_id for t in dag.tasks) == [
+        "export_beacon_blocks", "export_beacon_committees",
+        "export_beacon_validators", "export_beacon_validators_hourly"]
+    # daily mode keeps the 3-task surface
+    assert sorted(t.task_id for t in build_export_dag(cfg).tasks) == [
+        "export_beacon_blocks", "export_beacon_committees",
+        "export_beacon_validators"]
