@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = [
     "WORD_RE", "BPE_RE", "tokens", "token_count", "bpe_token_count",
     "normalize_text", "fingerprint", "lang_scores", "lang_id",
-    "quality_features", "text_stats",
+    "quality_features", "text_stats", "repetition_stats",
 ]
 
 # word tokens: runs of alphanumerics (RE2- and Java-regex-identical)
@@ -135,3 +135,48 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.sum(token_count(text_col)).alias("total_tokens"),
         )
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Repetition signals for quality filtering (the Gopher-rule family:
+    a document dominated by one token / one 2-gram is boilerplate):
+
+    - ``n_tokens`` / ``n_distinct_tokens`` / ``top_token_n`` (count of
+      the most frequent token)
+    - ``n_2grams`` / ``n_distinct_2grams`` / ``top_2gram_n``
+
+    All integers — consumers derive ratios (e.g. ``top_2gram_n /
+    n_2grams``) without float drift in the operator output.
+
+    Shape at scale: explode → groupBy(id, term) → groupBy(id), both
+    aggregations partial-agg map-side; keys carry the doc id so the
+    shuffle is uniform in documents, never in term popularity (a hot
+    global token never concentrates — it is counted per document).
+    Token arrays are let-bound so the tokenizer runs once per row.
+    Documents with < 1 token / < 1 2-gram simply have zero rows on that
+    axis and surface 0 counts via the outer join.
+    """
+    def ngram_counts(n: int, prefix: str) -> DataFrame:
+        if n == 1:
+            terms = tokens(F.col(text_col))
+        else:
+            from ..operators.dedup import shingles
+            terms = shingles(F.col(text_col), n)
+        per_term = (df.select(F.col(id_col), F.explode(terms).alias("t"))
+                    .groupBy(id_col, "t").agg(F.count("*").alias("c")))
+        return (per_term.groupBy(id_col)
+                .agg(F.sum("c").alias(f"n_{prefix}"),
+                     F.count("*").alias(f"n_distinct_{prefix}"),
+                     F.max("c").alias(f"top_{prefix[:-1]}_n")))
+
+    uni = ngram_counts(1, "tokens")
+    bi = ngram_counts(2, "2grams")
+    base = df.select(id_col)
+    out = (base.join(uni, id_col, "left").join(bi, id_col, "left"))
+    fill = {c: 0 for c in out.columns if c != id_col}
+    return out.na.fill(fill).select(
+        id_col,
+        *[F.col(c).cast("long").alias(c) for c in
+          ("n_tokens", "n_distinct_tokens", "top_token_n",
+           "n_2grams", "n_distinct_2grams", "top_2gram_n")])

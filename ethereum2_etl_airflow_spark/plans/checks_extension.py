@@ -104,6 +104,49 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.quality_features(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top-token / top-2-gram mass) —
+    boilerplate documents repeat; all counts integer, ratios left to the
+    consumer so nothing float-drifts."""
+    return X.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+ORACLE_REPETITION_STATS = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents),
+uni_term AS (
+  SELECT doc_id, t, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(tk) AS t FROM toks) GROUP BY doc_id, t),
+uni AS (
+  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct_tokens,
+         MAX(c) AS top_token_n
+  FROM uni_term GROUP BY doc_id),
+bi_term AS (
+  SELECT doc_id, t, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(
+          CASE WHEN len(tk) >= 2 THEN
+            list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+          ELSE [] END) AS t
+        FROM toks) GROUP BY doc_id, t),
+bi AS (
+  SELECT doc_id, SUM(c) AS n_2grams, COUNT(*) AS n_distinct_2grams,
+         MAX(c) AS top_2gram_n
+  FROM bi_term GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(uni.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(uni.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+       CAST(COALESCE(uni.top_token_n, 0) AS BIGINT) AS top_token_n,
+       CAST(COALESCE(bi.n_2grams, 0) AS BIGINT) AS n_2grams,
+       CAST(COALESCE(bi.n_distinct_2grams, 0) AS BIGINT) AS n_distinct_2grams,
+       CAST(COALESCE(bi.top_2gram_n, 0) AS BIGINT) AS top_2gram_n
+FROM documents d
+LEFT JOIN uni ON uni.doc_id = d.doc_id
+LEFT JOIN bi ON bi.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 _ALL_STOPS = "|".join(sorted({w for ws in X.LANG_STOPWORDS.values() for w in ws}))
 
 ORACLE_QUALITY_SCORE = rf"""
@@ -792,6 +835,7 @@ EXTENSION_CHECKS: dict[str, tuple] = {
     "sample_hash": (q_sample_hash, ORACLE_SAMPLE_HASH),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "fuzzy_match": (q_fuzzy_match, ORACLE_FUZZY_MATCH),
+    "repetition_stats": (q_repetition_stats, ORACLE_REPETITION_STATS),
     "agg_percentile": (q_agg_percentile, ORACLE_AGG_PERCENTILE),
     "emb_centroid": (q_emb_centroid, ORACLE_EMB_CENTROID),
     "embed_neardup": (q_embed_neardup, ORACLE_EMBED_NEARDUP),

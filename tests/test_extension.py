@@ -301,3 +301,22 @@ def test_partial_topk_bounds_and_exactness(spark, sf_dir):
                               F.row_number().over(w).alias("rank"), "cosine")
                       .where(F.col("rank") <= k).collect())
     assert final(survivors) == final(scored) == final(small)
+
+
+def test_repetition_stats_planted_boilerplate(spark):
+    """A doc that is one token repeated must show top_token_n == n_tokens
+    and a single distinct 2-gram; a diverse doc must not."""
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"),
+         (2, "alpha beta gamma delta epsilon"),
+         (3, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in X.repetition_stats(df).collect()}
+    assert got[1]["n_tokens"] == 5 and got[1]["n_distinct_tokens"] == 1
+    assert got[1]["top_token_n"] == 5
+    assert got[1]["n_2grams"] == 4 and got[1]["n_distinct_2grams"] == 1
+    assert got[2]["n_tokens"] == 5 and got[2]["top_token_n"] == 1
+    assert got[2]["n_distinct_2grams"] == 4
+    assert got[3] == {"doc_id": 3, "n_tokens": 0, "n_distinct_tokens": 0,
+                      "top_token_n": 0, "n_2grams": 0,
+                      "n_distinct_2grams": 0, "top_2gram_n": 0}
