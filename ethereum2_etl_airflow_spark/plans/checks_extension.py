@@ -533,6 +533,50 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "session_start"))
 
 
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/dedup.py): the dup corpus
+    (documents ∪ perturbed copies) flows through
+    ``dropDuplicatesWithinWatermark`` on the content fingerprint in one
+    availableNow run; every fingerprint survives exactly once.  Output
+    projects to the fingerprint alone — the surviving *row* among equal-
+    content copies is pick-any, the surviving fingerprint SET is exact —
+    so the check is oracle-hashable despite the nondeterministic pick."""
+    import hashlib
+    import os
+    import uuid
+
+    from ..streaming.dedup import dedup_stream
+
+    src = os.path.join(
+        "/tmp", f"e2etl_ddst_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        corpus = _dup_corpus(spark, sf_dir).select(
+            "doc_id", "text",
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") % 600)
+            .alias("ts"))
+        corpus.coalesce(1).write.mode("overwrite").parquet(src)
+    stream_src = (spark.readStream
+                  .schema(spark.read.parquet(src).schema).parquet(src))
+    surv = dedup_stream(stream_src, ts_col="ts", text_col="text",
+                        watermark="1 hour")
+    name = f"ddst_{uuid.uuid4().hex[:8]}"
+    q = (surv.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select("fp").orderBy("fp")
+
+
+ORACLE_DEDUP_STREAM = r"""
+WITH corpus AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT upper(text) || '  ' FROM documents)
+SELECT DISTINCT
+       sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM corpus ORDER BY fp
+"""
+
+
 def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median per group over an integer domain — windowed
     middle-element average (interpolation of two bigints halves exactly
@@ -820,6 +864,7 @@ GROUP BY label, i ORDER BY label, pos
 EXTENSION_CHECKS: dict[str, tuple] = {
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "sessionize_stream": (q_sessionize_stream, None),
+    "dedup_stream": (q_dedup_stream, ORACLE_DEDUP_STREAM),
     "agg_median": (q_agg_median, ORACLE_AGG_MEDIAN),
     "sim_ivf": (q_sim_ivf, None),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),

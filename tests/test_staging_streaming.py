@@ -233,3 +233,63 @@ def test_asof_join_tied_reference_rows_deterministic(spark):
         out = asof_join(left, right.repartition(n), "k", "ts", "rts")
         outs.add(out.first()["asof_v"])
     assert outs == {"c"}
+
+
+def test_dedup_stream_watermark_horizon(spark, tmp_path):
+    """In-horizon copies are dropped; a copy arriving beyond the
+    watermark delay is state-evicted and survives (the documented
+    streaming-dedup contract)."""
+    import os
+    from datetime import datetime, timedelta
+
+    from ethereum2_etl_airflow_spark.streaming.dedup import (
+        dedup_stream, run_dedup_available_now,
+    )
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    batch1 = spark.createDataFrame(
+        [(1, "the same text", t0),
+         (2, "the same text  ", t0 + timedelta(minutes=5)),  # in horizon
+         (3, "different text", t0 + timedelta(minutes=6))],
+        "doc_id long, text string, ts timestamp")
+    # the watermark applied to batch N comes from batch N-1's data, and
+    # state eviction runs in end-of-batch cleanup — so the late copy must
+    # arrive two batches after the event that advances the watermark:
+    # batch2 advances it, batch3's cleanup evicts, batch4's copy survives
+    batch2 = spark.createDataFrame(
+        [(4, "unrelated text", t0 + timedelta(hours=5))],
+        "doc_id long, text string, ts timestamp")
+    batch3 = spark.createDataFrame(
+        [(6, "another unrelated text", t0 + timedelta(hours=5, minutes=2))],
+        "doc_id long, text string, ts timestamp")
+    batch4 = spark.createDataFrame(
+        [(5, "THE SAME TEXT", t0 + timedelta(hours=5, minutes=3))],
+        "doc_id long, text string, ts timestamp")
+    # stage each batch as its own file with strictly increasing mtime —
+    # the file source orders micro-batches by modification time, and
+    # uuid part names make write order ≠ listing order otherwise
+    import shutil
+
+    for i, b in enumerate([batch1, batch2, batch3, batch4]):
+        tmp = str(tmp_path / f"w{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.startswith("part-"))
+        dest = os.path.join(src, f"{i}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dest)
+        os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (spark.readStream.schema(batch1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = run_dedup_available_now(
+        dedup_stream(stream, watermark="1 hour"), spark)
+    rows = out.collect()
+    # batch1: one of doc 1/2 survives (same fingerprint) + doc 3;
+    # batch2/3: docs 4 and 6 (new fps; wm reaches t0+4h, state evicted);
+    # batch4: doc 5 re-surfaces because the fingerprint state expired
+    ids = {r["doc_id"] for r in rows}
+    assert out.count() == 5
+    assert {3, 4, 5, 6} <= ids and len(ids & {1, 2}) == 1
+    fps = [r["fp"] for r in rows]
+    assert len(fps) == 5 and len(set(fps)) == 4  # doc5 repeats doc1/2's fp
