@@ -35,10 +35,14 @@ def hourly_counts_stream(
     """Streaming per-hour aggregate over a file-source directory:
     (hour_start, n, start_block, end_block) — the hourly ``blocks_meta``
     computed continuously.  ``ts_is_nanos`` handles raw INT64-nanos
-    timestamp columns (pandas-written parquet)."""
+    timestamp columns (pandas-written parquet); it is ignored when the
+    column is already a timestamp type in ``schema``."""
     src = spark.readStream.schema(schema).parquet(path)
+    is_integral = isinstance(schema[ts_col].dataType, (T.LongType, T.IntegerType))
+    # watermarks require TIMESTAMP (ltz): NTZ wall clock round-trips
+    # losslessly through the session timezone and back at hour_start below
     ts = (F.timestamp_micros(F.expr(f"`{ts_col}` DIV 1000"))
-          if ts_is_nanos else F.col(ts_col))
+          if (ts_is_nanos and is_integral) else F.col(ts_col).cast("timestamp"))
     events = src.withColumn("__ts", ts).withWatermark("__ts", watermark)
     return (
         events.groupBy(F.window("__ts", "1 hour").alias("w"))

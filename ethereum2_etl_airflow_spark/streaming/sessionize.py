@@ -105,6 +105,9 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800,
     """Streaming sessionization over (user_id, ts, value) events."""
     prepared = (events
                 .withColumn("millis", F.floor(F.col("value") * 1000).cast("long"))
+                # watermarks require TIMESTAMP (ltz); NTZ inputs round-trip
+                # losslessly through the session timezone
+                .withColumn("ts", F.col("ts").cast("timestamp"))
                 .withWatermark("ts", watermark)
                 .groupBy("user_id"))
     return prepared.applyInPandasWithState(
@@ -132,7 +135,11 @@ def sessionize_batch(events: DataFrame, gap_s: int = 1800) -> DataFrame:
               .withColumn(
                   "new_session",
                   (F.col("prev_ts").isNull()
-                   | (F.unix_micros("ts") - F.unix_micros("prev_ts")
+                   # cast-to-ltz only inside the delta: NTZ inputs stay NTZ
+                   # in the output; both casts shift identically so the
+                   # microsecond difference is unchanged
+                   | (F.unix_micros(F.col("ts").cast("timestamp"))
+                      - F.unix_micros(F.col("prev_ts").cast("timestamp"))
                       > gap_us)).cast("long")))
     sess = marked.withColumn(
         "session_id", F.sum("new_session").over(
