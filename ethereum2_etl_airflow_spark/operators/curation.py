@@ -1,0 +1,255 @@
+"""Corpus-curation operators for LLM training-data pipelines — the
+pre-training data-engineering surface beyond dedup/similarity (BASELINE.json
+mandate; complements :mod:`.text`, :mod:`.dedup`, :mod:`.sampling`):
+
+- :func:`pii_scrub` — regex redaction of emails / IPv4s / long digit runs,
+  with per-category redaction counts.
+- :func:`heavy_hitters` — exact global top-k most frequent tokens.
+- :func:`cap_per_key` — per-domain document caps (web-crawl curation's
+  "at most N pages per site"), two-phase so no task ever sorts a whole
+  domain.
+- :func:`pack_offsets` — concat-and-chunk sequence packing: global token
+  offsets per language via a distributed prefix sum, then fixed-budget
+  context-window block assignment.
+- :func:`assign_folds` — deterministic, engine-portable k-fold assignment
+  from md5(id) (same family as :mod:`.sampling`).
+- :func:`term_salience` — integer-scaled TF-IDF-style term ranking per
+  document (the constant corpus-size factor is dropped: rankings are
+  invariant to it, and integer arithmetic keeps oracle hashes exact).
+- :func:`quantize_embeddings` — per-vector int8 floor-quantization of
+  ``array<float>`` embeddings (the storage/ANN-memory reduction step).
+
+All hot paths are JVM column expressions (whole-stage codegen); the only
+Python is the Arrow-batched narrow pass inside :func:`cap_per_key` /
+:func:`pack_offsets`, both in the sanctioned §2.9 escape hatch.
+
+Determinism: counts/offsets/folds/salience are integers; quantization
+uses float→double widening (exact) + IEEE double mul/div (exactly
+rounded, engine-identical) + FLOOR (no round-half ambiguity), so every
+output hash-matches a DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .text import tokens
+
+__all__ = [
+    "EMAIL_RE", "IPV4_RE", "LONGNUM_RE", "pii_scrub", "heavy_hitters",
+    "cap_per_key", "pack_offsets", "assign_folds", "term_salience",
+    "quantize_embeddings",
+]
+
+# RE2- and Java-regex-identical patterns (no backrefs / lookaround):
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+LONGNUM_RE = "\\b\\d{9,}\\b"  # account/card-like digit runs
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact emails → IPv4s → long digit runs (in that order, each count
+    taken on the text as the previous pass left it — replacement tags
+    contain no digits/@, so later passes can't re-match earlier ones).
+    Pure narrow map (regexp built-ins, codegen): scans a 100 TB corpus at
+    parquet speed with zero shuffle.
+
+    Returns (id, n_emails, n_ips, n_longnums, clean)."""
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, LONGNUM_RE, "<NUM>")
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t0, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t1, F.lit(IPV4_RE), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(t2, F.lit(LONGNUM_RE), 0)).alias("n_longnums"),
+        t3.alias("clean"),
+    )
+
+
+def heavy_hitters(df: DataFrame, k: int = 50,
+                  text_col: str = "text") -> DataFrame:
+    """Exact global top-k most frequent tokens: (token, n), ties broken
+    by token so the cut is total.  explode → groupBy partial-aggregates
+    map-side (hot tokens combine before the shuffle), and the final top-k
+    is a TakeOrdered — never a global sort."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.col("n").desc(), "token").limit(k)
+
+
+def cap_per_key(df: DataFrame, key_col: str, order_col: str,
+                cap: int) -> DataFrame:
+    """Keep at most ``cap`` rows per key, the ones smallest by
+    ``order_col`` (ties impossible when ``order_col`` is a key; otherwise
+    first by value).  The web-crawl "≤ N docs per domain" rule.
+
+    Two-phase, like :func:`..operators.similarity.partial_topk`: a narrow
+    Arrow pass reduces every partition to its local ``cap`` smallest rows
+    per key (no shuffle), then one per-key window ranks the ≤ cap·P
+    survivors.  A plain ``row_number`` window would instead sort every
+    row of the dominant domain in a single task."""
+    cols = list(df.columns)
+
+    def local_cap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: list[pd.DataFrame] = []
+        n = 0
+        for pdf in batches:
+            if len(pdf):
+                acc.append(pdf[cols])
+                n += len(pdf)
+            if n > (1 << 18):
+                acc = [pd.concat(acc, ignore_index=True)
+                       .sort_values([key_col, order_col])
+                       .groupby(key_col, sort=False).head(cap)]
+                n = len(acc[0])
+        if acc:
+            yield (pd.concat(acc, ignore_index=True)
+                   .sort_values([key_col, order_col])
+                   .groupby(key_col, sort=False).head(cap))
+
+    survivors = df.mapInPandas(local_cap, df.schema)
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    return (survivors.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= cap).drop("__rn"))
+
+
+def pack_offsets(df: DataFrame, budget: int = 2048,
+                 group_col: str = "lang", id_col: str = "doc_id",
+                 tok_col: str | None = None) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents of each group are
+    concatenated in ``id_col`` order and cut into fixed ``budget``-token
+    context windows.  Returns per document:
+
+    (group, id, n_tok, start_off, first_block, last_block)
+
+    where ``start_off`` is the document's global token offset within its
+    group and blocks are ``offset DIV budget`` (a zero-token document
+    occupies its start block only).
+
+    Scale shape — a **distributed prefix sum**, not a one-task-per-group
+    window: range-repartition by (group, id) and sort within partitions;
+    one narrow pass computes per-(partition, group) token totals (tiny —
+    ≤ P·|groups| rows collected); the driver prefix-sums those into base
+    offsets; a second narrow pass adds base + local running sum.  No
+    partition ever holds more than its own split, whatever the group
+    skew.  The input is cached between the two passes so both see the
+    same (sampled, hence otherwise nondeterministic) range boundaries —
+    offsets themselves are boundary-invariant, but the totals and the
+    second pass must agree on the layout."""
+    from .text import bpe_token_count
+
+    tok = F.col(tok_col) if tok_col else bpe_token_count(F.col("text"))
+    base = df.select(F.col(group_col).alias("g"), F.col(id_col).alias("i"),
+                     tok.cast("long").alias("n_tok"))
+    spark = df.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    laid = (base.repartitionByRange(nparts, "g", "i")
+            .sortWithinPartitions("g", "i")
+            .withColumn("pid", F.spark_partition_id())
+            .cache())
+
+    totals = (laid.groupBy("pid", "g").agg(F.sum("n_tok").alias("t"))
+              .collect())
+    # driver-side prefix sum over ≤ P·|groups| tiny rows
+    by_group: dict = {}
+    for r in sorted(totals, key=lambda r: (r["g"], r["pid"])):
+        by_group.setdefault(r["g"], []).append((r["pid"], r["t"]))
+    bases = []
+    for g, lst in by_group.items():
+        run = 0
+        for pid, t in lst:
+            bases.append((pid, g, run))
+            run += t
+    base_df = spark.createDataFrame(bases, "pid int, g string, base long")
+
+    joined = laid.join(F.broadcast(base_df), ["pid", "g"], "left")
+
+    out_schema = "g string, i long, n_tok long, start_off long"
+
+    def local_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            starts = []
+            for g, b, n in zip(pdf["g"], pdf["base"], pdf["n_tok"]):
+                cur = run.get(g, int(b))
+                starts.append(cur)
+                run[g] = cur + int(n)
+            yield pd.DataFrame({"g": pdf["g"], "i": pdf["i"],
+                                "n_tok": pdf["n_tok"], "start_off": starts})
+
+    offs = joined.mapInPandas(local_cumsum, out_schema)
+    result = offs.select(
+        F.col("g").alias(group_col), F.col("i").alias(id_col),
+        "n_tok", "start_off",
+        F.expr(f"start_off DIV {budget}").alias("first_block"),
+        F.expr(f"(start_off + greatest(n_tok, 1) - 1) DIV {budget}")
+        .alias("last_block"))
+    from ..functions.layout import finalize_release
+    return finalize_release(result, laid)
+
+
+def assign_folds(df: DataFrame, k: int = 5,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic k-fold assignment: fold from the first two hex chars
+    of ``md5(id)`` (256 buckets → mod k).  Engine-portable (DuckDB's md5
+    hex is identical), stateless, layout-invariant — the same row lands
+    in the same fold on any cluster, any partitioning, any engine."""
+    hx = F.md5(F.col(id_col).cast("string"))
+    hexmap = "0123456789abcdef"
+    v = ((F.instr(F.lit(hexmap), F.substring(hx, 1, 1)) - 1) * 16
+         + (F.instr(F.lit(hexmap), F.substring(hx, 2, 1)) - 1))
+    return df.withColumn("fold", (v % k).cast("int"))
+
+
+def term_salience(df: DataFrame, m: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Top-``m`` salient terms per document by an integer-scaled
+    TF-IDF-style score: ``salience = tf * 1_000_000 DIV df`` (the corpus
+    size factor is a constant per run — dropping it preserves every
+    ranking and keeps the arithmetic integer-exact).
+
+    Shape: explode → (doc, term) tf [uniform shuffle keyed by doc+term]
+    → term document-frequency [vocab-sized, partial-agg] → join back on
+    term (AQE-handled; a hot token's tf rows are spread across docs) →
+    per-doc window over ≤ |distinct terms in doc| rows (bounded, uniform).
+    """
+    tf = (df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+          .groupBy(id_col, "token").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (tf.join(dfreq, "token")
+              .select(F.col(id_col), "token", "tf", "df",
+                      F.expr("tf * 1000000 DIV df").alias("salience")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("salience").desc(), F.col("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= m)
+            .select(id_col, "rank", "token", "tf", "df", "salience"))
+
+
+def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-vector int8 floor-quantization: q[i] = FLOOR(x[i]·127 / max|x|)
+    (zero vectors quantize to all-zero).  Exploded output
+    (id, pos, q) — the layout an int8 ANN index ingests.
+
+    Narrow map only.  Exactness: float32→double widening is lossless,
+    double multiply/divide are exactly-rounded IEEE ops (identical on
+    every engine), FLOOR has no round-half ambiguity — the oracle
+    hash-matches bit-for-bit."""
+    x = F.col("x").cast("double")
+    maxabs = F.array_max(F.transform(F.col(vec_col),
+                                     lambda e: F.abs(e.cast("double"))))
+    return (emb.select(F.col(id_col), maxabs.alias("m"),
+                       F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .select(F.col(id_col), "pos",
+                    F.when(F.col("m") == 0.0, F.lit(0)).otherwise(
+                        F.floor(x * 127.0 / F.col("m"))).cast("int")
+                    .alias("q")))

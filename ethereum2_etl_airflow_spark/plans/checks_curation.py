@@ -1,0 +1,194 @@
+"""Curation-operator check queries (the :mod:`..operators.curation`
+surface): PII scrubbing, heavy hitters, per-domain caps, sequence
+packing, k-fold splits, term salience, int8 quantization.
+
+Every check here is fully SQL-expressible, so every entry carries a
+DuckDB oracle — integer/string outputs only (or FLOOR-quantized ints),
+no float-drift surface anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import curation as C
+from ..sources.testdata import load_table
+
+__all__ = ["CURATION_CHECKS"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- PII scrubbing --------------------------------------------------------
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.pii_scrub(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# same patterns, same sequential semantics ('g' = replace all), counts on
+# the progressively-scrubbed text exactly as the operator does
+ORACLE_PII_SCRUB = r"""
+WITH s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1
+  FROM documents),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+         regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+             '<IP>', 'g') AS t2
+  FROM s1)
+SELECT doc_id, n_emails, n_ips,
+       len(regexp_extract_all(t2, '\b\d{9,}\b')) AS n_longnums,
+       regexp_replace(t2, '\b\d{9,}\b', '<NUM>', 'g') AS clean
+FROM s2 ORDER BY doc_id
+"""
+
+
+# --- heavy hitters --------------------------------------------------------
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.heavy_hitters(_docs(spark, sf_dir), k=50)
+
+
+ORACLE_HEAVY_HITTERS = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
+
+# --- per-domain cap -------------------------------------------------------
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    capped = C.cap_per_key(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        key_col="source", order_col="doc_id", cap=30)
+    return capped.orderBy("source", "doc_id")
+
+
+ORACLE_DOMAIN_CAP = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn <= 30 ORDER BY source, doc_id
+"""
+
+
+# --- sequence packing -----------------------------------------------------
+
+PACK_BUDGET = 2048
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (C.pack_offsets(_docs(spark, sf_dir), budget=PACK_BUDGET)
+            .orderBy("lang", "doc_id"))
+
+
+ORACLE_PACK_CHUNKS = rf"""
+SELECT lang, doc_id, n_tok, start_off,
+       CAST(FLOOR(start_off / {PACK_BUDGET}) AS BIGINT) AS first_block,
+       CAST(FLOOR((start_off + greatest(n_tok, 1) - 1) / {PACK_BUDGET})
+            AS BIGINT) AS last_block
+FROM (
+  SELECT lang, doc_id,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok,
+         CAST(COALESCE(SUM(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+              OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_off
+  FROM documents)
+ORDER BY lang, doc_id
+"""
+
+
+# --- k-fold assignment ----------------------------------------------------
+
+def q_split_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (C.assign_folds(_docs(spark, sf_dir).select("doc_id"), k=5)
+            .orderBy("doc_id"))
+
+
+ORACLE_SPLIT_FOLDS = """
+SELECT doc_id, CAST(
+    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 5
+   AS INT) AS fold
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- term salience --------------------------------------------------------
+
+def q_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (C.term_salience(_docs(spark, sf_dir), m=5)
+            .orderBy("doc_id", "rank"))
+
+
+ORACLE_TERM_SALIENCE = """
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents)
+  GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         CAST(FLOOR(tf.tf * 1000000 / dfreq.df) AS BIGINT) AS salience
+  FROM tf JOIN dfreq USING (token))
+SELECT doc_id, rank, token, tf, df, salience FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY salience DESC, token) AS rank
+  FROM scored)
+WHERE rank <= 5 ORDER BY doc_id, rank
+"""
+
+
+# --- int8 embedding quantization ------------------------------------------
+
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (C.quantize_embeddings(_emb(spark, sf_dir))
+            .orderBy("vec_id", "pos"))
+
+
+# pos is 0-based in Spark's posexplode; DuckDB's range index i is 1-based.
+# float32 → DOUBLE widening is exact on both engines, so the double
+# multiply/divide/floor chain is bit-identical.
+ORACLE_EMB_QUANTIZE = """
+SELECT vec_id, i - 1 AS pos,
+       CASE WHEN m = 0 THEN 0
+            ELSE CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127.0 / m) AS INT)
+       END AS q
+FROM (SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS m
+      FROM embeddings), range(1, 65) t(i)
+ORDER BY vec_id, pos
+"""
+
+
+CURATION_CHECKS: dict[str, tuple] = {
+    "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
+    "heavy_hitters": (q_heavy_hitters, ORACLE_HEAVY_HITTERS),
+    "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),
+    "pack_chunks": (q_pack_chunks, ORACLE_PACK_CHUNKS),
+    "split_folds": (q_split_folds, ORACLE_SPLIT_FOLDS),
+    "term_salience": (q_term_salience, ORACLE_TERM_SALIENCE),
+    "emb_quantize": (q_emb_quantize, ORACLE_EMB_QUANTIZE),
+}

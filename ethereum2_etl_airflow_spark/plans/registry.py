@@ -8,6 +8,7 @@ a weaker rows-only check for those.
 
 from __future__ import annotations
 
+from .checks_curation import CURATION_CHECKS
 from .checks_extension import EXTENSION_CHECKS
 from .checks_reference import REFERENCE_CHECKS
 from .checks_relational import RELATIONAL_CHECKS
@@ -23,6 +24,7 @@ def all_checks() -> dict[str, tuple]:
     out.update(REFERENCE_CHECKS)
     out.update(RELATIONAL_CHECKS)
     out.update(EXTENSION_CHECKS)
+    out.update(CURATION_CHECKS)
     return out
 
 
