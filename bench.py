@@ -100,10 +100,12 @@ def main() -> None:
     # longest-processing-time-first order: the heavy near-dup/ML queries
     # start immediately so the suite's makespan is their runtime, not
     # their runtime plus whatever queued in front of them
-    heavy = ["dedup_clusters", "dedup_ngram", "sessionize_stream",
-             "embed_neardup", "dedup_minhash", "sim_ivf", "sim_topk",
-             "dedup_simhash", "sim_lsh", "sessionize", "mm_features",
-             "stream_hourly", "join_range", "decontaminate"]
+    heavy = ["dedup_clusters_star", "dedup_clusters", "sim_ivf",
+             "sessionize_stream", "term_salience", "dedup_ngram",
+             "dedup_simhash", "dedup_minhash", "dedup_stream",
+             "embed_neardup", "sim_topk", "sim_lsh", "pack_chunks",
+             "sessionize", "mm_features", "stream_hourly", "join_range",
+             "decontaminate", "token_count", "emb_quantize"]
     order = [q for q in heavy if q in qs] + \
         [q for q in sorted(qs) if q not in heavy]
 

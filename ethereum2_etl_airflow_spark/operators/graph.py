@@ -61,16 +61,18 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         neigh = (sym.join(labels.withColumnRenamed("node", "v"), "v")
                  .groupBy("u").agg(F.min("label").alias("nl"))
                  .withColumnRenamed("u", "node"))
+        # carry a per-row changed flag through the checkpoint: the probe
+        # then scans the materialized blocks with limit(1) instead of
+        # re-joining new labels against old (one fewer shuffle per round)
         new = (labels.join(neigh, "node", "left")
                .select("node",
                        F.least(F.col("label"),
-                               F.coalesce("nl", "label")).alias("label"))
+                               F.coalesce("nl", "label")).alias("label"),
+                       (F.coalesce("nl", "label") < F.col("label"))
+                       .alias("changed"))
                .localCheckpoint(eager=True))
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.label") != F.col("o.label"))
-                   .limit(1).count())
-        labels = new
+        changed = new.where("changed").limit(1).count()
+        labels = new.drop("changed")
         if changed == 0:
             break
     sym.unpersist()
@@ -121,12 +123,15 @@ def _connected_components_star(edges: DataFrame, src: str, dst: str,
                       F.col(dst).cast("long").alias("v"))
          .where(F.col("u") != F.col("v"))
          .distinct().localCheckpoint(eager=True))
+    e_count = e.count()
     for _ in range(max_iter):
         new = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # set-equality probe: counts match AND nothing new appeared
+        # (previous round's count is carried — no re-count of e)
         grew = new.join(e, ["u", "v"], "left_anti").limit(1).count()
-        same_size = new.count() == e.count()
-        e = new
+        new_count = new.count()
+        same_size = new_count == e_count
+        e, e_count = new, new_count
         if same_size and grew == 0:
             break
     # fixpoint: every edge is (node, component-min); roots + isolated
