@@ -37,8 +37,29 @@ __all__ = [
     "dedup_exact", "shingles", "shingles_of_tokens", "hashed_shingles",
     "ngram_jaccard_pairs", "contamination_pairs",
     "minhash_near_dups", "simhash_signature", "simhash_candidates",
-    "cosine_near_dup_pairs",
+    "cosine_near_dup_pairs", "incremental_new_docs",
 ]
+
+
+def incremental_new_docs(batch: DataFrame, history: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup: from an arriving ``batch``, keep one doc
+    per canonical content (min id) that has never been seen in
+    ``history`` — the steady-state shape of a production dedup pipeline,
+    which dedups each day's crawl against the accumulated corpus instead
+    of re-clustering everything.
+
+    Shape: batch collapses to one row per fingerprint first (map-side
+    partial agg), THEN anti-joins history's fingerprint index — so the
+    join's left side is bounded by the batch's distinct content, and the
+    history side is a two-column (fp) projection of the index, not the
+    corpus.  At 100 TB the history fp index is bucketed by fp, making
+    the anti-join co-located and shuffle-free on the big side."""
+    first = (batch.groupBy(fingerprint(text_col).alias("fp"))
+             .agg(F.min(id_col).alias(id_col)))
+    seen = history.select(fingerprint(text_col).alias("fp"))
+    return first.join(seen, "fp", "left_anti").select("fp", id_col)
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text",

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = ["derive_block_date", "load_table", "write_partitioned",
            "compute_meta", "write_meta", "write_latest_snapshot",
-           "read_latest_snapshot", "ctas"]
+           "read_latest_snapshot", "ctas", "latest_by_key"]
 
 
 def derive_block_date(df: DataFrame, ts_col: str) -> DataFrame:
@@ -167,6 +167,32 @@ def read_latest_snapshot(spark: SparkSession, base_path: str) -> DataFrame:
     """Resolve the ``_LATEST`` pointer and read that snapshot version."""
     with open(f"{base_path}/_LATEST") as fh:
         return spark.read.parquet(fh.read().strip())
+
+
+def latest_by_key(df: DataFrame, key_cols: list[str],
+                  order_cols: list[str]) -> DataFrame:
+    """CDC-style upsert compaction: keep, per key, the single row that is
+    maximal under ``order_cols`` lexicographically (e.g. latest timestamp,
+    event id as the total-order tiebreaker) — the merge the reference's
+    ``beacon_validators_latest`` table implies but delegates to full
+    overwrites.
+
+    Plan shape: ``max(struct(order_cols…, payload))`` per key — ONE
+    aggregate (SortAggregate: struct buffers can't hash) with a map-side
+    ``partial_max``, so each executor reduces its slice to one candidate
+    row per key before the shuffle.
+    A ``row_number() OVER (PARTITION BY key)`` window gives the same
+    rows but shuffles and sorts *every* version of every key; at CDC
+    volumes (billions of updates, hot keys) the partial-agg plan is the
+    one that survives.  Struct comparison is lexicographic by field
+    order, so ``order_cols`` must totally order rows within a key for a
+    deterministic result."""
+    payload = [c for c in df.columns if c not in key_cols]
+    ordered = F.struct(*[F.col(c) for c in order_cols],
+                       *[F.col(c) for c in payload if c not in order_cols])
+    top = df.groupBy(*key_cols).agg(F.max(ordered).alias("__top"))
+    return top.select(*key_cols,
+                      *[F.col(f"__top.{c}").alias(c) for c in payload])
 
 
 def ctas(spark: SparkSession, sql: str, dest_path: str) -> DataFrame:

@@ -26,8 +26,9 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "attach_binary_payload",
-           "read_media_dir", "decode_stub", "extract_features"]
+__all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "FRAME_SCHEMA",
+           "attach_binary_payload", "read_media_dir", "decode_stub",
+           "extract_features", "sample_frames"]
 
 #: payload + typed metadata layout for a multimodal table
 MEDIA_SCHEMA = T.StructType([
@@ -128,3 +129,49 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
         from ..functions.layout import ensure_parallelism
         flat = ensure_parallelism(flat)
     return flat.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_off", T.LongType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(media: DataFrame, target: int = 4,
+                  frame_bytes: int = 100) -> DataFrame:
+    """Deterministic frame sampling for video-shaped payloads: pick
+    ``target`` evenly-strided frames per document (every
+    ``ceil(n_frames/target)``-th frame, always including frame 0) and
+    emit one row per sampled frame — the fan-out stage a video training
+    pipeline runs before per-frame feature extraction.
+
+    The decode is the same honest stub as :func:`decode_stub`: a "frame"
+    is a fixed ``frame_bytes`` window of the payload (a real deployment
+    replaces the slice with a pyav seek+decode; the Spark plumbing —
+    fan-out schema, Arrow batching, stride math — is what's real here).
+
+    Pure map stage (no shuffle); output grows ≤ ``target`` rows per doc,
+    so downstream per-frame stages see bounded fan-out whatever the
+    payload size distribution."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(p) // frame_bytes
+                if n_frames == 0:
+                    continue
+                stride = -(-n_frames // target)  # ceil
+                for idx in range(0, n_frames, stride):
+                    off = idx * frame_bytes
+                    rows.append((int(d), idx, off,
+                                 bytes(p[off:off + frame_bytes])))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              FRAME_SCHEMA.fields])
+
+    from ..functions.layout import ensure_parallelism
+    flat = ensure_parallelism(media.select("doc_id", "payload"))
+    return flat.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -183,7 +183,53 @@ ORDER BY vec_id, pos
 """
 
 
+# --- CDC latest-by-key merge ----------------------------------------------
+
+def q_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.load import latest_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return (latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+            .select("user_id", "event_id", "ts", "event_type", "value")
+            .orderBy("user_id"))
+
+
+ORACLE_MERGE_LATEST = """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# --- incremental dedup ----------------------------------------------------
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_new_docs
+
+    d = _docs(spark, sf_dir)
+    history = d.where(F.col("doc_id") % 2 == 0)
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    return incremental_new_docs(batch, history).orderBy("doc_id")
+
+
+ORACLE_DEDUP_INCREMENTAL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents),
+batch AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM fp WHERE doc_id % 2 = 1 GROUP BY fp)
+SELECT fp, doc_id FROM batch
+WHERE fp NOT IN (SELECT fp FROM fp WHERE doc_id % 2 = 0)
+ORDER BY doc_id
+"""
+
+
 CURATION_CHECKS: dict[str, tuple] = {
+    "merge_latest": (q_merge_latest, ORACLE_MERGE_LATEST),
+    "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "heavy_hitters": (q_heavy_hitters, ORACLE_HEAVY_HITTERS),
     "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),

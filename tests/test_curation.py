@@ -91,6 +91,65 @@ def test_quantize_embeddings_range(spark, sf_dir):
     assert m >= 126
 
 
+def test_latest_by_key_partial_agg_plan(spark, sf_dir):
+    from ethereum2_etl_airflow_spark.operators.load import latest_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    latest = latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+    # one row per key, and it is the (ts, event_id)-max row
+    ref = {(r["user_id"], r["event_id"])
+           for r in ev.groupBy("user_id")
+           .agg(F.max(F.struct("ts", "event_id")).alias("m"))
+           .select("user_id", F.col("m.event_id").alias("event_id"))
+           .collect()}
+    got = {(r["user_id"], r["event_id"]) for r in latest.collect()}
+    assert got == ref
+    # the scale contract: aggregate with a map-side partial combine
+    # (struct max plans as SortAggregate), never a per-key Window sort
+    plan = latest._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan and "Window" not in plan
+
+
+def test_incremental_new_docs_disjoint_from_history(spark, sf_dir):
+    from ethereum2_etl_airflow_spark.operators.dedup import (
+        incremental_new_docs)
+    from ethereum2_etl_airflow_spark.operators.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    history = d.where(F.col("doc_id") % 2 == 0)
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    new = incremental_new_docs(batch, history)
+    hist_fps = {r["fp"] for r in
+                history.select(fingerprint("text").alias("fp")).collect()}
+    rows = new.collect()
+    assert all(r["fp"] not in hist_fps for r in rows)
+    # one row per fingerprint, and ids come from the batch side
+    fps = [r["fp"] for r in rows]
+    assert len(fps) == len(set(fps))
+    assert all(r["doc_id"] % 2 == 1 for r in rows)
+
+
+def test_sample_frames_stride_and_bounds(spark):
+    from ethereum2_etl_airflow_spark.operators.multimodal import (
+        attach_binary_payload, sample_frames)
+
+    rows = [(1, "x" * 1000), (2, "y" * 250), (3, "z" * 50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = attach_binary_payload(docs)
+    out = sample_frames(media, target=4, frame_bytes=100).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 frames, stride ceil(10/4)=3 → idx 0,3,6,9
+    assert sorted(r["frame_idx"] for r in by_doc[1]) == [0, 3, 6, 9]
+    assert all(r["frame_off"] == r["frame_idx"] * 100 for r in by_doc[1])
+    assert all(len(r["frame"]) == 100 for r in by_doc[1])
+    # doc 2: 2 frames < target → every frame sampled
+    assert sorted(r["frame_idx"] for r in by_doc[2]) == [0, 1]
+    # doc 3: payload shorter than one frame → no rows
+    assert 3 not in by_doc
+
+
 def test_heavy_hitters_topk_bounded(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     hh = C.heavy_hitters(d, k=10)
