@@ -861,7 +861,50 @@ GROUP BY label, i ORDER BY label, pos
 """
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (click→purchase attribution ≤ 1 h) run
+    with availableNow over a single-file source — one micro-batch, so
+    the append-mode result equals the batch join exactly and the batch
+    SQL is a true oracle (with multi-batch input, rows later than an
+    advanced watermark could legitimately be dropped; single-batch input
+    sidesteps that by construction)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.testdata import ensure_runtime_conf
+    from ..streaming.join import attribution_join, run_append_available_now
+
+    ensure_runtime_conf(spark)
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"e2etl_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    joined = attribution_join(
+        src.where(F.col("event_type") == "click"),
+        src.where(F.col("event_type") == "purchase"))
+    return (run_append_available_now(joined, spark)
+            .orderBy("user_id", "click_id", "purchase_id"))
+
+
+ORACLE_STREAM_JOIN = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY c.user_id, click_id, purchase_id
+"""
+
+
 EXTENSION_CHECKS: dict[str, tuple] = {
+    "stream_join": (q_stream_join, ORACLE_STREAM_JOIN),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "sessionize_stream": (q_sessionize_stream, None),
     "dedup_stream": (q_dedup_stream, ORACLE_DEDUP_STREAM),

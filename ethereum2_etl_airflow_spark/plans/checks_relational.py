@@ -629,7 +629,122 @@ def q_agg_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
 
 
+# --- full outer join ------------------------------------------------------
+
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join customer⟗orders (on custkey), reduced to the
+    side-coverage counts: total joined rows, customers with no orders,
+    (hypothetical) orders with no customer.  The outer join shuffles both
+    sides on the key; AQE handles the skewed-null bucket."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_no_order"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_no_cust"))
+
+
+ORACLE_JOIN_FULL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_no_order,
+       COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS n_no_cust
+FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+"""
+
+
+# --- ordered list aggregation ---------------------------------------------
+
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: nations per region, sorted then
+    joined — ``collect_list`` alone is order-nondeterministic across
+    partitionings, so the sort inside the row is what makes the result
+    (and its hash) stable."""
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    return (n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("r_name")
+            .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+                 .alias("nations"))
+            .orderBy("r_name"))
+
+
+ORACLE_AGG_LISTAGG = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# --- grouped ntile --------------------------------------------------------
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language size quartiles over documents: ntile(4) within each
+    lang partition (keyed window — parallel across languages, unlike a
+    global ntile which would serialize on one task)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (d.select("doc_id", "lang", "n_chars",
+                     F.ntile(4).over(w).alias("quartile"))
+            .orderBy("doc_id"))
+
+
+ORACLE_WINDOW_NTILE = """
+SELECT doc_id, lang, n_chars,
+       NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- subqueries -----------------------------------------------------------
+
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a filter: orders above the global average price.
+    Catalyst plans the subquery once and broadcasts the scalar; the outer
+    scan stays a pushed-filter parquet scan.  The average is computed in
+    DECIMAL so the comparison threshold is bit-identical cross-engine."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders_v")
+    return spark.sql("""
+        SELECT o_orderkey, o_totalprice FROM sq_orders_v
+        WHERE o_totalprice > (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2)))
+                              FROM sq_orders_v)
+        ORDER BY o_orderkey""")
+
+
+ORACLE_SUBQUERY_SCALAR = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2)))
+                      FROM orders)
+ORDER BY o_orderkey
+"""
+
+
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: customers with at least one high-value order.
+    Catalyst rewrites to a left-semi hash join — the subquery never
+    executes per-row."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("ex_customer_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ex_orders_v")
+    return spark.sql("""
+        SELECT c_custkey, c_name FROM ex_customer_v c
+        WHERE EXISTS (SELECT 1 FROM ex_orders_v o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 100000)
+        ORDER BY c_custkey""")
+
+
+ORACLE_SUBQUERY_EXISTS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+ORDER BY c_custkey
+"""
+
+
 RELATIONAL_CHECKS: dict[str, tuple] = {
+    "join_full": (q_join_full, ORACLE_JOIN_FULL),
+    "agg_listagg": (q_agg_listagg, ORACLE_AGG_LISTAGG),
+    "window_ntile": (q_window_ntile, ORACLE_WINDOW_NTILE),
+    "subquery_scalar": (q_subquery_scalar, ORACLE_SUBQUERY_SCALAR),
+    "subquery_exists": (q_subquery_exists, ORACLE_SUBQUERY_EXISTS),
     "join_salted": (q_join_salted, ORACLE_JOIN_SALTED),
     "join_asof": (q_join_asof, ORACLE_JOIN_ASOF),
     "join_range": (q_join_range, ORACLE_JOIN_RANGE),

@@ -293,3 +293,79 @@ def test_dedup_stream_watermark_horizon(spark, tmp_path):
     assert {3, 4, 5, 6} <= ids and len(ids & {1, 2}) == 1
     fps = [r["fp"] for r in rows]
     assert len(fps) == 5 and len(set(fps)) == 4  # doc5 repeats doc1/2's fp
+
+
+def test_attribution_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream time-bound join over a single micro-batch equals the
+    batch join built from the same logical definition."""
+    import os
+
+    from ethereum2_etl_airflow_spark.streaming.join import (
+        attribution_join, run_append_available_now)
+
+    rows = [
+        # user 1: click at t0, purchases at +30m (match) and +90m (no)
+        (1, 100, "click", "2024-01-01 10:00:00"),
+        (2, 101, "purchase", "2024-01-01 10:30:00"),
+        (3, 102, "purchase", "2024-01-01 11:30:00"),
+        # user 2: purchase before any click → no match
+        (4, 103, "purchase", "2024-01-02 09:00:00"),
+        (5, 104, "click", "2024-01-02 10:00:00"),
+    ]
+    ev = (spark.createDataFrame(
+        [(r[1], 1 if r[0] <= 3 else 2, r[2], r[3]) for r in rows],
+        "event_id long, user_id long, event_type string, ts_s string")
+        .select("event_id", "user_id", "event_type",
+                F.to_timestamp("ts_s").cast("timestamp_ntz").alias("ts")))
+    clicks = ev.where("event_type = 'click'")
+    purchases = ev.where("event_type = 'purchase'")
+    batch = attribution_join(clicks, purchases).collect()
+    assert {(r["click_id"], r["purchase_id"]) for r in batch} == {(100, 101)}
+
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src, exist_ok=True)
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    streamed = run_append_available_now(
+        attribution_join(stream.where("event_type='click'"),
+                         stream.where("event_type='purchase'")), spark)
+    assert ({(r["click_id"], r["purchase_id"]) for r in streamed.collect()}
+            == {(100, 101)})
+
+
+def test_stream_latest_snapshot_upsert(spark, tmp_path):
+    """foreachBatch upsert: two micro-batches → snapshot holds the
+    per-key newest row across both; snapshot survives the second merge."""
+    import os
+    import shutil
+
+    from ethereum2_etl_airflow_spark.operators.load import (
+        read_latest_snapshot)
+    from ethereum2_etl_airflow_spark.streaming.upsert import (
+        stream_latest_snapshot)
+
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 11, "b")], "user_id long, seq long, v string")
+    b2 = spark.createDataFrame(
+        [(1, 12, "c"), (3, 9, "d")], "user_id long, seq long, v string")
+
+    src = str(tmp_path / "up_src")
+    os.makedirs(src, exist_ok=True)
+    for i, b in enumerate([b1, b2]):
+        tmp = str(tmp_path / f"w{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.startswith("part-"))
+        dest = os.path.join(src, f"{i}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dest)
+
+    snap = str(tmp_path / "snap")
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_latest_snapshot(
+        stream, snap, ["user_id"], ["seq"],
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    result = {r["user_id"]: (r["seq"], r["v"])
+              for r in read_latest_snapshot(spark, snap).collect()}
+    assert result == {1: (12, "c"), 2: (11, "b"), 3: (9, "d")}
