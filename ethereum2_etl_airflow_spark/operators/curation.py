@@ -41,7 +41,7 @@ from .text import tokens
 __all__ = [
     "EMAIL_RE", "IPV4_RE", "LONGNUM_RE", "pii_scrub", "heavy_hitters",
     "cap_per_key", "pack_offsets", "assign_folds", "term_salience",
-    "quantize_embeddings",
+    "quantize_embeddings", "bin_by_quantile", "outliers_p99", "funnel",
 ]
 
 # RE2- and Java-regex-identical patterns (no backrefs / lookaround):
@@ -253,3 +253,62 @@ def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
                     F.when(F.col("m") == 0.0, F.lit(0)).otherwise(
                         F.floor(x * 127.0 / F.col("m"))).cast("int")
                     .alias("q")))
+
+
+def bin_by_quantile(df: DataFrame, col: str, bins: int = 4,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Global quantile binning the scale-right way: ONE tiny aggregate
+    computes the exact ``percentile_disc`` cutpoints (bins-1 scalars),
+    which broadcast to a narrow per-row bin assignment.  Contrast with a
+    global ``ntile`` window, which funnels the whole table through a
+    single task — this plan touches the data twice, both times fully
+    parallel, and the cutpoint aggregate is a sketch-sized reduction.
+
+    ``percentile_disc`` picks an actual element (no interpolation), so
+    integer columns stay integer-exact cross-engine."""
+    cuts = df.selectExpr(*[
+        f"CAST(percentile_disc({i / bins}) WITHIN GROUP (ORDER BY {col})"
+        f" AS BIGINT) AS c{i}" for i in range(1, bins)])
+    out = df.crossJoin(F.broadcast(cuts))
+    bin_no = F.lit(1)
+    for i in range(1, bins):
+        bin_no = bin_no + F.when(F.col(col) > F.col(f"c{i}"), 1).otherwise(0)
+    return out.select(F.col(id_col), F.col(col),
+                      bin_no.cast("int").alias("bin"))
+
+
+def outliers_p99(events: DataFrame, group_col: str = "event_type",
+                 val_col: str = "value",
+                 id_col: str = "event_id") -> DataFrame:
+    """Rank-based outlier flagging: rows whose value exceeds their
+    group's exact P99 (``percentile_disc`` — an actual element, so the
+    threshold is bit-identical cross-engine; no float mean/std drift).
+    The winsorization/clip prep step of a feature pipeline.
+
+    Shape: per-group percentile aggregate (group-count-sized) broadcast
+    back onto the stream; the flagging itself is a narrow filter."""
+    cuts = (events.groupBy(group_col)
+            .agg(F.expr(f"percentile_disc(0.99) WITHIN GROUP "
+                        f"(ORDER BY {val_col})").alias("p99")))
+    return (events.join(F.broadcast(cuts), group_col)
+            .where(F.col(val_col) > F.col("p99"))
+            .select(id_col, group_col, val_col, "p99"))
+
+
+def funnel(events: DataFrame, first_step: str = "click",
+           then_step: str = "purchase",
+           ts_col: str = "ts") -> DataFrame:
+    """Two-step funnel: per user, the first ``first_step`` event and the
+    first ``then_step`` at-or-after it (NULL when the user never
+    converts).  Both stages are partial-aggregating groupBys keyed by
+    user — uniform shuffles, no windows over raw event streams."""
+    first = (events.where(F.col("event_type") == first_step)
+             .groupBy("user_id")
+             .agg(F.min(ts_col).alias("first_ts")))
+    conv = (events.where(F.col("event_type") == then_step)
+            .join(first, "user_id")
+            .where(F.col(ts_col) >= F.col("first_ts"))
+            .groupBy("user_id")
+            .agg(F.min(ts_col).alias("conv_ts")))
+    return (first.join(conv, "user_id", "left")
+            .select("user_id", "first_ts", "conv_ts"))

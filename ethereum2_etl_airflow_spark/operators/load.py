@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = ["derive_block_date", "load_table", "write_partitioned",
            "compute_meta", "write_meta", "write_latest_snapshot",
-           "read_latest_snapshot", "ctas", "latest_by_key"]
+           "read_latest_snapshot", "ctas", "latest_by_key",
+           "compact_files"]
 
 
 def derive_block_date(df: DataFrame, ts_col: str) -> DataFrame:
@@ -167,6 +168,34 @@ def read_latest_snapshot(spark: SparkSession, base_path: str) -> DataFrame:
     """Resolve the ``_LATEST`` pointer and read that snapshot version."""
     with open(f"{base_path}/_LATEST") as fh:
         return spark.read.parquet(fh.read().strip())
+
+
+def compact_files(spark: SparkSession, src_dir: str, dest_dir: str,
+                  target_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_bytes)`` files (the maintenance pass an
+    hourly micro-batch sink needs — a day of hourly appends leaves
+    dozens of KB-files whose per-task and NameNode/listing overhead
+    dominates at scale; compacted ~128 MB files restore scan
+    efficiency).
+
+    File count is derived from *byte size on disk*, not row count —
+    row width varies wildly across tables; bytes are what scan tasks
+    are sized by.  Returns the output file count.  Uses ``repartition``
+    (not ``coalesce``): a real shuffle re-balances skewed input files,
+    and compaction is I/O-bound anyway."""
+    import glob as _glob
+    import math
+    import os
+
+    total = sum(os.path.getsize(p)
+                for p in _glob.glob(os.path.join(src_dir, "**", "*.parquet"),
+                                    recursive=True)
+                if os.path.isfile(p))
+    n_files = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src_dir).repartition(n_files) \
+        .write.mode("overwrite").parquet(dest_dir)
+    return len([p for p in _glob.glob(os.path.join(dest_dir, "*.parquet"))])
 
 
 def latest_by_key(df: DataFrame, key_cols: list[str],

@@ -227,9 +227,72 @@ ORDER BY doc_id
 """
 
 
+# --- quantile binning -----------------------------------------------------
+
+def q_bin_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (C.bin_by_quantile(_docs(spark, sf_dir), "n_chars", bins=4)
+            .orderBy("doc_id"))
+
+
+ORACLE_BIN_QUANTILE = """
+WITH cuts AS (
+  SELECT CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS c1,
+         CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS c2,
+         CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS c3
+  FROM documents)
+SELECT doc_id, n_chars,
+       1 + CAST(n_chars > c1 AS INT) + CAST(n_chars > c2 AS INT)
+         + CAST(n_chars > c3 AS INT) AS bin
+FROM documents, cuts ORDER BY doc_id
+"""
+
+
+# --- P99 outliers ---------------------------------------------------------
+
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return C.outliers_p99(ev).orderBy("event_id")
+
+
+ORACLE_OUTLIERS = """
+WITH cuts AS (
+  SELECT event_type,
+         percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+  FROM events GROUP BY event_type)
+SELECT event_id, e.event_type, value, p99
+FROM events e JOIN cuts USING (event_type)
+WHERE value > p99 ORDER BY event_id
+"""
+
+
+# --- funnel ---------------------------------------------------------------
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return C.funnel(ev).orderBy("user_id")
+
+
+ORACLE_FUNNEL = """
+WITH first AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events
+  WHERE event_type = 'click' GROUP BY user_id),
+conv AS (
+  SELECT e.user_id, MIN(e.ts) AS conv_ts
+  FROM events e JOIN first f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= f.first_ts
+  GROUP BY e.user_id)
+SELECT f.user_id, first_ts, conv_ts
+FROM first f LEFT JOIN conv c ON f.user_id = c.user_id
+ORDER BY f.user_id
+"""
+
+
 CURATION_CHECKS: dict[str, tuple] = {
     "merge_latest": (q_merge_latest, ORACLE_MERGE_LATEST),
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
+    "bin_quantile": (q_bin_quantile, ORACLE_BIN_QUANTILE),
+    "outliers": (q_outliers, ORACLE_OUTLIERS),
+    "funnel": (q_funnel, ORACLE_FUNNEL),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "heavy_hitters": (q_heavy_hitters, ORACLE_HEAVY_HITTERS),
     "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),

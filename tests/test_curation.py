@@ -159,3 +159,24 @@ def test_heavy_hitters_topk_bounded(spark, sf_dir):
     assert ns == sorted(ns, reverse=True)
     plan = hh._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from ethereum2_etl_airflow_spark.operators.load import compact_files
+
+    src = str(tmp_path / "frag")
+    # 20 tiny fragments (an hourly sink's worth of appends)
+    for i in range(20):
+        (spark.range(i * 100, (i + 1) * 100)
+         .coalesce(1).write.mode("append").parquet(src))
+    import glob
+    assert len(glob.glob(f"{src}/*.parquet")) >= 20
+
+    dest = str(tmp_path / "compact")
+    n = compact_files(spark, src, dest, target_bytes=1 << 30)
+    assert n == 1
+    # content preserved exactly
+    assert (spark.read.parquet(dest).count()
+            == spark.read.parquet(src).count() == 2000)
+    got = {r["id"] for r in spark.read.parquet(dest).collect()}
+    assert got == set(range(2000))
