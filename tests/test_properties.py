@@ -81,3 +81,61 @@ import pytest  # noqa: E402
 @pytest.fixture()
 def _spark_unused():
     return None
+
+
+@SET
+@given(st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),   # group
+              st.integers(0, 30)),                 # token count
+    min_size=0, max_size=25),
+    st.integers(1, 7))
+def test_pack_offsets_matches_bruteforce(spark, rows, budget):
+    from ethereum2_etl_airflow_spark.operators.curation import pack_offsets
+
+    data = [(g, i, "w " * n) for i, (g, n) in enumerate(rows)]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "lang string, doc_id long, text string")
+    got = {r["doc_id"]: (r["start_off"], r["first_block"], r["last_block"])
+           for r in pack_offsets(df, budget=budget).collect()}
+
+    # brute force: cumulative offsets per group in doc_id order
+    run: dict = {}
+    for g, i, text in sorted(data, key=lambda t: (t[0], t[1])):
+        n_tok = len(text.split())
+        start = run.get(g, 0)
+        run[g] = start + n_tok
+        first = start // budget
+        last = (start + max(n_tok, 1) - 1) // budget
+        assert got[i] == (start, first, last), (i, got[i], (start, first, last))
+
+
+@SET
+@given(st.lists(
+    st.tuples(st.sampled_from(["x", "y"]),        # key
+              st.integers(0, 99)),                 # order value
+    min_size=0, max_size=25),
+    st.integers(1, 5))
+def test_cap_per_key_matches_bruteforce(spark, rows, cap):
+    from ethereum2_etl_airflow_spark.operators.curation import cap_per_key
+
+    # unique order values per key to keep the expected set well-defined
+    seen: set = set()
+    data = []
+    for i, (k, v) in enumerate(rows):
+        if (k, v) not in seen:
+            seen.add((k, v))
+            data.append((k, v))
+    if not data:
+        return
+    df = spark.createDataFrame(data, "k string, v long")
+    got = {(r["k"], r["v"]) for r in cap_per_key(df, "k", "v", cap).collect()}
+
+    expect: set = set()
+    by_key: dict = {}
+    for k, v in data:
+        by_key.setdefault(k, []).append(v)
+    for k, vs in by_key.items():
+        for v in sorted(vs)[:cap]:
+            expect.add((k, v))
+    assert got == expect
