@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["dot_decimal", "dot_compact", "norm_decimal", "cosine_decimal",
-           "with_normalized"]
+           "with_normalized", "dot_double_lit", "argmax_cell"]
 
 _DEC = "decimal(18,9)"
 _DEC_WIDE = "decimal(28,14)"
@@ -78,6 +78,26 @@ def cosine_decimal(a: Column, b: Column) -> Column:
     Per-pair norms — fine for small pair counts; for bulk scoring use
     :func:`with_normalized` + :func:`dot_compact`."""
     return dot_decimal(a, b) / (norm_decimal(a) * norm_decimal(b))
+
+
+def dot_double_lit(v: Column, const: list[float]) -> Column:
+    """Σ vᵢ·cᵢ against a *literal* vector, plain DOUBLE left-fold — for
+    internal bucketing decisions (IVF cell assignment) where the result
+    never reaches an oracle hash.  Deterministic within Spark (the HOF
+    fold is sequential), an order of magnitude cheaper than the decimal
+    tiers, and crucially pure JVM: no Python workers enter the plan."""
+    lit = F.array(*[F.lit(float(x)) for x in const])
+    return F.aggregate(F.zip_with(v, lit, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def argmax_cell(v: Column, centroids) -> Column:
+    """First-argmax cell id (0-based) of ``v`` against a centroid matrix
+    (numpy array / list of lists) — matches ``np.argmax`` tie behavior.
+    All JVM column expressions; with n_lists centroids the plan carries
+    n_lists literal arrays, fine for the O(10²) list counts IVF uses."""
+    dots = F.array(*[dot_double_lit(v, list(c)) for c in centroids])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
 def with_normalized(df: DataFrame, vec_col: str = "embedding",

@@ -151,16 +151,17 @@ def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                     C[j] = m / norm
             # empty cell: keep the previous centroid (deterministic)
 
-    # --- assign: broadcast the (n_lists x dim) centroid matrix into a
-    # vectorized batch kernel; one narrow map over the corpus.
-    Cb = emb.sparkSession.sparkContext.broadcast(C)
+    # --- assign: the centroid matrix is tiny (n_lists × dim), so cell
+    # assignment inlines as JVM column expressions (argmax of n_lists
+    # double dots) — one narrow map over the corpus with NO Python
+    # workers in the plan.  The earlier Arrow-batched numpy version was
+    # correct but pulled a Python worker pool into every downstream
+    # branch that re-evaluated the assignment (probe broadcast, scored
+    # join): ~2 s of worker spin-up per stage at local[32] for
+    # millisecond-scale math.
+    from ..functions.vectors import argmax_cell
 
-    @F.pandas_udf("int")
-    def cell_of(vs: pd.Series) -> pd.Series:
-        M = np.vstack(vs.to_numpy())
-        return pd.Series(np.argmax(M @ Cb.value.T, axis=1).astype(np.int32))
-
-    corpus = nv.withColumn("cell", cell_of("nv"))
+    corpus = nv.withColumn("cell", argmax_cell(F.col("nv"), C))
 
     # per-query nearest cells by centroid cosine (centroids are tiny)
     centers = [(i, [float(x) for x in C[i]]) for i in range(n_lists)]
