@@ -21,7 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["ensure_parallelism", "finalize_release"]
+__all__ = ["ensure_parallelism", "finalize_release", "zorder_key",
+           "zorder_by"]
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -57,3 +58,39 @@ def finalize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     for df in cached:
         df.unpersist()
     return out
+
+
+def zorder_key(c1, c2, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` of two
+    non-negative integer columns — bit i of c1 lands at 2i, of c2 at
+    2i+1.  Sorting by this key clusters rows that are close in BOTH
+    dimensions, so parquet row-group min/max stats prune 2-D predicates
+    (the Delta/Iceberg OPTIMIZE ZORDER layout trick, as plain column
+    math).  Callers bucket/scale inputs into [0, 2^bits) first; pure
+    shift/mask expressions, identical in any engine.
+    """
+    from pyspark.sql import functions as F
+
+    a = c1.cast("bigint")
+    b = c2.cast("bigint")
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        key = (key
+               + F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i)
+               + F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i + 1))
+    return key
+
+
+def zorder_by(df: DataFrame, c1: str, c2: str, bits: int = 16,
+              key_col: str = "zkey") -> DataFrame:
+    """Rewrite ``df`` into Z-order: append the Morton key and range-
+    repartition + sort by it — the write-side layout pass before a
+    parquet sink.  Range partitioning keeps output files disjoint in
+    key space (each file covers one Z-curve segment), which is exactly
+    what makes the min/max pruning work."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn(key_col, zorder_key(F.col(c1), F.col(c2), bits))
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    return keyed.repartitionByRange(n, key_col).sortWithinPartitions(key_col)

@@ -37,7 +37,7 @@ __all__ = [
     "dedup_exact", "shingles", "shingles_of_tokens", "hashed_shingles",
     "ngram_jaccard_pairs", "contamination_pairs",
     "minhash_near_dups", "simhash_signature", "simhash_candidates",
-    "cosine_near_dup_pairs", "incremental_new_docs",
+    "cosine_near_dup_pairs", "incremental_new_docs", "contamination_score",
 ]
 
 
@@ -236,6 +236,34 @@ def contamination_pairs(train: DataFrame, bench: DataFrame,
             .groupBy("train_id", "bench_id")
             .agg(F.count("*").alias("n_shared"))
             .where(F.col("n_shared") >= min_shared))
+
+
+def contamination_score(train: DataFrame, bench: DataFrame, n: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-train-document contamination fraction, as integers:
+    (doc_id, n_shingles, n_hit) where ``n_hit`` counts the document's
+    distinct shingles that appear ANYWHERE in the bench set — the
+    document-level signal a filtering policy thresholds on (drop when
+    n_hit·D ≥ τ·n_shingles), complementing the pair-level
+    :func:`contamination_pairs`.
+
+    Same 100 TB shape: the bench's distinct shingle set broadcasts, the
+    corpus side is one narrow explode + broadcast semi-join + one
+    partial-aggregating groupBy keyed by doc — uniform, never keyed on
+    shingle popularity."""
+    tsh = (ensure_parallelism(train)
+           .select(F.col(id_col),
+                   F.explode(F.array_distinct(
+                       hashed_shingles(F.col(text_col), n))).alias("h")))
+    bset = (bench.select(F.explode(F.array_distinct(
+        hashed_shingles(F.col(text_col), n))).alias("h")).distinct())
+    hits = (tsh.join(F.broadcast(bset), "h", "left_semi")
+            .groupBy(id_col).agg(F.count("*").alias("n_hit")))
+    totals = tsh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    return (totals.join(hits, id_col, "left")
+            .select(id_col, "n_shingles",
+                    F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit")))
 
 
 def minhash_near_dups(docs: DataFrame, jaccard_distance: float = 0.4,

@@ -287,12 +287,77 @@ ORDER BY f.user_id
 """
 
 
+# --- contamination score --------------------------------------------------
+
+def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bench-overlap fraction (integer n_hit / n_shingles);
+    bench set = doc_id % 97 == 0, same split as `decontaminate`."""
+    from ..operators.dedup import contamination_score
+
+    d = _docs(spark, sf_dir)
+    return (contamination_score(d.where(F.col("doc_id") % 97 != 0),
+                                d.where(F.col("doc_id") % 97 == 0))
+            .orderBy("doc_id"))
+
+
+ORACLE_CONTAMINATION_SCORE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, UNNEST(
+    CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3 THEN
+      list_transform(
+        range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
+        i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' '
+          || regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' '
+          || regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])
+    ELSE [] END) AS sh
+  FROM documents),
+t AS (SELECT * FROM sh WHERE doc_id % 97 != 0),
+b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+SELECT t.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(COUNT(CASE WHEN b.sh IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit
+FROM t LEFT JOIN b ON t.sh = b.sh
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+# --- Z-order layout key ---------------------------------------------------
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key over (n_chars, doc_id) low 16 bits — the 2-D
+    clustering key a Z-ordered write layout sorts by (pure shift/mask
+    math, engine-identical)."""
+    from ..functions.layout import zorder_key
+
+    d = _docs(spark, sf_dir)
+    return (d.select("doc_id", "n_chars",
+                     zorder_key(F.col("n_chars"),
+                                F.col("doc_id") % 65536).alias("zkey"))
+            .orderBy("doc_id"))
+
+
+def _zorder_sql_terms() -> str:
+    terms = []
+    for i in range(16):
+        terms.append(f"(((n_chars >> {i}) & 1) << {2 * i})")
+        terms.append(f"((((doc_id % 65536) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+ORACLE_ZORDER = f"""
+SELECT doc_id, n_chars, CAST({_zorder_sql_terms()} AS BIGINT) AS zkey
+FROM documents ORDER BY doc_id
+"""
+
+
 CURATION_CHECKS: dict[str, tuple] = {
     "merge_latest": (q_merge_latest, ORACLE_MERGE_LATEST),
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "bin_quantile": (q_bin_quantile, ORACLE_BIN_QUANTILE),
     "outliers": (q_outliers, ORACLE_OUTLIERS),
     "funnel": (q_funnel, ORACLE_FUNNEL),
+    "contamination_score": (q_contamination_score, ORACLE_CONTAMINATION_SCORE),
+    "zorder": (q_zorder, ORACLE_ZORDER),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "heavy_hitters": (q_heavy_hitters, ORACLE_HEAVY_HITTERS),
     "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),

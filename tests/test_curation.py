@@ -180,3 +180,57 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
             == spark.read.parquet(src).count() == 2000)
     got = {r["id"] for r in spark.read.parquet(dest).collect()}
     assert got == set(range(2000))
+
+
+def test_zorder_by_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Z-ordered write layout: each output file covers a disjoint
+    Z-curve segment (that disjointness is what min/max pruning needs)."""
+    from ethereum2_etl_airflow_spark.functions.layout import (
+        zorder_by, zorder_key)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    dest = str(tmp_path / "zord")
+    zorder_by(d, "n_chars", "doc_id", bits=16).write.parquet(dest)
+
+    per_file = (spark.read.parquet(dest)
+                .withColumn("f", F.input_file_name())
+                .groupBy("f").agg(F.min("zkey").alias("lo"),
+                                  F.max("zkey").alias("hi"))
+                .collect())
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "file z-ranges overlap"
+
+    # key formula matches a python reference interleave
+    def morton(a, b):
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    sample = (d.limit(20)
+              .select("doc_id", "n_chars",
+                      zorder_key(F.col("n_chars"), F.col("doc_id") % 65536)
+                      .alias("zkey")).collect())
+    for r in sample:
+        assert r["zkey"] == morton(r["n_chars"], r["doc_id"] % 65536)
+
+
+def test_contamination_score_consistent_with_pairs(spark, sf_dir):
+    """A doc flagged by contamination_pairs (>=2 shared shingles with
+    some bench doc) must have n_hit >= 2 in contamination_score."""
+    from ethereum2_etl_airflow_spark.operators.dedup import (
+        contamination_pairs, contamination_score)
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 97 != 0)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    flagged = {r["train_id"] for r in
+               contamination_pairs(train, bench, min_shared=2).collect()}
+    scores = {r["doc_id"]: (r["n_hit"], r["n_shingles"])
+              for r in contamination_score(train, bench).collect()}
+    for t in flagged:
+        assert scores[t][0] >= 2
+    # every train doc scored, hits never exceed totals
+    assert all(h <= n for h, n in scores.values())
