@@ -385,7 +385,32 @@ FROM events WHERE event_id < 2000 ORDER BY event_id
 """
 
 
+def q_scan_beacon_api(spark, sf_dir):
+    """S10 in-engine: one day of blocks through the ``beacon_api``
+    Python data source (slot-range partition planning; stubbed fetch
+    seam).  No SQL oracle — the source has no DuckDB-visible input; row
+    parity with the fixture generator is asserted in
+    tests/test_beacon_api_source.py."""
+    from pyspark.sql import functions as F
+
+    from ..sources.beacon_api import register_beacon_api
+
+    register_beacon_api(spark)
+    df = (spark.read.format("beacon_api")
+          .option("start_slot", 0).option("end_slot", 288)
+          .option("slots_per_partition", 36)
+          .option("genesis", 1704067200).option("secs_per_slot", 300)
+          .load())
+    return (df.groupBy("block_epoch")
+            .agg(F.count("*").alias("n_slots"),
+                 F.sum(F.when(F.col("skipped"), 1).otherwise(0))
+                 .alias("n_skipped"),
+                 F.min("block_timestamp").alias("epoch_start"))
+            .orderBy("block_epoch"))
+
+
 REFERENCE_CHECKS: dict[str, tuple] = {
+    "scan_beacon_api": (q_scan_beacon_api, None),
     "date_fns": (q_date_fns, ORACLE_DATE_FNS),
     "json_extract": (q_json_extract, ORACLE_JSON_EXTRACT),
     "scan_ndjson": (q_scan_ndjson, ORACLE_SCAN_NDJSON),

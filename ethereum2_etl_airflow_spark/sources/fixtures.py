@@ -27,8 +27,8 @@ from ..functions.chaintime import (
 )
 from .schemas import beacon_schema
 
-__all__ = ["gen_beacon_blocks", "gen_beacon_committees", "gen_beacon_validators",
-           "write_staging_ndjson"]
+__all__ = ["block_row", "gen_beacon_blocks", "gen_beacon_committees",
+           "gen_beacon_validators", "write_staging_ndjson"]
 
 
 def _ts(slot: int, genesis: int, secs_per_slot: int = SECONDS_PER_SLOT) -> datetime:
@@ -41,19 +41,13 @@ def _hex(prefix: str, i: int) -> str:
     return "0x" + f"{prefix}{i:x}".ljust(64, "0")[:64]
 
 
-def gen_beacon_blocks(spark: SparkSession, n_slots: int,
-                      genesis: int = GENESIS_UNIX,
-                      gap_slots: set[int] | None = None,
-                      secs_per_slot: int = SECONDS_PER_SLOT) -> DataFrame:
-    """Gapless (or deliberately gapped) blocks table; every 7th slot is a
-    ``skipped`` placeholder row, mirroring missed-proposal slots."""
-    gap_slots = gap_slots or set()
-    rows = []
-    for s in range(n_slots):
-        if s in gap_slots:
-            continue
-        skipped = (s % 7 == 3)
-        rows.append({
+def block_row(s: int, genesis: int = GENESIS_UNIX,
+              secs_per_slot: int = SECONDS_PER_SLOT) -> dict:
+    """One deterministic beacon_blocks row for slot ``s`` (every 7th slot
+    a ``skipped`` placeholder) — shared by the fixture generator and the
+    ``beacon_api`` Python data source's stubbed fetch."""
+    skipped = (s % 7 == 3)
+    return {
             "block_slot": s,
             "block_epoch": s // SLOTS_PER_EPOCH,
             "block_timestamp": _ts(s, genesis, secs_per_slot),
@@ -85,7 +79,18 @@ def gen_beacon_blocks(spark: SparkSession, n_slots: int,
                                  "validator_index": (s * 13) % 1024,
                                  "signature": _hex("e0", s)}]
             if s % 29 == 17 else [],
-        })
+        }
+
+
+def gen_beacon_blocks(spark: SparkSession, n_slots: int,
+                      genesis: int = GENESIS_UNIX,
+                      gap_slots: set[int] | None = None,
+                      secs_per_slot: int = SECONDS_PER_SLOT) -> DataFrame:
+    """Gapless (or deliberately gapped) blocks table; every 7th slot is a
+    ``skipped`` placeholder row, mirroring missed-proposal slots."""
+    gap_slots = gap_slots or set()
+    rows = [block_row(s, genesis, secs_per_slot)
+            for s in range(n_slots) if s not in gap_slots]
     return spark.createDataFrame(rows, schema=beacon_schema("beacon_blocks"))
 
 

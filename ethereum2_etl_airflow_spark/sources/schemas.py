@@ -197,3 +197,10 @@ BEACON_TABLES: dict[str, str | None] = {
 def beacon_schema(table: str) -> T.StructType:
     """StructType for one of the three beacon tables."""
     return T.StructType.fromDDL(_DDL[table])
+
+
+def beacon_ddl(table: str) -> str:
+    """Raw DDL string for a beacon table — for contexts with no active
+    SparkContext (e.g. a Python data source's ``schema()``, which runs
+    in a worker where ``fromDDL`` can't reach the JVM parser)."""
+    return _DDL[table]
