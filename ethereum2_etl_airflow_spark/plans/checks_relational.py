@@ -739,7 +739,63 @@ ORDER BY c_custkey
 """
 
 
+# --- rank-family windows --------------------------------------------------
+
+def q_window_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / dense_rank over per-lang doc sizes —
+    the remaining rank-family window functions.  Doubles here are exact
+    ratios of small integers (identical cross-engine)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (d.select("doc_id", "lang",
+                     F.percent_rank().over(w).alias("pr"),
+                     F.cume_dist().over(w).alias("cd"),
+                     F.dense_rank().over(w).alias("dr"))
+            .orderBy("doc_id"))
+
+
+ORACLE_WINDOW_PERCENT = """
+SELECT doc_id, lang,
+       PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pr,
+       CUME_DIST()    OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS cd,
+       DENSE_RANK()   OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS dr
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- null-handling scalar functions ---------------------------------------
+
+def q_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE / NULLIF / GREATEST / LEAST with NULL operands over the
+    orders table (o_comment nullable-ish surface built from predicates)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")),
+                   F.lit("<default>")).alias("prio_or_default"),
+        F.greatest(F.col("o_totalprice"),
+                   F.lit(100000.0)).alias("floor_price"),
+        F.least(F.col("o_custkey"), F.lit(100)).alias("min_cust"),
+        F.when(F.col("o_totalprice") > 200000, None)
+        .otherwise(F.col("o_totalprice")).alias("capped"))
+        .orderBy("o_orderkey"))
+
+
+ORACLE_NULL_FNS = """
+SELECT o_orderkey,
+       COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), '<default>')
+           AS prio_or_default,
+       GREATEST(o_totalprice, 100000.0) AS floor_price,
+       LEAST(o_custkey, 100) AS min_cust,
+       CASE WHEN o_totalprice > 200000 THEN NULL ELSE o_totalprice END
+           AS capped
+FROM orders ORDER BY o_orderkey
+"""
+
+
 RELATIONAL_CHECKS: dict[str, tuple] = {
+    "window_percent": (q_window_percent, ORACLE_WINDOW_PERCENT),
+    "null_fns": (q_null_fns, ORACLE_NULL_FNS),
     "join_full": (q_join_full, ORACLE_JOIN_FULL),
     "agg_listagg": (q_agg_listagg, ORACLE_AGG_LISTAGG),
     "window_ntile": (q_window_ntile, ORACLE_WINDOW_NTILE),
