@@ -322,15 +322,37 @@ def simhash_signature(docs: DataFrame, text_col: str = "text",
 
     @pandas_udf("long")
     def pack_sig(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.uint64)
         shifts = np.arange(64, dtype=np.uint64)
+
+        def pack_chunk(hs_list: list) -> np.ndarray:
+            # flatten the chunk's token hashes, expand the bit matrix
+            # once, and segment-sum with reduceat — one numpy dispatch
+            # per chunk instead of one per document (the per-doc loop
+            # was the whole cost: ~5500 small numpy ops per batch)
+            lens = np.array([len(h) for h in hs_list], dtype=np.int64)
+            flat = np.concatenate([np.asarray(h, dtype=np.int64)
+                                   for h in hs_list]).astype(np.uint64)
+            bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            sums = np.add.reduceat(bits, offsets, axis=0)
+            votes = 2 * sums - lens[:, None]
+            return np.bitwise_or.reduce(
+                np.where(votes > 0, np.uint64(1), np.uint64(0)) << shifts,
+                axis=1)
+
+        out = np.empty(len(hashes), dtype=np.uint64)
+        # chunk by token volume so the bit matrix stays ~100k x 64 int32
+        chunk, start, budget = [], 0, 100_000
+        acc = 0
         for i, hs in enumerate(hashes):
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            # bit matrix (n_tokens x 64) of {0,1} → sign sums per bit
-            bits = (h[:, None] >> shifts) & np.uint64(1)
-            votes = 2 * bits.astype(np.int64).sum(axis=0) - len(h)
-            out[i] = np.bitwise_or.reduce(
-                (votes > 0).astype(np.uint64) << shifts)
+            chunk.append(hs)
+            acc += len(hs)
+            if acc >= budget:
+                out[start:i + 1] = pack_chunk(chunk)
+                chunk, start, acc = [], i + 1, 0
+        if chunk:
+            out[start:] = pack_chunk(chunk)
         return pd.Series(out.astype(np.int64))
 
     toks = tokens(F.col(text_col))
