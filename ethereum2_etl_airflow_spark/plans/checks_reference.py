@@ -409,8 +409,48 @@ def q_scan_beacon_api(spark, sf_dir):
             .orderBy("block_epoch"))
 
 
+def q_date_arith(spark, sf_dir):
+    """Interval/date arithmetic surface: date_add, add_months, datediff
+    from a fixed anchor, truncation — the scheduling math the reference
+    leans on Airflow templating for, as engine expressions."""
+    from pyspark.sql import functions as F
+
+    from ..sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.where(F.col("event_id") < 2000)
+            .select(
+                "event_id",
+                F.date_add(F.col("ts").cast("date"), 7).cast("string")
+                .alias("plus_week"),
+                F.add_months(F.col("ts").cast("date"), 2).cast("string")
+                .alias("plus_2mo"),
+                F.datediff(F.col("ts").cast("date"),
+                           F.lit("2024-01-01").cast("date")).alias("days_in"),
+                (F.col("ts") + F.expr("INTERVAL 90 MINUTE"))
+                .alias("plus_90m"),
+                F.date_trunc("week", "ts").cast("timestamp_ntz")
+                .alias("week_start"))
+            .orderBy("event_id"))
+
+
+ORACLE_DATE_ARITH = """
+SELECT event_id,
+       strftime(CAST(CAST(ts AS DATE) + INTERVAL 7 DAY AS DATE), '%Y-%m-%d')
+           AS plus_week,
+       strftime(CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE), '%Y-%m-%d')
+           AS plus_2mo,
+       CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)
+           AS days_in,
+       ts + INTERVAL 90 MINUTE AS plus_90m,
+       date_trunc('week', ts) AS week_start
+FROM events WHERE event_id < 2000 ORDER BY event_id
+"""
+
+
 REFERENCE_CHECKS: dict[str, tuple] = {
     "scan_beacon_api": (q_scan_beacon_api, None),
+    "date_arith": (q_date_arith, ORACLE_DATE_ARITH),
     "date_fns": (q_date_fns, ORACLE_DATE_FNS),
     "json_extract": (q_json_extract, ORACLE_JSON_EXTRACT),
     "scan_ndjson": (q_scan_ndjson, ORACLE_SCAN_NDJSON),
