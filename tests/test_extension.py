@@ -19,7 +19,12 @@ from ethereum2_etl_airflow_spark.sources.testdata import load_table
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents").cache()
+    # unpersist on module teardown: a lingering cached raw-table scan
+    # substitutes (full-column) InMemoryRelations into every later plan
+    # over the same parquet, breaking plan-shape tests for pruning
+    d = load_table(spark, sf_dir, "documents").cache()
+    yield d
+    d.unpersist()
 
 
 def test_dedup_exact_collapses_planted_dups(spark, sf_dir):

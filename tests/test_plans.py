@@ -161,6 +161,9 @@ def test_pii_scrub_prunes_columns(spark, sf_dir):
     from ethereum2_etl_airflow_spark.plans.explain import read_schema_columns
     from ethereum2_etl_airflow_spark.sources.testdata import load_table
 
+    # plan inspection needs a pristine cache: a cached raw-table scan
+    # from another test would substitute a full-column InMemoryRelation
+    spark.catalog.clearCache()
     out = pii_scrub(load_table(spark, sf_dir, "documents"))
     assert set(read_schema_columns(out)) == {"doc_id", "text"}
 
