@@ -793,7 +793,75 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+# --- flagship composites: TPC-H Q3/Q6 shapes ------------------------------
+
+def q_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: 3-way fact join + filtered agg + top-10 by revenue.
+    customer broadcast; orders⋈lineitem shuffles on orderkey; the final
+    top-10 is a TakeOrdered, not a global sort."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("l_orderkey", F.col("o_orderdate").cast("date")
+                     .cast("string").alias("o_date"))
+            .agg(F.sum((F.col("l_extendedprice").cast("decimal(18,2)")
+                        * (F.lit(1).cast("decimal(18,2)")
+                           - F.col("l_discount").cast("decimal(18,2)"))))
+                 .cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "l_orderkey")
+            .limit(10))
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_date
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: highly selective scan-filter-agg — the pushdown
+    showcase (every predicate reaches the parquet scan; one row out)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sel = li.where(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return sel.agg(
+        F.sum((F.col("l_extendedprice").cast("decimal(18,2)")
+               * F.col("l_discount").cast("decimal(18,4)")))
+        .cast("double").alias("revenue"),
+        F.count("*").alias("n_items"))
+
+
+ORACLE_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
 RELATIONAL_CHECKS: dict[str, tuple] = {
+    "q3_shipping": (q_q3_shipping, ORACLE_Q3),
+    "q6_forecast": (q_q6_forecast, ORACLE_Q6),
     "window_percent": (q_window_percent, ORACLE_WINDOW_PERCENT),
     "null_fns": (q_null_fns, ORACLE_NULL_FNS),
     "join_full": (q_join_full, ORACLE_JOIN_FULL),
