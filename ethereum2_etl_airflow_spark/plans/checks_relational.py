@@ -859,7 +859,32 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
 """
 
 
+# --- boolean / conditional aggregates -------------------------------------
+
+def q_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or / count_if / any_value per event_type —
+    any_value made deterministic by taking it over a min-reduced value."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.bool_and(F.col("value") > 0).alias("all_pos"),
+                 F.bool_or(F.col("value") > 99).alias("any_big"),
+                 F.count_if(F.col("user_id") % 2 == 0).alias("n_even_user"),
+                 F.min("event_id").alias("first_event"))
+            .orderBy("event_type"))
+
+
+ORACLE_BOOL_AGGS = """
+SELECT event_type,
+       bool_and(value > 0) AS all_pos,
+       bool_or(value > 99) AS any_big,
+       count_if(user_id % 2 = 0) AS n_even_user,
+       MIN(event_id) AS first_event
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 RELATIONAL_CHECKS: dict[str, tuple] = {
+    "bool_aggs": (q_bool_aggs, ORACLE_BOOL_AGGS),
     "q3_shipping": (q_q3_shipping, ORACLE_Q3),
     "q6_forecast": (q_q6_forecast, ORACLE_Q6),
     "window_percent": (q_window_percent, ORACLE_WINDOW_PERCENT),

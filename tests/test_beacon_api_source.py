@@ -61,3 +61,42 @@ def test_verify_chain_over_sourced_day(spark):
         F.date_format(F.min("block_timestamp"), "yyyy-MM-dd")).collect()[0][0]
     run_check(spark, "blocks_count", ds)
     run_check(spark, "blocks_have_latest", ds)
+
+
+def test_full_pipeline_source_to_latest(spark, tmp_path):
+    """Capstone: beacon_api source → NDJSON staging → schema-enforced
+    load → partitioned table → verify → meta sidecar → latest snapshot.
+    Every reference stage, one chain, hermetic."""
+    from ethereum2_etl_airflow_spark.operators.load import (
+        compute_meta, derive_block_date,
+        read_latest_snapshot, write_latest_snapshot, write_partitioned)
+    from ethereum2_etl_airflow_spark.operators.verify import run_check
+    from ethereum2_etl_airflow_spark.sources.ndjson import (
+        read_ndjson, stage_export)
+    from ethereum2_etl_airflow_spark.sources.schemas import beacon_schema
+
+    root = str(tmp_path)
+    # 1. export one day of blocks from the API source
+    blocks = _source(spark, 0, 288)
+    # 2. stage as date-partitioned NDJSON (the reference's GCS layout)
+    base = stage_export(blocks, root, "beacon_blocks", "block_timestamp")
+    # 3. load with imposed schema → partitioned parquet table
+    staged = read_ndjson(spark, f"{base}/*/*.json",
+                         beacon_schema("beacon_blocks"))
+    table_dir = f"{root}/tables/beacon_blocks"
+    loaded = derive_block_date(staged, "block_timestamp")
+    write_partitioned(loaded, table_dir)
+    table = spark.read.parquet(table_dir)
+    assert table.count() == 288
+    # 4. verify invariants over the loaded table
+    table.createOrReplaceTempView("beacon_blocks")
+    run_check(spark, "blocks_count", "2024-01-01")
+    run_check(spark, "blocks_have_latest", "2024-01-01")
+    # 5. meta sidecar
+    meta = compute_meta(table, "block_slot").collect()
+    assert len(meta) == 1 and (meta[0]["start_block"],
+                               meta[0]["end_block"]) == (0, 287)
+    # 6. latest snapshot with atomic pointer
+    write_latest_snapshot(table.where(~F.col("skipped")), f"{root}/latest")
+    back = read_latest_snapshot(spark, f"{root}/latest")
+    assert back.count() == table.where(~F.col("skipped")).count()
