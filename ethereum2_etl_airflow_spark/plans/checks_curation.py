@@ -287,6 +287,51 @@ ORDER BY f.user_id
 """
 
 
+# --- per-user trend stats (exact integer regression moments) --------------
+
+def q_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS moments over (time, value), all BIGINT-exact: x is
+    seconds since the user's first event (centering keeps Σx² inside
+    int64 — raw epoch seconds squared would overflow), y is value-millis.
+    Consumers derive slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) driver-
+    side; the engine emits only the exact integer moments so the oracle
+    hash can't drift.  Two partial-aggregating groupBys + one join, all
+    keyed by user — uniform shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("xs"),
+        F.floor(F.col("value") * 1000).cast("long").alias("y"))
+    x0 = base.groupBy("user_id").agg(F.min("xs").alias("x0"))
+    c = (base.join(x0, "user_id")
+         .withColumn("x", F.col("xs") - F.col("x0")))
+    return (c.groupBy("user_id")
+            .agg(F.count("*").alias("n"),
+                 F.sum("x").alias("sum_x"),
+                 F.sum("y").alias("sum_y"),
+                 F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sum_x2"))
+            .orderBy("user_id"))
+
+
+ORACLE_TREND_STATS = """
+WITH base AS (
+  SELECT user_id,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS xs,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS y
+  FROM events),
+x0 AS (SELECT user_id, MIN(xs) AS x0 FROM base GROUP BY user_id),
+c AS (SELECT base.user_id, xs - x0 AS x, y
+      FROM base JOIN x0 ON base.user_id = x0.user_id)
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       CAST(SUM(x * x) AS BIGINT) AS sum_x2
+FROM c GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --- contamination score --------------------------------------------------
 
 def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,6 +403,7 @@ CURATION_CHECKS: dict[str, tuple] = {
     "funnel": (q_funnel, ORACLE_FUNNEL),
     "contamination_score": (q_contamination_score, ORACLE_CONTAMINATION_SCORE),
     "zorder": (q_zorder, ORACLE_ZORDER),
+    "trend_stats": (q_trend_stats, ORACLE_TREND_STATS),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "heavy_hitters": (q_heavy_hitters, ORACLE_HEAVY_HITTERS),
     "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),
