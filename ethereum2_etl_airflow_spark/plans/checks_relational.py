@@ -883,7 +883,35 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- fixed-width histogram ------------------------------------------------
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order prices — the profiling primitive.
+    Bucket assignment is explicit FLOOR math (identical expression both
+    engines; DuckDB lacks width_bucket): below-range → 0, at-or-above
+    max → 13, else 1 + floor(x / width).  Pure narrow map + one
+    partial-aggregating groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    bucket = (F.when(x < 0.0, 0)
+              .when(x >= 600000.0, 13)
+              .otherwise(F.floor(x / 50000.0) + 1)).cast("int")
+    return (o.select(bucket.alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n"))
+            .orderBy("bucket"))
+
+
+ORACLE_HISTOGRAM = """
+SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                 WHEN o_totalprice >= 600000.0 THEN 13
+                 ELSE FLOOR(o_totalprice / 50000.0) + 1 END AS INT) AS bucket,
+       COUNT(*) AS n
+FROM orders GROUP BY bucket ORDER BY bucket
+"""
+
+
 RELATIONAL_CHECKS: dict[str, tuple] = {
+    "histogram": (q_histogram, ORACLE_HISTOGRAM),
     "bool_aggs": (q_bool_aggs, ORACLE_BOOL_AGGS),
     "q3_shipping": (q_q3_shipping, ORACLE_Q3),
     "q6_forecast": (q_q6_forecast, ORACLE_Q6),
