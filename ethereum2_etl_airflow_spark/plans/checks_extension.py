@@ -426,7 +426,10 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        try:
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        except FileExistsError:
+            pass  # another bench thread won the check-then-create race
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = hourly_counts_stream(spark, src_dir, schema, ts_col="ts",
                                   ts_is_nanos=True)
@@ -882,7 +885,10 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        try:
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        except FileExistsError:
+            pass  # another bench thread won the check-then-create race
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = spark.readStream.schema(schema).parquet(src_dir)
     joined = attribution_join(
