@@ -42,6 +42,7 @@ __all__ = [
     "EMAIL_RE", "IPV4_RE", "LONGNUM_RE", "pii_scrub", "heavy_hitters",
     "cap_per_key", "pack_offsets", "assign_folds", "term_salience",
     "quantize_embeddings", "bin_by_quantile", "outliers_p99", "funnel",
+    "winsorize",
 ]
 
 # RE2- and Java-regex-identical patterns (no backrefs / lookaround):
@@ -312,3 +313,41 @@ def funnel(events: DataFrame, first_step: str = "click",
             .agg(F.min(ts_col).alias("conv_ts")))
     return (first.join(conv, "user_id", "left")
             .select("user_id", "first_ts", "conv_ts"))
+
+
+def winsorize(events: DataFrame, group_col: str = "event_type",
+              val_col: str = "value", id_col: str = "event_id",
+              p: float = 0.99) -> DataFrame:
+    """Per-group winsorization: clip values at the group's exact
+    discrete p-quantile — the standard tail-taming step before feature
+    scaling.  Returns (id, group, value, clipped).
+
+    This is the repo's grouped-map (``applyInPandas``) surface: one
+    Arrow round-trip per group, with the quantile computed inside the
+    group's own batch.  The threshold replicates ``percentile_disc``
+    semantics exactly (sorted element at ``ceil(p·n)-1`` — an actual
+    element, no interpolation), and clipping is min() — so the output
+    is bit-identical to the SQL oracle even on doubles.
+
+    Scale: one shuffle keyed by group.  Groups must fit a worker's
+    Arrow batch (event-type-like cardinality ⇒ large groups — for
+    hot-key-scale data, derive thresholds via the broadcast-aggregate
+    pattern of :func:`outliers_p99` instead; this operator is the
+    grouped-map form for group-sized computations)."""
+    import math
+
+    import numpy as np
+
+    out_schema = (f"{id_col} long, {group_col} string, "
+                  f"{val_col} double, clipped double")
+
+    def clip(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[val_col].to_numpy()
+        thr = np.sort(v)[math.ceil(p * len(v)) - 1]
+        return pd.DataFrame({
+            id_col: pdf[id_col], group_col: pdf[group_col],
+            val_col: pdf[val_col],
+            "clipped": np.minimum(v, thr)})
+
+    return (events.select(id_col, group_col, val_col)
+            .groupBy(group_col).applyInPandas(clip, out_schema))

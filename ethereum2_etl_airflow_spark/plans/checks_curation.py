@@ -395,7 +395,28 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- winsorization (grouped-map surface) ----------------------------------
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.curation import winsorize
+
+    return winsorize(ev).orderBy("event_id")
+
+
+ORACLE_WINSORIZE = """
+WITH thr AS (
+  SELECT event_type,
+         percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+  FROM events GROUP BY event_type)
+SELECT event_id, e.event_type, value, LEAST(value, p99) AS clipped
+FROM events e JOIN thr USING (event_type)
+ORDER BY event_id
+"""
+
+
 CURATION_CHECKS: dict[str, tuple] = {
+    "winsorize": (q_winsorize, ORACLE_WINSORIZE),
     "merge_latest": (q_merge_latest, ORACLE_MERGE_LATEST),
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "bin_quantile": (q_bin_quantile, ORACLE_BIN_QUANTILE),
