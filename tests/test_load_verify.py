@@ -202,3 +202,18 @@ def test_corrupt_record_capture(spark, tmp_path):
     bad = [r["_corrupt"] for r in rows if r["_corrupt"] is not None]
     assert good == {1, 2}
     assert bad == ["this is not json at all"]
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Additive schema evolution across partitions: files written before
+    a column existed read back as NULL under mergeSchema — the parquet
+    analog of the reference's ignore_unknown_values/additive-field story."""
+    d = str(tmp_path / "evo")
+    spark.createDataFrame([(1, "a")], "id long, x string") \
+        .write.mode("append").parquet(d)
+    spark.createDataFrame([(2, "b", 7.5)], "id long, x string, y double") \
+        .write.mode("append").parquet(d)
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "x", "y"}
+    rows = {r["id"]: (r["x"], r["y"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 7.5)}
