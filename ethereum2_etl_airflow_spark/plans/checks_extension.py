@@ -909,8 +909,74 @@ ORDER BY c.user_id, click_id, purchase_id
 """
 
 
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1 h window, 30 min slide) — the same
+    ``F.window`` operator streaming uses, exercised in batch where the
+    oracle is exact: every event lands in exactly window/slide = 2
+    windows, so the oracle unnests the two candidate starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window(F.col("ts").cast("timestamp"),
+                                "1 hour", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.floor(F.col("value") * 1000).cast("long"))
+                 .alias("value_millis"))
+            .select(F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+                    "n", "value_millis")
+            .orderBy("w_start"))
+
+
+ORACLE_WINDOW_SLIDING = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS b0, value FROM events),
+e AS (
+  SELECT UNNEST([b0, b0 - INTERVAL '30 minutes']) AS w_start, value FROM b)
+SELECT w_start, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+           AS value_millis
+FROM e GROUP BY w_start ORDER BY w_start
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` (gap-based, 6 h) per user — the
+    native analog of the custom sessionizer; window.end = last event +
+    gap, which the oracle reproduces from the island grouping."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window(F.col("ts").cast("timestamp"),
+                                        "6 hours").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").cast("timestamp_ntz").alias("sess_start"),
+                    F.col("w.end").cast("timestamp_ntz").alias("sess_end"),
+                    "n_events")
+            .orderBy("user_id", "sess_start"))
+
+
+ORACLE_SESSION_WINDOW = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '6 hours' OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id, MIN(ts) AS sess_start,
+       MAX(ts) + INTERVAL '6 hours' AS sess_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start
+"""
+
+
 EXTENSION_CHECKS: dict[str, tuple] = {
     "stream_join": (q_stream_join, ORACLE_STREAM_JOIN),
+    "window_sliding": (q_window_sliding, ORACLE_WINDOW_SLIDING),
+    "session_window": (q_session_window, ORACLE_SESSION_WINDOW),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "sessionize_stream": (q_sessionize_stream, None),
     "dedup_stream": (q_dedup_stream, ORACLE_DEDUP_STREAM),
