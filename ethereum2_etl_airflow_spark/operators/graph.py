@@ -54,8 +54,12 @@ def connected_components(edges: DataFrame, src: str = "id_a",
            .union(edges.select(F.col(dst).cast("long").alias("u"),
                                F.col(src).cast("long").alias("v")))
            .cache())
-    labels = (sym.select(F.col("u").alias("node")).distinct()
-              .withColumn("label", F.col("node"))
+    # seed with min(closed neighborhood) — identical to what the first
+    # propagation round would produce from identity labels, for the cost
+    # of the groupBy alone (saves one full join+agg+probe round)
+    labels = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+              .select(F.col("u").alias("node"),
+                      F.least(F.col("u"), F.col("mn")).alias("label"))
               .localCheckpoint(eager=True))
     for _ in range(max_iter):
         neigh = (sym.join(labels.withColumnRenamed("node", "v"), "v")
