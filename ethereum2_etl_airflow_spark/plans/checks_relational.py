@@ -910,7 +910,69 @@ FROM orders GROUP BY bucket ORDER BY bucket
 """
 
 
+# --- first/last/nth window values -----------------------------------------
+
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a full-partition frame
+    per user (frame pinned to the whole partition so last/nth are
+    well-defined)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (ev.select("event_id", "user_id",
+                      F.first("event_type").over(w).alias("first_type"),
+                      F.last("event_type").over(w).alias("last_type"),
+                      F.nth_value("event_type", 2).over(w).alias("second_type"))
+            .orderBy("event_id"))
+
+
+ORACLE_WINDOW_FIRSTLAST = """
+SELECT event_id, user_id,
+       FIRST_VALUE(event_type) OVER w AS first_type,
+       LAST_VALUE(event_type) OVER w AS last_type,
+       NTH_VALUE(event_type, 2) OVER w AS second_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY event_id
+"""
+
+
+# --- array higher-order functions -----------------------------------------
+
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: filter
+    (positive-component count), transform+array_max (max |x| as exact
+    FLOOR-scaled integer), exists (any component > 0.9).  All lambda
+    expressions evaluate JVM-side."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return (e.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.floor(F.array_max(F.transform(
+            v, lambda x: F.abs(x.cast("double")))) * 1000000)
+        .cast("long").alias("maxabs_micros"),
+        F.exists(v, lambda x: x > 0.9).alias("has_big"))
+        .orderBy("vec_id"))
+
+
+ORACLE_ARRAY_HOF = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       CAST(FLOOR(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) * 1000000) AS BIGINT)
+           AS maxabs_micros,
+       len(list_filter(embedding, x -> x > 0.9)) > 0 AS has_big
+FROM embeddings ORDER BY vec_id
+"""
+
+
 RELATIONAL_CHECKS: dict[str, tuple] = {
+    "window_firstlast": (q_window_firstlast, ORACLE_WINDOW_FIRSTLAST),
+    "array_hof": (q_array_hof, ORACLE_ARRAY_HOF),
     "histogram": (q_histogram, ORACLE_HISTOGRAM),
     "bool_aggs": (q_bool_aggs, ORACLE_BOOL_AGGS),
     "q3_shipping": (q_q3_shipping, ORACLE_Q3),
