@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 __all__ = ["derive_block_date", "load_table", "write_partitioned",
            "compute_meta", "write_meta", "write_latest_snapshot",
            "read_latest_snapshot", "ctas", "latest_by_key",
-           "compact_files"]
+           "compact_files", "write_partitioned_observed"]
 
 
 def derive_block_date(df: DataFrame, ts_col: str) -> DataFrame:
@@ -168,6 +168,30 @@ def read_latest_snapshot(spark: SparkSession, base_path: str) -> DataFrame:
     """Resolve the ``_LATEST`` pointer and read that snapshot version."""
     with open(f"{base_path}/_LATEST") as fh:
         return spark.read.parquet(fh.read().strip())
+
+
+def write_partitioned_observed(df: DataFrame, dest: str,
+                               range_col: str,
+                               date_col: str = "block_date") -> dict:
+    """Partitioned write with data-quality metrics piggybacked on the
+    write action itself (``df.observe``): row count, null keys, min/max
+    of the range column — the stats the reference derives with a
+    separate post-load query (`build_export_dag.py:80-88`) — for free,
+    no second scan of the table.  Returns the metrics dict.
+
+    At 100 TB a post-hoc ``SELECT COUNT(*), MIN, MAX`` re-reads the
+    table; observed metrics ride the write's task results instead."""
+    from pyspark.sql import Observation
+
+    obs = Observation("load_metrics")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(range_col).isNull().cast("long")).alias("n_null_keys"),
+        F.min(range_col).alias("min_key"),
+        F.max(range_col).alias("max_key"))
+    write_partitioned(observed, dest, partition_cols=[date_col])
+    return dict(obs.get)
 
 
 def compact_files(spark: SparkSession, src_dir: str, dest_dir: str,

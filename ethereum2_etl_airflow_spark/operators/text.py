@@ -20,6 +20,7 @@ __all__ = [
     "WORD_RE", "BPE_RE", "tokens", "token_count", "bpe_token_count",
     "normalize_text", "fingerprint", "lang_scores", "lang_id",
     "quality_features", "text_stats", "repetition_stats",
+    "register_split_sentences_udtf",
 ]
 
 # word tokens: runs of alphanumerics (RE2- and Java-regex-identical)
@@ -180,3 +181,28 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         *[F.col(c).cast("long").alias(c) for c in
           ("n_tokens", "n_distinct_tokens", "top_token_n",
            "n_2grams", "n_distinct_2grams", "top_2gram_n")])
+
+
+def register_split_sentences_udtf(spark) -> None:
+    """Register the ``split_sentences`` Python UDTF (Spark 4 user-defined
+    table function): ``LATERAL split_sentences(text)`` → one row per
+    '. '-delimited sentence with its index — the lateral-join form of
+    sentence segmentation.
+
+    Honest performance note: a UDTF evaluates Python per input row; the
+    bulk path for this exact semantics is
+    ``posexplode(split(text, '\\. '))`` (JVM, codegen).  The UDTF form
+    exists for composability in SQL (LATERAL with other table args) and
+    for segmenters that genuinely need Python."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            import re
+
+            for i, s in enumerate(re.split(r"\. ", text or "")):
+                if s:
+                    yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)

@@ -973,10 +973,36 @@ FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start
 """
 
 
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join: sentence segmentation per document
+    (Spark 4 user-defined table function surface).  The oracle
+    reproduces the split with a bounded position join; empty segments
+    are skipped on both sides."""
+    from ..operators.text import register_split_sentences_udtf
+
+    register_split_sentences_udtf(spark)
+    _docs(spark, sf_dir).createOrReplaceTempView("udtf_docs_v")
+    return spark.sql("""
+        SELECT doc_id, f.sent_idx, f.sentence
+        FROM udtf_docs_v, LATERAL split_sentences(text) f
+        ORDER BY doc_id, sent_idx""")
+
+
+ORACLE_UDTF_SENTENCES = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\. ') AS arr FROM documents)
+SELECT doc_id, CAST(g.i - 1 AS INT) AS sent_idx, arr[g.i] AS sentence
+FROM arrs CROSS JOIN generate_series(1, 10000) g(i)
+WHERE g.i <= len(arr) AND arr[g.i] != ''
+ORDER BY doc_id, sent_idx
+"""
+
+
 EXTENSION_CHECKS: dict[str, tuple] = {
     "stream_join": (q_stream_join, ORACLE_STREAM_JOIN),
     "window_sliding": (q_window_sliding, ORACLE_WINDOW_SLIDING),
     "session_window": (q_session_window, ORACLE_SESSION_WINDOW),
+    "udtf_sentences": (q_udtf_sentences, ORACLE_UDTF_SENTENCES),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "sessionize_stream": (q_sessionize_stream, None),
     "dedup_stream": (q_dedup_stream, ORACLE_DEDUP_STREAM),

@@ -217,3 +217,20 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "x", "y"}
     rows = {r["id"]: (r["x"], r["y"]) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", 7.5)}
+
+
+def test_write_partitioned_observed_metrics(spark, tmp_path):
+    """Observation metrics ride the write action — counts/min/max with
+    no second scan of the table."""
+    from ethereum2_etl_airflow_spark.operators.load import (
+        derive_block_date, write_partitioned_observed)
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    ev = derive_block_date(
+        load_table(spark, "/root/testdata/sf0.001", "events"), "ts")
+    dest = str(tmp_path / "obs")
+    m = write_partitioned_observed(ev, dest, "event_id")
+    n = spark.read.parquet(dest).count()
+    assert m["n_rows"] == n
+    assert m["n_null_keys"] == 0
+    assert (m["min_key"], m["max_key"]) == (0, n - 1)
