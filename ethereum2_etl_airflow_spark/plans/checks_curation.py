@@ -195,7 +195,7 @@ def q_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MERGE_LATEST = """
-SELECT user_id, event_id, ts, event_type, value FROM (
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                ORDER BY ts DESC, event_id DESC) AS rn
   FROM events)
@@ -281,7 +281,8 @@ conv AS (
   FROM events e JOIN first f ON e.user_id = f.user_id
   WHERE e.event_type = 'purchase' AND e.ts >= f.first_ts
   GROUP BY e.user_id)
-SELECT f.user_id, first_ts, conv_ts
+SELECT f.user_id, CAST(first_ts AS TIMESTAMP) AS first_ts,
+       CAST(conv_ts AS TIMESTAMP) AS conv_ts
 FROM first f LEFT JOIN conv c ON f.user_id = c.user_id
 ORDER BY f.user_id
 """

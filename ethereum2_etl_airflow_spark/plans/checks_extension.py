@@ -437,7 +437,7 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_HOURLY = """
-SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n,
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, COUNT(*) AS n,
        MIN(event_id) AS start_block, MAX(event_id) AS end_block
 FROM events GROUP BY 1 ORDER BY 1
 """
@@ -900,7 +900,8 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STREAM_JOIN = """
 SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
-       c.ts AS click_ts, p.ts AS purchase_ts
+       CAST(c.ts AS TIMESTAMP) AS click_ts,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts
 FROM events c JOIN events p
   ON c.user_id = p.user_id
  AND c.event_type = 'click' AND p.event_type = 'purchase'
@@ -930,7 +931,7 @@ WITH b AS (
   SELECT time_bucket(INTERVAL '30 minutes', ts) AS b0, value FROM events),
 e AS (
   SELECT UNNEST([b0, b0 - INTERVAL '30 minutes']) AS w_start, value FROM b)
-SELECT w_start, COUNT(*) AS n,
+SELECT CAST(w_start AS TIMESTAMP) AS w_start, COUNT(*) AS n,
        CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
            AS value_millis
 FROM e GROUP BY w_start ORDER BY w_start
@@ -956,8 +957,11 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SESSION_WINDOW = """
 WITH marked AS (
   SELECT user_id, ts,
+         -- >= (not >): Spark's session_window ends EXCLUSIVELY at
+         -- last_event + gap, so an event exactly gap after its
+         -- predecessor starts a new session
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL '6 hours' OR
+                   >= INTERVAL '6 hours' OR
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_s
   FROM events),
@@ -966,8 +970,8 @@ sess AS (
          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked)
-SELECT user_id, MIN(ts) AS sess_start,
-       MAX(ts) + INTERVAL '6 hours' AS sess_end,
+SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS sess_start,
+       CAST(MAX(ts) + INTERVAL '6 hours' AS TIMESTAMP) AS sess_end,
        COUNT(*) AS n_events
 FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start
 """

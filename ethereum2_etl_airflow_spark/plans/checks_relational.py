@@ -877,7 +877,7 @@ ORACLE_BOOL_AGGS = """
 SELECT event_type,
        bool_and(value > 0) AS all_pos,
        bool_or(value > 99) AS any_big,
-       count_if(user_id % 2 = 0) AS n_even_user,
+       CAST(count_if(user_id % 2 = 0) AS BIGINT) AS n_even_user,
        MIN(event_id) AS first_event
 FROM events GROUP BY event_type ORDER BY event_type
 """
