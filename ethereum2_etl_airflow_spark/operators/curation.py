@@ -139,10 +139,14 @@ def pack_offsets(df: DataFrame, budget: int = 2048,
     ≤ P·|groups| rows collected); the driver prefix-sums those into base
     offsets; a second narrow pass adds base + local running sum.  No
     partition ever holds more than its own split, whatever the group
-    skew.  The input is cached between the two passes so both see the
-    same (sampled, hence otherwise nondeterministic) range boundaries —
-    offsets themselves are boundary-invariant, but the totals and the
-    second pass must agree on the layout."""
+    skew.  The layout is frozen with an eager ``localCheckpoint`` (not
+    ``cache()``) between the two passes: range boundaries are sampled,
+    hence nondeterministic per computation, and the totals and second
+    pass must agree on them.  A checkpoint makes a lost block a job
+    failure instead of a silent recompute under different boundaries —
+    at this size (one narrow projection of the input) fail-and-retry is
+    the correct contract; a recompute could silently mis-assign every
+    offset downstream."""
     from .text import bpe_token_count
 
     tok = F.col(tok_col) if tok_col else bpe_token_count(F.col("text"))
@@ -153,7 +157,7 @@ def pack_offsets(df: DataFrame, budget: int = 2048,
     laid = (base.repartitionByRange(nparts, "g", "i")
             .sortWithinPartitions("g", "i")
             .withColumn("pid", F.spark_partition_id())
-            .cache())
+            .localCheckpoint(eager=True))
 
     totals = (laid.groupBy("pid", "g").agg(F.sum("n_tok").alias("t"))
               .collect())
@@ -180,7 +184,14 @@ def pack_offsets(df: DataFrame, budget: int = 2048,
                 continue
             starts = []
             for g, b, n in zip(pdf["g"], pdf["base"], pdf["n_tok"]):
-                cur = run.get(g, int(b))
+                if g in run:
+                    cur = run[g]
+                elif pd.isna(b):
+                    raise ValueError(
+                        f"pack_offsets: no base offset for (pid, group="
+                        f"{g!r}) — layout changed between passes")
+                else:
+                    cur = int(b)
                 starts.append(cur)
                 run[g] = cur + int(n)
             yield pd.DataFrame({"g": pdf["g"], "i": pdf["i"],
@@ -194,7 +205,10 @@ def pack_offsets(df: DataFrame, budget: int = 2048,
         F.expr(f"(start_off + greatest(n_tok, 1) - 1) DIV {budget}")
         .alias("last_block"))
     from ..functions.layout import finalize_release
-    return finalize_release(result, laid)
+    # laid is checkpointed, not cached: its blocks are freed by the
+    # ContextCleaner on GC; finalize_release materializes the (small)
+    # result so callers never re-trigger the two-pass layout.
+    return finalize_release(result)
 
 
 def assign_folds(df: DataFrame, k: int = 5,
@@ -266,10 +280,15 @@ def bin_by_quantile(df: DataFrame, col: str, bins: int = 4,
     parallel, and the cutpoint aggregate is a sketch-sized reduction.
 
     ``percentile_disc`` picks an actual element (no interpolation), so
-    integer columns stay integer-exact cross-engine."""
+    integer columns stay integer-exact cross-engine.  Cutpoints keep the
+    column's own type (``percentile_disc`` can surface a widened
+    intermediate): casting back to the element type is lossless because
+    the cutpoint IS an element — a blanket BIGINT cast would truncate
+    fractional thresholds and mis-bin rows near them."""
+    col_type = df.schema[col].dataType.simpleString()
     cuts = df.selectExpr(*[
         f"CAST(percentile_disc({i / bins}) WITHIN GROUP (ORDER BY {col})"
-        f" AS BIGINT) AS c{i}" for i in range(1, bins)])
+        f" AS {col_type}) AS c{i}" for i in range(1, bins)])
     out = df.crossJoin(F.broadcast(cuts))
     bin_no = F.lit(1)
     for i in range(1, bins):

@@ -126,6 +126,23 @@ def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     tier (recall measured against it in tests).  Deterministic: seeded
     init, sample chosen by hash order, ties broken by first-max.
     """
+    scored, nv = _ivf_scored(emb, query_ids, n_lists=n_lists,
+                             n_probe=n_probe, seed=seed, id_col=id_col,
+                             vec_col=vec_col)
+    # same two-phase top-k as the exact tier: per-partition partial
+    # selection, then rank over the ≤ k·P survivors
+    out = _rank_topk(partial_topk(scored, k), k)
+    return finalize_release(out, nv)
+
+
+def _ivf_scored(emb: DataFrame, query_ids: list[int], *, n_lists: int,
+                n_probe: int, seed: int, id_col: str,
+                vec_col: str) -> tuple[DataFrame, DataFrame]:
+    """Everything in the IVF plan before the top-k phase: train, assign,
+    probe, score.  Returns (scored, cached-normalized-corpus); exposed
+    separately so tests can assert the distributed assignment plan is
+    pure JVM column math (no Python workers) BEFORE the result is
+    checkpointed away."""
     nv = (with_normalized(ensure_parallelism(emb), vec_col, "nv")
           .select(id_col, "nv").cache())
 
@@ -185,10 +202,7 @@ def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
               .select("query_id", "vec_id",
                       dot_compact(F.col("qv"), F.col("cv"))
                       .cast("decimal(18,9)").cast("double").alias("cosine")))
-    # same two-phase top-k as the exact tier: per-partition partial
-    # selection, then rank over the ≤ k·P survivors
-    out = _rank_topk(partial_topk(scored, k), k)
-    return finalize_release(out, nv)
+    return scored, nv
 
 
 def ann_lsh_candidates(emb: DataFrame, query_ids: list[int], k: int = 10,

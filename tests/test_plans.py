@@ -196,15 +196,21 @@ def test_term_salience_stays_jvm_side(spark, sf_dir):
 
 def test_sim_ivf_plan_has_no_python_assignment(spark, sf_dir):
     """IVF cell assignment is JVM column math; the only Python stage in
-    the whole ANN plan is the sanctioned partial-topk Arrow pass."""
-    from ethereum2_etl_airflow_spark.operators.similarity import ann_ivf_topk
+    the whole ANN plan is the sanctioned partial-topk Arrow pass, which
+    runs AFTER scoring.  Assert on the pre-checkpoint scored stage (the
+    plan that actually distributes), not the checkpointed result."""
+    from ethereum2_etl_airflow_spark.operators.similarity import _ivf_scored
     from ethereum2_etl_airflow_spark.plans.explain import plan_string
     from ethereum2_etl_airflow_spark.sources.testdata import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = ann_ivf_topk(emb, [1, 2, 3], k=5)
-    # finalize_release checkpoints the result; the interesting plan ran
-    # upstream — assert on the operator's construction instead: build the
-    # scored stage only
-    plan = plan_string(out, "simple")
-    assert "Scan ExistingRDD" in plan  # checkpointed result, as designed
+    scored, nv = _ivf_scored(emb, [1, 2, 3], n_lists=8, n_probe=2,
+                             seed=42, id_col="vec_id",
+                             vec_col="embedding")
+    try:
+        plan = plan_string(scored, "simple")
+        for marker in ("ArrowEvalPython", "BatchEvalPython",
+                       "MapInPandas", "FlatMapGroupsInPandas"):
+            assert marker not in plan
+    finally:
+        nv.unpersist()
