@@ -14,29 +14,42 @@ plan as any other scan.  Options:
 - ``slots_per_partition``        (default 288 — one mainnet day ≈ 7200;
   the default keeps local tests snappy)
 - ``genesis`` / ``secs_per_slot``
+- ``provider_uris``              comma-separated beacon-node base URIs;
+  when set, each slot is fetched over HTTP
+  (``GET {uri}/eth/v2/beacon/blocks/{slot}``) with the reference's
+  provider-fallback semantics (O8, `build_export_dag.py:210-224`: try
+  each URI in order, re-raise the last failure), a 404 becoming the
+  ``skipped`` placeholder row the exporter emits for missed proposals
+- ``rate_limit``                 requests/second token bucket per task
+  (O15, `variables.py:20-21`); 0/absent = unthrottled
+- ``timeout_s``                  per-request HTTP timeout (default 10)
 
-The HTTP call is STUBBED: ``_fetch_block_row`` returns the
-deterministic synthetic block the fixtures generator defines
-(:func:`.fixtures.block_row`) — a real deployment replaces that one
-function with the beacon-node GET (+ retry/rate-limit from
-``config.export_rate_limit``); partition planning, schema, and
-executor-side iteration are real and tested.
+Without ``provider_uris`` the fetch is the deterministic offline stub
+(:func:`.fixtures.block_row`) so tests and the verify invariants run
+hermetically; both paths share the same partition planning, schema, and
+executor-side iteration.
 
 Scale notes: partitions are pure metadata (two ints), so a backfill of
 10 M slots plans cheaply; per-partition fetch is sequential within a
 task, parallel across tasks — exactly the reference exporter's
-``export_max_workers`` knob, but expressed as Spark parallelism.
+``export_max_workers`` knob, but expressed as Spark parallelism.  The
+rate limit is per TASK (matching the reference's one-client-per-task
+model); cluster-wide QPS = rate_limit × concurrent tasks, so size
+``slots_per_partition``/scheduling accordingly.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from datetime import datetime, timezone
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from .schemas import beacon_ddl
 
 __all__ = ["BeaconApiDataSource", "register_beacon_api"]
+
+SLOTS_PER_EPOCH = 32
 
 
 @dataclass
@@ -46,12 +59,113 @@ class SlotRange(InputPartition):
 
 
 def _fetch_block_row(slot: int, genesis: int, secs_per_slot: int) -> dict:
-    """THE seam: swap this body for the real beacon-node REST GET
-    (``/eth/v2/beacon/blocks/{slot}``) in a deployment.  Deterministic
-    stub so tests and the verify invariants run hermetically."""
+    """The offline seam: deterministic synthetic block (shared with the
+    fixtures generator) used when no ``provider_uris`` are configured."""
     from .fixtures import block_row
 
     return block_row(slot, genesis, secs_per_slot)
+
+
+def _http_get_json(url: str, timeout_s: float) -> dict:
+    import json
+    from urllib.request import urlopen
+
+    with urlopen(url, timeout=timeout_s) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
+def _fetch_block_http(uri: str, slot: int, timeout_s: float) -> dict | None:
+    """One beacon-node REST GET; ``None`` for a 404 (missed proposal —
+    the exporter's ``skipped`` placeholder), raise on anything else so
+    the provider fallback / Spark task retry machinery engages."""
+    from urllib.error import HTTPError
+
+    try:
+        return _http_get_json(
+            f"{uri.rstrip('/')}/eth/v2/beacon/blocks/{slot}", timeout_s)
+    except HTTPError as ex:
+        if ex.code == 404:
+            return None
+        raise
+
+
+def _slot_ts(slot: int, genesis: int, secs_per_slot: int) -> datetime:
+    return datetime.fromtimestamp(genesis + slot * secs_per_slot,
+                                  tz=timezone.utc)
+
+
+def _skipped_row(slot: int, genesis: int, secs_per_slot: int) -> dict:
+    """Missed-proposal placeholder: slot/epoch/timestamp + skipped=true,
+    scalars NULL, repeated records empty — the shape the reference's
+    exporter stages for a slot with no block."""
+    return {"block_slot": slot, "block_epoch": slot // SLOTS_PER_EPOCH,
+            "block_timestamp": _slot_ts(slot, genesis, secs_per_slot),
+            "skipped": True, "attestations": [], "deposits": [],
+            "proposer_slashings": [], "attester_slashings": [],
+            "voluntary_exits": []}
+
+
+def _parse_block_response(payload: dict, slot: int, genesis: int,
+                          secs_per_slot: int) -> dict:
+    """Map a ``/eth/v2/beacon/blocks/{slot}`` response onto the
+    beacon_blocks schema.  API integers arrive as strings (JSON-safe
+    uint64) → cast; ``block_timestamp`` is derived from slot math like
+    the reference's range services (genesis + slot·12 s); fields the
+    endpoint doesn't carry (block_root — a separate headers call in a
+    full deployment) stay NULL; the FLOAT-quirk slashing fields stay
+    empty per SURVEY §7.4.3."""
+    def _i(v):
+        return None if v is None else int(v)
+
+    data = payload.get("data") or {}
+    msg = data.get("message") or {}
+    body = msg.get("body") or {}
+    eth1 = body.get("eth1_data") or {}
+    atts = []
+    for a in body.get("attestations") or []:
+        d = a.get("data") or {}
+        src, tgt = d.get("source") or {}, d.get("target") or {}
+        atts.append({
+            "aggregation_bits": a.get("aggregation_bits"),
+            "slot": _i(d.get("slot")), "index": _i(d.get("index")),
+            "beacon_block_root": d.get("beacon_block_root"),
+            "source_epoch": _i(src.get("epoch")),
+            "source_root": src.get("root"),
+            "target_epoch": _i(tgt.get("epoch")),
+            "target_root": tgt.get("root"),
+            "signature": a.get("signature")})
+    deposits = []
+    for dep in body.get("deposits") or []:
+        d = dep.get("data") or {}
+        deposits.append({
+            "pubkey": d.get("pubkey"),
+            "withdrawal_credentials": d.get("withdrawal_credentials"),
+            "amount": _i(d.get("amount")), "signature": d.get("signature")})
+    exits = []
+    for ve in body.get("voluntary_exits") or []:
+        m = ve.get("message") or {}
+        exits.append({"epoch": _i(m.get("epoch")),
+                      "validator_index": _i(m.get("validator_index")),
+                      "signature": ve.get("signature")})
+    return {
+        "block_slot": slot,
+        "block_epoch": slot // SLOTS_PER_EPOCH,
+        "block_timestamp": _slot_ts(slot, genesis, secs_per_slot),
+        "proposer_index": _i(msg.get("proposer_index")),
+        "skipped": False,
+        "block_root": data.get("root"),
+        "parent_root": msg.get("parent_root"),
+        "state_root": msg.get("state_root"),
+        "randao_reveal": body.get("randao_reveal"),
+        "graffiti": body.get("graffiti"),
+        "eth1_block_hash": eth1.get("block_hash"),
+        "eth1_deposit_root": eth1.get("deposit_root"),
+        "eth1_deposit_count": _i(eth1.get("deposit_count")),
+        "signature": data.get("signature"),
+        "attestations": atts, "deposits": deposits,
+        "proposer_slashings": [], "attester_slashings": [],
+        "voluntary_exits": exits,
+    }
 
 
 class BeaconApiReader(DataSourceReader):
@@ -62,6 +176,11 @@ class BeaconApiReader(DataSourceReader):
         self.per_part = int(options.get("slots_per_partition", 288))
         self.genesis = int(options.get("genesis", 1606824023))
         self.secs = int(options.get("secs_per_slot", 12))
+        self.providers = [u.strip()
+                          for u in options.get("provider_uris", "").split(",")
+                          if u.strip()]
+        self.rate = float(options.get("rate_limit", 0) or 0)
+        self.timeout_s = float(options.get("timeout_s", 10))
         self.fields = [f.name for f in schema.fields]
 
     def partitions(self):
@@ -69,9 +188,27 @@ class BeaconApiReader(DataSourceReader):
                 for s in range(self.start, self.end, self.per_part)]
 
     def read(self, partition: SlotRange):
+        if not self.providers:
+            for slot in range(partition.start, partition.end):
+                row = _fetch_block_row(slot, self.genesis, self.secs)
+                yield tuple(row.get(f) for f in self.fields)
+            return
+        # HTTP path — imported executor-side; RateLimiter/provider_fallback
+        # are the same O15/O8 implementations the DAG layer uses
+        from ..dags.build_dags import RateLimiter, provider_fallback
+
+        limiter = RateLimiter(self.rate) if self.rate > 0 else None
         for slot in range(partition.start, partition.end):
-            row = _fetch_block_row(slot, self.genesis, self.secs)
-            yield tuple(row[f] for f in self.fields)
+            if limiter is not None:
+                limiter.acquire()
+            payload = provider_fallback(
+                self.providers,
+                lambda uri: _fetch_block_http(uri, slot, self.timeout_s))
+            row = (_skipped_row(slot, self.genesis, self.secs)
+                   if payload is None
+                   else _parse_block_response(payload, slot, self.genesis,
+                                              self.secs))
+            yield tuple(row.get(f) for f in self.fields)
 
 
 class BeaconApiDataSource(DataSource):

@@ -100,3 +100,171 @@ def test_full_pipeline_source_to_latest(spark, tmp_path):
     write_latest_snapshot(table.where(~F.col("skipped")), f"{root}/latest")
     back = read_latest_snapshot(spark, f"{root}/latest")
     assert back.count() == table.where(~F.col("skipped")).count()
+
+
+# --- HTTP fetch path (fake beacon node) -----------------------------------
+
+import http.server
+import json
+import re
+import threading
+
+from ethereum2_etl_airflow_spark.sources.beacon_api import (
+    _parse_block_response)
+from ethereum2_etl_airflow_spark.sources.fixtures import block_row
+
+
+def _s(v):
+    return None if v is None else str(v)
+
+
+def _api_payload(slot: int) -> dict:
+    """Beacon-node-shaped /eth/v2/beacon/blocks response whose parse
+    round-trips to the fixture generator's row for ``slot``."""
+    row = block_row(slot, GENESIS, SECS)
+    return {"data": {
+        "root": row["block_root"],
+        "signature": row["signature"],
+        "message": {
+            "slot": str(slot),
+            "proposer_index": _s(row["proposer_index"]),
+            "parent_root": row["parent_root"],
+            "state_root": row["state_root"],
+            "body": {
+                "randao_reveal": row["randao_reveal"],
+                "graffiti": row["graffiti"],
+                "eth1_data": {
+                    "deposit_root": row["eth1_deposit_root"],
+                    "deposit_count": str(row["eth1_deposit_count"]),
+                    "block_hash": row["eth1_block_hash"]},
+                "attestations": [{
+                    "aggregation_bits": a["aggregation_bits"],
+                    "signature": a["signature"],
+                    "data": {
+                        "slot": str(a["slot"]), "index": str(a["index"]),
+                        "beacon_block_root": a["beacon_block_root"],
+                        "source": {"epoch": str(a["source_epoch"]),
+                                   "root": a["source_root"]},
+                        "target": {"epoch": str(a["target_epoch"]),
+                                   "root": a["target_root"]}}}
+                    for a in row["attestations"]],
+                "deposits": [{
+                    "data": {"pubkey": d["pubkey"],
+                             "withdrawal_credentials":
+                                 d["withdrawal_credentials"],
+                             "amount": str(d["amount"]),
+                             "signature": d["signature"]}}
+                    for d in row["deposits"]],
+                "voluntary_exits": [{
+                    "signature": v["signature"],
+                    "message": {"epoch": str(v["epoch"]),
+                                "validator_index":
+                                    str(v["validator_index"])}}
+                    for v in row["voluntary_exits"]],
+            }}}}
+
+
+def _make_handler(fail_all: bool = False):
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+        def do_GET(self):
+            if fail_all:
+                self.send_response(500)
+                self.end_headers()
+                return
+            m = re.match(r"^/eth/v2/beacon/blocks/(\d+)$", self.path)
+            if not m:
+                self.send_response(400)
+                self.end_headers()
+                return
+            slot = int(m.group(1))
+            if slot % 7 == 3:  # missed proposal → 404 → skipped row
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = json.dumps(_api_payload(slot)).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+    return Handler
+
+
+class _FakeNode:
+    def __init__(self, fail_all: bool = False):
+        self.srv = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", 0), _make_handler(fail_all))
+        self.uri = f"http://127.0.0.1:{self.srv.server_address[1]}"
+        self.thread = threading.Thread(target=self.srv.serve_forever,
+                                       daemon=True)
+        self.thread.start()
+
+    def close(self):
+        self.srv.shutdown()
+        self.srv.server_close()
+
+
+def _http_source(spark, uris: str, start=0, end=56, **opts):
+    register_beacon_api(spark)
+    r = (spark.read.format("beacon_api")
+         .option("start_slot", start).option("end_slot", end)
+         .option("slots_per_partition", 28)
+         .option("genesis", GENESIS).option("secs_per_slot", SECS)
+         .option("provider_uris", uris))
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_parse_round_trips_fixture_row():
+    # slots cover deposits (s%11==5) + voluntary exits (s%29==17)
+    # branches; none are skipped slots (s%7==3), which have no payload
+    for slot in (0, 1, 5, 46, 75):
+        assert _parse_block_response(_api_payload(slot), slot,
+                                     GENESIS, SECS) \
+            == block_row(slot, GENESIS, SECS)
+
+
+def test_http_source_fetches_and_maps(spark):
+    node = _FakeNode()
+    try:
+        got = {r["block_slot"]: r
+               for r in _http_source(spark, node.uri).collect()}
+        want = {r["block_slot"]: r
+                for r in _source(spark, 0, 56).collect()}
+        assert sorted(got) == list(range(56))
+        for s in range(56):
+            if s % 7 == 3:
+                assert got[s]["skipped"] is True
+                assert got[s]["proposer_index"] is None
+                assert got[s]["attestations"] == []
+                assert got[s]["block_timestamp"] \
+                    == want[s]["block_timestamp"]
+            else:
+                assert got[s] == want[s]
+    finally:
+        node.close()
+
+
+def test_http_provider_fallback_o8(spark):
+    bad, good = _FakeNode(fail_all=True), _FakeNode()
+    try:
+        rows = _http_source(spark, f"{bad.uri},{good.uri}",
+                            end=14).collect()
+        assert len(rows) == 14
+    finally:
+        bad.close()
+        good.close()
+
+
+def test_http_rate_limit_o15_smoke(spark):
+    node = _FakeNode()
+    try:
+        rows = _http_source(spark, node.uri, end=14,
+                            rate_limit=500).collect()
+        assert len(rows) == 14
+    finally:
+        node.close()
