@@ -90,12 +90,42 @@ def read_media_dir(spark, path: str, glob: str = "*",
     )
 
 
+def _pil_image():
+    """Soft import: the image codec when the environment has one."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_stub(payload: bytes, mime: str) -> dict:
-    """Deterministic fake decoder.  A real deployment replaces this body
-    with the codec call; the surrounding Spark plumbing is unchanged."""
-    if mime.startswith(("image/", "audio/", "video/")):
-        # Real decode path: PIL.Image.open / torchaudio.load / pyav demux.
-        # Those libraries are not available in this container.
+    """Decoder seam.  ``image/*`` decodes via PIL when importable
+    (soft import — executors without the lib fall through to the typed
+    stub error); audio/video stay honestly stubbed (torchaudio / pyav
+    absent from this container); other mimes use the deterministic
+    byte-derived fake so plumbing tests run hermetically."""
+    if mime.startswith("image/"):
+        Image = _pil_image()
+        if Image is None:
+            raise NotImplementedError(
+                f"codec for {mime!r} not available in this environment; "
+                "install Pillow to enable the image decode path")
+        import io
+
+        with Image.open(io.BytesIO(payload)) as img:
+            n_frames = int(getattr(img, "n_frames", 1))
+            gray = img.convert("L")
+            px = list(gray.getdata())
+        return {
+            "n_bytes": len(payload),
+            "head_hex": payload[:16].hex(),
+            "n_frames": n_frames,
+            "feature_sum": int(sum(px[:256])),
+        }
+    if mime.startswith(("audio/", "video/")):
+        # Real decode path: torchaudio.load / pyav demux — not in this
+        # container; plug the real decoder in here.
         raise NotImplementedError(
             f"codec for {mime!r} not available in this environment; "
             "plug the real decoder into decode_stub()")

@@ -115,9 +115,34 @@ def test_multimodal_stub_features(spark, docs):
     assert got["feature_sum"] == sum(raw[:256])
 
 
-def test_multimodal_real_codec_is_stubbed():
+def test_multimodal_codec_soft_import():
+    """Without PIL the image path raises the typed stub error; audio and
+    video are always stubbed in this container."""
+    if M._pil_image() is None:
+        with pytest.raises(NotImplementedError):
+            M.decode_stub(b"\x89PNG", "image/png")
     with pytest.raises(NotImplementedError):
-        M.decode_stub(b"\x89PNG", "image/png")
+        M.decode_stub(b"\x00", "audio/wav")
+
+
+def test_multimodal_pil_decode_when_available():
+    """The real image decode path — runs wherever Pillow is installed
+    (skipped in this container, where it is not)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 2), (10, 20, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    out = M.decode_stub(png, "image/png")
+    assert out["n_bytes"] == len(png)
+    assert out["head_hex"] == png[:16].hex()
+    assert out["n_frames"] == 1
+    # 4x2 grayscale of constant (10,20,30): 8 identical pixels whose
+    # L value is (10*299 + 20*587 + 30*114)/1000 ~= 18
+    assert out["feature_sum"] in (8 * 18, 8 * 19)
 
 
 def test_streaming_hourly_equals_batch(spark, sf_dir):
