@@ -88,12 +88,13 @@ def main() -> None:
     # one-off fixture writes
     try:
         from ethereum2_etl_airflow_spark.plans.checks_extension import (
-            ensure_sessionize_source)
+            ensure_sessionize_source, ensure_stream_join_outer_source)
         from ethereum2_etl_airflow_spark.plans.checks_reference import (
             ensure_ndjson_staged, ensure_overwrite_sink,
             ensure_partition_staged)
 
         ensure_sessionize_source(spark, sf_dir)
+        ensure_stream_join_outer_source(spark, sf_dir)
         ensure_ndjson_staged(spark, sf_dir)
         ensure_partition_staged(spark, sf_dir)
         ensure_overwrite_sink(spark, sf_dir)
@@ -118,8 +119,8 @@ def main() -> None:
     # start immediately so the suite's makespan is their runtime, not
     # their runtime plus whatever queued in front of them
     heavy = ["dedup_clusters_star", "dedup_clusters", "sim_ivf",
-             "sessionize_stream", "term_salience", "dedup_ngram",
-             "dedup_simhash", "dedup_minhash", "dedup_stream",
+             "sessionize_stream", "stream_join_outer", "term_salience",
+             "dedup_ngram", "dedup_simhash", "dedup_minhash", "dedup_stream",
              "embed_neardup", "sim_topk", "sim_lsh", "pack_chunks",
              "sessionize", "mm_features", "stream_hourly", "join_range",
              "decontaminate", "token_count", "emb_quantize"]

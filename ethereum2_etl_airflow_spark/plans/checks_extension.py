@@ -910,6 +910,67 @@ ORDER BY c.user_id, click_id, purchase_id
 """
 
 
+def ensure_stream_join_outer_source(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the outer-join check's two-file source (idempotent
+    per sf_dir): the click/purchase subset of events, then a sentinel
+    click+purchase pair (user −1) far enough past the horizon
+    (within 1 h + watermark 2 h + margin) that the advancing watermark
+    closes over every real click — so every unmatched click's null row
+    is emitted before availableNow terminates, making the streaming
+    result equal the batch left join (the oracle)."""
+    import hashlib
+    import os
+    from datetime import timedelta
+
+    src = os.path.join(
+        "/tmp", f"e2etl_ssjo_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS2")):
+        ev = (load_table(spark, sf_dir, "events")
+              .where(F.col("event_type").isin("click", "purchase"))
+              .select("event_id", "user_id", "event_type", "ts"))
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]  # bounded: 1 row
+        flush_ts = max_ts + timedelta(hours=4)
+        sentinel = spark.createDataFrame(
+            [(-10, -1, "click", flush_ts), (-11, -1, "purchase", flush_ts)],
+            ev.schema)
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        open(os.path.join(src, "_SUCCESS2"), "w").close()
+    return src
+
+
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: clicks with a purchase within 1 h
+    match; clicks without one emit a null-extended row once the
+    watermark proves no match can arrive.  The sentinel file closes the
+    watermark over all real data, so the emitted set is exactly the
+    batch left join — oracle-checked, nulls included."""
+    from ..streaming.join import (attribution_join_outer,
+                                  run_append_available_now)
+
+    src = ensure_stream_join_outer_source(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = run_append_available_now(attribution_join_outer(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase")), spark)
+    return (out.where(F.col("user_id") >= 0)   # drop the sentinel pair
+            .orderBy("user_id", "click_id", "purchase_id"))
+
+
+ORACLE_STREAM_JOIN_OUTER = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       CAST(c.ts AS TIMESTAMP) AS click_ts,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts
+FROM events c LEFT JOIN events p
+  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+ORDER BY c.user_id, click_id, purchase_id
+"""
+
+
 def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time window (1 h window, 30 min slide) — the same
     ``F.window`` operator streaming uses, exercised in batch where the
@@ -1004,6 +1065,7 @@ ORDER BY doc_id, sent_idx
 
 EXTENSION_CHECKS: dict[str, tuple] = {
     "stream_join": (q_stream_join, ORACLE_STREAM_JOIN),
+    "stream_join_outer": (q_stream_join_outer, ORACLE_STREAM_JOIN_OUTER),
     "window_sliding": (q_window_sliding, ORACLE_WINDOW_SLIDING),
     "session_window": (q_session_window, ORACLE_SESSION_WINDOW),
     "udtf_sentences": (q_udtf_sentences, ORACLE_UDTF_SENTENCES),

@@ -19,15 +19,27 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["attribution_join", "run_append_available_now"]
+__all__ = ["attribution_join", "attribution_join_outer",
+           "run_append_available_now"]
 
 
 def attribution_join(clicks: DataFrame, purchases: DataFrame,
                      within: str = "1 hour",
-                     watermark: str = "2 hours") -> DataFrame:
-    """Inner join: each purchase matched to every click by the same user
-    in the ``within`` window before it (inclusive bounds).  Output:
+                     watermark: str = "2 hours",
+                     how: str = "inner") -> DataFrame:
+    """Join each purchase to every click by the same user in the
+    ``within`` window before it (inclusive bounds).  Output:
     (user_id, click_id, purchase_id, click_ts, purchase_ts).
+
+    ``how="inner"`` emits matches as they arrive.  ``how="leftOuter"``
+    additionally emits every unmatched click with NULL purchase columns
+    — in streaming mode the null row is emitted only once the global
+    watermark passes ``click_ts + within`` (the engine must prove no
+    future purchase can still match before it finalizes the miss), so
+    unmatched clicks inside the open watermark horizon are withheld, not
+    dropped: they surface when the watermark closes over them.  State
+    for both modes is bounded by the watermark horizon via the
+    time-bound join condition.
 
     Watermarks are applied only to streaming inputs (a batch DataFrame
     rejects them); the join condition is identical in both modes.
@@ -50,12 +62,22 @@ def attribution_join(clicks: DataFrame, purchases: DataFrame,
         & (p["purchase_ts"] >= c["click_ts"])
         & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {within}"))
     )
-    return (c.join(p, cond, "inner")
+    return (c.join(p, cond, how)
             .select(F.col("click_user").alias("user_id"),
                     F.col("click_id"), F.col("purchase_id"),
                     F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
                     F.col("purchase_ts").cast("timestamp_ntz")
                     .alias("purchase_ts")))
+
+
+def attribution_join_outer(clicks: DataFrame, purchases: DataFrame,
+                           within: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Left-outer attribution: every click emits — matched within the
+    window, or null-extended once the watermark proves no match can
+    arrive.  See :func:`attribution_join` for the emission contract."""
+    return attribution_join(clicks, purchases, within=within,
+                            watermark=watermark, how="leftOuter")
 
 
 def run_append_available_now(stream_df: DataFrame,

@@ -418,3 +418,58 @@ def test_hourly_stream_resumes_from_checkpoint(spark, tmp_path):
     write_file(b2, 1)
     second = run_once("hr_run2")
     assert sorted(second.values()) == [(1, 3, 3), (2, 1, 2)]
+
+
+def test_attribution_outer_withholds_until_watermark(spark, tmp_path):
+    """Left-outer emission contract: an unmatched click is WITHHELD
+    while the watermark could still admit a match, and emitted
+    null-extended once the watermark passes click_ts + within.  Also
+    pins state eviction: matched rows emit immediately in both runs."""
+    import glob
+    import os
+    import shutil
+
+    from ethereum2_etl_airflow_spark.streaming.join import (
+        attribution_join_outer, run_append_available_now)
+
+    def mk(rows):
+        return (spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts_s string")
+            .select("event_id", "user_id", "event_type",
+                    F.to_timestamp("ts_s").alias("ts")))
+
+    # u1 click unmatched; u2 click matched at +30m
+    real = mk([(100, 1, "click", "2024-01-01 10:00:00"),
+               (101, 2, "click", "2024-01-01 10:00:00"),
+               (200, 2, "purchase", "2024-01-01 10:30:00")])
+    # watermark delay 2 h, join bound 1 h: u1 evictable once the
+    # max event time passes t0 + 3 h
+    near = mk([(-10, -1, "click", "2024-01-01 12:00:00"),
+               (-11, -1, "purchase", "2024-01-01 12:00:00")])
+    far = mk([(-20, -2, "click", "2024-01-01 16:00:00"),
+              (-21, -2, "purchase", "2024-01-01 16:00:00")])
+
+    def run(files, tag):
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src)
+        for i, df in enumerate(files):
+            tmp = str(tmp_path / f"tmp_{tag}_{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            dest = os.path.join(src, f"{i:03d}.parquet")
+            shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], dest)
+            os.utime(dest, (1_700_000_000 + i * 10,) * 2)
+        stream = (spark.readStream.schema(real.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = run_append_available_now(attribution_join_outer(
+            stream.where("event_type='click'"),
+            stream.where("event_type='purchase'")), spark)
+        return {(r["user_id"], r["click_id"], r["purchase_id"])
+                for r in out.collect()}
+
+    # watermark tops out at t0 (12:00 − 2 h): u1 withheld, match emitted
+    got = run([real, near], "open")
+    assert (2, 101, 200) in got
+    assert not any(u == 1 for u, _, _ in got)
+    # watermark reaches t0 + 2 h > t0 + 1 h: u1's null row flushes
+    got = run([real, near, far], "closed")
+    assert (2, 101, 200) in got and (1, 100, None) in got
