@@ -28,7 +28,7 @@ partition column).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 __all__ = ["derive_block_date", "load_table", "write_partitioned",
            "compute_meta", "write_meta", "write_latest_snapshot",
@@ -246,6 +246,28 @@ def latest_by_key(df: DataFrame, key_cols: list[str],
     top = df.groupBy(*key_cols).agg(F.max(ordered).alias("__top"))
     return top.select(*key_cols,
                       *[F.col(f"__top.{c}").alias(c) for c in payload])
+
+
+def scd2_intervals(df: DataFrame, key_cols: list[str],
+                   order_cols: list[str], from_col: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) history build: each
+    change row becomes a versioned interval — ``valid_from`` = its own
+    ``from_col``, ``valid_to`` = the NEXT change's ``from_col`` within
+    the key (NULL = still current), ``is_current`` flags the open row.
+    The companion of :func:`latest_by_key`: that keeps only the newest
+    version; this keeps them all, queryable as-of any time with
+    ``valid_from <= t AND (valid_to IS NULL OR valid_to > t)``.
+
+    Plan shape: one shuffle on the key, one ``lead()`` window sorted
+    within the key — per-key work is bounded by that key's version
+    count, the minimum any interval construction needs; nothing global.
+    ``order_cols`` must totally order versions within a key (timestamp
+    + change id) or intervals are nondeterministic."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c) for c in order_cols])
+    return (df.withColumn("valid_from", F.col(from_col))
+            .withColumn("valid_to", F.lead(from_col).over(w))
+            .withColumn("is_current", F.col("valid_to").isNull()))
 
 
 def ctas(spark: SparkSession, sql: str, dest_path: str) -> DataFrame:

@@ -23,7 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["stratified_sample", "hash_fraction_sample"]
+__all__ = ["stratified_sample", "hash_fraction_sample", "shuffle_key",
+           "shuffle_deterministic", "weighted_mix", "sample_exact_n"]
 
 
 def stratified_sample(df: DataFrame, group_col: str, n: int,
@@ -44,3 +45,72 @@ def hash_fraction_sample(df: DataFrame, keep_lt_hex: str,
     prefix = F.substring(F.md5(F.col(id_col).cast("string")),
                          1, len(keep_lt_hex))
     return df.where(prefix < F.lit(keep_lt_hex.lower()))
+
+
+def shuffle_key(seed: str, id_col: str = "doc_id") -> F.Column:
+    """The deterministic shuffle order key: ``md5(seed || ':' || id)``.
+    A new seed is a completely new permutation; the same seed is the
+    same total order on any engine, any partitioning, any run."""
+    return F.md5(F.concat(F.lit(seed), F.lit(":"),
+                          F.col(id_col).cast("string")))
+
+
+def shuffle_deterministic(df: DataFrame, seed: str,
+                          id_col: str = "doc_id",
+                          key_col: str = "shuffle_key") -> DataFrame:
+    """Seeded global shuffle for training-data ordering: append the
+    :func:`shuffle_key` and lay rows out in that order (range partition
+    + in-partition sort, the write-side shape — every output file covers
+    a disjoint key range, so concatenating files in filename-key order
+    IS the permutation).
+
+    Why not ``ORDER BY rand(seed)``: Spark's rand is deterministic only
+    per partition *layout*, so the same corpus laid out differently
+    shuffles differently — md5 keys survive re-partitioning, engine
+    swaps, and incremental appends (new rows interleave into the same
+    permutation).  One range shuffle, no global single-task sort, no
+    row_number funnel."""
+    keyed = df.withColumn(key_col, shuffle_key(seed, id_col))
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return keyed.repartitionByRange(n, key_col).sortWithinPartitions(key_col)
+
+
+def weighted_mix(df: DataFrame, weights: dict[str, float],
+                 group_col: str = "source", seed: str = "mix",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic dataset mixing: keep each row of group ``g`` with
+    probability ``weights[g]`` (groups absent from ``weights`` drop) —
+    the per-source subsampling step that hits a target corpus mixture.
+
+    Mechanism: the row survives iff the first 4 hex chars of its seeded
+    md5 sort below ``floor(weight·65536)`` as a 4-digit hex literal —
+    1/65536 rate granularity, stateless, no shuffle, layout-invariant,
+    and reproducible cross-engine (the oracle replays it verbatim).
+    Weights must be in [0, 1]; 1.0 keeps everything (threshold ``'g'``
+    — the comparison is LEXICOGRAPHIC on hex strings, so the
+    keep-everything sentinel must sort above ``'ffff'``, which a
+    numeric-looking ``'10000'`` would not)."""
+    for g, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {g!r} must be in [0,1], got {w}")
+    prefix = F.substring(shuffle_key(seed, id_col), 1, 4)
+    thr = F.lit("")  # unknown group: empty threshold, nothing survives
+    expr = None
+    for g, w in sorted(weights.items()):
+        lit = F.lit(format(int(w * 65536), "04x") if w < 1.0 else "g")
+        expr = (F.when(F.col(group_col) == g, lit) if expr is None
+                else expr.when(F.col(group_col) == g, lit))
+    thr = expr.otherwise(thr) if expr is not None else thr
+    return df.where(prefix < thr)
+
+
+def sample_exact_n(df: DataFrame, n: int, id_col: str = "doc_id",
+                   key_col: str = "sample_key") -> DataFrame:
+    """Exactly-``n`` deterministic global sample: the n smallest
+    ``md5(id)`` rows — the reservoir-sampling result, without reservoir
+    state.  ``orderBy(key).limit(n)`` compiles to TakeOrderedAndProject
+    (per-partition top-n, then a driver-side merge of n·P candidates) —
+    no global sort, no single-task funnel."""
+    key = F.md5(F.col(id_col).cast("string"))
+    return (df.withColumn(key_col, key)
+            .orderBy(key_col, id_col).limit(n))

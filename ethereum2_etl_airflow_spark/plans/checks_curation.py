@@ -416,7 +416,91 @@ ORDER BY event_id
 """
 
 
+# --- deterministic global shuffle -----------------------------------------
+
+def q_shuffle_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded md5 shuffle: the (doc, key) assignment IS the permutation
+    (total order by key); the range-partitioned layout is asserted in
+    tests/test_plans.py."""
+    from ..operators.sampling import shuffle_deterministic
+
+    out = shuffle_deterministic(_docs(spark, sf_dir), seed="s42")
+    return out.select("doc_id", "shuffle_key").orderBy("shuffle_key")
+
+
+ORACLE_SHUFFLE_DET = """
+SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents ORDER BY shuffle_key
+"""
+
+
+# --- weighted dataset mixing ----------------------------------------------
+
+def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixture: en 50 %, de 100 %, fr 10 %, zh 0 (absent
+    from the weights map), es ~31.4 % — exercises the full-keep
+    sentinel, a fractional threshold, and the drop-unlisted default."""
+    from ..operators.sampling import weighted_mix
+
+    out = weighted_mix(_docs(spark, sf_dir),
+                       {"en": 0.5, "de": 1.0, "fr": 0.1, "es": 0.314},
+                       group_col="lang", seed="mix")
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+ORACLE_MIX_WEIGHTED = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN 'g'
+                  WHEN 'fr' THEN '1999' WHEN 'es' THEN '5062'
+                  ELSE '' END
+ORDER BY doc_id
+"""
+
+
+# --- exact-n deterministic sample ------------------------------------------
+
+def q_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sample_exact_n
+
+    return (sample_exact_n(_docs(spark, sf_dir), n=200)
+            .select("doc_id", "sample_key").orderBy("sample_key"))
+
+
+ORACLE_SAMPLE_EXACT_N = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+FROM documents ORDER BY sample_key, doc_id LIMIT 200
+"""
+
+
+# --- SCD2 interval history --------------------------------------------------
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.load import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    out = scd2_intervals(ev, ["user_id"], ["ts", "event_id"], "ts")
+    return (out.select("user_id", "event_id", "event_type",
+                       "valid_from", "valid_to", "is_current")
+            .orderBy("user_id", "valid_from", "event_id"))
+
+
+ORACLE_SCD2_INTERVALS = """
+SELECT user_id, event_id, event_type,
+       CAST(ts AS TIMESTAMP) AS valid_from,
+       CAST(LEAD(ts) OVER w AS TIMESTAMP) AS valid_to,
+       (LEAD(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, valid_from, event_id
+"""
+
+
 CURATION_CHECKS: dict[str, tuple] = {
+    "shuffle_det": (q_shuffle_det, ORACLE_SHUFFLE_DET),
+    "mix_weighted": (q_mix_weighted, ORACLE_MIX_WEIGHTED),
+    "sample_exact_n": (q_sample_exact_n, ORACLE_SAMPLE_EXACT_N),
+    "scd2_intervals": (q_scd2_intervals, ORACLE_SCD2_INTERVALS),
     "winsorize": (q_winsorize, ORACLE_WINSORIZE),
     "merge_latest": (q_merge_latest, ORACLE_MERGE_LATEST),
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),

@@ -970,7 +970,38 @@ FROM embeddings ORDER BY vec_id
 """
 
 
+# --- TPC-H Q13 shape: outer-join count distribution ------------------------
+
+def q_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13's two-level aggregation: per-customer order counts through a
+    filtered LEFT join (customers with no qualifying order count 0),
+    then the distribution of those counts.  Exercises outer join with an
+    ON-clause filter (NOT a WHERE — that would drop the zeros) feeding a
+    second aggregation.  Both groupBys partial-aggregate; the second
+    input is |customers| rows, the distribution output is tiny."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (c.join(o, (c["c_custkey"] == o["o_custkey"])
+                       & (o["o_orderpriority"] != "1-URGENT"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+ORACLE_Q13 = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) t
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
 RELATIONAL_CHECKS: dict[str, tuple] = {
+    "q13_custdist": (q_q13_custdist, ORACLE_Q13),
     "window_firstlast": (q_window_firstlast, ORACLE_WINDOW_FIRSTLAST),
     "array_hof": (q_array_hof, ORACLE_ARRAY_HOF),
     "histogram": (q_histogram, ORACLE_HISTOGRAM),

@@ -234,3 +234,90 @@ def test_contamination_score_consistent_with_pairs(spark, sf_dir):
         assert scores[t][0] >= 2
     # every train doc scored, hits never exceed totals
     assert all(h <= n for h, n in scores.values())
+
+
+def test_shuffle_deterministic_layout_and_permutation(spark, sf_dir):
+    """Same seed → same total order regardless of input layout; new
+    seed → different permutation; output partitions cover disjoint key
+    ranges (file-concatenation order IS the shuffle order)."""
+    from ethereum2_etl_airflow_spark.operators.sampling import (
+        shuffle_deterministic)
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = shuffle_deterministic(docs, "s1")
+    b = shuffle_deterministic(docs.repartition(7), "s1")
+    order_a = [r["doc_id"] for r in a.orderBy("shuffle_key").collect()]
+    order_b = [r["doc_id"] for r in b.orderBy("shuffle_key").collect()]
+    assert order_a == order_b  # layout-invariant
+    c = [r["doc_id"] for r in shuffle_deterministic(docs, "s2")
+         .orderBy("shuffle_key").collect()]
+    assert c != order_a        # seed is a fresh permutation
+    # range layout: per-partition [min,max] key spans don't overlap
+    spans = (a.select("shuffle_key", F.spark_partition_id().alias("pid"))
+             .groupBy("pid").agg(F.min("shuffle_key").alias("lo"),
+                                 F.max("shuffle_key").alias("hi"))
+             .orderBy("lo").collect())
+    for prev, cur in zip(spans, spans[1:]):
+        assert prev["hi"] <= cur["lo"]
+
+
+def test_weighted_mix_rates_and_edges(spark, sf_dir):
+    """Weight 1.0 keeps the whole group, unlisted groups drop, and a
+    fractional weight lands near its target rate."""
+    from ethereum2_etl_airflow_spark.operators.sampling import weighted_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_mix(docs, {"de": 1.0, "en": 0.5}, group_col="lang")
+    by_lang = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = {r["lang"]: r["n"] for r in
+           docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["de"] == tot["de"]               # full keep
+    assert set(by_lang) == {"de", "en"}             # zh/fr/es dropped
+    assert 0.25 * tot["en"] < by_lang["en"] < 0.75 * tot["en"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        weighted_mix(docs, {"en": 1.5}, group_col="lang")
+
+
+def test_sample_exact_n_is_prefix_of_larger_sample(spark, sf_dir):
+    """Determinism + nesting: the n=50 sample is exactly the first 50 of
+    the n=200 sample (hash order is a fixed global ranking)."""
+    from ethereum2_etl_airflow_spark.operators.sampling import sample_exact_n
+
+    docs = load_table(spark, sf_dir, "documents")
+    s50 = [r["doc_id"] for r in
+           sample_exact_n(docs, 50).orderBy("sample_key").collect()]
+    s200 = [r["doc_id"] for r in
+            sample_exact_n(docs, 200).orderBy("sample_key").collect()]
+    assert len(s50) == 50 and len(s200) == 200
+    assert s200[:50] == s50
+
+
+def test_scd2_intervals_tile_the_timeline(spark):
+    """Per key: intervals are contiguous (valid_to == next valid_from),
+    exactly one open current row, and an as-of probe at any boundary
+    resolves to exactly one version."""
+    from ethereum2_etl_airflow_spark.operators.load import scd2_intervals
+
+    rows = [(1, 10, "a", "2024-01-01 00:00:00"),
+            (1, 11, "b", "2024-01-02 00:00:00"),
+            (1, 12, "c", "2024-01-05 00:00:00"),
+            (2, 20, "x", "2024-01-03 00:00:00")]
+    df = (spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_s string")
+        .select("user_id", "event_id", "event_type",
+                F.to_timestamp("ts_s").alias("ts")))
+    out = scd2_intervals(df, ["user_id"], ["ts", "event_id"], "ts")
+    u1 = sorted([r for r in out.collect() if r["user_id"] == 1],
+                key=lambda r: r["valid_from"])
+    assert [r["event_id"] for r in u1] == [10, 11, 12]
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    # as-of probe: 2024-01-03 lands inside version 11's interval
+    asof = out.where(
+        (F.col("user_id") == 1)
+        & (F.col("valid_from") <= "2024-01-03")
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > "2024-01-03")))
+    assert [r["event_id"] for r in asof.collect()] == [11]

@@ -214,3 +214,26 @@ def test_sim_ivf_plan_has_no_python_assignment(spark, sf_dir):
             assert marker not in plan
     finally:
         nv.unpersist()
+
+
+def test_sample_exact_n_avoids_global_sort(spark, sf_dir):
+    from ethereum2_etl_airflow_spark.operators.sampling import sample_exact_n
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    plan = plan_string(sample_exact_n(load_table(spark, sf_dir, "documents"),
+                                      100), "simple")
+    assert "TakeOrderedAndProject" in plan, "global sort for exact-n sample"
+
+
+def test_weighted_mix_is_narrow(spark, sf_dir):
+    """The mixing filter must stay a scan-side predicate: no Exchange,
+    no Python workers."""
+    from ethereum2_etl_airflow_spark.operators.sampling import weighted_mix
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    plan = plan_string(weighted_mix(load_table(spark, sf_dir, "documents"),
+                                    {"en": 0.5}, group_col="lang"), "simple")
+    for marker in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
