@@ -12,6 +12,7 @@ from .checks_curation import CURATION_CHECKS
 from .checks_extension import EXTENSION_CHECKS
 from .checks_reference import REFERENCE_CHECKS
 from .checks_relational import RELATIONAL_CHECKS
+from .checks_tpch import TPCH_CHECKS
 
 __all__ = ["all_checks", "spark_queries", "oracle_sqls"]
 
@@ -23,6 +24,7 @@ def all_checks() -> dict[str, tuple]:
     out: dict[str, tuple] = {}
     out.update(REFERENCE_CHECKS)
     out.update(RELATIONAL_CHECKS)
+    out.update(TPCH_CHECKS)
     out.update(EXTENSION_CHECKS)
     out.update(CURATION_CHECKS)
     return out
