@@ -38,6 +38,7 @@ __all__ = [
     "ngram_jaccard_pairs", "contamination_pairs",
     "minhash_near_dups", "simhash_signature", "simhash_candidates",
     "cosine_near_dup_pairs", "incremental_new_docs", "contamination_score",
+    "dedup_chunks",
 ]
 
 
@@ -450,3 +451,44 @@ def cosine_near_dup_pairs(emb: DataFrame, block_col: str = "label",
              .select(block_col, "id_a", "id_b",
                      F.col("cos9").cast("double").alias("cosine")))
     return finalize_release(final, nv)
+
+
+def dedup_chunks(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", chunk_words: int = 4) -> DataFrame:
+    """Segment-level exact dedup (the C4/RefinedWeb "remove repeated
+    lines across documents" pass, adapted to unpunctuated corpora):
+    split each document into fixed ``chunk_words``-word segments, keep
+    only the globally-first occurrence of each distinct segment (first
+    by (id, position)), and reassemble the survivors in document order.
+
+    Output: one row per document that retains ≥1 segment —
+    (id, clean_text, n_kept, n_chunks).
+
+    Scale shape: two shuffles total.  Segments shuffle once on the
+    segment text (uniform keys — fixed-width word windows, no
+    empty-string hot key), where a map-side-combining ``min(struct(id,
+    idx))`` picks the canonical occurrence; survivors shuffle once back
+    on the id for reassembly.  No window over the full corpus, no
+    driver-side state.  At 100 TB the segment agg is the cost center
+    and it partial-aggregates before the exchange."""
+    words = F.split(F.col(text_col), " ")
+    seg = (docs.select(id_col, F.posexplode(words).alias("pos", "word"))
+           .groupBy(F.col(id_col),
+                    F.floor(F.col("pos") / chunk_words).alias("chunk_idx"))
+           .agg(F.array_join(
+               F.transform(F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                           lambda x: x["word"]), " ").alias("chunk")))
+    wins = (seg.groupBy("chunk")
+            .agg(F.min(F.struct(id_col, "chunk_idx")).alias("keep"),
+                 F.count("*").alias("n_copies")))
+    kept = (seg.join(wins, "chunk")
+            .where((F.col(id_col) == F.col(f"keep.{id_col}"))
+                   & (F.col("chunk_idx") == F.col("keep.chunk_idx"))))
+    per_doc_total = (seg.groupBy(id_col)
+                     .agg(F.count("*").alias("n_chunks")))
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                            lambda x: x["chunk"]), " ").alias("clean_text"),
+                F.count("*").alias("n_kept"))
+            .join(per_doc_total, id_col))

@@ -1099,3 +1099,40 @@ EXTENSION_CHECKS: dict[str, tuple] = {
     "mm_features": (q_mm_features, None),
     "stream_hourly": (q_stream_hourly, ORACLE_STREAM_HOURLY),
 }
+
+
+# --- segment-level corpus dedup (C4-style line dedup) ---------------------
+
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide segment dedup: 4-word segments, first occurrence (by
+    (doc_id, position)) wins, survivors reassembled per doc.  See
+    operators.dedup.dedup_chunks for the two-shuffle scale shape."""
+    from ..operators.dedup import dedup_chunks
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_chunks(docs, chunk_words=4).orderBy("doc_id")
+
+
+ORACLE_DEDUP_CHUNKS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+seg AS (
+  SELECT doc_id, CAST(FLOOR((i - 1) / 4) AS BIGINT) AS chunk_idx,
+         string_agg(words[i], ' ' ORDER BY i) AS chunk
+  FROM w, UNNEST(range(1, len(words) + 1)) AS t(i)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk
+                               ORDER BY doc_id, chunk_idx) AS rn
+  FROM seg),
+totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM seg GROUP BY 1)
+SELECT r.doc_id,
+       string_agg(r.chunk, ' ' ORDER BY r.chunk_idx) AS clean_text,
+       COUNT(*) AS n_kept, ANY_VALUE(t.n_chunks) AS n_chunks
+FROM ranked r JOIN totals t ON t.doc_id = r.doc_id
+WHERE r.rn = 1
+GROUP BY r.doc_id
+ORDER BY r.doc_id
+"""
+
+
+EXTENSION_CHECKS["dedup_chunks"] = (q_dedup_chunks, ORACLE_DEDUP_CHUNKS)

@@ -1042,3 +1042,76 @@ RELATIONAL_CHECKS: dict[str, tuple] = {
     "array_explode": (q_array_explode, ORACLE_ARRAY_EXPLODE),
     "str_fns": (q_str_fns, ORACLE_STR_FNS),
 }
+
+
+# --- hypertable-style multi-resolution time rollup ------------------------
+
+def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: daily AND hourly
+    event rollups in one pass via GROUPING SETS over two date_trunc
+    resolutions (one Expand + one shuffle — not two scans).  At scale
+    this is the materialized-rollup build: partial aggregation happens
+    map-side at the finest grain and the Expand only doubles the
+    aggregate input, never the scan."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value")
+    ev.createOrReplaceTempView("rt_events")
+    return spark.sql("""
+        SELECT day, hour, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM rt_events
+        GROUP BY GROUPING SETS ((day), (day, hour))
+        ORDER BY day, hour NULLS FIRST
+    """)
+
+
+ORACLE_ROLLUP_TIME = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((CAST(date_trunc('day', ts) AS TIMESTAMP)),
+                        (CAST(date_trunc('day', ts) AS TIMESTAMP),
+                         CAST(date_trunc('hour', ts) AS TIMESTAMP)))
+ORDER BY day, hour NULLS FIRST
+"""
+
+
+# --- time-range window frame (RANGE BETWEEN INTERVAL) ---------------------
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour sum — the RANGE (time-interval) frame,
+    complementing window_frame's ROWS frame.  Ordered by epoch
+    microseconds so the frame boundary is exact at µs resolution in
+    both engines; peers (equal timestamps) are included identically.
+    One shuffle on user_id; the running sum is a single in-partition
+    sort + streaming frame scan."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(-3_600_000_000, 0))
+    return (ev.select(
+        "event_id", "user_id", "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("rolling_1h"))
+        .orderBy("user_id", "ts", "event_id"))
+
+
+ORACLE_WINDOW_RANGE_FRAME = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rolling_1h
+FROM events
+ORDER BY user_id, ts, event_id
+"""
+
+
+RELATIONAL_CHECKS.update({
+    "rollup_time": (q_rollup_time, ORACLE_ROLLUP_TIME),
+    "window_range_frame": (q_window_range_frame, ORACLE_WINDOW_RANGE_FRAME),
+})

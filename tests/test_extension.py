@@ -350,3 +350,31 @@ def test_repetition_stats_planted_boilerplate(spark):
     assert got[3] == {"doc_id": 3, "n_tokens": 0, "n_distinct_tokens": 0,
                       "top_token_n": 0, "n_2grams": 0,
                       "n_distinct_2grams": 0, "top_2gram_n": 0}
+
+
+def test_dedup_chunks_identity_and_removal(spark):
+    """A corpus with one repeated 4-word segment: the later doc loses
+    exactly that segment; unique docs reassemble to their original
+    text verbatim."""
+    from ethereum2_etl_airflow_spark.operators.dedup import dedup_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"),
+         (2, "a b c d x y z w"),          # first segment duplicates doc 1's
+         (3, "p q r s t u v m")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup_chunks(docs, chunk_words=4).collect()}
+    assert out[1]["clean_text"] == "a b c d e f g h"
+    assert out[1]["n_kept"] == 2 and out[1]["n_chunks"] == 2
+    assert out[2]["clean_text"] == "x y z w"      # lost the duplicate head
+    assert out[2]["n_kept"] == 1 and out[2]["n_chunks"] == 2
+    assert out[3]["clean_text"] == "p q r s t u v m"
+
+
+def test_dedup_chunks_all_duplicate_doc_drops(spark):
+    from ethereum2_etl_airflow_spark.operators.dedup import dedup_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], ["doc_id", "text"])
+    rows = dedup_chunks(docs, chunk_words=4).collect()
+    assert [r["doc_id"] for r in rows] == [1]

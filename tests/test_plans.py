@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ethereum2_etl_airflow_spark.operators.load import derive_block_date
 from ethereum2_etl_airflow_spark.plans.explain import (
-    has_broadcast_join, partition_filters, pushed_filters,
+    has_broadcast_join, partition_filters, plan_string, pushed_filters,
     read_schema_columns,
 )
 from ethereum2_etl_airflow_spark.sources.testdata import load_table
@@ -237,3 +237,50 @@ def test_weighted_mix_is_narrow(spark, sf_dir):
                                     {"en": 0.5}, group_col="lang"), "simple")
     for marker in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan
+
+
+def test_tpch_top_k_shapes_avoid_global_sort(spark, sf_dir):
+    """Q10 (top-20 customers) and Q18 (top-100 orders) must compile their
+    ORDER BY ... LIMIT to TakeOrderedAndProject — per-partition heaps,
+    not a global sort-exchange."""
+    from ethereum2_etl_airflow_spark.plans.checks_tpch import (
+        q_q10_returns, q_q18_bigorders,
+    )
+
+    for q in (q_q10_returns, q_q18_bigorders):
+        assert "TakeOrderedAndProject" in plan_string(q(spark, sf_dir),
+                                                      "simple"), q.__name__
+
+
+def test_tpch_dims_broadcast(spark, sf_dir):
+    """The multi-way join composites must broadcast every dimension —
+    at 100 TB the only shuffles allowed are lineitem⋈orders legs."""
+    from ethereum2_etl_airflow_spark.plans.checks_tpch import (
+        q_q5_local, q_q8_share, q_q9_profit,
+    )
+
+    for q in (q_q5_local, q_q8_share, q_q9_profit):
+        assert has_broadcast_join(q(spark, sf_dir)), q.__name__
+
+
+def test_tpch_date_filters_push_to_scan(spark, sf_dir):
+    """Q4/Q5's order-date range predicates must reach the parquet scan
+    (row-group stats pruning at scale)."""
+    from ethereum2_etl_airflow_spark.plans.checks_tpch import (
+        q_q4_priority, q_q5_local,
+    )
+
+    for q in (q_q4_priority, q_q5_local):
+        pf = pushed_filters(q(spark, sf_dir))
+        assert any("o_orderdate" in f for f in pf), (q.__name__, pf)
+
+
+def test_q21_self_joins_stay_equi_hash(spark, sf_dir):
+    """Q21's semi+anti self-join legs must join hash-equi on l_orderkey
+    with the <> conjunct as a residual — never a CartesianProduct (the
+    nested-loop fallback would be quadratic in lines-per-order at
+    scale)."""
+    from ethereum2_etl_airflow_spark.plans.checks_tpch import q_q21_waiting
+
+    plan = plan_string(q_q21_waiting(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan
