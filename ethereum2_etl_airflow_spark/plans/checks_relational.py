@@ -1101,7 +1101,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_WINDOW_RANGE_FRAME = """
-SELECT event_id, user_id, ts,
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
             PARTITION BY user_id ORDER BY epoch_us(ts)
             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)

@@ -591,7 +591,8 @@ def q_q18_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q18 = """
-SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, o.o_totalprice,
        t.sum_qty
 FROM orders o
 JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
