@@ -1136,3 +1136,55 @@ ORDER BY r.doc_id
 
 
 EXTENSION_CHECKS["dedup_chunks"] = (q_dedup_chunks, ORACLE_DEDUP_CHUNKS)
+
+
+# --- stream-static enrichment join ----------------------------------------
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless stream-static join: the events stream enriched with the
+    customer dimension (broadcast), run to completion with availableNow.
+    No watermark, no state — every micro-batch is a fresh broadcast
+    join, so the streaming result equals the batch join exactly and the
+    batch SQL is a strict oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.testdata import ensure_runtime_conf, load_table
+    from ..streaming.enrich import enrich_with_dim
+    from ..streaming.join import run_append_available_now
+
+    ensure_runtime_conf(spark)
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"e2etl_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        except FileExistsError:
+            pass
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    dim = load_table(spark, sf_dir, "customer")
+    enriched = enrich_with_dim(
+        stream.select("event_id", "user_id", "event_type",
+                      F.col("ts").cast("timestamp").alias("ts")),
+        dim, "user_id", "c_custkey", ["c_mktsegment", "c_nationkey"])
+    out = run_append_available_now(enriched, spark)
+    return (out.select("event_id", "user_id", "event_type",
+                       F.col("ts").cast("timestamp_ntz").alias("ts"),
+                       "c_mktsegment", "c_nationkey")
+            .orderBy("event_id"))
+
+
+ORACLE_STREAM_ENRICH = """
+SELECT e.event_id, e.user_id, e.event_type, CAST(e.ts AS TIMESTAMP) AS ts,
+       c.c_mktsegment, c.c_nationkey
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY e.event_id
+"""
+
+
+EXTENSION_CHECKS["stream_enrich"] = (q_stream_enrich, ORACLE_STREAM_ENRICH)

@@ -1115,3 +1115,61 @@ RELATIONAL_CHECKS.update({
     "rollup_time": (q_rollup_time, ORACLE_ROLLUP_TIME),
     "window_range_frame": (q_window_range_frame, ORACLE_WINDOW_RANGE_FRAME),
 })
+
+
+# --- mergeable HLL sketches (incremental distinct) ------------------------
+
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: per-day HLL sketches unioned into a running distinct-
+    user estimate — the mergeable-sketch pattern that replaces exact
+    COUNT(DISTINCT) at 100 TB (per-partition sketches build map-side,
+    merge is a tiny binary union; an incremental pipeline stores the
+    per-day sketch and unions without rescanning history).  Estimates
+    are engine-specific, so no value oracle; the recall pytest bounds
+    the error vs the exact count instead."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.hll_sketch_agg("user_id").alias("sketch"),
+                  F.countDistinct("user_id").alias("exact_day")))
+    return (daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .alias("approx_total_users"),
+        F.sum("exact_day").alias("sum_daily_exact"),
+        F.count("*").alias("n_days")))
+
+
+RELATIONAL_CHECKS.update({
+    "hll_union": (q_hll_union, None),
+})
+
+
+# --- argmax/argmin aggregates (canonical-document pick) -------------------
+
+def q_agg_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection per group with max_by/min_by:
+    for each document source, the longest doc (ties broken by smaller
+    doc_id — the composite integer key is injective, so the pick is
+    total-ordered and both engines agree).  The argmax is a single
+    map-side-combining aggregate — no per-group sort, no window."""
+    docs = _t(spark, sf_dir, "documents")
+    big_key = F.col("n_chars") * F.lit(10_000_000) - F.col("doc_id")
+    small_key = F.col("n_chars") * F.lit(10_000_000) + F.col("doc_id")
+    return (docs.groupBy("source")
+            .agg(F.max_by(F.col("doc_id"), big_key).alias("longest_doc"),
+                 F.min_by(F.col("doc_id"), small_key).alias("shortest_doc"),
+                 F.max("n_chars").alias("max_chars"))
+            .orderBy("source"))
+
+
+ORACLE_AGG_MAXBY = """
+SELECT source,
+       arg_max(doc_id, n_chars * 10000000 - doc_id) AS longest_doc,
+       arg_min(doc_id, n_chars * 10000000 + doc_id) AS shortest_doc,
+       MAX(n_chars) AS max_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+RELATIONAL_CHECKS.update({
+    "agg_maxby": (q_agg_maxby, ORACLE_AGG_MAXBY),
+})

@@ -378,3 +378,18 @@ def test_dedup_chunks_all_duplicate_doc_drops(spark):
         [(1, "a b c d"), (2, "a b c d")], ["doc_id", "text"])
     rows = dedup_chunks(docs, chunk_words=4).collect()
     assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_hll_union_estimate_close_to_exact(spark, sf_dir):
+    """The unioned per-day sketches must estimate total distinct users
+    within HLL++ error (lgConfigK=12 default → ~2.5% std error; allow
+    5x slack)."""
+    from ethereum2_etl_airflow_spark.plans.checks_relational import q_hll_union
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    import pyspark.sql.functions as F
+
+    approx = q_hll_union(spark, sf_dir).collect()[0]["approx_total_users"]
+    exact = (load_table(spark, sf_dir, "events")
+             .agg(F.countDistinct("user_id")).collect()[0][0])
+    assert abs(approx - exact) <= max(2, 0.125 * exact), (approx, exact)

@@ -473,3 +473,14 @@ def test_attribution_outer_withholds_until_watermark(spark, tmp_path):
     # watermark reaches t0 + 2 h > t0 + 1 h: u1's null row flushes
     got = run([real, near, far], "closed")
     assert (2, 101, 200) in got and (1, 100, None) in got
+
+
+def test_enrich_with_dim_left_keeps_unmatched(spark):
+    from ethereum2_etl_airflow_spark.streaming.enrich import enrich_with_dim
+
+    facts = spark.createDataFrame([(1, 10), (2, 99)], ["fid", "k"])
+    dim = spark.createDataFrame([(10, "a")], ["dk", "attr"])
+    out = {r["fid"]: r["attr"]
+           for r in enrich_with_dim(facts, dim, "k", "dk", ["attr"],
+                                    how="left").collect()}
+    assert out == {1: "a", 2: None}
