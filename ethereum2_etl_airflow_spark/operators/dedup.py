@@ -464,28 +464,32 @@ def dedup_chunks(docs: DataFrame, text_col: str = "text",
     Output: one row per document that retains ≥1 segment —
     (id, clean_text, n_kept, n_chunks).
 
-    Scale shape: two shuffles total.  Segments shuffle once on the
-    segment text (uniform keys — fixed-width word windows, no
-    empty-string hot key), where a map-side-combining ``min(struct(id,
-    idx))`` picks the canonical occurrence; survivors shuffle once back
-    on the id for reassembly.  No window over the full corpus, no
-    driver-side state.  At 100 TB the segment agg is the cost center
-    and it partial-aggregates before the exchange."""
+    Scale shape: two shuffles total.  Segmentation itself is NARROW —
+    the word array is sliced into chunks with array HOFs (transform +
+    slice), no explode-then-regroup shuffle.  Segments then shuffle
+    once on the segment text (uniform keys — fixed-width word windows,
+    no empty-string hot key), where a map-side-combining
+    ``min(struct(id, idx))`` picks the canonical occurrence; survivors
+    shuffle once back on the id for reassembly.  No window over the
+    full corpus, no driver-side state."""
     words = F.split(F.col(text_col), " ")
-    seg = (docs.select(id_col, F.posexplode(words).alias("pos", "word"))
-           .groupBy(F.col(id_col),
-                    F.floor(F.col("pos") / chunk_words).alias("chunk_idx"))
-           .agg(F.array_join(
-               F.transform(F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                           lambda x: x["word"]), " ").alias("chunk")))
+    n_chunks_col = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks_col - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "))
+    seg = (docs.select(id_col, F.posexplode(chunks).alias("chunk_idx", "chunk"))
+           .withColumn("chunk_idx", F.col("chunk_idx").cast("bigint")))
     wins = (seg.groupBy("chunk")
             .agg(F.min(F.struct(id_col, "chunk_idx")).alias("keep"),
                  F.count("*").alias("n_copies")))
     kept = (seg.join(wins, "chunk")
             .where((F.col(id_col) == F.col(f"keep.{id_col}"))
                    & (F.col("chunk_idx") == F.col("keep.chunk_idx"))))
-    per_doc_total = (seg.groupBy(id_col)
-                     .agg(F.count("*").alias("n_chunks")))
+    # n_chunks is a narrow projection of the source (array arithmetic),
+    # not a re-aggregation of seg — one fewer exchange
+    per_doc_total = docs.select(id_col, n_chunks_col.cast("bigint")
+                                .alias("n_chunks"))
     return (kept.groupBy(id_col)
             .agg(F.array_join(
                 F.transform(F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),

@@ -284,3 +284,19 @@ def test_q21_self_joins_stay_equi_hash(spark, sf_dir):
 
     plan = plan_string(q_q21_waiting(spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_chunks_two_logical_shuffles(spark, sf_dir):
+    """Segmentation is narrow (array HOFs, no explode-then-regroup):
+    the whole operator plans at most 3 hash exchanges (chunk key,
+    survivor regroup, totals join) — a regression to the explode+
+    groupBy segmentation would add a fourth."""
+    import re
+
+    from ethereum2_etl_airflow_spark.operators.dedup import dedup_chunks
+
+    df = dedup_chunks(load_table(spark, sf_dir, "documents")
+                      .select("doc_id", "text"))
+    plan = plan_string(df, "simple")
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 3, plan
