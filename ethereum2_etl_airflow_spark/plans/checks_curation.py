@@ -518,3 +518,77 @@ CURATION_CHECKS: dict[str, tuple] = {
     "term_salience": (q_term_salience, ORACLE_TERM_SALIENCE),
     "emb_quantize": (q_emb_quantize, ORACLE_EMB_QUANTIZE),
 }
+
+
+# --- date-spine gap detection ---------------------------------------------
+
+def q_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gap detection over a generated date spine: one month
+    of days materialized from nothing (sequence + explode — row
+    generation without a source table), left-joined to daily order
+    counts so silent zero-days surface as 0 rather than vanishing.
+    Scale: the spine is tiny and broadcasts; the daily agg partial-
+    aggregates the fact side before its one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    spine = spark.sql("""
+        SELECT explode(sequence(TIMESTAMP'1995-01-01',
+                                TIMESTAMP'1995-01-31',
+                                INTERVAL 1 DAY)) AS day
+    """).select(F.col("day").cast("timestamp_ntz").alias("day"))
+    daily = (o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+             .agg(F.count("*").alias("n")))
+    return (F.broadcast(spine).join(daily, "day", "left")
+            .select("day", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"))
+            .orderBy("day"))
+
+
+ORACLE_GAP_DAYS = """
+WITH spine AS (
+  SELECT CAST(d AS TIMESTAMP) AS day
+  FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-01-31',
+                       INTERVAL 1 DAY) t(d)),
+daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                 COUNT(*) AS n
+          FROM orders GROUP BY 1)
+SELECT s.day, COALESCE(d.n, 0) AS n_orders
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+ORDER BY s.day
+"""
+
+
+# --- dataset profiling ----------------------------------------------------
+
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset profile (the 'dataset card' numbers): row count,
+    per-column distinct cardinalities, null counts, value range and
+    total text volume — all in a single aggregate, so the profile costs
+    one scan regardless of how many stats it carries.  Exact distincts
+    expand per-column; at 100 TB swap them for hll sketches
+    (see hll_union) without changing the shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.count(F.when(F.col("text").isNull(), 1)).alias("n_null_text"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"))
+
+
+ORACLE_PROFILE_STATS = """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(DISTINCT source) AS n_sources,
+       COUNT(CASE WHEN text IS NULL THEN 1 END) AS n_null_text,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+"""
+
+
+CURATION_CHECKS.update({
+    "gap_days": (q_gap_days, ORACLE_GAP_DAYS),
+    "profile_stats": (q_profile_stats, ORACLE_PROFILE_STATS),
+})
