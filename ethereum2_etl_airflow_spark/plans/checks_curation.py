@@ -9,7 +9,7 @@ no float-drift surface anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import curation as C
 from ..sources.testdata import load_table
@@ -591,4 +591,98 @@ FROM documents
 CURATION_CHECKS.update({
     "gap_days": (q_gap_days, ORACLE_GAP_DAYS),
     "profile_stats": (q_profile_stats, ORACLE_PROFILE_STATS),
+})
+
+
+# --- LOCF gap-fill (time-series interpolation) ----------------------------
+
+def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over an hourly spine: per user,
+    one day of hours generated from nothing, hourly observations (MAX
+    within the hour — a fully order-free reduction, so no timestamp
+    tie can diverge between engines) left-joined on, and missing hours
+    filled by `last(ignorenulls)` over an ordered per-user window — the
+    hypertable `locf()` / pandas `ffill` shape.  Scale: the spine is
+    |users|×24 (broadcast-built), the fill is one shuffle on user_id +
+    an in-partition sort; no state beyond the frame."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where((F.col("user_id") < 20)
+                 & (F.col("ts") < F.lit("2024-01-02").cast("timestamp_ntz"))))
+    users = ev.select("user_id").distinct()
+    hours = spark.sql("""
+        SELECT explode(sequence(TIMESTAMP'2024-01-01',
+                                TIMESTAMP'2024-01-01 23:00:00',
+                                INTERVAL 1 HOUR)) AS hour
+    """).select(F.col("hour").cast("timestamp_ntz").alias("hour"))
+    spine = users.crossJoin(F.broadcast(hours))
+    obs = (ev.groupBy("user_id",
+                      F.date_trunc("hour", F.col("ts")).alias("hour"))
+           .agg(F.max("value").alias("v")))
+    w = (Window.partitionBy("user_id").orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (spine.join(obs, ["user_id", "hour"], "left")
+            .select("user_id", "hour",
+                    F.last("v", ignorenulls=True).over(w).alias("filled"))
+            .orderBy("user_id", "hour"))
+
+
+ORACLE_LOCF_FILL = """
+WITH u AS (SELECT DISTINCT user_id FROM events
+           WHERE user_id < 20 AND ts < TIMESTAMP '2024-01-02'),
+spine AS (
+  SELECT u.user_id, CAST(h AS TIMESTAMP) AS hour
+  FROM u, generate_series(TIMESTAMP '2024-01-01',
+                          TIMESTAMP '2024-01-01 23:00:00',
+                          INTERVAL 1 HOUR) t(h)),
+obs AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         MAX(value) AS v
+  FROM events WHERE user_id < 20 AND ts < TIMESTAMP '2024-01-02'
+  GROUP BY 1, 2)
+SELECT s.user_id, s.hour,
+       last_value(o.v IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.hour) AS filled
+FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.hour = s.hour
+ORDER BY s.user_id, s.hour
+"""
+
+
+# --- map construction / access functions ----------------------------------
+
+def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per source, a lang→count map built with
+    map_from_entries, then queried with element_at / map_keys / size.
+    Only scalar projections of the map are emitted (map column layouts
+    are engine-specific; the scalars are not).  The oracle replicates
+    the semantics directly — it checks the map pipeline's answers, not
+    its representation."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    m = (per.groupBy("source")
+         .agg(F.map_from_entries(F.collect_list(F.struct("lang", "n")))
+              .alias("lang_map")))
+    return (m.select(
+        "source",
+        F.coalesce(F.element_at(F.col("lang_map"), "en"), F.lit(0))
+        .alias("n_en"),
+        F.size("lang_map").cast("bigint").alias("n_langs"),
+        F.array_join(F.array_sort(F.map_keys("lang_map")), ",")
+        .alias("langs_sorted"))
+        .orderBy("source"))
+
+
+ORACLE_MAP_FNS = """
+SELECT source,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       COUNT(DISTINCT lang) AS n_langs,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs_sorted
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+CURATION_CHECKS.update({
+    "locf_fill": (q_locf_fill, ORACLE_LOCF_FILL),
+    "map_fns": (q_map_fns, ORACLE_MAP_FNS),
 })

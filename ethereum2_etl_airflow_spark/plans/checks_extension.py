@@ -1188,3 +1188,51 @@ ORDER BY e.event_id
 
 
 EXTENSION_CHECKS["stream_enrich"] = (q_stream_enrich, ORACLE_STREAM_ENRICH)
+
+
+# --- integer-scaled PageRank (iterative algorithm, oracle-exact) ----------
+
+_PR_ITER_SQL = """
+SELECT n.node,
+       CAST(150000 + (85 * COALESCE(SUM(s.score // d.deg), 0)) // 100
+            AS BIGINT) AS score
+FROM pr_nodes n
+LEFT JOIN pr_edges e ON e.dst = n.node
+LEFT JOIN {prev} s ON s.node = e.src
+LEFT JOIN pr_outdeg d ON d.src = e.src
+GROUP BY n.node"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration integer PageRank over the bidirectional supplier↔part
+    co-occurrence graph (supplier ids offset to avoid key collision).
+    Exact integer math makes the iterative algorithm oracle-checkable
+    via unrolled CTE iterations — see operators.graph.pagerank_int."""
+    from ..operators.graph import pagerank_int
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (li.select((F.col("l_suppkey") + F.lit(10_000_000)).alias("s"),
+                       F.col("l_partkey").alias("p")).distinct())
+    edges = (pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+             .union(pairs.select(F.col("p").alias("src"),
+                                 F.col("s").alias("dst"))))
+    return (pagerank_int(edges, n_iter=3)
+            .orderBy(F.col("score").desc(), "node").limit(50))
+
+
+ORACLE_PAGERANK = f"""
+WITH pairs AS (SELECT DISTINCT l_suppkey + 10000000 AS s, l_partkey AS p
+               FROM lineitem),
+pr_edges AS (SELECT s AS src, p AS dst FROM pairs
+             UNION ALL SELECT p, s FROM pairs),
+pr_nodes AS (SELECT DISTINCT src AS node FROM pr_edges),
+pr_outdeg AS (SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY 1),
+s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM pr_nodes),
+i1 AS ({_PR_ITER_SQL.format(prev="s0")}),
+i2 AS ({_PR_ITER_SQL.format(prev="i1")}),
+i3 AS ({_PR_ITER_SQL.format(prev="i2")})
+SELECT node, score FROM i3 ORDER BY score DESC, node LIMIT 50
+"""
+
+
+EXTENSION_CHECKS["pagerank"] = (q_pagerank, ORACLE_PAGERANK)

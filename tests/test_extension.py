@@ -393,3 +393,21 @@ def test_hll_union_estimate_close_to_exact(spark, sf_dir):
     exact = (load_table(spark, sf_dir, "events")
              .agg(F.countDistinct("user_id")).collect()[0][0])
     assert abs(approx - exact) <= max(2, 0.125 * exact), (approx, exact)
+
+
+def test_pagerank_int_ring_uniform_and_star_hub(spark):
+    from ethereum2_etl_airflow_spark.operators.graph import pagerank_int
+
+    # 4-cycle: perfect symmetry => every node keeps the full scale score
+    ring = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], ["src", "dst"])
+    scores = {r["node"]: r["score"] for r in pagerank_int(ring, 3).collect()}
+    assert len(set(scores.values())) == 1
+    assert scores[0] == 1_000_000  # deg-1 cycle: score is conserved exactly
+
+    # star (leaves -> hub, hub -> leaves): the hub must dominate
+    star = spark.createDataFrame(
+        [(i, 99) for i in range(1, 6)] + [(99, i) for i in range(1, 6)],
+        ["src", "dst"])
+    s = {r["node"]: r["score"] for r in pagerank_int(star, 3).collect()}
+    assert s[99] > max(v for k, v in s.items() if k != 99)
