@@ -42,7 +42,7 @@ __all__ = [
     "EMAIL_RE", "IPV4_RE", "LONGNUM_RE", "pii_scrub", "heavy_hitters",
     "cap_per_key", "pack_offsets", "assign_folds", "term_salience",
     "quantize_embeddings", "bin_by_quantile", "outliers_p99", "funnel",
-    "winsorize",
+    "winsorize", "table_diff",
 ]
 
 # RE2- and Java-regex-identical patterns (no backrefs / lookaround):
@@ -370,3 +370,35 @@ def winsorize(events: DataFrame, group_col: str = "event_type",
 
     return (events.select(id_col, group_col, val_col)
             .groupBy(group_col).applyInPandas(clip, out_schema))
+
+
+def table_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+               cmp_cols: list[str]) -> DataFrame:
+    """Row-level reconciliation between two table versions — the
+    anti-entropy / migration-audit primitive: full outer join on the
+    key, rows classified added / removed / changed / same.
+
+    Content comparison uses a sha2 digest of the compared columns
+    (null-safe, unit-separator-delimited), so the shuffle carries a
+    32-byte hash per row instead of the full row width — at 100 TB
+    that's the difference between shuffling keys+digests and shuffling
+    both tables twice.  Classification by digest equals classification
+    by direct column comparison up to hash collision (2⁻²⁵⁶).
+    Output is a single summary row (n_added, n_removed, n_changed,
+    n_same); the pre-aggregation join is the only shuffle, and both
+    sides partial-project to (key, digest) before it."""
+    def digest(df: DataFrame) -> F.Column:
+        return F.sha2(F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                      for c in cmp_cols]), 256)
+
+    o = old.select(*key_cols, digest(old).alias("h_old"))
+    n = new.select(*key_cols, digest(new).alias("h_new"))
+    j = o.join(n, key_cols, "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("h_old").isNull(), 1)).alias("n_added"),
+        F.count(F.when(F.col("h_new").isNull(), 1)).alias("n_removed"),
+        F.count(F.when(F.col("h_old").isNotNull() & F.col("h_new").isNotNull()
+                       & (F.col("h_old") != F.col("h_new")), 1))
+        .alias("n_changed"),
+        F.count(F.when(F.col("h_old") == F.col("h_new"), 1)).alias("n_same"))

@@ -686,3 +686,55 @@ CURATION_CHECKS.update({
     "locf_fill": (q_locf_fill, ORACLE_LOCF_FILL),
     "map_fns": (q_map_fns, ORACLE_MAP_FNS),
 })
+
+
+# --- table version reconciliation -----------------------------------------
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy audit between two synthetic versions of orders:
+    v2 drops urgent orders (removed), bumps totalprice on 'P'-status
+    rows (changed) and appends offset-keyed copies (added).  The
+    operator classifies by content digest; the oracle classifies by
+    direct column comparison — identical counts up to hash collision."""
+    old = load_table(spark, sf_dir, "orders")
+    new = (old.where(F.col("o_orderpriority") != "1-URGENT")
+           .withColumn("o_totalprice",
+                       F.when(F.col("o_orderstatus") == "P",
+                              F.col("o_totalprice") + 1)
+                       .otherwise(F.col("o_totalprice")))
+           .unionByName(
+               old.where(F.col("o_orderkey") < 50)
+               .withColumn("o_orderkey",
+                           F.col("o_orderkey") + F.lit(100_000_000))))
+    return C.table_diff(old, new, ["o_orderkey"],
+                        ["o_totalprice", "o_orderstatus"])
+
+
+ORACLE_TABLE_DIFF = """
+WITH newv AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderpriority <> '1-URGENT'
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey < 50),
+j AS (
+  SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+         (o.o_totalprice IS DISTINCT FROM n.o_totalprice
+          OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus) AS diff
+  FROM orders o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
+SELECT COUNT(CASE WHEN ko IS NULL THEN 1 END) AS n_added,
+       COUNT(CASE WHEN kn IS NULL THEN 1 END) AS n_removed,
+       COUNT(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL AND diff
+                  THEN 1 END) AS n_changed,
+       COUNT(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL AND NOT diff
+                  THEN 1 END) AS n_same
+FROM j
+"""
+
+
+CURATION_CHECKS.update({
+    "table_diff": (q_table_diff, ORACLE_TABLE_DIFF),
+})
