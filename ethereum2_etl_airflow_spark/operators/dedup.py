@@ -37,6 +37,7 @@ __all__ = [
     "dedup_exact", "shingles", "shingles_of_tokens", "hashed_shingles",
     "ngram_jaccard_pairs", "contamination_pairs",
     "minhash_near_dups", "simhash_signature", "simhash_candidates",
+    "minhash_exact_pairs", "simhash_exact_pairs",
     "cosine_near_dup_pairs", "incremental_new_docs", "contamination_score",
     "dedup_chunks",
 ]
@@ -386,6 +387,134 @@ def simhash_candidates(sigs: DataFrame) -> DataFrame:
     dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return finalize_release(
         out.distinct().withColumn("hamming", dist.cast("int")), bands)
+
+
+def minhash_exact_pairs(docs: DataFrame, n_hashes: int = 8,
+                        band_rows: int = 2, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """X2 (portable-hash variant): MinHash-LSH candidate pairs with a
+    *bit-exact SQL oracle*.
+
+    The MLlib path (:func:`minhash_near_dups`) uses engine-private hash
+    functions, so it can only ever get a rows-only correctness check.
+    This variant derives the K-hash family from md5 — identical in every
+    engine — so the full LSH pipeline (shingle → signature → band →
+    bucket join) is exactly reproducible in ANSI SQL:
+
+      ``h_s(shingle) = md5(s || '|' || shingle)``, compared as hex
+      strings; the signature row s is the lexicographic min over the
+      document's distinct shingles.  Lexicographic min over a uniform
+      hex hash is order-isomorphic to numeric min over the 128-bit
+      value, so the usual MinHash Jaccard estimate carries over.
+
+    Banding: ``n_hashes / band_rows`` bands, band signature = the
+    comma-joined signature rows; docs sharing any band signature become
+    a candidate pair.  Returns ``(id_a, id_b, n_shared_bands)``.
+
+    Scale shape: explode distinct shingles, compute the K hashes in a
+    flat whole-stage-codegen projection (array HOF lambdas are
+    interpreted per element — measured 5x slower), then one map-side
+    combining groupBy(id) with K ``min`` aggregates builds every
+    signature in a single shuffle; one more explode to B band rows and
+    one equi-join on ``(band_id, band_sig)``.  Candidates form only
+    inside shared buckets — never an all-pairs join.  Degenerate
+    buckets (thousands of identical docs) are the classic LSH hot key;
+    run exact dedup (:func:`dedup_exact`) first so surviving bucket
+    sizes are bounded by true near-dup cluster width.
+    """
+    assert n_hashes % band_rows == 0
+    n_bands = n_hashes // band_rows
+    docs = ensure_parallelism(docs)
+    sets = (docs.select(F.col(id_col).alias("id"),
+                        F.array_distinct(shingles(F.col(text_col), n))
+                        .alias("shs"))
+            .where(F.size("shs") > 0))
+    ex = sets.select("id", F.explode("shs").alias("sh"))
+    sigs = ex.groupBy("id").agg(*[
+        F.min(F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("sh"))))
+        .alias(f"mh{s}") for s in range(n_hashes)])
+    bands = sigs.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.concat_ws(",", *[F.col(f"mh{b * band_rows + r}")
+                               for r in range(band_rows)])
+            for b in range(n_bands)]))
+        .alias("band_id", "band_sig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_shared_bands")))
+
+
+_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash_exact_pairs(docs: DataFrame, n_bits: int = 32,
+                        max_hamming: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dup pairs with a *bit-exact SQL oracle*.
+
+    The production path (:func:`simhash_signature`) packs 64-bit
+    signatures from xxhash64 with a numpy pandas-UDF — fast, but only
+    rows-only checkable.  This variant derives each token's bit vector
+    from its md5 hex digits (bit i = high bit of hex digit i, i.e.
+    digit ∈ 8..f), so any ANSI-SQL engine reproduces the signature
+    exactly:
+
+      ``bitsum_i = Σ_tokens cnt · (±1)``  (+ if digit i high, − else)
+      ``sig_i   = bitsum_i >= 0``  (32-char '0'/'1' string)
+
+    Token *frequency* weights (classic Charikar weighting).  Candidate
+    pairs via 4 equal-band equi-joins (8 chars per band — any pair with
+    Hamming ≤ 3 must share a band; we verify up to ``max_hamming``, so
+    banding is a recall-tuned prefilter exactly as in production LSH),
+    then the exact Hamming distance is computed per candidate.
+
+    Scale shape: token counting is one shuffle on (doc, token); the
+    32 bit sums are flat codegen projections feeding one map-side
+    combining groupBy(id) with 32 ``sum`` aggregates (array-HOF
+    formulations are interpreted per element — measured 3x slower);
+    banding joins replace the quadratic Hamming scan.
+    """
+    assert n_bits % 4 == 0
+    band_w = n_bits // 4
+    docs = ensure_parallelism(docs)
+    tc = (docs.select(F.col(id_col).alias("id"),
+                      F.explode(tokens(F.col(text_col))).alias("tok"))
+          .groupBy("id", "tok").agg(F.count("*").alias("cnt"))
+          .select("id", F.md5("tok").alias("h"), "cnt"))
+    sums = tc.groupBy("id").agg(*[
+        F.sum(F.when(F.substring("h", i, 1).isin(*_HEX_HIGH),
+                     F.col("cnt")).otherwise(-F.col("cnt")))
+        .alias(f"s{i}") for i in range(1, n_bits + 1)])
+    sigs = sums.select(
+        "id",
+        F.concat(*[F.when(F.col(f"s{i}") >= 0, F.lit("1")).otherwise("0")
+                   for i in range(1, n_bits + 1)]).alias("sig"))
+    bands = sigs.select(
+        "id", "sig",
+        *[F.substring("sig", i * band_w + 1, band_w).alias(f"band{i}")
+          for i in range(4)]).cache()
+    out = None
+    for i in range(4):
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (a.join(b, (F.col(f"a.band{i}") == F.col(f"b.band{i}"))
+                       & (F.col("a.id") < F.col("b.id")))
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"),
+                        F.col("a.sig").alias("sig_a"),
+                        F.col("b.sig").alias("sig_b")))
+        out = cand if out is None else out.unionByName(cand)
+    diffs = [F.when(F.substring("sig_a", i, 1)
+                    != F.substring("sig_b", i, 1), 1).otherwise(0)
+             for i in range(1, n_bits + 1)]
+    ham = sum(diffs[1:], diffs[0]).cast("long")
+    res = (out.distinct().withColumn("hamming", ham)
+           .where(F.col("hamming") <= max_hamming)
+           .select("id_a", "id_b", "hamming"))
+    return finalize_release(res, bands)
 
 
 def cosine_near_dup_pairs(emb: DataFrame, block_col: str = "label",

@@ -27,7 +27,7 @@ from ..functions.layout import ensure_parallelism, finalize_release
 from ..functions.vectors import dot_compact, with_normalized
 
 __all__ = ["topk_cosine_bruteforce", "partial_topk", "ann_ivf_topk",
-           "ann_lsh_candidates"]
+           "ann_lsh_candidates", "sparse_cosine_pairs"]
 
 
 def partial_topk(scored: DataFrame, k: int,
@@ -241,3 +241,60 @@ def ann_lsh_candidates(emb: DataFrame, query_ids: list[int], k: int = 10,
                           F.row_number().over(w).alias("rank"), "dist")
             .where(F.col("rank") <= k)
             .orderBy("query_id", "rank"))
+
+
+def sparse_cosine_pairs(docs: DataFrame, block_col: str = "source",
+                        threshold_millis: int = 500,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Document-pair cosine similarity over sparse token-count vectors,
+    computed through an inverted index — the sparse sibling of
+    :func:`..operators.dedup.cosine_near_dup_pairs`.
+
+    The dot product of two bag-of-words vectors only has contributions
+    from *shared* tokens, so joining the inverted index
+    ``token -> (doc, count)`` with itself and summing ``cnt_a * cnt_b``
+    per pair yields the EXACT dot product — no dense vectors ever
+    materialize.  Norms are exact integer sums of squares; the final
+    ``dot / (sqrt(na) * sqrt(nb))`` runs in correctly-rounded double on
+    integer inputs, so the score is bit-identical in any IEEE engine
+    (the property the SQL oracle relies on).
+
+    Scale shape: two shuffles — (doc, token) counting with map-side
+    combine, then the pair aggregation keyed on (id_a, id_b).  The
+    quadratic term is bounded by the blocking column (pairs only form
+    within a block); unblocked corpora should prefilter the index to
+    discriminative tokens (df cap / salience, cf.
+    :func:`..operators.curation.term_salience`) before pairing, trading
+    exactness of *candidate discovery* (never of surviving scores) for
+    linearity, exactly like the PPJoin prefix in
+    :func:`..operators.dedup.ngram_jaccard_pairs`.
+
+    Returns ``(id_a, id_b, dot, cosine)`` for pairs with
+    cosine >= threshold_millis/1000.
+    """
+    from .text import tokens
+
+    docs = ensure_parallelism(docs)
+    tc = (docs.select(F.col(block_col).alias("blk"),
+                      F.col(id_col).alias("id"),
+                      F.explode(tokens(F.col(text_col))).alias("tok"))
+          .groupBy("blk", "id", "tok").agg(F.count("*").alias("cnt"))
+          .cache())
+    norms = tc.groupBy("id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("nsq"))
+    a, b = tc.alias("a"), tc.alias("b")
+    dots = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.tok") == F.col("b.tok"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot")))
+    na, nb = norms.alias("na"), norms.alias("nb")
+    cos = (F.col("dot").cast("double")
+           / (F.sqrt(F.col("na.nsq").cast("double"))
+              * F.sqrt(F.col("nb.nsq").cast("double"))))
+    res = (dots.join(na, F.col("id_a") == F.col("na.id"))
+           .join(nb, F.col("id_b") == F.col("nb.id"))
+           .select("id_a", "id_b", "dot", cos.alias("cosine"))
+           .where(F.col("cosine") >= threshold_millis / 1000.0))
+    return finalize_release(res, tc)

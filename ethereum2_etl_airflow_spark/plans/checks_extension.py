@@ -1236,3 +1236,128 @@ SELECT node, score FROM i3 ORDER BY score DESC, node LIMIT 50
 
 
 EXTENSION_CHECKS["pagerank"] = (q_pagerank, ORACLE_PAGERANK)
+
+
+# --- portable-hash MinHash / SimHash (exact oracles) ----------------------
+# The MLlib MinHash and xxhash64 SimHash paths use engine-private hash
+# functions, so their checks are rows-only by nature.  These variants
+# derive the hash family from md5 — computable bit-identically in any
+# engine — which makes the ENTIRE LSH pipeline (shingle → signature →
+# band → bucket join → verify) exactly oracle-checkable.
+
+def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    return (D.minhash_exact_pairs(corpus, n_hashes=8, band_rows=2)
+            .orderBy("id_a", "id_b"))
+
+
+_MH_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(
+           (regexp_extract_all(lower(text), '[a-z0-9]+'))
+             [1:greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 5, 1)],
+           ' ')
+  FROM documents WHERE doc_id % 10 = 0)
+"""
+
+ORACLE_DEDUP_MINHASH_EXACT = f"""
+WITH {_MH_CORPUS},
+tk AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       FROM corpus),
+sh AS (
+  SELECT DISTINCT id, UNNEST(
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE [] END) AS sh
+  FROM tk),
+mh AS (SELECT id, s.seed, min(md5(s.seed::VARCHAR || '|' || sh)) AS mh
+       FROM sh CROSS JOIN generate_series(0, 7) s(seed)
+       GROUP BY id, s.seed),
+bands AS (SELECT id, seed // 2 AS band_id,
+                 string_agg(mh, ',' ORDER BY seed) AS band_sig
+          FROM mh GROUP BY id, seed // 2)
+SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+            AND a.id < b.id
+GROUP BY a.id, b.id
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    return (D.simhash_exact_pairs(corpus, max_hamming=2)
+            .orderBy("id_a", "id_b"))
+
+
+_SH_HAMMING = ("len(list_filter(range(1, 33), "
+               "i -> substr(sa, i, 1) != substr(sb, i, 1)))")
+
+ORACLE_DEDUP_SIMHASH_EXACT = f"""
+WITH {_MH_CORPUS},
+tk AS (SELECT doc_id AS id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       FROM corpus),
+tc AS (SELECT id, md5(tok) AS h, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM tk GROUP BY id, tok),
+bitsum AS (
+  SELECT id, g.i,
+         SUM(CASE WHEN substr(h, g.i, 1) IN ('8','9','a','b','c','d','e','f')
+                  THEN cnt ELSE -cnt END) AS s
+  FROM tc CROSS JOIN generate_series(1, 32) g(i)
+  GROUP BY id, g.i),
+sig AS (SELECT id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END,
+                              '' ORDER BY i) AS sig
+        FROM bitsum GROUP BY id),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM sig a JOIN sig b ON a.id < b.id AND (
+       substr(a.sig, 1, 8) = substr(b.sig, 1, 8)
+    OR substr(a.sig, 9, 8) = substr(b.sig, 9, 8)
+    OR substr(a.sig, 17, 8) = substr(b.sig, 17, 8)
+    OR substr(a.sig, 25, 8) = substr(b.sig, 25, 8)))
+SELECT id_a, id_b, CAST({_SH_HAMMING} AS BIGINT) AS hamming
+FROM cand
+WHERE {_SH_HAMMING} <= 2
+ORDER BY id_a, id_b
+"""
+
+
+def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (S.sparse_cosine_pairs(_docs(spark, sf_dir),
+                                  threshold_millis=650)
+            .orderBy("id_a", "id_b"))
+
+
+ORACLE_SPARSE_COSINE = """
+WITH tk AS (SELECT source AS blk, doc_id AS id,
+                   UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+            FROM documents),
+tc AS (SELECT blk, id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM tk GROUP BY blk, id, tok),
+norms AS (SELECT id, SUM(cnt * cnt) AS nsq FROM tc GROUP BY id),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, SUM(a.cnt * b.cnt) AS dot
+  FROM tc a JOIN tc b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+       CAST(dot AS DOUBLE)
+         / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+         AS cosine
+FROM dots JOIN norms na ON id_a = na.id JOIN norms nb ON id_b = nb.id
+WHERE CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+      >= 650 / 1000.0
+ORDER BY id_a, id_b
+"""
+
+
+EXTENSION_CHECKS["dedup_minhash_exact"] = (
+    q_dedup_minhash_exact, ORACLE_DEDUP_MINHASH_EXACT)
+EXTENSION_CHECKS["dedup_simhash_exact"] = (
+    q_dedup_simhash_exact, ORACLE_DEDUP_SIMHASH_EXACT)
+EXTENSION_CHECKS["sparse_cosine"] = (q_sparse_cosine, ORACLE_SPARSE_COSINE)

@@ -411,3 +411,50 @@ def test_pagerank_int_ring_uniform_and_star_hub(spark):
         ["src", "dst"])
     s = {r["node"]: r["score"] for r in pagerank_int(star, 3).collect()}
     assert s[99] > max(v for k, v in s.items() if k != 99)
+
+
+def test_minhash_exact_finds_planted_neardups(spark, sf_dir):
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = D.minhash_exact_pairs(corpus).collect()
+    planted = {(r["id_a"], r["id_b"]) for r in pairs
+               if r["id_b"] == r["id_a"] + 1000000}
+    n_variants = corpus.where(F.col("doc_id") >= 1000000).count()
+    assert n_variants > 0
+    # truncated variants share almost all shingles -> most must surface
+    assert len(planted) / n_variants >= 0.7
+    # every pair reports 1..n_bands shared bands
+    assert all(1 <= r["n_shared_bands"] <= 4 for r in pairs)
+
+
+def test_simhash_exact_pairs_planted_and_symmetric(spark, sf_dir):
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = D.simhash_exact_pairs(corpus, max_hamming=3).collect()
+    assert pairs, "no candidate pairs at all"
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    assert all(0 <= r["hamming"] <= 3 for r in pairs)
+    planted = [r for r in pairs if r["id_b"] == r["id_a"] + 1000000]
+    assert planted, "no planted variant within Hamming 3"
+
+
+def test_sparse_cosine_matches_dense_definition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = S.sparse_cosine_pairs(docs, threshold_millis=650)
+    rows = out.collect()
+    assert rows
+    # spot-verify one pair against a locally computed dense cosine
+    import collections
+    import math
+    import re as _re
+    r0 = rows[0]
+    texts = {r["doc_id"]: r["text"]
+             for r in docs.where(F.col("doc_id").isin(
+                 [r0["id_a"], r0["id_b"]])).collect()}
+    vecs = [collections.Counter(_re.findall(r"[a-z0-9]+", texts[i].lower()))
+            for i in (r0["id_a"], r0["id_b"])]
+    dot = sum(c * vecs[1][t] for t, c in vecs[0].items())
+    na, nb = (math.sqrt(sum(c * c for c in v.values())) for v in vecs)
+    assert dot == r0["dot"]
+    assert abs(dot / (na * nb) - r0["cosine"]) < 1e-12
+    # pairs never cross the blocking column
+    src = {r["doc_id"]: r["source"] for r in docs.collect()}
+    assert all(src[r["id_a"]] == src[r["id_b"]] for r in rows)
