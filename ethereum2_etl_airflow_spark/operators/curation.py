@@ -43,6 +43,7 @@ __all__ = [
     "cap_per_key", "pack_offsets", "assign_folds", "term_salience",
     "quantize_embeddings", "bin_by_quantile", "outliers_p99", "funnel",
     "winsorize", "table_diff",
+    "cohort_retention",
 ]
 
 # RE2- and Java-regex-identical patterns (no backrefs / lookaround):
@@ -402,3 +403,42 @@ def table_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
                        & (F.col("h_old") != F.col("h_new")), 1))
         .alias("n_changed"),
         F.count(F.when(F.col("h_old") == F.col("h_new"), 1)).alias("n_same"))
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention matrix — the classic activation/retention
+    rollup over an event log.
+
+    cohort_week = ISO week (Monday-truncated) of the user's first event;
+    a cohort/offset cell counts distinct users from that cohort active
+    ``week_offset`` weeks later.  ``retention`` = cell / cohort size, a
+    single correctly-rounded double division of exact BIGINTs (the
+    property the SQL oracle's hash relies on).
+
+    Scale shape: first-touch is one map-side-combining min-agg keyed by
+    user; distinct activity is one (user, week) dedup; the cohort join
+    is keyed by user (uniform); the final matrix agg keys on
+    (cohort_week, offset) — tiny output, broadcastable cohort-size join
+    back.  No windows, no skewed keys (user ids are high-entropy).
+    """
+    first = (events.groupBy(F.col(user_col).alias("uid"))
+             .agg(F.date_trunc("week", F.min(ts_col)).cast("date")
+                  .alias("cohort_week")))
+    active = (events.select(F.col(user_col).alias("uid"),
+                            F.date_trunc("week", F.col(ts_col)).cast("date")
+                            .alias("week"))
+              .distinct())
+    cells = (active.join(first, "uid")
+             .withColumn("week_offset",
+                         (F.datediff("week", "cohort_week") / 7)
+                         .cast("long"))
+             .groupBy("cohort_week", "week_offset")
+             .agg(F.count_distinct("uid").alias("n_active")))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").alias("n_cohort"))
+    return (cells.join(sizes, "cohort_week")
+            .select(F.col("cohort_week").cast("string").alias("cohort_week"),
+                    "week_offset", "n_active", "n_cohort",
+                    (F.col("n_active").cast("double")
+                     / F.col("n_cohort").cast("double")).alias("retention")))

@@ -21,6 +21,7 @@ __all__ = [
     "normalize_text", "fingerprint", "lang_scores", "lang_id",
     "quality_features", "text_stats", "repetition_stats",
     "register_split_sentences_udtf",
+    "ngram_novelty",
 ]
 
 # word tokens: runs of alphanumerics (RE2- and Java-regex-identical)
@@ -206,3 +207,29 @@ def register_split_sentences_udtf(spark) -> None:
                     yield i, s
 
     spark.udtf.register("split_sentences", SplitSentences)
+
+
+def ngram_novelty(docs, n: int = 2, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Per-document n-gram novelty — the diversity/memorization metric:
+    how many of a document's distinct n-grams appear in NO other
+    document.  Low novelty flags boilerplate and near-template docs that
+    quality filters should down-weight before training.
+
+    All-integer output (n_ngrams, n_novel) so the SQL oracle hashes
+    bit-exactly.  Scale shape: distinct n-grams explode once; document
+    frequency is one map-side-combining groupBy on the n-gram string
+    (high-entropy key); the df=1 survivors semi-join back keyed by doc.
+    """
+    from ..operators.dedup import shingles
+    from pyspark.sql import functions as F
+
+    sh = (docs.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(
+                          shingles(F.col(text_col), n))).alias("sh")))
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    joined = sh.join(df_counts, "sh")
+    return (joined.groupBy("id")
+            .agg(F.count("*").alias("n_ngrams"),
+                 F.count(F.when(F.col("df") == 1, 1)).alias("n_novel"))
+            .select(F.col("id").alias(id_col), "n_ngrams", "n_novel"))

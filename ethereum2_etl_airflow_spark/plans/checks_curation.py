@@ -738,3 +738,41 @@ FROM j
 CURATION_CHECKS.update({
     "table_diff": (q_table_diff, ORACLE_TABLE_DIFF),
 })
+
+
+# --- weekly cohort retention matrix ---------------------------------------
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (C.cohort_retention(ev)
+            .orderBy("cohort_week", "week_offset"))
+
+
+ORACLE_COHORT_RETENTION = """
+WITH first AS (
+  SELECT user_id AS uid,
+         CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id AS uid,
+         CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events),
+cells AS (
+  SELECT cohort_week,
+         CAST((week - cohort_week) // 7 AS BIGINT) AS week_offset,
+         CAST(COUNT(DISTINCT a.uid) AS BIGINT) AS n_active
+  FROM active a JOIN first f USING (uid)
+  GROUP BY cohort_week, week_offset),
+sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort
+          FROM first GROUP BY cohort_week)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, week_offset, n_active,
+       n_cohort,
+       CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+FROM cells JOIN sizes USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""
+
+
+CURATION_CHECKS.update({
+    "cohort_retention": (q_cohort_retention, ORACLE_COHORT_RETENTION),
+})

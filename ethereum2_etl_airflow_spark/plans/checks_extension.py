@@ -1361,3 +1361,29 @@ EXTENSION_CHECKS["dedup_minhash_exact"] = (
 EXTENSION_CHECKS["dedup_simhash_exact"] = (
     q_dedup_simhash_exact, ORACLE_DEDUP_SIMHASH_EXACT)
 EXTENSION_CHECKS["sparse_cosine"] = (q_sparse_cosine, ORACLE_SPARSE_COSINE)
+
+
+# --- n-gram novelty (diversity / anti-boilerplate metric) -----------------
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.ngram_novelty(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+ORACLE_NGRAM_NOVELTY = """
+WITH tk AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents),
+sh AS (
+  SELECT DISTINCT id, UNNEST(
+    CASE WHEN len(t) >= 2 THEN
+      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+    ELSE [] END) AS sh
+  FROM tk),
+dfc AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(*) FILTER (WHERE df = 1) AS BIGINT) AS n_novel
+FROM sh JOIN dfc USING (sh)
+GROUP BY id ORDER BY doc_id
+"""
+
+
+EXTENSION_CHECKS["ngram_novelty"] = (q_ngram_novelty, ORACLE_NGRAM_NOVELTY)

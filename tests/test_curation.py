@@ -321,3 +321,19 @@ def test_scd2_intervals_tile_the_timeline(spark):
         & (F.col("valid_from") <= "2024-01-03")
         & (F.col("valid_to").isNull() | (F.col("valid_to") > "2024-01-03")))
     assert [r["event_id"] for r in asof.collect()] == [11]
+
+
+def test_cohort_retention_week0_is_full(spark, sf_dir):
+    from ethereum2_etl_airflow_spark.operators.curation import cohort_retention
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    m = cohort_retention(ev).collect()
+    assert m
+    by = {(r["cohort_week"], r["week_offset"]): r for r in m}
+    # every user is by definition active in their own cohort week
+    for (wk, off), r in by.items():
+        if off == 0:
+            assert r["n_active"] == r["n_cohort"]
+            assert r["retention"] == 1.0
+        assert 0 < r["n_active"] <= r["n_cohort"]

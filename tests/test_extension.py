@@ -458,3 +458,15 @@ def test_sparse_cosine_matches_dense_definition(spark, sf_dir):
     # pairs never cross the blocking column
     src = {r["doc_id"]: r["source"] for r in docs.collect()}
     assert all(src[r["id_a"]] == src[r["id_b"]] for r in rows)
+
+
+def test_ngram_novelty_bounds_and_duplicate_drop(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # duplicate one doc: its 2-grams all get df >= 2 -> zero novelty
+    dup = docs.limit(1).withColumn("doc_id", F.lit(999999))
+    out = {r["doc_id"]: r for r in
+           X.ngram_novelty(docs.unionByName(dup)).collect()}
+    assert all(0 <= r["n_novel"] <= r["n_ngrams"] for r in out.values())
+    src_id = docs.limit(1).first()["doc_id"]
+    assert out[999999]["n_novel"] == 0
+    assert out[src_id]["n_novel"] == 0
