@@ -6,6 +6,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ethereum2_etl_airflow_spark.functions.skew import salted_join
@@ -484,3 +486,50 @@ def test_enrich_with_dim_left_keeps_unmatched(spark):
            for r in enrich_with_dim(facts, dim, "k", "dk", ["attr"],
                                     how="left").collect()}
     assert out == {1: "a", 2: None}
+
+
+def test_sessionize_tws_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas sessionization (Spark 4 StatefulProcessor
+    API): watermark-closed sessions must agree with the batch semantics.
+    The TWS Python runner needs google.protobuf — skip where absent."""
+    pytest.importorskip("google.protobuf")
+    import os
+    import uuid
+
+    from ethereum2_etl_airflow_spark.streaming.sessionize import (
+        sessionize_batch, sessionize_stream_tws,
+    )
+
+    ev = (load_table(spark, "/root/testdata/sf0.001", "events")
+          .select("user_id", "ts", "value"))
+    src = str(tmp_path / "tws_src")
+    os.makedirs(src)
+    ev.where(F.col("ts") < "2024-01-15").coalesce(1) \
+        .write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= "2024-01-15").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        schema = spark.read.parquet(src).schema
+        stream_src = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(src))
+        sessions = sessionize_stream_tws(stream_src, gap_s=6 * 3600,
+                                         watermark="1 hour")
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (sessions.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {(r["user_id"], r["session_start"], r["session_end"],
+                r["n_events"], r["value_millis"])
+               for r in spark.table(name).collect()}
+        expected = {(r["user_id"], r["session_start"], r["session_end"],
+                     r["n_events"], r["value_millis"])
+                    for r in sessionize_batch(ev, gap_s=6 * 3600).collect()}
+        assert got, "no sessions closed by the stream"
+        assert got <= expected
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
