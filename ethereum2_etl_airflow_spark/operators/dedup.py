@@ -478,6 +478,16 @@ def simhash_exact_pairs(docs: DataFrame, n_bits: int = 32,
     formulations are interpreted per element — measured 3x slower);
     banding joins replace the quadratic Hamming scan.
     """
+    res, bands = _simhash_exact_build(docs, n_bits, max_hamming,
+                                      text_col, id_col)
+    return finalize_release(res, bands)
+
+
+def _simhash_exact_build(docs: DataFrame, n_bits: int, max_hamming: int,
+                         text_col: str, id_col: str):
+    """Pre-checkpoint pipeline for :func:`simhash_exact_pairs` — split out
+    so plan tests can assert on the REAL physical plan (the public entry
+    localCheckpoints, which collapses the plan to a Scan ExistingRDD)."""
     assert n_bits % 4 == 0
     band_w = n_bits // 4
     docs = ensure_parallelism(docs)
@@ -514,7 +524,7 @@ def simhash_exact_pairs(docs: DataFrame, n_bits: int = 32,
     res = (out.distinct().withColumn("hamming", ham)
            .where(F.col("hamming") <= max_hamming)
            .select("id_a", "id_b", "hamming"))
-    return finalize_release(res, bands)
+    return res, bands
 
 
 def cosine_near_dup_pairs(emb: DataFrame, block_col: str = "label",

@@ -273,6 +273,15 @@ def sparse_cosine_pairs(docs: DataFrame, block_col: str = "source",
     Returns ``(id_a, id_b, dot, cosine)`` for pairs with
     cosine >= threshold_millis/1000.
     """
+    res, tc = _sparse_cosine_build(docs, block_col, threshold_millis,
+                                   text_col, id_col)
+    return finalize_release(res, tc)
+
+
+def _sparse_cosine_build(docs: DataFrame, block_col: str,
+                         threshold_millis: int, text_col: str, id_col: str):
+    """Pre-checkpoint pipeline for :func:`sparse_cosine_pairs` (plan tests
+    assert on this — the public entry localCheckpoints)."""
     from .text import tokens
 
     docs = ensure_parallelism(docs)
@@ -297,4 +306,4 @@ def sparse_cosine_pairs(docs: DataFrame, block_col: str = "source",
            .join(nb, F.col("id_b") == F.col("nb.id"))
            .select("id_a", "id_b", "dot", cos.alias("cosine"))
            .where(F.col("cosine") >= threshold_millis / 1000.0))
-    return finalize_release(res, tc)
+    return res, tc

@@ -300,3 +300,44 @@ def test_dedup_chunks_two_logical_shuffles(spark, sf_dir):
     plan = plan_string(df, "simple")
     n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash <= 3, plan
+
+
+def test_portable_hash_dedup_stays_jvm_side(spark, sf_dir):
+    """The md5-family MinHash/SimHash and sparse-cosine pipelines must be
+    pure JVM plans (codegen md5/substring/aggregates — no Python workers),
+    with map-side partial aggregation on the signature/groupBy stages."""
+    from ethereum2_etl_airflow_spark.operators.dedup import (
+        _simhash_exact_build, minhash_exact_pairs)
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        _sparse_cosine_build)
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # pre-checkpoint builders: the public entries localCheckpoint, which
+    # would collapse the plan to Scan ExistingRDD and make this vacuous
+    for df in (minhash_exact_pairs(docs),
+               _simhash_exact_build(docs, 32, 3, "text", "doc_id")[0],
+               _sparse_cosine_build(docs, "source", 650,
+                                    "text", "doc_id")[0]):
+        plan = plan_string(df, "simple")
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                       "FlatMapGroupsInPandas"):
+            assert marker not in plan
+        # the groupBys run partial-then-final (map-side combine)
+        assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_cohort_retention_plan_shape(spark, sf_dir):
+    """Cohort retention: pure JVM, and the tiny cohort-size side joins
+    without a shuffle of the big side beyond the matrix agg (broadcast
+    or AQE-converted)."""
+    from ethereum2_etl_airflow_spark.operators.curation import (
+        cohort_retention)
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    df = cohort_retention(load_table(spark, sf_dir, "events"))
+    plan = plan_string(df, "simple")
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
