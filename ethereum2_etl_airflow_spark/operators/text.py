@@ -14,6 +14,7 @@ hashes can't drift on float division.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "quality_features", "text_stats", "repetition_stats",
     "register_split_sentences_udtf",
     "ngram_novelty",
+    "compression_ratio",
 ]
 
 # word tokens: runs of alphanumerics (RE2- and Java-regex-identical)
@@ -233,3 +235,41 @@ def ngram_novelty(docs, n: int = 2, id_col: str = "doc_id",
             .agg(F.count("*").alias("n_ngrams"),
                  F.count(F.when(F.col("df") == 1, 1)).alias("n_novel"))
             .select(F.col("id").alias(id_col), "n_ngrams", "n_novel"))
+
+
+def compression_ratio(docs, id_col: str = "doc_id",
+                      text_col: str = "text", level: int = 6):
+    """Per-document zlib compression ratio — the classic cheap proxy for
+    repetitiveness/boilerplate (highly compressible text is low-entropy;
+    quality filters drop docs outside a band, cf. CCNet/Gopher-style
+    heuristics).
+
+    ratio_millis = round(1000 * compressed_len / raw_len) — integerized
+    so results hash stably.  zlib with a fixed level is deterministic
+    across platforms for a given input, but no SQL engine exposes it, so
+    the check is rows-only; the pytest pins exact values for known
+    strings.
+
+    Scale shape: pure narrow map — an Arrow-batched pandas UDF (zlib
+    releases the GIL; C-speed per batch).  No shuffle, scan-speed at any
+    corpus size.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<raw_len: long, comp_len: long, ratio_millis: long>")
+    def comp(texts: pd.Series) -> pd.DataFrame:
+        raw, comp_, ratio = [], [], []
+        for t in texts:
+            b = (t or "").encode("utf-8")
+            c = len(zlib.compress(b, level)) if b else 0
+            raw.append(len(b))
+            comp_.append(c)
+            ratio.append(round(1000 * c / len(b)) if b else 0)
+        return pd.DataFrame(
+            {"raw_len": raw, "comp_len": comp_, "ratio_millis": ratio})
+
+    c = F.col(text_col)
+    out = docs.select(F.col(id_col), comp(c).alias("z"))
+    return out.select(id_col, "z.raw_len", "z.comp_len", "z.ratio_millis")

@@ -1387,3 +1387,12 @@ GROUP BY id ORDER BY doc_id
 
 
 EXTENSION_CHECKS["ngram_novelty"] = (q_ngram_novelty, ORACLE_NGRAM_NOVELTY)
+
+
+# --- compression-ratio quality signal (rows-only: zlib has no SQL twin) ---
+
+def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.compression_ratio(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+EXTENSION_CHECKS["compress_ratio"] = (q_compress_ratio, None)

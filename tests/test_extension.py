@@ -470,3 +470,19 @@ def test_ngram_novelty_bounds_and_duplicate_drop(spark, sf_dir):
     src_id = docs.limit(1).first()["doc_id"]
     assert out[999999]["n_novel"] == 0
     assert out[src_id]["n_novel"] == 0
+
+
+def test_compression_ratio_pinned_values(spark):
+    import zlib
+    rows = [(1, "a" * 1000), (2, "the quick brown fox jumps over it"),
+            (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in X.compression_ratio(df).collect()}
+    for i, t in rows:
+        b = (t or "").encode()
+        assert got[i]["raw_len"] == len(b)
+        exp = len(zlib.compress(b, 6)) if b else 0
+        assert got[i]["comp_len"] == exp
+        assert got[i]["ratio_millis"] == (round(1000 * exp / len(b)) if b else 0)
+    # repetitive text compresses far better than natural text
+    assert got[1]["ratio_millis"] < got[2]["ratio_millis"]
