@@ -1173,3 +1173,116 @@ FROM documents GROUP BY source ORDER BY source
 RELATIONAL_CHECKS.update({
     "agg_maxby": (q_agg_maxby, ORACLE_AGG_MAXBY),
 })
+
+
+# --- recursive CTE (Spark 4 native recursion) -----------------------------
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (Spark 4): minimum-hop reachability from one
+    supplier over the bipartite supplier-part graph derived from
+    lineitem.  Each recursion level is one planned join — Catalyst
+    unrolls the fixpoint; the iterative label-propagation operator in
+    operators/graph.py remains the scale path for deep/unbounded
+    closures, this check covers the declarative surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    (li.select((F.col("l_suppkey") + 10_000_000).alias("src"),
+               F.col("l_partkey").alias("dst")).distinct()
+     .unionByName(
+         li.select(F.col("l_partkey").alias("src"),
+                   (F.col("l_suppkey") + 10_000_000).alias("dst")).distinct())
+     .createOrReplaceTempView("rc_edges_v"))
+    return spark.sql("""
+        WITH RECURSIVE reach(node, depth) AS (
+          SELECT CAST(10000001 AS BIGINT) AS node, 0 AS depth
+          UNION ALL
+          SELECT e.dst, r.depth + 1
+          FROM reach r JOIN rc_edges_v e ON e.src = r.node
+          WHERE r.depth < 2)
+        SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
+        FROM reach GROUP BY node ORDER BY node""")
+
+
+ORACLE_RECURSIVE_CTE = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l_suppkey + 10000000 AS s, l_partkey AS p FROM lineitem),
+edges AS (SELECT s AS src, p AS dst FROM pairs
+          UNION ALL SELECT p, s FROM pairs),
+reach(node, depth) AS (
+  SELECT CAST(10000001 AS BIGINT) AS node, 0 AS depth
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.depth < 2)
+SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
+# --- VARIANT semi-structured type (Spark 4) -------------------------------
+
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_json → VARIANT → typed variant_get extraction + aggregate.
+    VARIANT keeps the shredded binary form through the scan, so repeated
+    path access avoids per-row string re-parsing (the get_json_object
+    cost model)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"))
+    return (v.groupBy("event_type")
+            .agg(F.count("k").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k"))
+            .orderBy("event_type"))
+
+
+ORACLE_VARIANT_JSON = """
+SELECT event_type,
+       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- UNPIVOT / melt -------------------------------------------------------
+
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of three lineitem measures via the native unpivot
+    operator (Generate-based — one pass, no self-union of the scan)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    return (li.select("l_orderkey", "l_linenumber",
+                      F.col("l_quantity").cast("double").alias("quantity"),
+                      F.col("l_extendedprice").cast("double")
+                      .alias("extendedprice"),
+                      F.col("l_discount").cast("double").alias("discount"))
+            .unpivot(["l_orderkey", "l_linenumber"],
+                     ["quantity", "extendedprice", "discount"],
+                     "metric", "value")
+            .orderBy("l_orderkey", "l_linenumber", "metric"))
+
+
+ORACLE_UNPIVOT_MELT = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DOUBLE) AS quantity,
+         CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+         CAST(l_discount AS DOUBLE) AS discount
+  FROM lineitem WHERE l_orderkey < 1000)
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric, quantity AS value
+FROM base
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice FROM base
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', discount FROM base
+ORDER BY l_orderkey, l_linenumber, metric
+"""
+
+
+RELATIONAL_CHECKS.update({
+    "recursive_cte": (q_recursive_cte, ORACLE_RECURSIVE_CTE),
+    "variant_json": (q_variant_json, ORACLE_VARIANT_JSON),
+    "unpivot_melt": (q_unpivot_melt, ORACLE_UNPIVOT_MELT),
+})
