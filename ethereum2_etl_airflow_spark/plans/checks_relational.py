@@ -1286,3 +1286,78 @@ RELATIONAL_CHECKS.update({
     "variant_json": (q_variant_json, ORACLE_VARIANT_JSON),
     "unpivot_melt": (q_unpivot_melt, ORACLE_UNPIVOT_MELT),
 })
+
+
+# --- SQL-defined functions (Spark 4 CREATE FUNCTION) ----------------------
+
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar SQL UDF: the discounted-price expression factored into a
+    catalog function.  Being SQL-defined, Catalyst INLINES the body into
+    the plan — unlike Python UDFs there is no serialization boundary, so
+    pushdown/codegen behave exactly as the hand-inlined expression (the
+    oracle is that inlined form)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("udf_lineitem_v")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(
+            p DECIMAL(12,2), d DECIMAL(12,2))
+        RETURNS DECIMAL(25,4)
+        RETURN p * (1 - d)""")
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(CAST(SUM(disc_price(l_extendedprice, l_discount))
+                         AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM udf_lineitem_v
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+
+
+ORACLE_SQL_UDF = """
+SELECT l_returnflag,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(25,4))) AS DECIMAL(38,4)) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_sql_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL table function + correlated LATERAL: the chaintime
+    epoch→slot-range expansion (functions/chaintime.py) expressed as a
+    catalog TVF, applied per input row.  Catalyst plans the lateral as a
+    Generate — no per-row re-invocation."""
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION epoch_slots(e BIGINT)
+        RETURNS TABLE(slot BIGINT)
+        RETURN SELECT explode(sequence(e * 32, e * 32 + 31))""")
+    _t(spark, sf_dir, "events").createOrReplaceTempView("tvf_events_v")
+    return spark.sql("""
+        WITH epochs AS (
+          SELECT DISTINCT CAST(event_id % 50 AS BIGINT) AS e
+          FROM tvf_events_v WHERE event_id < 500)
+        SELECT ep.e, CAST(COUNT(*) AS BIGINT) AS n_slots,
+               MIN(s.slot) AS lo_slot, MAX(s.slot) AS hi_slot
+        FROM epochs ep, LATERAL epoch_slots(ep.e) s
+        GROUP BY ep.e ORDER BY ep.e""")
+
+
+ORACLE_SQL_TVF = """
+WITH epochs AS (
+  SELECT DISTINCT CAST(event_id % 50 AS BIGINT) AS e
+  FROM events WHERE event_id < 500),
+ex AS (
+  SELECT e, UNNEST(range(e * 32, e * 32 + 32)) AS slot FROM epochs)
+SELECT e, CAST(COUNT(*) AS BIGINT) AS n_slots,
+       CAST(MIN(slot) AS BIGINT) AS lo_slot,
+       CAST(MAX(slot) AS BIGINT) AS hi_slot
+FROM ex GROUP BY e ORDER BY e
+"""
+
+
+RELATIONAL_CHECKS.update({
+    "sql_udf": (q_sql_udf, ORACLE_SQL_UDF),
+    "sql_tvf": (q_sql_tvf, ORACLE_SQL_TVF),
+})
