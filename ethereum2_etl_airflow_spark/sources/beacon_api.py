@@ -43,11 +43,14 @@ from __future__ import annotations
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 
 from .schemas import beacon_ddl
 
-__all__ = ["BeaconApiDataSource", "register_beacon_api"]
+__all__ = ["BeaconApiDataSource", "BeaconApiStreamReader",
+           "register_beacon_api"]
 
 SLOTS_PER_EPOCH = 32
 
@@ -211,6 +214,78 @@ class BeaconApiReader(DataSourceReader):
             yield tuple(row.get(f) for f in self.fields)
 
 
+class BeaconApiStreamReader(SimpleDataSourceStreamReader):
+    """Head-following STREAMING tail of the export (S10 as a continuous
+    stream): each micro-batch reads the slots that became available since
+    the last offset, up to ``max_slots_per_batch``.  Offsets are
+    checkpointable dicts ``{"slot": n}``, so a restarted query resumes
+    exactly where it stopped — the reference's cron-rerun semantics,
+    expressed as Structured Streaming recovery.
+
+    Simple-reader contract: reads happen on the DRIVER (the API built
+    for low-rate sources — mainnet produces one block / 12 s; a backfill
+    belongs on the batch reader's parallel slot-range partitions, not
+    here).  In offline mode the chain head is ``end_slot``; with
+    providers the head would come from ``/eth/v1/beacon/headers/head``
+    via the same fallback chain.
+    """
+
+    def __init__(self, schema, options):
+        self.start = int(options.get("start_slot", 0))
+        self.end = int(options.get("end_slot", 0))
+        self.max_batch = int(options.get("max_slots_per_batch", 64))
+        self.genesis = int(options.get("genesis", 1606824023))
+        self.secs = int(options.get("secs_per_slot", 12))
+        self.providers = [u.strip()
+                          for u in options.get("provider_uris", "").split(",")
+                          if u.strip()]
+        self.timeout_s = float(options.get("timeout_s", 10))
+        # field names come from the passed StructType — no SparkContext
+        # exists in the Python worker to parse the DDL with
+        self.fields = [f.name for f in schema.fields]
+
+    def initialOffset(self):
+        return {"slot": self.start}
+
+    def _head_slot(self) -> int:
+        if not self.providers:
+            return self.end
+        from ..dags.build_dags import provider_fallback
+
+        payload = provider_fallback(
+            self.providers,
+            lambda uri: _http_get_json(
+                f"{uri.rstrip('/')}/eth/v1/beacon/headers/head",
+                self.timeout_s))
+        return int(payload["data"]["header"]["message"]["slot"]) + 1
+
+    def _rows(self, lo: int, hi: int):
+        for slot in range(lo, hi):
+            if not self.providers:
+                row = _fetch_block_row(slot, self.genesis, self.secs)
+            else:
+                from ..dags.build_dags import provider_fallback
+
+                payload = provider_fallback(
+                    self.providers,
+                    lambda uri: _fetch_block_http(uri, slot, self.timeout_s))
+                row = (_skipped_row(slot, self.genesis, self.secs)
+                       if payload is None
+                       else _parse_block_response(payload, slot,
+                                                  self.genesis, self.secs))
+            yield tuple(row.get(f) for f in self.fields)
+
+    def read(self, start):
+        lo = start["slot"]
+        hi = min(max(self._head_slot(), lo), lo + self.max_batch)
+        # materialized list, not a generator: the simple-reader runtime
+        # pickles the prefetched batch into its replay cache
+        return iter(list(self._rows(lo, hi))), {"slot": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(list(self._rows(start["slot"], end["slot"])))
+
+
 class BeaconApiDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -223,6 +298,9 @@ class BeaconApiDataSource(DataSource):
 
     def reader(self, schema) -> BeaconApiReader:
         return BeaconApiReader(schema, self.options)
+
+    def simpleStreamReader(self, schema) -> BeaconApiStreamReader:
+        return BeaconApiStreamReader(schema, self.options)
 
 
 def register_beacon_api(spark) -> None:
