@@ -119,6 +119,8 @@ def main() -> None:
     # start immediately so the suite's makespan is their runtime, not
     # their runtime plus whatever queued in front of them
     heavy = ["dedup_clusters_star", "dedup_clusters", "sim_ivf",
+             "dedup_simhash_exact", "dedup_minhash_exact", "sparse_cosine",
+             "recursive_cte", "pagerank", "cohort_retention",
              "sessionize_stream", "stream_join_outer", "term_salience",
              "dedup_ngram", "dedup_simhash", "dedup_minhash", "dedup_stream",
              "embed_neardup", "sim_topk", "sim_lsh", "pack_chunks",

@@ -139,3 +139,46 @@ def test_cap_per_key_matches_bruteforce(spark, rows, cap):
         for v in sorted(vs)[:cap]:
             expect.add((k, v))
     assert got == expect
+
+
+@SET
+@given(st.lists(st.text(alphabet="ab ", min_size=6, max_size=40),
+                min_size=2, max_size=8))
+def test_minhash_exact_matches_bruteforce_bands(spark, texts):
+    """Portable-hash MinHash: the banded bucket join must produce exactly
+    the pairs whose md5-derived signatures share >= 1 band — computed
+    here by brute force over all pairs."""
+    import hashlib
+
+    from ethereum2_etl_airflow_spark.operators.dedup import (
+        minhash_exact_pairs)
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["n_shared_bands"]
+           for r in minhash_exact_pairs(df).collect()}
+
+    # driver-side reference: same tokenizer, same hash family
+    import re
+
+    def sig(text):
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        shs = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        if not shs:
+            return None
+        return [min(hashlib.md5(f"{s}|{sh}".encode()).hexdigest()
+                    for sh in shs) for s in range(8)]
+
+    sigs = {i: sig(t) for i, t in rows}
+    exp = {}
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            sa, sb = sigs[a], sigs[b]
+            if sa is None or sb is None:
+                continue
+            shared = sum(1 for band in range(4)
+                         if sa[2 * band:2 * band + 2]
+                         == sb[2 * band:2 * band + 2])
+            if shared:
+                exp[(a, b)] = shared
+    assert got == exp
