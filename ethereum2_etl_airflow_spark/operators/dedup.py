@@ -503,8 +503,18 @@ def _simhash_exact_build(docs: DataFrame, n_bits: int, max_hamming: int,
         "id",
         F.concat(*[F.when(F.col(f"s{i}") >= 0, F.lit("1")).otherwise("0")
                    for i in range(1, n_bits + 1)]).alias("sig"))
+    # sig_int: the same 32 bits as one long — per-candidate Hamming is
+    # then a single xor + bit_count instead of 2·n_bits substring
+    # compares, and the join rows carry 8 bytes instead of two 32-char
+    # strings.  Signature bits are NOT uniform (common tokens bias the
+    # bit sums the same way in every document), so band buckets are
+    # heavily skewed and the candidate set is large (measured: 9M pairs
+    # on a 5.5k-doc corpus) — the Hamming filter therefore runs BEFORE
+    # the pair-dedup distinct, collapsing 9M wide rows to the few true
+    # near-dups first.
     bands = sigs.select(
         "id", "sig",
+        F.conv("sig", 2, 10).cast("long").alias("sig_int"),
         *[F.substring("sig", i * band_w + 1, band_w).alias(f"band{i}")
           for i in range(4)]).cache()
     out = None
@@ -514,15 +524,11 @@ def _simhash_exact_build(docs: DataFrame, n_bits: int, max_hamming: int,
                        & (F.col("a.id") < F.col("b.id")))
                 .select(F.col("a.id").alias("id_a"),
                         F.col("b.id").alias("id_b"),
-                        F.col("a.sig").alias("sig_a"),
-                        F.col("b.sig").alias("sig_b")))
+                        F.bit_count(F.col("a.sig_int")
+                                    .bitwiseXOR(F.col("b.sig_int")))
+                        .cast("long").alias("hamming")))
         out = cand if out is None else out.unionByName(cand)
-    diffs = [F.when(F.substring("sig_a", i, 1)
-                    != F.substring("sig_b", i, 1), 1).otherwise(0)
-             for i in range(1, n_bits + 1)]
-    ham = sum(diffs[1:], diffs[0]).cast("long")
-    res = (out.distinct().withColumn("hamming", ham)
-           .where(F.col("hamming") <= max_hamming)
+    res = (out.where(F.col("hamming") <= max_hamming).distinct()
            .select("id_a", "id_b", "hamming"))
     return res, bands
 
