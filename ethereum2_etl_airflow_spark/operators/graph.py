@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["connected_components", "pagerank_int"]
+__all__ = ["connected_components", "pagerank_int", "triangle_counts"]
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
@@ -145,6 +145,63 @@ def _connected_components_star(edges: DataFrame, src: str, dst: str,
     roots = (nodes.join(e.select("u"), "u", "left_anti")
              .select(F.col("u").alias("node"), F.col("u").alias("component")))
     return labeled.union(roots)
+
+
+def triangle_counts(edges: DataFrame, src: str = "id_a",
+                    dst: str = "id_b") -> DataFrame:
+    """(node, n_triangles) for every node on at least one triangle —
+    the local clustering signal of a near-dup / co-occurrence graph
+    (triangle-dense neighborhoods are mutually-similar clusters;
+    triangle-free hubs are boilerplate connectors).  Exact and
+    deterministic, so SQL-oracle-checkable via canonical-edge
+    self-joins.
+
+    Algorithm: degree-ordered orientation (Cohen's MapReduce triangle
+    scheme / "compact-forward").  Each undirected edge is directed from
+    its (degree, id)-smaller endpoint to the larger; every out-
+    neighborhood then has O(sqrt(m)) size on any graph, so the wedge
+    self-join — the only quadratic step — is bounded by m^1.5 total
+    wedges instead of Σ deg² (which a skewed hub graph would blow up).
+
+    Scale shape: canonicalize+distinct (one exchange), degree groupBy
+    (map-side combining), the wedge self-join keyed on the shared
+    low-endpoint, and the closing edge join keyed on (v, w) — three
+    shuffle joins total, no iteration, no driver state.  The closing
+    join's probe side (wedges) dwarfs its build side (oriented edges)
+    only on pathological cliques; AQE handles the skew split."""
+    canon = (edges.select(
+        F.least(F.col(src), F.col(dst)).cast("long").alias("a"),
+        F.greatest(F.col(src), F.col(dst)).cast("long").alias("b"))
+        .where(F.col("a") != F.col("b")).distinct())
+    deg = (canon.select(F.col("a").alias("n"))
+           .union(canon.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("deg")))
+    # orient by (deg, id): strict total order, so each edge gets exactly
+    # one direction and each triangle exactly one (u; v, w) wedge + edge
+    ranked = (canon
+              .join(deg.withColumnRenamed("n", "a")
+                    .withColumnRenamed("deg", "deg_a"), "a")
+              .join(deg.withColumnRenamed("n", "b")
+                    .withColumnRenamed("deg", "deg_b"), "b"))
+    a_first = ((F.col("deg_a") < F.col("deg_b"))
+               | ((F.col("deg_a") == F.col("deg_b"))
+                  & (F.col("a") < F.col("b"))))
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.struct("deg_b", "b"))
+         .otherwise(F.struct(F.col("deg_a").alias("deg_b"),
+                             F.col("a").alias("b"))).alias("vrank"))
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = (w1.join(w2, (F.col("w1.u") == F.col("w2.u"))
+                      & (F.col("w1.vrank") < F.col("w2.vrank")))
+              .select(F.col("w1.u").alias("u"), F.col("w1.v").alias("v"),
+                      F.col("w2.v").alias("w")))
+    closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tris = wedges.join(closing, ["v", "w"])
+    per_node = (tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+                .groupBy("node").agg(F.count("*").alias("n_triangles")))
+    return per_node
 
 
 def pagerank_int(edges: DataFrame, n_iter: int = 3,

@@ -24,6 +24,7 @@ __all__ = [
     "register_split_sentences_udtf",
     "ngram_novelty",
     "compression_ratio",
+    "gopher_filter",
 ]
 
 # word tokens: runs of alphanumerics (RE2- and Java-regex-identical)
@@ -184,6 +185,61 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         *[F.col(c).cast("long").alias(c) for c in
           ("n_tokens", "n_distinct_tokens", "top_token_n",
            "n_2grams", "n_distinct_2grams", "top_2gram_n")])
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Gopher/C4-style composite quality verdict: one row per document
+    with a ``failed`` rule bitmask and the ``keep`` boolean a corpus
+    builder filters on.  (Rae et al., "Scaling Language Models: ...
+    Gopher", arXiv:2112.11446 §A.1.1 — the rule FAMILY; thresholds here
+    are integer-ratio variants tuned to stay engine-exact.)
+
+    Rule bits (set when the rule FAILS):
+
+    - 1:  token count outside [10, 100 000]
+    - 2:  mean word length outside [3, 12)  (n_chars vs n_tokens
+          cross-multiplied — no division)
+    - 4:  punctuation-heavy (5·n_punct > n_chars)
+    - 8:  no stopword hit at all
+    - 16: low lexical diversity (2·n_distinct_tokens < n_tokens)
+    - 32: top 2-gram > 20 % of all 2-grams (5·top_2gram_n > n_2grams;
+          vacuously passes when the doc has no 2-gram)
+
+    All signals are integer-domain, so the verdict is bit-identical on
+    any engine — the whole filter is SQL-oracle-checkable.
+
+    Scale shape: the per-doc scalar features are one narrow codegen map;
+    the repetition signals reuse :func:`repetition_stats` (two doc-keyed
+    partial aggregations); one doc-keyed join stitches them — no
+    popularity-keyed shuffle anywhere, so hot global tokens cannot skew
+    a partition."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit("[^A-Za-z0-9\\s]"), 0))
+    all_stop = _stop_hits(c, sorted({w for ws in LANG_STOPWORDS.values()
+                                     for w in ws}))
+    scalar = df.select(F.col(id_col), n_chars.alias("nc"),
+                       n_tokens.alias("nt"), n_punct.alias("np"),
+                       all_stop.alias("ns"))
+    rep = repetition_stats(df, text_col, id_col)
+    j = scalar.join(rep, id_col)
+    bit = [
+        (1, ~((F.col("nt") >= 10) & (F.col("nt") <= 100_000))),
+        (2, ~((F.col("nc") >= 3 * F.col("nt"))
+              & (F.col("nc") < 12 * F.col("nt")))),
+        (4, 5 * F.col("np") > F.col("nc")),
+        (8, F.col("ns") == 0),
+        (16, 2 * F.col("n_distinct_tokens") < F.col("nt")),
+        (32, 5 * F.col("top_2gram_n") > F.col("n_2grams")),
+    ]
+    failed = None
+    for b, cond in bit:
+        term = F.when(cond, F.lit(b)).otherwise(0)
+        failed = term if failed is None else failed + term
+    return j.select(F.col(id_col), failed.cast("int").alias("failed"),
+                    (failed == 0).alias("keep"))
 
 
 def register_split_sentences_udtf(spark) -> None:

@@ -1396,3 +1396,102 @@ def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTENSION_CHECKS["compress_ratio"] = (q_compress_ratio, None)
+
+
+# --- triangle counting (graph structure beyond CC / PageRank) -------------
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part-co-purchase graph (parts
+    sharing an order).  Degree-ordered orientation bounds the wedge
+    self-join at m^1.5 — see operators.graph.triangle_counts."""
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (li.alias("x").join(
+        li.alias("y"),
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")))
+        .select(F.col("x.l_partkey").alias("id_a"),
+                F.col("y.l_partkey").alias("id_b")).distinct())
+    return (triangle_counts(pairs)
+            .orderBy(F.col("n_triangles").desc(), "node").limit(100))
+
+
+ORACLE_TRIANGLE_COUNT = """
+WITH e AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+tri AS (
+  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+pern AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT ta AS node FROM tri UNION ALL
+        SELECT tb FROM tri UNION ALL SELECT tc FROM tri)
+  GROUP BY node)
+SELECT node, n_triangles FROM pern
+ORDER BY n_triangles DESC, node LIMIT 100
+"""
+
+
+EXTENSION_CHECKS["triangle_count"] = (q_triangle_count, ORACLE_TRIANGLE_COUNT)
+
+
+# --- Gopher-rule composite quality filter ---------------------------------
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.gopher_filter(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+ORACLE_GOPHER_FILTER = rf"""
+WITH scalar AS (
+  SELECT doc_id,
+         LENGTH(text) AS nc,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS np,
+         len(regexp_extract_all(lower(text), '\b({_ALL_STOPS})\b')) AS ns
+  FROM documents),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents),
+unid AS (SELECT doc_id, COUNT(*) AS n_distinct_tokens
+         FROM (SELECT doc_id, t FROM (SELECT doc_id, UNNEST(tk) AS t
+               FROM toks) GROUP BY doc_id, t) GROUP BY doc_id),
+bi_term AS (
+  SELECT doc_id, t, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(
+          CASE WHEN len(tk) >= 2 THEN
+            list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+          ELSE [] END) AS t
+        FROM toks) GROUP BY doc_id, t),
+bi AS (SELECT doc_id, SUM(c) AS n_2grams, MAX(c) AS top_2gram_n
+       FROM bi_term GROUP BY doc_id),
+f AS (
+  SELECT s.doc_id, s.nc, s.nt, s.np, s.ns,
+         COALESCE(u.n_distinct_tokens, 0) AS ndt,
+         COALESCE(b.n_2grams, 0) AS n2,
+         COALESCE(b.top_2gram_n, 0) AS t2
+  FROM scalar s
+  LEFT JOIN unid u ON u.doc_id = s.doc_id
+  LEFT JOIN bi b ON b.doc_id = s.doc_id)
+SELECT doc_id,
+       CAST(CASE WHEN NOT (nt >= 10 AND nt <= 100000) THEN 1 ELSE 0 END
+          + CASE WHEN NOT (nc >= 3 * nt AND nc < 12 * nt) THEN 2 ELSE 0 END
+          + CASE WHEN 5 * np > nc THEN 4 ELSE 0 END
+          + CASE WHEN ns = 0 THEN 8 ELSE 0 END
+          + CASE WHEN 2 * ndt < nt THEN 16 ELSE 0 END
+          + CASE WHEN 5 * t2 > n2 THEN 32 ELSE 0 END AS INT) AS failed,
+       (CASE WHEN NOT (nt >= 10 AND nt <= 100000) THEN 1 ELSE 0 END
+          + CASE WHEN NOT (nc >= 3 * nt AND nc < 12 * nt) THEN 2 ELSE 0 END
+          + CASE WHEN 5 * np > nc THEN 4 ELSE 0 END
+          + CASE WHEN ns = 0 THEN 8 ELSE 0 END
+          + CASE WHEN 2 * ndt < nt THEN 16 ELSE 0 END
+          + CASE WHEN 5 * t2 > n2 THEN 32 ELSE 0 END) = 0 AS keep
+FROM f ORDER BY doc_id
+"""
+
+
+EXTENSION_CHECKS["gopher_filter"] = (q_gopher_filter, ORACLE_GOPHER_FILTER)

@@ -486,3 +486,37 @@ def test_compression_ratio_pinned_values(spark):
         assert got[i]["ratio_millis"] == (round(1000 * exp / len(b)) if b else 0)
     # repetitive text compresses far better than natural text
     assert got[1]["ratio_millis"] < got[2]["ratio_millis"]
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: nodes {1,2,3,4}, edges all pairs except (3,4).
+    Triangles: (1,2,3) and (1,2,4) — so 1,2 sit on 2 each; 3,4 on 1."""
+    from ethereum2_etl_airflow_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "id_a long, id_b long")
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+    # duplicate / reversed / self-loop edges must not change the answer
+    noisy = edges.union(spark.createDataFrame(
+        [(2, 1), (3, 1), (1, 1)], "id_a long, id_b long"))
+    got2 = {r["node"]: r["n_triangles"]
+            for r in triangle_counts(noisy).collect()}
+    assert got2 == got
+
+
+def test_gopher_filter_planted_failures(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away home"),  # clean
+        (2, "word " * 4),                           # too short -> bit 1
+        (3, "spam spam spam spam spam " * 4),       # no stopwords, low diversity, top-2gram
+        (4, "the of and is a " + "!@#$% " * 40),    # punctuation-heavy
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["failed"], r["keep"])
+           for r in X.gopher_filter(df).collect()}
+    assert got[1] == (0, True)
+    assert got[2][0] & 1 and not got[2][1]
+    assert got[3][0] & 8 and got[3][0] & 16 and got[3][0] & 32
+    assert got[4][0] & 4 and not got[4][1]
