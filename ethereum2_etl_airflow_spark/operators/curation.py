@@ -43,7 +43,7 @@ __all__ = [
     "cap_per_key", "pack_offsets", "assign_folds", "term_salience",
     "quantize_embeddings", "bin_by_quantile", "outliers_p99", "funnel",
     "winsorize", "table_diff",
-    "cohort_retention",
+    "cohort_retention", "chunk_sliding",
 ]
 
 # RE2- and Java-regex-identical patterns (no backrefs / lookaround):
@@ -210,6 +210,45 @@ def pack_offsets(df: DataFrame, budget: int = 2048,
     # ContextCleaner on GC; finalize_release materializes the (small)
     # result so callers never re-trigger the two-pass layout.
     return finalize_release(result)
+
+
+def chunk_sliding(df: DataFrame, window: int = 32, stride: int = 24,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window token chunking with overlap — the RAG/embedding
+    chunker: each document becomes ⌈(n−window)/stride⌉+1 chunks of up to
+    ``window`` tokens starting every ``stride`` tokens (overlap =
+    window − stride), so no token span longer than the overlap is ever
+    split across a chunk boundary without also appearing whole in one.
+
+    Output: (id, chunk_id, start, n_tokens, chunk_text).  Zero-token
+    documents produce no chunks.  Fully deterministic integer layout —
+    SQL-oracle-checkable.
+
+    Scale shape: pure narrow map — tokenize once per row (let-bound),
+    chunk count by integer ceil-div, offsets via ``sequence`` +
+    ``posexplode``, chunk text via ``slice`` + ``array_join``.  No
+    shuffle at all; the fan-out factor is ~n/stride, the same row-growth
+    any chunker pays, and it happens AFTER pushdown-pruned scans."""
+    assert stride > 0 and window >= stride
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t"),
+                     F.size(tokens(F.col(text_col))).alias("n"))
+    nch = F.when(F.col("n") <= 0, F.lit(0)).otherwise(
+        1 + F.floor((F.greatest(F.col("n") - window, F.lit(0))
+                     + (stride - 1)) / stride).cast("int"))
+    offs = F.when(nch <= 0, F.array().cast("array<int>")).otherwise(
+        F.transform(F.sequence(F.lit(0), nch - 1),
+                    lambda i: (i * stride).cast("int")))
+    return (toks.select(F.col(id_col), "t", "n",
+                        F.posexplode(offs).alias("chunk_id", "start"))
+            .select(F.col(id_col),
+                    F.col("chunk_id").cast("long").alias("chunk_id"),
+                    F.col("start").cast("long").alias("start"),
+                    F.least(F.lit(window), F.col("n") - F.col("start"))
+                    .cast("long").alias("n_tokens"),
+                    F.array_join(F.slice("t", F.col("start") + 1,
+                                         F.lit(window)), " ")
+                    .alias("chunk_text")))
 
 
 def assign_folds(df: DataFrame, k: int = 5,

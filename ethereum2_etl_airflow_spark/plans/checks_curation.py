@@ -776,3 +776,35 @@ ORDER BY cohort_week, week_offset
 CURATION_CHECKS.update({
     "cohort_retention": (q_cohort_retention, ORACLE_COHORT_RETENTION),
 })
+
+
+# --- sliding-window chunking (RAG / embedding chunker) --------------------
+
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (C.chunk_sliding(_docs(spark, sf_dir), window=32, stride=24)
+            .orderBy("doc_id", "chunk_id"))
+
+
+ORACLE_CHUNK_SLIDING = """
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
+  FROM documents),
+base AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n <= 0 THEN 0
+              ELSE 1 + (GREATEST(n - 32, 0) + 23) // 24 END AS nch
+  FROM tk),
+ch AS (
+  SELECT doc_id, t, n, UNNEST(range(nch)) AS i FROM base)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * 24 AS BIGINT) AS start,
+       CAST(LEAST(32, n - i * 24) AS BIGINT) AS n_tokens,
+       array_to_string(t[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+FROM ch ORDER BY doc_id, chunk_id
+"""
+
+
+CURATION_CHECKS.update({
+    "chunk_sliding": (q_chunk_sliding, ORACLE_CHUNK_SLIDING),
+})

@@ -337,3 +337,25 @@ def test_cohort_retention_week0_is_full(spark, sf_dir):
             assert r["n_active"] == r["n_cohort"]
             assert r["retention"] == 1.0
         assert 0 < r["n_active"] <= r["n_cohort"]
+
+
+def test_chunk_sliding_boundaries(spark):
+    from ethereum2_etl_airflow_spark.operators.curation import chunk_sliding
+
+    rows = [(1, ""),                        # 0 tokens -> no chunks
+            (2, " ".join(f"t{i}" for i in range(32))),   # exactly window
+            (3, " ".join(f"t{i}" for i in range(33))),   # window+1 -> 2 chunks
+            (4, "one two")]                 # shorter than window
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_sliding(df, window=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 32
+    assert len(by_doc[3]) == 2
+    assert by_doc[3][1]["start"] == 24 and by_doc[3][1]["n_tokens"] == 9
+    # overlap: chunk 1 of doc 3 starts at token 24, within chunk 0's span
+    assert by_doc[3][0]["chunk_text"].split()[24] == \
+        by_doc[3][1]["chunk_text"].split()[0]
+    assert len(by_doc[4]) == 1 and by_doc[4][0]["n_tokens"] == 2
