@@ -1495,3 +1495,37 @@ FROM f ORDER BY doc_id
 
 
 EXTENSION_CHECKS["gopher_filter"] = (q_gopher_filter, ORACLE_GOPHER_FILTER)
+
+
+# --- Bloom-prefiltered semi-join ------------------------------------------
+
+def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-stream semi-join against a medium key set through the
+    DataFrame-native Bloom prefilter (functions.bloom): broadcast
+    bit-array probe cuts the fact side pre-exchange; the exact join over
+    survivors makes the result identical to the plain semi-join the
+    oracle runs (Bloom filters have no false negatives)."""
+    from ..functions.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_orderkey").alias("l_orderkey")))
+    return (bloom_semi_join(li, urgent, "l_orderkey")
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+            .orderBy("l_returnflag"))
+
+
+ORACLE_BLOOM_SEMI = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+EXTENSION_CHECKS["bloom_semi"] = (q_bloom_semi, ORACLE_BLOOM_SEMI)

@@ -520,3 +520,34 @@ def test_gopher_filter_planted_failures(spark):
     assert got[2][0] & 1 and not got[2][1]
     assert got[3][0] & 8 and got[3][0] & 16 and got[3][0] & 32
     assert got[4][0] & 4 and not got[4][1]
+
+
+def test_bloom_probe_no_false_negatives_and_filters(spark):
+    from ethereum2_etl_airflow_spark.functions.bloom import (
+        bloom_build, bloom_probe, bloom_semi_join)
+
+    big = spark.range(0, 20000).withColumnRenamed("id", "k")
+    small = spark.range(0, 20000, 97).withColumnRenamed("id", "k")  # ~206 keys
+    bloom = bloom_build(small, "k")
+    cand = bloom_probe(big, "k", bloom)
+    n_cand = cand.count()
+    n_true = big.join(small, "k", "left_semi").count()
+    assert n_cand >= n_true           # no false negatives, ever
+    assert n_cand < 2000              # and it actually filters (<10% pass)
+    got = sorted(r["k"] for r in bloom_semi_join(big, small, "k").collect())
+    want = sorted(r["k"] for r in big.join(small, "k", "left_semi").collect())
+    assert got == want                # exact after FP removal
+
+
+def test_bloom_probe_is_jvm_only(spark):
+    from ethereum2_etl_airflow_spark.functions.bloom import (
+        bloom_build, bloom_probe)
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+
+    big = spark.range(0, 1000).withColumnRenamed("id", "k")
+    small = spark.range(0, 100).withColumnRenamed("id", "k")
+    plan = plan_string(bloom_probe(big, "k", bloom_build(small, "k")),
+                       "simple")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
