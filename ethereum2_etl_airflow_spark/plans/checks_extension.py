@@ -1529,3 +1529,59 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 EXTENSION_CHECKS["bloom_semi"] = (q_bloom_semi, ORACLE_BLOOM_SEMI)
+
+
+# --- product-quantization ANN (ADC scoring, integer-exact) ----------------
+
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (S.pq_topk(_emb(spark, sf_dir), query_ids=[1, 2, 3], k=10)
+            .orderBy("query_id", "rank"))
+
+
+ORACLE_SIM_PQ = """
+WITH q8 AS (
+  SELECT vec_id,
+         CASE WHEN m = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / m) AS BIGINT))
+         END AS q
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS m
+        FROM embeddings)),
+anch AS (
+  SELECT q AS aq,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS arank
+  FROM q8
+  QUALIFY arank < 8),
+subdist AS (
+  SELECT v.vec_id, t.s, a.arank,
+         list_sum(list_transform(range(1, 17),
+           i -> (v.q[t.s * 16 + i] - a.aq[t.s * 16 + i])
+              * (v.q[t.s * 16 + i] - a.aq[t.s * 16 + i]))) AS dist
+  FROM q8 v, range(4) t(s), anch a),
+codes AS (
+  SELECT vec_id, s, arank AS code
+  FROM subdist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                             ORDER BY dist, arank) = 1),
+lut AS (
+  SELECT vec_id AS query_id, s, arank, dist
+  FROM subdist WHERE vec_id IN (1, 2, 3)),
+adc AS (
+  SELECT l.query_id, c.vec_id, CAST(SUM(l.dist) AS BIGINT) AS approx_dist
+  FROM codes c JOIN lut l ON l.s = c.s AND l.arank = c.code
+  WHERE l.query_id != c.vec_id
+  GROUP BY l.query_id, c.vec_id)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_dist, vec_id) AS INT) AS rank,
+       approx_dist
+FROM adc
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+EXTENSION_CHECKS["sim_pq"] = (q_sim_pq, ORACLE_SIM_PQ)

@@ -551,3 +551,18 @@ def test_bloom_probe_is_jvm_only(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pq_topk_planted_duplicate_attains_min_adc(spark, sf_dir):
+    """An exact copy of the query vector shares its codes, and the
+    query's own code per subspace is by construction the arg-min of the
+    query's LUT — so the copy attains the global minimum ADC distance."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    dup = (emb.where(F.col("vec_id") == 1)
+           .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                   "embedding", "label"))
+    out = S.pq_topk(emb.unionByName(dup), query_ids=[1], k=10).collect()
+    by_vec = {r["vec_id"]: r for r in out}
+    assert 1_000_001 in by_vec
+    min_dist = min(r["approx_dist"] for r in out)
+    assert by_vec[1_000_001]["approx_dist"] == min_dist
