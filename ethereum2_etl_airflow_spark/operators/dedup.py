@@ -38,6 +38,7 @@ __all__ = [
     "ngram_jaccard_pairs", "contamination_pairs",
     "minhash_near_dups", "simhash_signature", "simhash_candidates",
     "minhash_exact_pairs", "simhash_exact_pairs",
+    "source_minhash_similarity",
     "cosine_near_dup_pairs", "incremental_new_docs", "contamination_score",
     "dedup_chunks",
 ]
@@ -641,3 +642,46 @@ def dedup_chunks(docs: DataFrame, text_col: str = "text",
                             lambda x: x["chunk"]), " ").alias("clean_text"),
                 F.count("*").alias("n_kept"))
             .join(per_doc_total, id_col))
+
+
+def source_minhash_similarity(docs: DataFrame, n_hashes: int = 16,
+                              group_col: str = "source",
+                              text_col: str = "text",
+                              n: int = 3) -> DataFrame:
+    """Corpus-level overlap matrix: estimated shingle-Jaccard between
+    every pair of document groups (sources/dumps/snapshots) from
+    group-level MinHash signatures — the "how much does crawl A overlap
+    crawl B" dashboard number that decides what to deduplicate against
+    what.
+
+    Uses the same engine-portable md5 hash family as
+    :func:`minhash_exact_pairs`, so signatures — and therefore the
+    estimate itself — are bit-identical cross-engine and the whole
+    operator is SQL-oracle-checkable.  ``jaccard_est = n_match /
+    n_hashes``; with n_hashes a power of two the division is exact in
+    binary floating point.
+
+    Scale shape: one explode to (group, shingle) distinct [shuffle keyed
+    by group+shingle — uniform], K min-aggregates per group with
+    map-side combine [one more exchange on |groups| keys], then a
+    pair join over the |groups|-row signature table.  The pair join is
+    quadratic in |groups| — the contract is a bounded catalog of
+    sources (dumps, crawls), thousands at most, NOT per-document
+    grouping; for per-document near-dup use the banded
+    :func:`minhash_exact_pairs`."""
+    sh = (docs.select(F.col(group_col).alias("g"),
+                      F.explode(F.array_distinct(
+                          shingles(F.col(text_col), n))).alias("sh"))
+          .distinct())
+    sigs = sh.groupBy("g").agg(*[
+        F.min(F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("sh"))))
+        .alias(f"mh{s}") for s in range(n_hashes)])
+    a, b = sigs.alias("a"), sigs.alias("b")
+    n_match = None
+    for s in range(n_hashes):
+        t = F.when(F.col(f"a.mh{s}") == F.col(f"b.mh{s}"), 1).otherwise(0)
+        n_match = t if n_match is None else n_match + t
+    return (a.join(b, F.col("a.g") < F.col("b.g"))
+            .select(F.col("a.g").alias("src_a"), F.col("b.g").alias("src_b"),
+                    n_match.cast("int").alias("n_match"),
+                    (n_match.cast("double") / n_hashes).alias("jaccard_est")))

@@ -345,22 +345,36 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     d_sub = dim // m_sub
     x = F.col(vec_col)
     maxabs = F.array_max(F.transform(x, lambda e: F.abs(e.cast("double"))))
+    # let-bind maxabs as a column first: HOF lambdas are interpreted, so
+    # referencing the aggregate expression inside the per-element lambda
+    # would re-evaluate the 64-element array_max 64 times per row
     q8 = F.transform(
-        x, lambda e: F.when(maxabs == 0.0, F.lit(0).cast("long"))
-        .otherwise(F.floor(e.cast("double") * 127.0 / maxabs)
+        x, lambda e: F.when(F.col("m") == 0.0, F.lit(0).cast("long"))
+        .otherwise(F.floor(e.cast("double") * 127.0 / F.col("m"))
                    .cast("long")))
     qdf = (ensure_parallelism(emb)
+           .withColumn("m", maxabs)
            .select(F.col(id_col), q8.alias("q")).cache())
     # bounded, deterministic codebook sample (n_anchors rows) + the
     # query vectors (|Q| rows) — the only driver-side collections, both
     # constant-bounded like the IVF training sample
-    anchors = (qdf.orderBy(F.md5(F.col(id_col).cast("string")),
-                           F.col(id_col))
-               .limit(n_anchors).collect())
-    aqs = [list(r["q"]) for r in anchors]
-    qrows = {int(r[id_col]): list(r["q"]) for r in
-             qdf.where(F.col(id_col).isin([int(i) for i in query_ids]))
-             .collect()}
+    hx = F.md5(F.col(id_col).cast("string"))
+    bounded = (qdf.orderBy(hx, F.col(id_col))
+               .limit(n_anchors)
+               .select(F.lit("a").alias("role"), hx.alias("hx"),
+                       F.col(id_col), "q")
+               .unionByName(
+                   qdf.where(F.col(id_col)
+                             .isin([int(i) for i in query_ids]))
+                   .select(F.lit("q").alias("role"), hx.alias("hx"),
+                           F.col(id_col), "q"))
+               .collect())  # one bounded job for codebook + query rows
+    # union does not preserve the limit's order — restore (md5, id)
+    aqs = [list(r["q"]) for r in
+           sorted((r for r in bounded if r["role"] == "a"),
+                  key=lambda r: (r["hx"], r[id_col]))]
+    qrows = {int(r[id_col]): list(r["q"]) for r in bounded
+             if r["role"] == "q"}
 
     def sub_dist_expr(s: int, aq: list[int]):
         terms = [(F.element_at("q", s * d_sub + i + 1)
@@ -377,6 +391,12 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         coded = coded.withColumn(
             f"c{s}",
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    # materialize the code table (id + m_sub ints per vector — the PQ
+    # index itself, 64× smaller than the vectors): the per-query top-k
+    # branches below each scan it, and the assignment expressions are
+    # wide enough that re-analyzing/re-running them per branch costs
+    # more than the one bounded write
+    coded = coded.drop("q").localCheckpoint(eager=True)
     # per-query ADC: LUT entries are plain Python ints baked as literals
     def lut(qq: list[int], s: int, aq: list[int]) -> int:
         return sum((qq[s * d_sub + i] - aq[s * d_sub + i]) ** 2
@@ -396,10 +416,22 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     scored = (coded.select(F.col(id_col).alias("vec_id"),
                            F.explode(F.array(*per_q)).alias("s"))
               .select("s.query_id", "vec_id",
-                      (-F.col("s.dist")).alias("cosine"))
+                      F.col("s.dist").alias("approx_dist"))
               .where(F.col("query_id") != F.col("vec_id")))
-    ranked = _rank_topk(partial_topk(scored, k), k)
-    out = ranked.select("query_id", "vec_id", "rank",
-                        (-F.col("cosine")).cast("long")
-                        .alias("approx_dist"))
+    # per-query TakeOrderedAndProject instead of the Arrow-backed
+    # partial_topk: |Q| is already literal-bounded by the LUT design, so
+    # one JVM per-partition-heap top-k per query keeps the whole PQ plan
+    # Python-free (measured: the Arrow pass floor was >half the runtime
+    # at small SF).  Each branch scans the cached code table once; for
+    # unbounded query sets score against partial_topk instead.
+    tops = [scored.where(F.col("query_id") == int(qid))
+            .orderBy("approx_dist", "vec_id").limit(k)
+            for qid in query_ids]
+    allq = tops[0]
+    for t in tops[1:]:
+        allq = allq.unionByName(t)
+    w = Window.partitionBy("query_id").orderBy("approx_dist", "vec_id")
+    out = (allq.withColumn("rank", F.row_number().over(w))
+           .select("query_id", "vec_id", "rank",
+                   F.col("approx_dist").cast("long").alias("approx_dist")))
     return finalize_release(out, qdf)

@@ -1402,18 +1402,23 @@ EXTENSION_CHECKS["compress_ratio"] = (q_compress_ratio, None)
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the part-co-purchase graph (parts
-    sharing an order).  Degree-ordered orientation bounds the wedge
-    self-join at m^1.5 — see operators.graph.triangle_counts."""
+    sharing an order).  Pair generation is ONE map-side-combining
+    groupBy (collect_set per order) + a narrow HOF pair expansion — not
+    a lineitem self-join, which would shuffle the fact table twice;
+    group width is bounded by order size, so the C(n,2) fan-out is
+    constant-bounded per row.  Degree-ordered orientation then bounds
+    the wedge self-join at m^1.5 — see operators.graph.triangle_counts."""
     from ..operators.graph import triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = (li.alias("x").join(
-        li.alias("y"),
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")))
-        .select(F.col("x.l_partkey").alias("id_a"),
-                F.col("y.l_partkey").alias("id_b")).distinct())
-    return (triangle_counts(pairs)
+    pairs = (li.groupBy("l_orderkey")
+             .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+             .select(F.explode(F.expr(
+                 "flatten(transform(ps, (x, i) -> "
+                 "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                 "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
+             .select("p.id_a", "p.id_b").distinct())
+    return (triangle_counts(pairs, assume_canonical=True)
             .orderBy(F.col("n_triangles").desc(), "node").limit(100))
 
 
@@ -1585,3 +1590,43 @@ ORDER BY query_id, rank
 
 
 EXTENSION_CHECKS["sim_pq"] = (q_sim_pq, ORACLE_SIM_PQ)
+
+
+# --- corpus-level source-overlap matrix (group MinHash) -------------------
+
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (D.source_minhash_similarity(_docs(spark, sf_dir), n_hashes=16)
+            .orderBy("src_a", "src_b"))
+
+
+ORACLE_SOURCE_SIMILARITY = """
+WITH tk AS (SELECT source AS g, doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents),
+sh AS (
+  SELECT DISTINCT g, UNNEST(
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE [] END) AS sh
+  FROM tk),
+sigs AS (
+  SELECT g, {mins}
+  FROM sh GROUP BY g),
+pairs AS (
+  SELECT a.g AS src_a, b.g AS src_b,
+         {match_sum} AS n_match
+  FROM sigs a JOIN sigs b ON a.g < b.g)
+SELECT src_a, src_b, CAST(n_match AS INT) AS n_match,
+       CAST(n_match AS DOUBLE) / 16 AS jaccard_est
+FROM pairs ORDER BY src_a, src_b
+""".format(
+    mins=",\n         ".join(
+        f"MIN(md5('{s}|' || sh)) AS mh{s}" for s in range(16)),
+    match_sum=" + ".join(
+        f"(CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END)"
+        for s in range(16)))
+
+
+EXTENSION_CHECKS["source_similarity"] = (
+    q_source_similarity, ORACLE_SOURCE_SIMILARITY)

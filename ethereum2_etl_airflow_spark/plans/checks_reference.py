@@ -112,6 +112,53 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- S1b: CSV schema-enforced scan ----------------------------------------
+
+def ensure_csv_staged(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the CSV staging fixture (idempotent per sf_dir):
+    documents serialized as headered CSV — the TSV/CSV drop a crawl or
+    vendor feed arrives as.  Bench warm-up hook like the NDJSON one."""
+    out = _staged(sf_dir, "csv")
+    if not _is_staged(out):
+        d = load_table(spark, sf_dir, "documents")
+        (d.select("doc_id", "text", "lang", "source", "n_chars")
+         .write.mode("overwrite").option("header", True)
+         .option("quoteAll", False).csv(out))
+    return out
+
+
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with an IMPOSED schema (no inference job — at
+    100 TB a schema-inference pre-pass is a full extra scan): read the
+    staged files with declared types and aggregate.  Quoting/escaping
+    round-trips through the Spark CSV writer/reader pair."""
+    from pyspark.sql import types as T
+
+    out = ensure_csv_staged(spark, sf_dir)
+    st = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    back = (spark.read.schema(st).option("header", True)
+            .option("mode", "PERMISSIVE").csv(out))
+    return (back.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(F.length("text")).alias("total_text_len"))
+            .orderBy("lang"))
+
+
+ORACLE_SCAN_CSV = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 # --- S3/S5/S6: partitioned sink + single-partition scan -------------------
 
 def ensure_partition_staged(spark: SparkSession, sf_dir: str) -> str:
@@ -486,6 +533,7 @@ REFERENCE_CHECKS: dict[str, tuple] = {
     "date_fns": (q_date_fns, ORACLE_DATE_FNS),
     "json_extract": (q_json_extract, ORACLE_JSON_EXTRACT),
     "scan_ndjson": (q_scan_ndjson, ORACLE_SCAN_NDJSON),
+    "scan_csv": (q_scan_csv, ORACLE_SCAN_CSV),
     "scan_partition": (q_scan_partition, ORACLE_SCAN_PARTITION),
     "sink_overwrite": (q_sink_overwrite, ORACLE_SINK_OVERWRITE),
     "meta_minmax": (q_meta_minmax, ORACLE_META_MINMAX),

@@ -566,3 +566,17 @@ def test_pq_topk_planted_duplicate_attains_min_adc(spark, sf_dir):
     assert 1_000_001 in by_vec
     min_dist = min(r["approx_dist"] for r in out)
     assert by_vec[1_000_001]["approx_dist"] == min_dist
+
+
+def test_source_similarity_identical_and_disjoint_groups(spark):
+    texts = ["the quick brown fox jumps over the lazy dog every day",
+             "an entirely different document about spark query planning"]
+    rows = [(1, texts[0], "a"), (2, texts[0], "b"),   # a ≡ b
+            (3, texts[1], "c")]                       # c disjoint from both
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["src_a"], r["src_b"]): r
+           for r in D.source_minhash_similarity(df, n_hashes=16).collect()}
+    assert got[("a", "b")]["n_match"] == 16
+    assert got[("a", "b")]["jaccard_est"] == 1.0
+    assert got[("a", "c")]["n_match"] == 0
+    assert got[("b", "c")]["n_match"] == 0
