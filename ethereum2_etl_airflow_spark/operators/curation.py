@@ -43,7 +43,7 @@ __all__ = [
     "cap_per_key", "pack_offsets", "assign_folds", "term_salience",
     "quantize_embeddings", "bin_by_quantile", "outliers_p99", "funnel",
     "winsorize", "table_diff",
-    "cohort_retention", "chunk_sliding",
+    "cohort_retention", "chunk_sliding", "url_features",
 ]
 
 # RE2- and Java-regex-identical patterns (no backrefs / lookaround):
@@ -210,6 +210,26 @@ def pack_offsets(df: DataFrame, budget: int = 2048,
     # ContextCleaner on GC; finalize_release materializes the (small)
     # result so callers never re-trigger the two-pass layout.
     return finalize_release(result)
+
+
+def url_features(df: DataFrame, url_col: str = "url",
+                 id_col: str = "doc_id") -> DataFrame:
+    """URL decomposition for web-crawl curation: host, registered-domain
+    heuristic (last two host labels), path, and the ``ref`` query
+    parameter — the keys per-domain caps (:func:`cap_per_key`), domain
+    mixing weights, and crawl dedup group on.
+
+    Host/path/query come from Spark's ``parse_url`` (JVM builtin, RFC
+    grammar); the registered domain is a narrow regexp.  Pure codegen
+    projection — no shuffle, no UDF."""
+    u = F.col(url_col)
+    host = F.parse_url(u, F.lit("HOST"))
+    return df.select(
+        F.col(id_col), u.alias("url"),
+        host.alias("host"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+        F.parse_url(u, F.lit("PATH")).alias("path"),
+        F.parse_url(u, F.lit("QUERY"), F.lit("ref")).alias("ref"))
 
 
 def chunk_sliding(df: DataFrame, window: int = 32, stride: int = 24,

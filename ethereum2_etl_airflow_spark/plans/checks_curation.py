@@ -808,3 +808,80 @@ FROM ch ORDER BY doc_id, chunk_id
 CURATION_CHECKS.update({
     "chunk_sliding": (q_chunk_sliding, ORACLE_CHUNK_SLIDING),
 })
+
+
+# --- SCD2 as-of snapshot (time-travel read over interval history) ---------
+
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction: the state of each user's latest
+    event AS OF T, read straight off the SCD2 validity intervals —
+    the query pattern interval histories exist to serve.  A narrow
+    filter over the interval table; no extra shuffle beyond SCD2
+    itself."""
+    from ..operators.load import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = scd2_intervals(ev, ["user_id"], ["ts", "event_id"], "ts")
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (iv.where((F.col("valid_from") <= t)
+                     & (F.col("valid_to").isNull()
+                        | (F.col("valid_to") > t)))
+            .select("user_id", "event_id", "event_type", "valid_from")
+            .orderBy("user_id"))
+
+
+ORACLE_SCD2_ASOF = """
+SELECT user_id, event_id, event_type,
+       CAST(ts AS TIMESTAMP) AS valid_from
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM events)
+WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (valid_to IS NULL
+       OR CAST(valid_to AS TIMESTAMP) > TIMESTAMP '2024-01-15 00:00:00')
+ORDER BY user_id
+"""
+
+
+CURATION_CHECKS.update({
+    "scd2_asof": (q_scd2_asof, ORACLE_SCD2_ASOF),
+})
+
+
+# --- URL decomposition (web-crawl curation keys) --------------------------
+
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized crawl URLs (deterministic from documents) decomposed
+    with Spark's parse_url builtin; the oracle re-derives host/path/
+    query with generic URL-grammar regexps, so the check pins Spark's
+    parser to the grammar rather than to itself."""
+    d = _docs(spark, sf_dir)
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/"), F.col("lang"), F.lit("/doc/"),
+                   F.col("doc_id").cast("string"), F.lit("?ref="),
+                   F.col("source"), F.lit("&x=1"))
+    return (C.url_features(d.select("doc_id", url.alias("url")))
+            .orderBy("doc_id"))
+
+
+ORACLE_URL_PARSE = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang || '/doc/'
+           || CAST(doc_id AS VARCHAR) || '?ref=' || source || '&x=1' AS url
+  FROM documents)
+SELECT doc_id, url,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                      '([^.]+\.[^.]+)$', 1) AS domain,
+       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+       regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
+FROM u ORDER BY doc_id
+"""
+
+
+CURATION_CHECKS.update({
+    "url_parse": (q_url_parse, ORACLE_URL_PARSE),
+})
