@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["stratified_sample", "hash_fraction_sample", "shuffle_key",
-           "shuffle_deterministic", "weighted_mix", "sample_exact_n"]
+           "shuffle_deterministic", "weighted_mix", "sample_exact_n",
+           "negative_sample"]
 
 
 def stratified_sample(df: DataFrame, group_col: str, n: int,
@@ -114,3 +115,43 @@ def sample_exact_n(df: DataFrame, n: int, id_col: str = "doc_id",
     key = F.md5(F.col(id_col).cast("string"))
     return (df.withColumn(key_col, key)
             .orderBy(key_col, id_col).limit(n))
+
+
+def negative_sample(df: DataFrame, anchor_ids: list[int], k: int = 5,
+                    id_col: str = "vec_id",
+                    label_col: str = "label") -> DataFrame:
+    """Deterministic contrastive negatives: for each anchor, the ``k``
+    candidates with a DIFFERENT label, ordered by
+    ``md5(anchor_id || '|' || cand_id)`` — a per-anchor-independent,
+    engine-portable pseudo-random order, so (a) reruns and relayouts
+    pick identical negatives, (b) each anchor draws from an independent
+    permutation (no candidate is globally "unlucky"), and (c) the whole
+    draw is SQL-oracle-checkable.
+
+    Scale shape: the anchor set is bounded (a training batch), so each
+    anchor is one TakeOrdered branch over the label-filtered corpus —
+    per-partition heap + driver merge of k·P rows, never a global sort
+    and never a |A|x|C| window.  For unbounded anchor sets switch to a
+    partial-topk pass keyed by anchor."""
+    anchors = {int(r[id_col]): r[label_col] for r in
+               df.select(id_col, label_col)
+               .where(F.col(id_col).isin([int(a) for a in anchor_ids]))
+               .collect()}
+    branches = []
+    for aid in anchor_ids:
+        aid = int(aid)
+        order = F.md5(F.concat(F.lit(str(aid)), F.lit("|"),
+                               F.col(id_col).cast("string")))
+        branches.append(
+            df.where(F.col(label_col) != anchors[aid])
+            .select(F.lit(aid).alias("anchor_id"),
+                    F.col(id_col).alias("neg_id"),
+                    F.col(label_col).alias("neg_label"),
+                    order.alias("h"))
+            .orderBy("h", "neg_id").limit(k))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    w = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
+    return (out.withColumn("rank", F.row_number().over(w))
+            .select("anchor_id", "rank", "neg_id", "neg_label"))

@@ -1630,3 +1630,79 @@ FROM pairs ORDER BY src_a, src_b
 
 EXTENSION_CHECKS["source_similarity"] = (
     q_source_similarity, ORACLE_SOURCE_SIMILARITY)
+
+
+# --- contrastive negative sampling ----------------------------------------
+
+def q_neg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import negative_sample
+
+    return (negative_sample(_emb(spark, sf_dir), [1, 2, 3], k=5)
+            .orderBy("anchor_id", "rank"))
+
+
+ORACLE_NEG_SAMPLE = """
+WITH anch AS (SELECT vec_id AS aid, label AS alabel FROM embeddings
+              WHERE vec_id IN (1, 2, 3)),
+cand AS (
+  SELECT a.aid AS anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+         md5(CAST(a.aid AS VARCHAR) || '|' || CAST(e.vec_id AS VARCHAR))
+           AS h
+  FROM anch a JOIN embeddings e ON e.label != a.alabel)
+SELECT anchor_id,
+       CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY h, neg_id)
+            AS INT) AS rank,
+       neg_id, neg_label
+FROM cand
+QUALIFY rank <= 5
+ORDER BY anchor_id, rank
+"""
+
+
+EXTENSION_CHECKS["neg_sample"] = (q_neg_sample, ORACLE_NEG_SAMPLE)
+
+
+# --- declarative data-quality expectations (deequ-style, one scan) --------
+
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import run_expectations
+
+    ev = load_table(spark, sf_dir, "events")
+    specs = [
+        ("user_id_complete", "not_null", "user_id"),
+        ("event_id_unique", "unique", "event_id"),
+        ("value_in_range", "range", "value", 0.0, 1000.0),
+        ("known_event_types", "in_set", "event_type",
+         ["click", "view", "purchase", "scroll"]),
+        ("props_is_json", "matches", "props", "^\\{.*\\}$"),
+        ("min_volume", "min_rows", 100),
+    ]
+    return run_expectations(ev, specs).orderBy("constraint")
+
+
+ORACLE_DQ_EXPECTATIONS = r"""
+WITH m AS (
+  SELECT CAST(count_if(user_id IS NULL) AS BIGINT) AS v_null,
+         CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT) AS v_uni,
+         CAST(count_if(value NOT BETWEEN 0.0 AND 1000.0) AS BIGINT) AS v_rng,
+         CAST(count_if(event_type NOT IN
+                       ('click','view','purchase','scroll')) AS BIGINT)
+             AS v_set,
+         CAST(count_if(NOT regexp_matches(props, '^\{.*\}$')) AS BIGINT)
+             AS v_re,
+         CAST(CASE WHEN COUNT(*) >= 100 THEN 0
+                   ELSE 100 - COUNT(*) END AS BIGINT) AS v_min
+  FROM events)
+SELECT "constraint", violations, violations = 0 AS passed FROM (
+  SELECT 'user_id_complete' AS "constraint", v_null AS violations FROM m
+  UNION ALL SELECT 'event_id_unique', v_uni FROM m
+  UNION ALL SELECT 'value_in_range', v_rng FROM m
+  UNION ALL SELECT 'known_event_types', v_set FROM m
+  UNION ALL SELECT 'props_is_json', v_re FROM m
+  UNION ALL SELECT 'min_volume', v_min FROM m)
+ORDER BY "constraint"
+"""
+
+
+EXTENSION_CHECKS["dq_expectations"] = (
+    q_dq_expectations, ORACLE_DQ_EXPECTATIONS)

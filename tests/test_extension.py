@@ -580,3 +580,36 @@ def test_source_similarity_identical_and_disjoint_groups(spark):
     assert got[("a", "b")]["jaccard_est"] == 1.0
     assert got[("a", "c")]["n_match"] == 0
     assert got[("b", "c")]["n_match"] == 0
+
+
+def test_negative_sample_determinism_and_label_exclusion(spark, sf_dir):
+    from ethereum2_etl_airflow_spark.operators.sampling import (
+        negative_sample)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = negative_sample(emb, [1, 2], k=5).collect()
+    b = negative_sample(emb.repartition(7), [1, 2], k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # layout-invariant
+    labels = {int(r["vec_id"]): r["label"]
+              for r in emb.where(F.col("vec_id").isin([1, 2])).collect()}
+    for r in a:
+        assert r["neg_label"] != labels[r["anchor_id"]]
+
+
+def test_run_expectations_planted_violations(spark):
+    from ethereum2_etl_airflow_spark.operators.quality import (
+        run_expectations)
+
+    rows = [(1, "a", 5.0), (2, "a", -1.0), (3, None, 7.0), (3, "b", 8.0)]
+    df = spark.createDataFrame(rows, "id long, name string, v double")
+    out = {r["constraint"]: (r["violations"], r["passed"])
+           for r in run_expectations(df, [
+               ("name_complete", "not_null", "name"),
+               ("id_unique", "unique", "id"),
+               ("v_nonneg", "range", "v", 0.0, 100.0),
+               ("enough", "min_rows", 10),
+           ]).collect()}
+    assert out["name_complete"] == (1, False)
+    assert out["id_unique"] == (1, False)
+    assert out["v_nonneg"] == (1, False)
+    assert out["enough"] == (6, False)
