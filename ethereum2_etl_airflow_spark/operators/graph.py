@@ -32,7 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["connected_components", "pagerank_int", "triangle_counts"]
+__all__ = ["connected_components", "pagerank_int", "triangle_counts",
+           "cluster_survivors"]
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
@@ -272,3 +273,41 @@ def pagerank_int(edges: DataFrame, n_iter: int = 3,
         return scores
     finally:
         e.unpersist()
+
+
+def cluster_survivors(docs: DataFrame, pairs: DataFrame,
+                      score_col, id_col: str = "doc_id",
+                      src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Survivorship over near-dup clusters — the step that turns "these
+    documents are mutually similar" into "keep THIS one": transitive
+    closure of the pair graph (:func:`connected_components`), singleton
+    documents as their own cluster, then one deterministic survivor per
+    cluster by (score desc, id asc) — e.g. the longest / highest-quality
+    variant wins, original beats truncation.
+
+    Returns every document with (cluster_id, survivor_id, is_survivor);
+    filtering ``is_survivor`` is the dedup, keeping the rest is the
+    audit trail.
+
+    Scale shape: CC is the iterative piece (bounded rounds, one shuffle
+    join each); survivor election is ONE map-side-combining
+    ``max(struct(score, -id))`` per cluster joined back on the cluster
+    key — no per-cluster window sort, no skew on popular clusters."""
+    cc = connected_components(pairs, src, dst)
+    scored = docs.select(F.col(id_col),
+                         score_col.cast("long").alias("__score"))
+    members = (scored.join(cc.withColumnRenamed("node", id_col),
+                           id_col, "left")
+               .select(id_col, "__score",
+                       F.coalesce("component", F.col(id_col))
+                       .alias("cluster_id")))
+    best = (members.groupBy("cluster_id")
+            .agg(F.max(F.struct(F.col("__score"),
+                                (-F.col(id_col)).alias("__negid")))
+                 .alias("b"))
+            .select("cluster_id", (-F.col("b.__negid"))
+                    .alias("survivor_id")))
+    return (members.join(best, "cluster_id")
+            .select(id_col, "cluster_id", "survivor_id",
+                    (F.col(id_col) == F.col("survivor_id"))
+                    .alias("is_survivor")))

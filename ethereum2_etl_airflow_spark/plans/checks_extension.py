@@ -1706,3 +1706,77 @@ ORDER BY "constraint"
 
 EXTENSION_CHECKS["dq_expectations"] = (
     q_dq_expectations, ORACLE_DQ_EXPECTATIONS)
+
+
+# --- near-dup cluster survivorship (golden record) ------------------------
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC closure of the n-gram pair graph + one survivor per cluster by
+    (text length desc, id asc) — the original beats its truncated
+    variant, singletons survive themselves."""
+    from ..operators.graph import cluster_survivors
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(corpus, threshold_tenths=6)
+    return (cluster_survivors(corpus, pairs, F.length("text"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_SURVIVORS = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(
+           (regexp_extract_all(lower(text), '[a-z0-9]+'))
+             [1:greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 5, 1)],
+           ' ')
+  FROM documents WHERE doc_id % 10 = 0),
+sh AS (
+  SELECT DISTINCT doc_id AS id, UNNEST(
+    CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3 THEN
+      list_transform(
+        range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
+        i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' '
+          || regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' '
+          || regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])
+    ELSE [] END) AS sh
+  FROM corpus),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE 10 * inter >= 6 * (sa.sz + sb.sz - inter)),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION SELECT id_b, id_a FROM prs),
+reach(src, node) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node),
+cc AS (SELECT src AS doc_id, MIN(node) AS cluster_id
+       FROM reach GROUP BY src),
+members AS (
+  SELECT c.doc_id, LENGTH(c.text) AS score,
+         COALESCE(cc.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN cc ON cc.doc_id = c.doc_id),
+best AS (
+  SELECT cluster_id, doc_id AS survivor_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM members),
+surv AS (SELECT cluster_id, survivor_id FROM best WHERE rn = 1)
+SELECT m.doc_id, m.cluster_id, s.survivor_id,
+       m.doc_id = s.survivor_id AS is_survivor
+FROM members m JOIN surv s USING (cluster_id)
+ORDER BY m.doc_id
+"""
+
+
+EXTENSION_CHECKS["dedup_survivors"] = (
+    q_dedup_survivors, ORACLE_DEDUP_SURVIVORS)

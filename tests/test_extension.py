@@ -613,3 +613,18 @@ def test_run_expectations_planted_violations(spark):
     assert out["id_unique"] == (1, False)
     assert out["v_nonneg"] == (1, False)
     assert out["enough"] == (6, False)
+
+
+def test_cluster_survivors_longest_wins_singletons_survive(spark):
+    from ethereum2_etl_airflow_spark.operators.graph import (
+        cluster_survivors)
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "a much longer variant of it"), (3, "loner")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {r["doc_id"]: r for r in
+           cluster_survivors(docs, pairs, F.length("text")).collect()}
+    assert got[1]["survivor_id"] == 2 and not got[1]["is_survivor"]
+    assert got[2]["is_survivor"]
+    assert got[3]["is_survivor"] and got[3]["cluster_id"] == 3
