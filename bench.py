@@ -119,7 +119,8 @@ def main() -> None:
     # longest-processing-time-first order: the heavy near-dup/ML queries
     # start immediately so the suite's makespan is their runtime, not
     # their runtime plus whatever queued in front of them
-    heavy = ["dedup_clusters_star", "dedup_clusters", "sim_ivf",
+    heavy = ["triangle_count", "dedup_survivors", "dedup_clusters_star",
+             "dedup_clusters", "sim_ivf", "sim_pq",
              "dedup_simhash_exact", "dedup_minhash_exact", "sparse_cosine",
              "recursive_cte", "pagerank", "cohort_retention",
              "sessionize_stream", "stream_join_outer", "term_salience",

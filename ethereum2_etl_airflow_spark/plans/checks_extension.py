@@ -1780,3 +1780,45 @@ ORDER BY m.doc_id
 
 EXTENSION_CHECKS["dedup_survivors"] = (
     q_dedup_survivors, ORACLE_DEDUP_SURVIVORS)
+
+
+# --- stream-stream FULL OUTER join ----------------------------------------
+
+def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER attribution: unmatched rows on BOTH
+    sides null-extend once the watermark proves no partner can arrive —
+    clicks without a purchase AND purchases without a click.  Reuses the
+    outer-join fixture (sentinel pair closes the watermark over all real
+    rows), so the emitted set equals the batch full join."""
+    from ..streaming.join import (attribution_join,
+                                  run_append_available_now)
+
+    src = ensure_stream_join_outer_source(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = run_append_available_now(attribution_join(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        how="fullOuter"), spark)
+    return (out.where(F.coalesce("user_id", F.lit(0)) >= 0)
+            .orderBy("user_id", "click_id", "purchase_id"))
+
+
+ORACLE_STREAM_JOIN_FULL = """
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       c.event_id AS click_id, p.event_id AS purchase_id,
+       CAST(c.ts AS TIMESTAMP) AS click_ts,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click'
+        AND user_id >= 0) c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase'
+        AND user_id >= 0) p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY user_id, click_id, purchase_id
+"""
+
+
+EXTENSION_CHECKS["stream_join_full"] = (
+    q_stream_join_full, ORACLE_STREAM_JOIN_FULL)

@@ -62,8 +62,12 @@ def attribution_join(clicks: DataFrame, purchases: DataFrame,
         & (p["purchase_ts"] >= c["click_ts"])
         & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {within}"))
     )
+    # coalesce the key: with fullOuter, purchase-only rows carry it on
+    # the purchase side (no-op for inner/leftOuter where click_user is
+    # always present)
     return (c.join(p, cond, how)
-            .select(F.col("click_user").alias("user_id"),
+            .select(F.coalesce("click_user", "purchase_user")
+                    .alias("user_id"),
                     F.col("click_id"), F.col("purchase_id"),
                     F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
                     F.col("purchase_ts").cast("timestamp_ntz")
