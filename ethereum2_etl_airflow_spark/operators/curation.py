@@ -42,7 +42,7 @@ __all__ = [
     "EMAIL_RE", "IPV4_RE", "LONGNUM_RE", "pii_scrub", "heavy_hitters",
     "cap_per_key", "pack_offsets", "assign_folds", "term_salience",
     "quantize_embeddings", "bin_by_quantile", "outliers_p99", "funnel",
-    "winsorize", "table_diff",
+    "winsorize", "table_diff", "funnel_steps",
     "cohort_retention", "chunk_sliding", "url_features",
 ]
 
@@ -373,6 +373,41 @@ def outliers_p99(events: DataFrame, group_col: str = "event_type",
     return (events.join(F.broadcast(cuts), group_col)
             .where(F.col(val_col) > F.col("p99"))
             .select(id_col, group_col, val_col, "p99"))
+
+
+def funnel_steps(events: DataFrame, steps: list[str],
+                 ts_col: str = "ts",
+                 user_col: str = "user_id") -> DataFrame:
+    """K-step ORDERED funnel (the MATCH_RECOGNIZE-lite shape): per user,
+    the earliest chain ts1 ≤ ts2 ≤ … ≤ tsK where ts_i is the first
+    ``steps[i]`` event at-or-after ts_{i−1}.  Greedy-earliest is optimal
+    here: taking the earliest feasible event at each step never forecloses
+    a later step (any later choice only tightens the constraint), so the
+    chain exists iff a chain exists — the classic k-step funnel
+    semantics.  NULL from the first failed step onward; ``depth`` counts
+    completed steps.
+
+    Scale shape: one partial-aggregating groupBy per step keyed by user
+    (uniform shuffles, no window over the raw stream, no per-user event
+    sort); each join is user-keyed against an already-aggregated
+    (|users|-sized) side."""
+    assert len(steps) >= 2
+    cur = (events.where(F.col("event_type") == steps[0])
+           .groupBy(user_col).agg(F.min(ts_col).alias("ts1")))
+    out = cur
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (events.where(F.col("event_type") == step)
+               .join(out.select(user_col, F.col(f"ts{i-1}")), user_col)
+               .where(F.col(ts_col) >= F.col(f"ts{i-1}"))
+               .groupBy(user_col).agg(F.min(ts_col).alias(f"ts{i}")))
+        out = out.join(nxt, user_col, "left")
+    depth = None
+    for i in range(1, len(steps) + 1):
+        t = F.when(F.col(f"ts{i}").isNotNull(), 1).otherwise(0)
+        depth = t if depth is None else depth + t
+    return out.select(user_col,
+                      *[F.col(f"ts{i}") for i in range(1, len(steps) + 1)],
+                      depth.cast("int").alias("depth"))
 
 
 def funnel(events: DataFrame, first_step: str = "click",

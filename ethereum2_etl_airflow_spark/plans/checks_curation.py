@@ -885,3 +885,46 @@ FROM u ORDER BY doc_id
 CURATION_CHECKS.update({
     "url_parse": (q_url_parse, ORACLE_URL_PARSE),
 })
+
+
+# --- k-step ordered funnel ------------------------------------------------
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (C.funnel_steps(ev, ["click", "view", "purchase"])
+            .select("user_id",
+                    F.col("ts1").cast("timestamp").alias("ts1"),
+                    F.col("ts2").cast("timestamp").alias("ts2"),
+                    F.col("ts3").cast("timestamp").alias("ts3"),
+                    "depth")
+            .orderBy("user_id"))
+
+
+ORACLE_FUNNEL_STEPS = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS ts1 FROM events
+  WHERE event_type = 'click' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+  JOIN s1 ON s1.user_id = e.user_id AND e.ts >= s1.ts1
+  WHERE e.event_type = 'view' GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+  JOIN s2 ON s2.user_id = e.user_id AND e.ts >= s2.ts2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT s1.user_id,
+       CAST(ts1 AS TIMESTAMP) AS ts1,
+       CAST(ts2 AS TIMESTAMP) AS ts2,
+       CAST(ts3 AS TIMESTAMP) AS ts3,
+       CAST(CASE WHEN ts1 IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN ts2 IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN ts3 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+ORDER BY s1.user_id
+"""
+
+
+CURATION_CHECKS.update({
+    "funnel_steps": (q_funnel_steps, ORACLE_FUNNEL_STEPS),
+})
