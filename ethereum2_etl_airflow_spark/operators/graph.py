@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["connected_components", "pagerank_int", "triangle_counts",
-           "cluster_survivors"]
+           "cluster_survivors", "kcore_peel"]
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
@@ -311,3 +311,40 @@ def cluster_survivors(docs: DataFrame, pairs: DataFrame,
             .select(id_col, "cluster_id", "survivor_id",
                     (F.col(id_col) == F.col("survivor_id"))
                     .alias("is_survivor")))
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, n_rounds: int = 4,
+               src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Bounded-round k-core peeling: iteratively delete nodes of degree
+    < k (and their edges); after ``n_rounds`` rounds the survivors
+    approximate the k-core from above (the true k-core is always
+    contained in the survivor set, and equals it once a round removes
+    nothing).  The dense-cluster extractor of a near-dup graph — spam
+    farms and template families are high-core, organic near-dups are
+    not.
+
+    The round count is FIXED, not convergence-probed, for the same
+    reason as :func:`pagerank_int`: a fixed iteration count makes the
+    operator exactly reproducible by unrolling the rounds as chained
+    SQL CTEs — callers needing the exact fixpoint raise ``n_rounds``
+    (peeling converges in ≤ |V| rounds; in practice a handful).
+
+    Returns (node, degree) of survivors with their within-subgraph
+    degree.  Each round is one symmetric-edge semi-join against the
+    surviving low-degree-filtered node set + a map-side-combining degree
+    count — no driver state, lineage cut per round."""
+    sym = (edges.select(F.col(src).cast("long").alias("u"),
+                        F.col(dst).cast("long").alias("v"))
+           .union(edges.select(F.col(dst).cast("long").alias("u"),
+                               F.col(src).cast("long").alias("v")))
+           .where(F.col("u") != F.col("v")).distinct()
+           .localCheckpoint(eager=True))
+    e = sym
+    for _ in range(n_rounds):
+        deg = e.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= k).select("u")
+        e = (e.join(keep, "u", "left_semi")
+             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+             .localCheckpoint(eager=True))
+    return (e.groupBy("u").agg(F.count("*").alias("degree"))
+            .select(F.col("u").alias("node"), "degree"))

@@ -1822,3 +1822,47 @@ ORDER BY user_id, click_id, purchase_id
 
 EXTENSION_CHECKS["stream_join_full"] = (
     q_stream_join_full, ORACLE_STREAM_JOIN_FULL)
+
+
+# --- bounded-round k-core peel --------------------------------------------
+
+_KCORE_ROUND = """
+  SELECT e.u, e.v FROM {prev} e
+  WHERE e.u IN (SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) >= 4)
+    AND e.v IN (SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) >= 4)
+"""
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 peel rounds of the 4-core over the part-co-purchase graph —
+    exact vs the unrolled-CTE oracle (fixed rounds, like pagerank)."""
+    from ..operators.graph import kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (li.groupBy("l_orderkey")
+             .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+             .select(F.explode(F.expr(
+                 "flatten(transform(ps, (x, i) -> "
+                 "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                 "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
+             .select("p.id_a", "p.id_b").distinct())
+    return (kcore_peel(pairs, k=4, n_rounds=4)
+            .orderBy(F.col("degree").desc(), "node").limit(200))
+
+
+ORACLE_KCORE = f"""
+WITH e0 AS (
+  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey != y.l_partkey),
+e1 AS ({_KCORE_ROUND.format(prev="e0")}),
+e2 AS ({_KCORE_ROUND.format(prev="e1")}),
+e3 AS ({_KCORE_ROUND.format(prev="e2")}),
+e4 AS ({_KCORE_ROUND.format(prev="e3")})
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM e4 GROUP BY u
+ORDER BY degree DESC, node LIMIT 200
+"""
+
+
+EXTENSION_CHECKS["kcore"] = (q_kcore, ORACLE_KCORE)

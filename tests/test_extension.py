@@ -628,3 +628,15 @@ def test_cluster_survivors_longest_wins_singletons_survive(spark):
     assert got[1]["survivor_id"] == 2 and not got[1]["is_survivor"]
     assert got[2]["is_survivor"]
     assert got[3]["is_survivor"] and got[3]["cluster_id"] == 3
+
+
+def test_kcore_peel_keeps_clique_drops_pendants(spark):
+    from ethereum2_etl_airflow_spark.operators.graph import kcore_peel
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    pend = [(0, 10), (10, 11), (3, 12)]
+    edges = spark.createDataFrame(k5 + pend, "id_a long, id_b long")
+    got = {r["node"]: r["degree"]
+           for r in kcore_peel(edges, k=4, n_rounds=4).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}          # the K5 survives
+    assert all(d == 4 for d in got.values())    # within-subgraph degree
