@@ -119,11 +119,13 @@ def main() -> None:
     # longest-processing-time-first order: the heavy near-dup/ML queries
     # start immediately so the suite's makespan is their runtime, not
     # their runtime plus whatever queued in front of them
-    heavy = ["triangle_count", "dedup_survivors", "dedup_clusters_star",
-             "dedup_clusters", "sim_ivf", "sim_pq",
+    heavy = ["triangle_count", "dedup_survivors", "kcore",
+             "dedup_clusters_star",
+             "dedup_clusters", "sim_ivf", "sim_pq", "stream_join_full",
+             "stream_join_outer",
              "dedup_simhash_exact", "dedup_minhash_exact", "sparse_cosine",
              "recursive_cte", "pagerank", "cohort_retention",
-             "sessionize_stream", "stream_join_outer", "term_salience",
+             "sessionize_stream", "term_salience",
              "dedup_ngram", "dedup_simhash", "dedup_minhash", "dedup_stream",
              "embed_neardup", "sim_topk", "sim_lsh", "pack_chunks",
              "sessionize", "mm_features", "stream_hourly", "join_range",
