@@ -90,13 +90,16 @@ def main() -> None:
         from ethereum2_etl_airflow_spark.plans.checks_extension import (
             ensure_sessionize_source, ensure_stream_join_outer_source)
         from ethereum2_etl_airflow_spark.plans.checks_reference import (
-            ensure_csv_staged, ensure_ndjson_staged, ensure_overwrite_sink,
+            ensure_csv_staged, ensure_evolved_staged, ensure_ndjson_staged,
+            ensure_orc_staged, ensure_overwrite_sink,
             ensure_partition_staged)
 
         ensure_sessionize_source(spark, sf_dir)
         ensure_stream_join_outer_source(spark, sf_dir)
         ensure_ndjson_staged(spark, sf_dir)
         ensure_csv_staged(spark, sf_dir)
+        ensure_orc_staged(spark, sf_dir)
+        ensure_evolved_staged(spark, sf_dir)
         ensure_partition_staged(spark, sf_dir)
         ensure_overwrite_sink(spark, sf_dir)
     except Exception as ex:

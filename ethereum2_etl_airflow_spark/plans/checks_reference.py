@@ -159,6 +159,80 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+# --- S1c: ORC round-trip + schema-evolution scan --------------------------
+
+def ensure_orc_staged(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the ORC staging fixture (idempotent per sf_dir) —
+    the other columnar format a lake ingests; bench warm-up hook."""
+    out = _staged(sf_dir, "orc")
+    if not _is_staged(out):
+        (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "lang", "source", "n_chars")
+         .write.mode("overwrite").orc(out))
+    return out
+
+
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar round-trip with predicate pushdown (ORC carries
+    min/max stride stats like parquet; the filter reaches the reader)."""
+    out = ensure_orc_staged(spark, sf_dir)
+    back = spark.read.orc(out)
+    return (back.where(F.col("n_chars") > 200)
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"))
+            .orderBy("source"))
+
+
+ORACLE_SCAN_ORC = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE n_chars > 200
+GROUP BY source ORDER BY source
+"""
+
+
+def ensure_evolved_staged(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet file generations with EVOLVED schemas (idempotent):
+    generation 1 lacks the later ``lang`` column — the drop-a-column /
+    add-a-column lifecycle every long-lived lake table goes through."""
+    import os
+
+    out = _staged(sf_dir, "evolve")
+    if not os.path.exists(os.path.join(out, "_SUCCESS2")):
+        d = load_table(spark, sf_dir, "documents")
+        (d.where(F.col("doc_id") % 2 == 0)
+         .select("doc_id", "n_chars")
+         .write.mode("overwrite").parquet(out))
+        (d.where(F.col("doc_id") % 2 == 1)
+         .select("doc_id", "n_chars", "lang")
+         .write.mode("append").parquet(out))
+        open(os.path.join(out, "_SUCCESS2"), "w").close()
+    return out
+
+
+def q_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: ``mergeSchema`` unions the two file
+    generations' schemas; rows from the pre-``lang`` generation surface
+    NULL for the added column — BigQuery's additive-schema-update
+    semantics (the reference relies on them implicitly) on a file
+    lake."""
+    out = ensure_evolved_staged(spark, sf_dir)
+    back = spark.read.option("mergeSchema", True).parquet(out)
+    return (back.groupBy(F.coalesce("lang", F.lit("<pre-schema>"))
+                         .alias("lang"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("n_chars").alias("total_chars"))
+            .orderBy("lang"))
+
+
+ORACLE_SCAN_EVOLVED = """
+SELECT CASE WHEN doc_id % 2 = 0 THEN '<pre-schema>' ELSE lang END AS lang,
+       COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1 ORDER BY lang
+"""
+
+
 # --- S3/S5/S6: partitioned sink + single-partition scan -------------------
 
 def ensure_partition_staged(spark: SparkSession, sf_dir: str) -> str:
@@ -534,6 +608,8 @@ REFERENCE_CHECKS: dict[str, tuple] = {
     "json_extract": (q_json_extract, ORACLE_JSON_EXTRACT),
     "scan_ndjson": (q_scan_ndjson, ORACLE_SCAN_NDJSON),
     "scan_csv": (q_scan_csv, ORACLE_SCAN_CSV),
+    "scan_orc": (q_scan_orc, ORACLE_SCAN_ORC),
+    "scan_evolved": (q_scan_evolved, ORACLE_SCAN_EVOLVED),
     "scan_partition": (q_scan_partition, ORACLE_SCAN_PARTITION),
     "sink_overwrite": (q_sink_overwrite, ORACLE_SINK_OVERWRITE),
     "meta_minmax": (q_meta_minmax, ORACLE_META_MINMAX),
