@@ -24,7 +24,7 @@ __all__ = [
     "register_split_sentences_udtf",
     "ngram_novelty",
     "compression_ratio",
-    "gopher_filter",
+    "gopher_filter", "inverted_postings",
 ]
 
 # word tokens: runs of alphanumerics (RE2- and Java-regex-identical)
@@ -329,3 +329,46 @@ def compression_ratio(docs, id_col: str = "doc_id",
     c = F.col(text_col)
     out = docs.select(F.col(id_col), comp(c).alias("z"))
     return out.select(id_col, "z.raw_len", "z.comp_len", "z.ratio_millis")
+
+
+def inverted_postings(docs, k: int = 8, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Inverted-index build — the retrieval-side artifact of a corpus
+    pipeline: per term, document frequency, total term frequency, and
+    the top-``k`` postings by (tf desc, doc asc) serialized as
+    ``"doc:tf,..."`` (bounded, so hot terms cannot produce unbounded
+    rows).
+
+    Scale shape: (term, doc) tf counts partial-aggregate map-side; the
+    per-term top-k cap reuses the two-phase :func:`..operators.curation.
+    cap_per_key` machinery (narrow Arrow local cap, then a window over
+    ≤ cap·P survivors) so the stop-word term with |corpus| postings
+    never sorts in one task; the final postings string is an ordered
+    ``collect_list`` over ≤ k rows per term.
+
+    Determinism: the cap order key packs (-tf, doc) into one BIGINT
+    (docs < 10^12, tf < 10^6 by contract), so ranking is total and the
+    serialized postings hash-match a SQL oracle."""
+    from .curation import cap_per_key  # local import: avoid cycle
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    tf = (docs.select(F.col(id_col).alias("doc"),
+                      F.explode(tokens(F.col(text_col))).alias("term"))
+          .groupBy("term", "doc").agg(F.count("*").alias("tf")))
+    stats = tf.groupBy("term").agg(F.count("*").alias("df"),
+                                   F.sum("tf").alias("tf_total"))
+    ordered = tf.withColumn(
+        "ord", (-F.col("tf")) * F.lit(1_000_000_000_000) + F.col("doc"))
+    top = cap_per_key(ordered, "term", "ord", k)
+    postings = (top.groupBy("term")
+                .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("ord", "doc", "tf"))),
+                        lambda s: F.concat_ws(
+                            ":", s["doc"].cast("string"),
+                            s["tf"].cast("string"))), ",")
+                    .alias("postings")))
+    return (stats.join(postings, "term")
+            .select("term", "df", F.col("tf_total").cast("long")
+                    .alias("tf_total"), "postings"))

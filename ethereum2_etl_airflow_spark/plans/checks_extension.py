@@ -1866,3 +1866,35 @@ ORDER BY degree DESC, node LIMIT 200
 
 
 EXTENSION_CHECKS["kcore"] = (q_kcore, ORACLE_KCORE)
+
+
+# --- inverted-index postings build ----------------------------------------
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.inverted_postings(_docs(spark, sf_dir), k=8).orderBy("term")
+
+
+ORACLE_INVERTED_INDEX = """
+WITH tf AS (
+  SELECT t.term, doc_id AS doc, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS term
+        FROM documents) t
+  GROUP BY t.term, doc),
+stats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                 CAST(SUM(tf) AS BIGINT) AS tf_total
+          FROM tf GROUP BY term),
+top AS (SELECT term, doc, tf FROM tf
+        QUALIFY row_number() OVER (PARTITION BY term
+                                   ORDER BY tf DESC, doc) <= 8),
+p AS (SELECT term,
+             string_agg(CAST(doc AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                        ',' ORDER BY tf DESC, doc) AS postings
+      FROM top GROUP BY term)
+SELECT term, df, tf_total, postings
+FROM stats JOIN p USING (term) ORDER BY term
+"""
+
+
+EXTENSION_CHECKS["inverted_index"] = (
+    q_inverted_index, ORACLE_INVERTED_INDEX)
