@@ -24,7 +24,7 @@ __all__ = [
     "register_split_sentences_udtf",
     "ngram_novelty",
     "compression_ratio",
-    "gopher_filter", "inverted_postings",
+    "gopher_filter", "inverted_postings", "skipgram_counts",
 ]
 
 # word tokens: runs of alphanumerics (RE2- and Java-regex-identical)
@@ -372,3 +372,34 @@ def inverted_postings(docs, k: int = 8, text_col: str = "text",
     return (stats.join(postings, "term")
             .select("term", "df", F.col("tf_total").cast("long")
                     .alias("tf_total"), "postings"))
+
+
+def skipgram_counts(docs, window: int = 2, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Skip-gram co-occurrence counts — the (center, context) pair
+    table a word2vec/GloVe-style embedding trainer consumes: for every
+    token position, each neighbor within ±``window`` positions
+    contributes one (center, context) observation.
+
+    Scale shape: pair generation is a NARROW array-HOF expansion per
+    document (forward pairs via nested transform over the token array —
+    the same no-self-join trick as the co-purchase pair generator),
+    symmetrized by emitting both orientations of each forward pair;
+    the only shuffle is the final map-side-combining groupBy(center,
+    context) — uniform in the pair vocabulary, and hot pairs combine
+    before the exchange."""
+    t = tokens(F.col(text_col))
+    fwd = F.expr(
+        f"flatten(transform(tk, (x, i) -> "
+        f"transform(slice(tk, i + 2, least({window}, size(tk) - i - 1)), "
+        f"y -> struct(x AS a, y AS b))))")
+    pairs = (docs.select(t.alias("tk"))
+             .select(F.explode(fwd).alias("p"))
+             .select(F.explode(F.array(
+                 F.struct(F.col("p.a").alias("center"),
+                          F.col("p.b").alias("context")),
+                 F.struct(F.col("p.b").alias("center"),
+                          F.col("p.a").alias("context")))).alias("s"))
+             .select("s.center", "s.context"))
+    return (pairs.groupBy("center", "context")
+            .agg(F.count("*").alias("n")))

@@ -1898,3 +1898,29 @@ FROM stats JOIN p USING (term) ORDER BY term
 
 EXTENSION_CHECKS["inverted_index"] = (
     q_inverted_index, ORACLE_INVERTED_INDEX)
+
+
+# --- skip-gram co-occurrence counts ---------------------------------------
+
+def q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (X.skipgram_counts(_docs(spark, sf_dir), window=2)
+            .orderBy(F.col("n").desc(), "center", "context").limit(200))
+
+
+ORACLE_SKIPGRAM = """
+WITH tk AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents),
+fwd AS (
+  SELECT UNNEST(flatten(list_transform(t, (x, i) ->
+           list_transform(t[i + 1 : least(i + 2, len(t))],
+                          y -> struct_pack(a := x, b := y))))) AS p
+  FROM tk),
+sym AS (SELECT p.a AS center, p.b AS context FROM fwd
+        UNION ALL SELECT p.b, p.a FROM fwd)
+SELECT center, context, COUNT(*) AS n
+FROM sym GROUP BY center, context
+ORDER BY n DESC, center, context LIMIT 200
+"""
+
+
+EXTENSION_CHECKS["skipgram"] = (q_skipgram, ORACLE_SKIPGRAM)

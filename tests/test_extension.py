@@ -640,3 +640,14 @@ def test_kcore_peel_keeps_clique_drops_pendants(spark):
            for r in kcore_peel(edges, k=4, n_rounds=4).collect()}
     assert set(got) == {0, 1, 2, 3, 4}          # the K5 survives
     assert all(d == 4 for d in got.values())    # within-subgraph degree
+
+
+def test_skipgram_counts_symmetric_and_windowed(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = {(r["center"], r["context"]): r["n"]
+           for r in X.skipgram_counts(df, window=2).collect()}
+    # ±2 window over [a b c d]: a-b a-c b-c b-d c-d, both directions
+    assert got[("a", "b")] == 1 and got[("b", "a")] == 1
+    assert got[("a", "c")] == 1 and got[("c", "a")] == 1
+    assert ("a", "d") not in got           # distance 3 > window
+    assert all(got[(x, y)] == got[(y, x)] for (x, y) in got)
