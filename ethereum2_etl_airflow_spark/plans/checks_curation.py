@@ -928,3 +928,56 @@ ORDER BY s1.user_id
 CURATION_CHECKS.update({
     "funnel_steps": (q_funnel_steps, ORACLE_FUNNEL_STEPS),
 })
+
+
+# --- time-series downsample (OHLC-style resample) -------------------------
+
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour downsample with open/high/low/close semantics:
+    first and last value by (ts, event_id) order via min_by/max_by over
+    a struct key — ONE map-side-combining aggregate, no per-bucket sort
+    window (the arg-min/arg-max trick from merge_latest, applied to
+    resampling).  Values surface as exact millis."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 1000).cast("long")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "user_id",
+            F.timestamp_seconds(
+                (F.unix_timestamp(F.col("ts").cast("timestamp"))
+                 / 21600).cast("long") * 21600)
+            .cast("timestamp_ntz").alias("bucket"))
+        .agg(F.count("*").alias("n"),
+             F.min_by(v, key).alias("open_millis"),
+             F.max(v).alias("high_millis"),
+             F.min(v).alias("low_millis"),
+             F.max_by(v, key).alias("close_millis"))
+        .orderBy("user_id", "bucket"))
+
+
+ORACLE_RESAMPLE_OHLC = """
+SELECT user_id,
+       CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600) AS TIMESTAMP)
+         AS bucket,
+       COUNT(*) AS n,
+       CAST(arg_min(CAST(FLOOR(value * 1000) AS BIGINT),
+                    strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+            AS BIGINT) AS open_millis,
+       CAST(MAX(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+         AS high_millis,
+       CAST(MIN(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+         AS low_millis,
+       CAST(arg_max(CAST(FLOOR(value * 1000) AS BIGINT),
+                    strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+            AS BIGINT) AS close_millis
+FROM events
+GROUP BY user_id, bucket ORDER BY user_id, bucket
+"""
+
+
+CURATION_CHECKS.update({
+    "resample_ohlc": (q_resample_ohlc, ORACLE_RESAMPLE_OHLC),
+})
