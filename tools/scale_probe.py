@@ -1,0 +1,84 @@
+"""Scale-up probe — docs/SCALE.md's data source.
+
+Holds the machine constant and scales the DATA: unions the sf tables N
+times with disjoint id ranges, materializes the layout, then times a
+scan-bound aggregate, the exact-dedup groupBy, the MinHash LSH pipeline,
+and the Gopher filter at each factor (warm once, min of 2).  Sub-linear
+or linear growth is the pass condition; super-linear growth would mean a
+quadratic join / one-task window / driver loop hiding in the operator.
+
+    python tools/scale_probe.py [--sf-dir /root/testdata/sf0.1] \
+        [--factors 1,4,16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--factors", default="1,4,16")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ethereum2_etl_airflow_spark.operators import dedup as D
+    from ethereum2_etl_airflow_spark.operators import text as X
+    from ethereum2_etl_airflow_spark.session import build_session
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    spark = build_session(app_name="scale-probe")
+
+    def scaled(df, n: int, idcol: str):
+        out = None
+        for i in range(n):
+            d = df.withColumn(idcol, F.col(idcol) + F.lit(i * 50_000_000))
+            out = d if out is None else out.unionByName(d)
+        return out
+
+    docs = load_table(spark, args.sf_dir, "documents").cache()
+    docs.count()
+    li = (load_table(spark, args.sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity",
+                  "l_extendedprice", "l_returnflag", "l_linestatus")
+          .cache())
+    li.count()
+
+    def best2(fn) -> float:
+        fn()  # warm: codegen compiled, broadcasts built
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return round(min(times), 2)
+
+    def noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    for n in [int(x) for x in args.factors.split(",")]:
+        sd = scaled(docs, n, "doc_id").localCheckpoint(eager=True)
+        sl = scaled(li, n, "l_orderkey").localCheckpoint(eager=True)
+        r1 = best2(lambda: noop(
+            sl.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice"),
+                 F.count("*"))))
+        r2 = best2(lambda: noop(D.dedup_exact(sd)))
+        r3 = best2(lambda: noop(D.minhash_exact_pairs(sd)))
+        r4 = best2(lambda: noop(X.gopher_filter(sd)))
+        print(f"SCALE n={n} li={sl.count()} docs={sd.count()} "
+              f"q1={r1} dedup_exact={r2} minhash={r3} gopher={r4}",
+              flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
