@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["run_expectations"]
+__all__ = ["run_expectations", "cms_build", "cms_estimate"]
 
 
 def run_expectations(df: DataFrame, specs: list[tuple]) -> DataFrame:
@@ -73,3 +73,51 @@ def run_expectations(df: DataFrame, specs: list[tuple]) -> DataFrame:
     return (one.select(F.explode(rows).alias("r"))
             .select("r.constraint", "r.violations",
                     (F.col("r.violations") == 0).alias("passed")))
+
+
+def cms_build(docs: DataFrame, text_col: str = "text",
+              d: int = 4, w: int = 1024) -> DataFrame:
+    """Count-Min sketch over the corpus token stream — the mergeable
+    frequency summary for streaming heavy-hitter tracking: ``d`` hash
+    rows × ``w`` counters, stored as a (row, bucket, c) DataFrame of at
+    most d·w rows (a constant, however big the corpus).  Shards'
+    sketches merge by summing counters — the property that makes CMS
+    THE distributed frequency sketch.
+
+    The hash family is md5-derived (``conv(substr(md5(j||'|'||tok),
+    1, 8), 16, 10) % w``) so the sketch — and every estimate off it —
+    is bit-identical cross-engine: unlike native-hash sketches (HLL++,
+    rows-only by nature) this one is fully SQL-oracle-checkable.
+
+    Scale shape: explode tokens × d flat hash projections (codegen) →
+    ONE map-side-combining groupBy on (row, bucket): hot tokens combine
+    before the exchange and the shuffle carries ≤ d·w rows per map
+    task."""
+    from .text import tokens
+
+    tok = docs.select(F.explode(tokens(F.col(text_col))).alias("t"))
+    rows = tok.select(F.posexplode(F.array(*[
+        F.pmod(F.conv(F.substring(
+            F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("t"))),
+            1, 8), 16, 10).cast("long"), F.lit(w))
+        for j in range(d)])).alias("row", "bucket"))
+    return (rows.groupBy("row", "bucket")
+            .agg(F.count("*").alias("c")))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame,
+                 probe_col: str = "t", d: int = 4,
+                 w: int = 1024) -> DataFrame:
+    """Point-frequency estimates from a :func:`cms_build` sketch:
+    ``est(t) = min_j sketch[j][h_j(t)]`` — never underestimates, and
+    deterministic given the md5 family.  The probe side fans out d rows
+    per probe and joins the (≤ d·w row) sketch — broadcast by size."""
+    pr = probes.select(F.col(probe_col).alias("t")).distinct()
+    fan = pr.select("t", F.posexplode(F.array(*[
+        F.pmod(F.conv(F.substring(
+            F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("t"))),
+            1, 8), 16, 10).cast("long"), F.lit(w))
+        for j in range(d)])).alias("row", "bucket"))
+    return (fan.join(F.broadcast(sketch), ["row", "bucket"], "left")
+            .groupBy("t")
+            .agg(F.min(F.coalesce("c", F.lit(0))).alias("n_est")))

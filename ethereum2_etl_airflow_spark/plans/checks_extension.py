@@ -1924,3 +1924,56 @@ ORDER BY n DESC, center, context LIMIT 200
 
 
 EXTENSION_CHECKS["skipgram"] = (q_skipgram, ORACLE_SKIPGRAM)
+
+
+# --- Count-Min sketch (oracle-exact, md5 hash family) ---------------------
+
+def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the corpus CMS, then estimate frequencies for the corpus's
+    own distinct tokens and surface estimate vs exact — the
+    never-underestimates invariant is visible in the `over` column
+    (always ≥ 0) and pinned exactly by the oracle."""
+    from ..operators.quality import cms_build, cms_estimate
+
+    d = _docs(spark, sf_dir)
+    sketch = cms_build(d)
+    from ..operators.text import tokens as _tokens
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("t"))
+    exact = toks.groupBy("t").agg(F.count("*").alias("n_exact"))
+    est = cms_estimate(sketch, toks)
+    return (exact.join(est, "t")
+            .select("t", "n_exact", "n_est",
+                    (F.col("n_est") - F.col("n_exact")).alias("over"))
+            .orderBy("t"))
+
+
+ORACLE_CMS_ESTIMATE = """
+WITH tok AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents),
+exact AS (SELECT t, COUNT(*) AS n_exact FROM tok GROUP BY t),
+fan AS (
+  SELECT t, j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || t), 1, 8))
+           ::BIGINT % 1024 AS bucket
+  FROM tok, range(4) r(j)),
+sketch AS (SELECT j AS row, bucket, COUNT(*) AS c
+           FROM fan GROUP BY j, bucket),
+probe AS (
+  SELECT DISTINCT t, j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || t), 1, 8))
+           ::BIGINT % 1024 AS bucket
+  FROM exact, range(4) r(j)),
+est AS (
+  SELECT p.t, MIN(COALESCE(s.c, 0)) AS n_est
+  FROM probe p LEFT JOIN sketch s
+    ON s.row = p.j AND s.bucket = p.bucket
+  GROUP BY p.t)
+SELECT e.t, CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST(x.n_est AS BIGINT) AS n_est,
+       CAST(x.n_est - e.n_exact AS BIGINT) AS over
+FROM exact e JOIN est x USING (t) ORDER BY t
+"""
+
+
+EXTENSION_CHECKS["cms_estimate"] = (q_cms_estimate, ORACLE_CMS_ESTIMATE)

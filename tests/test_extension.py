@@ -651,3 +651,24 @@ def test_skipgram_counts_symmetric_and_windowed(spark):
     assert got[("a", "c")] == 1 and got[("c", "a")] == 1
     assert ("a", "d") not in got           # distance 3 > window
     assert all(got[(x, y)] == got[(y, x)] for (x, y) in got)
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from ethereum2_etl_airflow_spark.operators.quality import (
+        cms_build, cms_estimate)
+
+    a = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "x z")], "doc_id long, text string")
+    merged_sketch = (cms_build(a).unionByName(cms_build(b))
+                     .groupBy("row", "bucket")
+                     .agg(F.sum("c").alias("c")))
+    whole_sketch = cms_build(a.unionByName(b))
+    # merge-by-sum == build-on-union (the mergeability contract)
+    assert sorted(map(tuple, merged_sketch.collect())) == \
+        sorted(map(tuple, whole_sketch.collect()))
+    probes = spark.createDataFrame([("x",), ("y",), ("z",), ("w",)],
+                                   "t string")
+    est = {r["t"]: r["n_est"]
+           for r in cms_estimate(whole_sketch, probes).collect()}
+    assert est["x"] >= 3 and est["y"] >= 1 and est["z"] >= 1
+    assert est["w"] >= 0          # absent tokens can only over-estimate
