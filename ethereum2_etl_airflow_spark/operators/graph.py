@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["connected_components", "pagerank_int", "triangle_counts",
-           "cluster_survivors", "kcore_peel"]
+           "cluster_survivors", "kcore_peel", "random_walks"]
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
@@ -348,3 +348,59 @@ def kcore_peel(edges: DataFrame, k: int = 3, n_rounds: int = 4,
              .localCheckpoint(eager=True))
     return (e.groupBy("u").agg(F.count("*").alias("degree"))
             .select(F.col("u").alias("node"), "degree"))
+
+
+def random_walks(edges: DataFrame, walk_len: int = 4,
+                 src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Deterministic uniform random walks — the corpus generator for
+    node2vec/DeepWalk-style graph embeddings: one walk per node, each
+    step choosing a neighbor "uniformly" by an md5-derived index, so
+    walks are reproducible across reruns, relayouts, and engines (no
+    ``rand()`` in the plan) and the whole generator is
+    SQL-oracle-checkable.
+
+    Step rule: from node v at step s of the walk started at w, take the
+    neighbor with rank ``md5(w|s|v) mod deg(v)`` in the (md5(v|u), u)
+    ordering of v's adjacency — a per-(walk, step) independent choice,
+    so two walks visiting the same node diverge.
+
+    Scale shape: adjacency ranking is one window partitioned by the
+    source node (hub nodes sort their own neighborhood — bounded by max
+    degree; pre-bucket the adjacency for power-law graphs); each step is
+    then ONE equi-join of the frontier against the ranked adjacency on
+    (node, chosen_rank) — no per-row sampling state, no driver loop
+    beyond the fixed ``walk_len``.  Returns (walk_id, step, node) with
+    step 0 = the seed; walks stop early at sinks (no out-edges in the
+    symmetrized graph never happens — symmetrization guarantees
+    deg ≥ 1)."""
+    sym = (edges.select(F.col(src).cast("long").alias("u"),
+                        F.col(dst).cast("long").alias("v"))
+           .union(edges.select(F.col(dst).cast("long").alias("u"),
+                               F.col(src).cast("long").alias("v")))
+           .where(F.col("u") != F.col("v")).distinct())
+    w_adj = Window.partitionBy("u").orderBy(
+        F.md5(F.concat(F.col("u").cast("string"), F.lit("|"),
+                       F.col("v").cast("string"))), "v")
+    adj = (sym.withColumn("rnk", F.row_number().over(w_adj) - 1)
+           .withColumn("deg", F.count("*").over(Window.partitionBy("u")))
+           .localCheckpoint(eager=True))
+    frontier = (adj.select("u").distinct()
+                .select(F.col("u").alias("walk_id"),
+                        F.lit(0).alias("step"),
+                        F.col("u").alias("node")))
+    out = frontier
+    cur = frontier
+    for s in range(1, walk_len + 1):
+        pick = F.pmod(
+            F.conv(F.substring(F.md5(F.concat(
+                F.col("walk_id").cast("string"), F.lit("|"),
+                F.lit(str(s)), F.lit("|"),
+                F.col("node").cast("string"))), 1, 8), 16, 10)
+            .cast("long"), F.col("deg"))
+        nxt = (cur.join(adj, cur["node"] == adj["u"])
+               .where(F.col("rnk") == pick)
+               .select("walk_id", F.lit(s).alias("step"),
+                       F.col("v").alias("node")))
+        out = out.unionByName(nxt)
+        cur = nxt
+    return out

@@ -1977,3 +1977,63 @@ FROM exact e JOIN est x USING (t) ORDER BY t
 
 
 EXTENSION_CHECKS["cms_estimate"] = (q_cms_estimate, ORACLE_CMS_ESTIMATE)
+
+
+# --- deterministic random walks (graph-embedding corpus) ------------------
+
+_WALK_STEP = """
+  SELECT c.walk_id, {s} AS step, a.v AS node
+  FROM {prev} c JOIN adj a ON a.u = c.node
+   AND a.rnk = ('0x' || substr(md5(CAST(c.walk_id AS VARCHAR) || '|{s}|'
+                 || CAST(c.node AS VARCHAR)), 1, 8))::BIGINT % a.deg
+"""
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-4 deterministic walks over the part-co-purchase graph;
+    output thinned to every 97th walk for a bounded check surface."""
+    from ..operators.graph import random_walks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (li.groupBy("l_orderkey")
+             .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+             .select(F.explode(F.expr(
+                 "flatten(transform(ps, (x, i) -> "
+                 "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                 "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
+             .select("p.id_a", "p.id_b").distinct())
+    return (random_walks(pairs, walk_len=4)
+            .where(F.col("walk_id") % 97 == 0)
+            .orderBy("walk_id", "step"))
+
+
+ORACLE_RANDOM_WALKS = f"""
+WITH pairs AS (
+  SELECT DISTINCT x.l_partkey AS id_a, y.l_partkey AS id_b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+e0 AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+adj AS (
+  SELECT u, v,
+         row_number() OVER (PARTITION BY u ORDER BY
+             md5(CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)), v) - 1
+           AS rnk,
+         COUNT(*) OVER (PARTITION BY u) AS deg
+  FROM e0),
+s0 AS (SELECT DISTINCT u AS walk_id, 0 AS step, u AS node FROM e0),
+s1 AS ({_WALK_STEP.format(prev="s0", s=1)}),
+s2 AS ({_WALK_STEP.format(prev="s1", s=2)}),
+s3 AS ({_WALK_STEP.format(prev="s2", s=3)}),
+s4 AS ({_WALK_STEP.format(prev="s3", s=4)})
+SELECT walk_id, CAST(step AS INT) AS step, node FROM (
+  SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL
+  SELECT * FROM s2 UNION ALL SELECT * FROM s3 UNION ALL
+  SELECT * FROM s4)
+WHERE walk_id % 97 = 0
+ORDER BY walk_id, step
+"""
+
+
+EXTENSION_CHECKS["random_walks"] = (q_random_walks, ORACLE_RANDOM_WALKS)

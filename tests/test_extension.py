@@ -672,3 +672,23 @@ def test_cms_never_underestimates_and_merges(spark):
            for r in cms_estimate(whole_sketch, probes).collect()}
     assert est["x"] >= 3 and est["y"] >= 1 and est["z"] >= 1
     assert est["w"] >= 0          # absent tokens can only over-estimate
+
+
+def test_random_walks_are_valid_paths_and_deterministic(spark):
+    from ethereum2_etl_airflow_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "id_a long, id_b long")
+    out = random_walks(edges, walk_len=3).collect()
+    walks = {}
+    for r in out:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    esym = {(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)}
+    esym |= {(b, a) for a, b in esym}
+    for wid, steps in walks.items():
+        assert steps[0] == wid                      # seed = walk id
+        assert len(steps) == 4                      # 0..3, no early stop
+        for s in range(1, 4):
+            assert (steps[s - 1], steps[s]) in esym  # every hop is an edge
+    out2 = random_walks(edges.repartition(5), walk_len=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
