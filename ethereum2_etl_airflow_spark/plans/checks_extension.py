@@ -2037,3 +2037,59 @@ ORDER BY walk_id, step
 
 
 EXTENSION_CHECKS["random_walks"] = (q_random_walks, ORACLE_RANDOM_WALKS)
+
+
+# --- streaming CMS maintenance (stateful complete-mode aggregation) -------
+
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS counters maintained BY THE STREAM ENGINE: documents
+    arrive as a file stream, the (row, bucket) counts are a stateful
+    streaming aggregation in complete mode, run to completion with
+    availableNow.  CMS mergeability means the streamed sketch equals
+    the batch sketch exactly — a streaming query with an EXACT SQL
+    oracle.  State is the d·w counter table: constant-bounded however
+    long the stream runs, the property that makes CMS the streaming
+    frequency summary."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from ..operators.quality import cms_build
+
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"e2etl_cmsstream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "documents.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(f"{sf_dir}/documents.parquet", link)
+        except FileExistsError:
+            pass
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    sketch = cms_build(stream)
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    q = (sketch.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).orderBy("row", "bucket")
+
+
+ORACLE_STREAM_CMS = """
+WITH tok AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents),
+fan AS (
+  SELECT t, j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || t), 1, 8))
+           ::BIGINT % 1024 AS bucket
+  FROM tok, range(4) r(j))
+SELECT j AS row, bucket, COUNT(*) AS c
+FROM fan GROUP BY j, bucket ORDER BY row, bucket
+"""
+
+
+EXTENSION_CHECKS["stream_cms"] = (q_stream_cms, ORACLE_STREAM_CMS)
