@@ -981,3 +981,133 @@ GROUP BY user_id, bucket ORDER BY user_id, bucket
 CURATION_CHECKS.update({
     "resample_ohlc": (q_resample_ohlc, ORACLE_RESAMPLE_OHLC),
 })
+
+
+# --- group-constrained folds (GroupKFold) ---------------------------------
+
+def q_split_group_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupKFold: the fold comes from md5(source), so every document
+    of a source lands in the SAME fold — the leakage guard when near
+    -duplicates cluster within sources.  Same engine-portable md5-mod
+    family as assign_folds; stateless narrow map."""
+    d = _docs(spark, sf_dir)
+    hx = F.md5(F.col("source"))
+    hexmap = "0123456789abcdef"
+    v = ((F.instr(F.lit(hexmap), F.substring(hx, 1, 1)) - 1) * 16
+         + (F.instr(F.lit(hexmap), F.substring(hx, 2, 1)) - 1))
+    return (d.select("doc_id", "source",
+                     (v % 5).cast("int").alias("fold"))
+            .orderBy("doc_id"))
+
+
+ORACLE_SPLIT_GROUP_FOLDS = """
+SELECT doc_id, source, CAST(
+    ((strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(md5(source), 2, 1)) - 1)) % 5
+   AS INT) AS fold
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- sqrt-proportional mixing quotas (largest-remainder rounding) ---------
+
+def q_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token quotas for a 100k-token training mix,
+    proportional to sqrt(source token count) — the sub-linear
+    upsampling rule used to keep big crawls from drowning small
+    high-quality sources.  Integer-exact: weights are isqrt-scaled
+    BIGINTs, shares are allocated by floor division with
+    largest-remainder rounding so the quotas sum EXACTLY to the budget;
+    the remainder ranking is a window over |sources| rows (bounded by
+    the source catalog)."""
+    from ..operators.text import token_count
+
+    total = 100_000
+    d = _docs(spark, sf_dir)
+    src = (d.groupBy("source")
+           .agg(F.sum(token_count("text")).alias("n_tok")))
+    # integer sqrt via FLOOR(SQRT(double)): exact for n < 2^52 and
+    # identical cross-engine (IEEE sqrt is correctly rounded)
+    w = src.select("source", "n_tok",
+                   F.floor(F.sqrt(F.col("n_tok").cast("double")))
+                   .cast("long").alias("wt"))
+    tot = w.agg(F.sum("wt").alias("wsum"))
+    j = w.crossJoin(F.broadcast(tot))
+    base = (j.select(
+        "source", "n_tok", "wt",
+        F.expr(f"({total} * wt) div wsum").alias("base"),
+        F.expr(f"({total} * wt) % wsum").alias("rem")))
+    need = F.lit(total) - F.sum("base").over(Window.partitionBy())
+    rnk = F.row_number().over(Window.orderBy(F.col("rem").desc(),
+                                             F.col("source")))
+    return (base.withColumn("extra",
+                            (rnk <= need).cast("int"))
+            .select("source", "n_tok",
+                    (F.col("base") + F.col("extra")).alias("quota"))
+            .orderBy("source"))
+
+
+ORACLE_MIX_QUOTA = """
+WITH src AS (
+  SELECT source,
+         CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+              AS BIGINT) AS n_tok
+  FROM documents GROUP BY source),
+w AS (SELECT source, n_tok,
+             CAST(FLOOR(SQRT(CAST(n_tok AS DOUBLE))) AS BIGINT) AS wt
+      FROM src),
+tot AS (SELECT SUM(wt) AS wsum FROM w),
+base AS (
+  SELECT source, n_tok, wt,
+         (100000 * wt) // wsum AS base,
+         (100000 * wt) % wsum AS rem
+  FROM w, tot),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rnk,
+         100000 - SUM(base) OVER () AS need
+  FROM base)
+SELECT source, n_tok,
+       CAST(base + CASE WHEN rnk <= need THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM ranked ORDER BY source
+"""
+
+
+# --- duplication histogram (dedup report metric) --------------------------
+
+def q_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over exact-content fingerprints of the
+    planted-duplicate corpus: how many content clusters exist at each
+    copy count — the headline chart of every dedup report.  Two
+    map-side-combining groupBys (fingerprint → size, size → count)."""
+    from ..operators.text import fingerprint
+    from .checks_extension import _dup_corpus
+
+    c = _dup_corpus(spark, sf_dir)
+    sizes = (c.select(fingerprint("text").alias("fp"))
+             .groupBy("fp").agg(F.count("*").alias("n_copies")))
+    return (sizes.groupBy("n_copies")
+            .agg(F.count("*").alias("n_clusters"))
+            .orderBy("n_copies"))
+
+
+ORACLE_DUP_HISTOGRAM = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || '  ' FROM documents),
+fp AS (
+  SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f,
+         COUNT(*) AS n_copies
+  FROM corpus GROUP BY f)
+SELECT CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM fp GROUP BY n_copies ORDER BY n_copies
+"""
+
+
+CURATION_CHECKS.update({
+    "split_group_folds": (q_split_group_folds, ORACLE_SPLIT_GROUP_FOLDS),
+    "mix_quota": (q_mix_quota, ORACLE_MIX_QUOTA),
+    "dup_histogram": (q_dup_histogram, ORACLE_DUP_HISTOGRAM),
+})
