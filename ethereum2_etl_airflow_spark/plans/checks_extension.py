@@ -2093,3 +2093,87 @@ FROM fan GROUP BY j, bucket ORDER BY row, bucket
 
 
 EXTENSION_CHECKS["stream_cms"] = (q_stream_cms, ORACLE_STREAM_CMS)
+
+
+# --- end-to-end pre-training curation pipeline ----------------------------
+
+def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus build over the planted-duplicate corpus:
+    Gopher filter → exact dedup (min-id survivor) → sliding chunks →
+    doc-level folds, as ONE logical plan.  The oracle replays every
+    stage as chained CTEs — the composition itself is what's checked."""
+    from ..pipelines.pretrain import curate_pretrain
+
+    return (curate_pretrain(_dup_corpus(spark, sf_dir))
+            .orderBy("doc_id", "chunk_id"))
+
+
+ORACLE_PIPELINE_PRETRAIN = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || '  ' FROM documents),
+scalar AS (
+  SELECT doc_id,
+         LENGTH(text) AS nc,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS np,
+         len(regexp_extract_all(lower(text), '\b({_ALL_STOPS})\b')) AS ns
+  FROM corpus),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM corpus),
+unid AS (SELECT doc_id, COUNT(*) AS n_distinct_tokens
+         FROM (SELECT doc_id, t FROM (SELECT doc_id, UNNEST(tk) AS t
+               FROM toks) GROUP BY doc_id, t) GROUP BY doc_id),
+bi_term AS (
+  SELECT doc_id, t, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(
+          CASE WHEN len(tk) >= 2 THEN
+            list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+          ELSE [] END) AS t
+        FROM toks) GROUP BY doc_id, t),
+bi AS (SELECT doc_id, SUM(c) AS n_2grams, MAX(c) AS top_2gram_n
+       FROM bi_term GROUP BY doc_id),
+keepers AS (
+  SELECT s.doc_id
+  FROM scalar s
+  LEFT JOIN unid u ON u.doc_id = s.doc_id
+  LEFT JOIN bi b ON b.doc_id = s.doc_id
+  WHERE (s.nt >= 10 AND s.nt <= 100000)
+    AND (s.nc >= 3 * s.nt AND s.nc < 12 * s.nt)
+    AND 5 * s.np <= s.nc
+    AND s.ns > 0
+    AND 2 * COALESCE(u.n_distinct_tokens, 0) >= s.nt
+    AND 5 * COALESCE(b.top_2gram_n, 0) <= COALESCE(b.n_2grams, 0)),
+kept AS (SELECT c.* FROM corpus c JOIN keepers k USING (doc_id)),
+surv AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM kept
+  GROUP BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+uniq AS (SELECT k.* FROM kept k JOIN surv s USING (doc_id)),
+utk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
+  FROM uniq),
+base AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n <= 0 THEN 0
+              ELSE 1 + (GREATEST(n - 32, 0) + 23) // 24 END AS nch
+  FROM utk),
+ch AS (SELECT doc_id, t, n, UNNEST(range(nch)) AS i FROM base)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * 24 AS BIGINT) AS start,
+       CAST(LEAST(32, n - i * 24) AS BIGINT) AS n_tokens,
+       array_to_string(t[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+       CAST(((strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 5
+            AS INT) AS fold
+FROM ch ORDER BY doc_id, chunk_id
+"""
+
+
+EXTENSION_CHECKS["pipeline_pretrain"] = (
+    q_pipeline_pretrain, ORACLE_PIPELINE_PRETRAIN)

@@ -692,3 +692,16 @@ def test_random_walks_are_valid_paths_and_deterministic(spark):
             assert (steps[s - 1], steps[s]) in esym  # every hop is an edge
     out2 = random_walks(edges.repartition(5), walk_len=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_curate_pretrain_dedups_and_keeps_fold_per_doc(spark, sf_dir):
+    from ethereum2_etl_airflow_spark.pipelines.pretrain import (
+        curate_pretrain)
+
+    out = curate_pretrain(_dup_corpus(spark, sf_dir)).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids and all(i < 1_000_000 for i in ids)   # survivors = originals
+    folds = {}
+    for r in out:
+        folds.setdefault(r["doc_id"], set()).add(r["fold"])
+    assert all(len(s) == 1 for s in folds.values())  # fold per DOC, not chunk
