@@ -25,12 +25,17 @@ from ethereum2_etl_airflow_spark.plans.registry import (  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
-    from ethereum2_etl_airflow_spark.plans.checks_relational import q_q1_pricing
-    from ethereum2_etl_airflow_spark.sources.testdata import ensure_runtime_conf
+    """Flagship: the composed pre-training curation pipeline (Gopher
+    filter -> exact dedup -> sliding chunks -> leakage-safe folds) over
+    the sf0.001 planted-duplicate corpus -- one logical plan through
+    four operator families, oracle-checked as `pipeline_pretrain`."""
+    from ethereum2_etl_airflow_spark.plans.checks_extension import (
+        q_pipeline_pretrain)
+    from ethereum2_etl_airflow_spark.sources.testdata import (
+        ensure_runtime_conf)
 
     ensure_runtime_conf(spark)
-    return q_q1_pricing(spark, "/root/testdata/sf0.001")
+    return q_pipeline_pretrain(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

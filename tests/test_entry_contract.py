@@ -44,4 +44,7 @@ def test_entry_returns_flagship(spark):
     df = entry.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert "sum_qty" in df.columns and "count_order" in df.columns
+    assert df.columns == ["doc_id", "chunk_id", "start", "n_tokens",
+                          "chunk_text", "fold"]
+    # the pipeline's dedup stage kept only original-id survivors
+    assert all(r["doc_id"] < 1_000_000 for r in rows)
