@@ -122,7 +122,8 @@ def main() -> None:
     # longest-processing-time-first order: the heavy near-dup/ML queries
     # start immediately so the suite's makespan is their runtime, not
     # their runtime plus whatever queued in front of them
-    heavy = ["triangle_count", "dedup_survivors", "kcore",
+    heavy = ["triangle_count", "random_walks", "dedup_survivors", "kcore",
+             "pipeline_pretrain", "stream_cms",
              "dedup_clusters_star",
              "dedup_clusters", "sim_ivf", "sim_pq", "stream_join_full",
              "stream_join_outer",
