@@ -397,7 +397,11 @@ def random_walks(edges: DataFrame, walk_len: int = 4,
                 F.lit(str(s)), F.lit("|"),
                 F.col("node").cast("string"))), 1, 8), 16, 10)
             .cast("long"), F.col("deg"))
-        nxt = (cur.join(adj, cur["node"] == adj["u"])
+        # shuffle_hash: sort-merge would re-sort the (large) adjacency
+        # every step; hashing it instead keeps each step one exchange +
+        # build, and the frontier streams through unsorted
+        nxt = (cur.join(adj.hint("shuffle_hash"),
+                        cur["node"] == adj["u"])
                .where(F.col("rnk") == pick)
                .select("walk_id", F.lit(s).alias("step"),
                        F.col("v").alias("node")))
