@@ -30,7 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["run_expectations", "cms_build", "cms_estimate"]
+__all__ = ["run_expectations", "cms_build", "cms_estimate",
+           "hll_portable_registers", "hll_portable_estimate"]
 
 
 def run_expectations(df: DataFrame, specs: list[tuple]) -> DataFrame:
@@ -121,3 +122,44 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame,
     return (fan.join(F.broadcast(sketch), ["row", "bucket"], "left")
             .groupBy("t")
             .agg(F.min(F.coalesce("c", F.lit(0))).alias("n_est")))
+
+
+def hll_portable_registers(df: DataFrame, col: str,
+                           b: int = 8) -> DataFrame:
+    """HyperLogLog registers with a portable hash — the cross-engine
+    twin of the native HLL++ sketch (which is rows-only-checkable by
+    nature): register index = low ``b`` bits of the 32-bit md5 prefix,
+    rho = leading-zero count of the remaining 24 bits + 1 (computed via
+    ``bin()`` string length — no float log anywhere).  Returns at most
+    2^b (j, rho) rows; shards merge by max(rho) per register, the HLL
+    mergeability contract.
+
+    Scale shape: one map-side-combining groupBy over ≤ 2^b keys."""
+    m = 1 << b
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8),
+               16, 10).cast("long")
+    j = F.pmod(h, F.lit(m))
+    w = (h / m).cast("long")
+    rho = F.when(w == 0, F.lit(25)).otherwise(
+        F.lit(25) - F.length(F.bin(w))).cast("int")
+    return (df.select(j.alias("j"), rho.alias("rho"))
+            .groupBy("j").agg(F.max("rho").alias("rho")))
+
+
+def hll_portable_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
+    """Raw HLL estimate from :func:`hll_portable_registers`:
+    ``E = alpha_m * m^2 / sum(2^-M[j])`` with empty registers counted
+    at 2^0.  Every term is a dyadic rational and the running sum stays
+    inside the double mantissa, so the estimate is bit-identical on any
+    engine.  The small-range LinearCounting correction needs ln() and
+    is left to consumers (n_zero is surfaced for it)."""
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_used"),
+        F.count("*").alias("n_used"))
+    return agg.select(
+        (F.lit(m) - F.col("n_used")).cast("long").alias("n_zero"),
+        (F.lit(alpha) * m * m
+         / (F.col("s_used") + (F.lit(m) - F.col("n_used"))))
+        .alias("est_raw"))

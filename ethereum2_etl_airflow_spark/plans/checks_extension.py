@@ -2177,3 +2177,50 @@ FROM ch ORDER BY doc_id, chunk_id
 
 EXTENSION_CHECKS["pipeline_pretrain"] = (
     q_pipeline_pretrain, ORACLE_PIPELINE_PRETRAIN)
+
+
+# --- portable HyperLogLog (oracle-exact registers + raw estimate) ---------
+
+def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct user_id estimate over events via the md5-register HLL,
+    with the exact distinct count alongside — registers, zero count,
+    and the raw estimate are all bit-identical cross-engine."""
+    from ..operators.quality import (hll_portable_estimate,
+                                     hll_portable_registers)
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_portable_registers(ev.select("user_id"), "user_id")
+    est = hll_portable_estimate(regs)
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_exact", "n_zero",
+        F.col("est_raw").cast("decimal(18,6)").cast("double")
+        .alias("est_raw"))
+
+
+ORACLE_HLL_PORTABLE = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           AS hv
+  FROM events),
+reg AS (
+  SELECT hv % 256 AS j,
+         MAX(CASE WHEN hv // 256 = 0 THEN 25
+                  ELSE 25 - LENGTH(bin(hv // 256)) END) AS rho
+  FROM h GROUP BY j),
+agg AS (
+  SELECT SUM(POWER(2.0, -rho)) AS s_used, COUNT(*) AS n_used FROM reg),
+est AS (
+  SELECT CAST(256 - n_used AS BIGINT) AS n_zero,
+         (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+           / (s_used + (256 - n_used)) AS est_raw
+  FROM agg)
+SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+         AS n_exact,
+       n_zero,
+       CAST(CAST(est_raw AS DECIMAL(18,6)) AS DOUBLE) AS est_raw
+FROM est
+"""
+
+
+EXTENSION_CHECKS["hll_portable"] = (q_hll_portable, ORACLE_HLL_PORTABLE)

@@ -705,3 +705,19 @@ def test_curate_pretrain_dedups_and_keeps_fold_per_doc(spark, sf_dir):
     for r in out:
         folds.setdefault(r["doc_id"], set()).add(r["fold"])
     assert all(len(s) == 1 for s in folds.values())  # fold per DOC, not chunk
+
+
+def test_hll_portable_accuracy_and_merge(spark):
+    from ethereum2_etl_airflow_spark.operators.quality import (
+        hll_portable_estimate, hll_portable_registers)
+
+    a = spark.range(0, 3000).withColumnRenamed("id", "k")
+    b = spark.range(2000, 5000).withColumnRenamed("id", "k")
+    merged = (hll_portable_registers(a, "k")
+              .unionByName(hll_portable_registers(b, "k"))
+              .groupBy("j").agg(F.max("rho").alias("rho")))
+    whole = hll_portable_registers(a.unionByName(b), "k")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))       # merge-by-max contract
+    est = hll_portable_estimate(whole).first()["est_raw"]
+    assert abs(est - 5000) / 5000 < 0.15          # ~6.5% std error at m=256
