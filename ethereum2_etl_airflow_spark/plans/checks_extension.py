@@ -2224,3 +2224,56 @@ FROM est
 
 
 EXTENSION_CHECKS["hll_portable"] = (q_hll_portable, ORACLE_HLL_PORTABLE)
+
+
+# --- streaming HLL maintenance --------------------------------------------
+
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable-HLL registers maintained by the stream engine as a
+    complete-mode stateful max-aggregation over an events file stream —
+    merge-by-max makes the streamed registers equal the batch ones
+    exactly (same contract as stream_cms, for the distinct-count axis).
+    State: ≤ 2^b register rows, constant for any stream length."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from ..operators.quality import hll_portable_registers
+
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"e2etl_hllstream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        except FileExistsError:
+            pass
+    schema = spark.read.option("nanosAsLong", True) \
+        .parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("nanosAsLong", True)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    regs = hll_portable_registers(stream.select("user_id"), "user_id")
+    name = f"hll_{uuid.uuid4().hex[:8]}"
+    q = (regs.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).orderBy("j")
+
+
+ORACLE_STREAM_HLL = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           AS hv
+  FROM events)
+SELECT hv % 256 AS j,
+       CAST(MAX(CASE WHEN hv // 256 = 0 THEN 25
+                ELSE 25 - LENGTH(bin(hv // 256)) END) AS INT) AS rho
+FROM h GROUP BY j ORDER BY j
+"""
+
+
+EXTENSION_CHECKS["stream_hll"] = (q_stream_hll, ORACLE_STREAM_HLL)
