@@ -182,3 +182,77 @@ def test_minhash_exact_matches_bruteforce_bands(spark, texts):
             if shared:
                 exp[(a, b)] = shared
     assert got == exp
+
+
+@SET
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40),
+                min_size=1, max_size=8),
+       st.integers(2, 6), st.integers(1, 6))
+def test_chunk_sliding_covers_every_token_once_per_stride(
+        spark, texts, window, stride):
+    """Every token of every document appears in at least one chunk, the
+    first chunk starts at 0, starts advance by exactly the stride, and
+    chunk text is the exact token slice."""
+    from ethereum2_etl_airflow_spark.operators.curation import (
+        chunk_sliding)
+
+    stride = min(stride, window)
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    out = chunk_sliding(df, window=window, stride=stride).collect()
+    toks = {i: [t for t in txt.lower().split() if t]
+            for i, txt in enumerate(texts)}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, tk in toks.items():
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if not tk:
+            assert not chunks
+            continue
+        assert chunks[0]["start"] == 0
+        covered = set()
+        for c in chunks:
+            assert c["start"] == c["chunk_id"] * stride
+            words = c["chunk_text"].split()
+            assert words == tk[c["start"]:c["start"] + window]
+            covered.update(range(c["start"], c["start"] + len(words)))
+        assert covered == set(range(len(tk)))
+
+
+@SET
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=40),
+       st.lists(st.integers(0, 10_000), min_size=0, max_size=40))
+def test_bloom_semi_join_equals_plain_semi_join(spark, big, small):
+    from ethereum2_etl_airflow_spark.functions.bloom import bloom_semi_join
+
+    bdf = spark.createDataFrame([(x,) for x in big], "k long")
+    sdf = (spark.createDataFrame([(x,) for x in small], "k long")
+           if small else spark.createDataFrame([], "k long"))
+    got = sorted(r["k"] for r in
+                 bloom_semi_join(bdf, sdf, "k", m_bits=1 << 12).collect())
+    want = sorted(r["k"] for r in
+                  bdf.join(sdf, "k", "left_semi").collect())
+    assert got == want
+
+
+@SET
+@given(st.lists(st.text(alphabet="abc ", min_size=1, max_size=20),
+                min_size=1, max_size=10))
+def test_cms_estimate_at_least_exact_count(spark, texts):
+    from collections import Counter
+
+    from ethereum2_etl_airflow_spark.operators.quality import (
+        cms_build, cms_estimate)
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    exact = Counter(t for txt in texts for t in txt.lower().split() if t)
+    if not exact:
+        return
+    sketch = cms_build(df)
+    probes = spark.createDataFrame([(t,) for t in exact], "t string")
+    est = {r["t"]: r["n_est"]
+           for r in cms_estimate(sketch, probes).collect()}
+    for t, n in exact.items():
+        assert est[t] >= n        # CMS never underestimates
