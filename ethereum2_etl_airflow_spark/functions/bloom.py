@@ -70,14 +70,17 @@ def bloom_probe(df: DataFrame, key: str, bloom: DataFrame,
                 m_bits: int = 1 << 18, k: int = 5) -> DataFrame:
     """Rows of ``df`` whose key hits all k Bloom positions — a superset
     of the true matches (possible false positives, never negatives)."""
-    probed = df.crossJoin(F.broadcast(bloom))
+    # collision-proof internal name: the caller's frame may itself have
+    # a 'bits' column
+    probed = df.crossJoin(F.broadcast(
+        bloom.withColumnRenamed("bits", "__bloom_bits")))
     hit = F.lit(True)
     for p in _positions(F.col(key), m_bits, k):
-        word = F.try_element_at("bits", (p / 64).cast("int") + 1)
+        word = F.try_element_at("__bloom_bits", (p / 64).cast("int") + 1)
         bit = F.call_function("shiftleft", F.lit(1).cast("long"),
                               F.pmod(p, F.lit(64)).cast("int"))
         hit = hit & (word.bitwiseAND(bit) != 0)
-    return probed.where(hit).drop("bits")
+    return probed.where(hit).drop("__bloom_bits")
 
 
 def bloom_semi_join(big: DataFrame, small: DataFrame, on: str,
@@ -86,6 +89,9 @@ def bloom_semi_join(big: DataFrame, small: DataFrame, on: str,
     broadcast bit-array probe drops non-matching rows before the
     exchange; the exact semi-join over the surviving candidates removes
     false positives, so the result is exactly the plain semi-join."""
-    bloom = bloom_build(small.select(on).distinct(), on, m_bits, k)
+    keys = small.select(on).distinct()
+    bloom = bloom_build(keys, on, m_bits, k)
     candidates = bloom_probe(big, on, bloom, m_bits, k)
-    return candidates.join(small.select(on).distinct(), on, "left_semi")
+    # no distinct on the semi-join right side: right-side duplicates
+    # cannot change left-semi semantics, so the dedup exchange is waste
+    return candidates.join(small.select(on), on, "left_semi")

@@ -40,7 +40,8 @@ from .text import tokens
 
 __all__ = [
     "EMAIL_RE", "IPV4_RE", "LONGNUM_RE", "pii_scrub", "heavy_hitters",
-    "cap_per_key", "pack_offsets", "assign_folds", "term_salience",
+    "cap_per_key", "pack_offsets", "assign_folds", "fold_expr",
+    "term_salience",
     "quantize_embeddings", "bin_by_quantile", "outliers_p99", "funnel",
     "winsorize", "table_diff", "funnel_steps",
     "cohort_retention", "chunk_sliding", "url_features",
@@ -271,17 +272,25 @@ def chunk_sliding(df: DataFrame, window: int = 32, stride: int = 24,
                     .alias("chunk_text")))
 
 
+def fold_expr(col, k: int = 5):
+    """The md5-derived fold column: first two hex chars of md5(col) →
+    256 buckets → mod k.  THE single definition — assign_folds, the
+    GroupKFold check, and the curation pipeline all derive from it, so
+    the hash can never silently diverge between them."""
+    hx = F.md5(col.cast("string"))
+    hexmap = "0123456789abcdef"
+    v = ((F.instr(F.lit(hexmap), F.substring(hx, 1, 1)) - 1) * 16
+         + (F.instr(F.lit(hexmap), F.substring(hx, 2, 1)) - 1))
+    return (v % k).cast("int")
+
+
 def assign_folds(df: DataFrame, k: int = 5,
                  id_col: str = "doc_id") -> DataFrame:
     """Deterministic k-fold assignment: fold from the first two hex chars
     of ``md5(id)`` (256 buckets → mod k).  Engine-portable (DuckDB's md5
     hex is identical), stateless, layout-invariant — the same row lands
     in the same fold on any cluster, any partitioning, any engine."""
-    hx = F.md5(F.col(id_col).cast("string"))
-    hexmap = "0123456789abcdef"
-    v = ((F.instr(F.lit(hexmap), F.substring(hx, 1, 1)) - 1) * 16
-         + (F.instr(F.lit(hexmap), F.substring(hx, 2, 1)) - 1))
-    return df.withColumn("fold", (v % k).cast("int"))
+    return df.withColumn("fold", fold_expr(F.col(id_col), k))
 
 
 def term_salience(df: DataFrame, m: int = 5, text_col: str = "text",

@@ -489,7 +489,11 @@ def _simhash_exact_build(docs: DataFrame, n_bits: int, max_hamming: int,
     """Pre-checkpoint pipeline for :func:`simhash_exact_pairs` — split out
     so plan tests can assert on the REAL physical plan (the public entry
     localCheckpoints, which collapses the plan to a Scan ExistingRDD)."""
-    assert n_bits % 4 == 0
+    # signature bits come from the 32 md5 hex digits AND are packed
+    # into one signed long for the xor/bit_count Hamming — both bound
+    # n_bits at 32 (conv of >=2^63 would cast to NULL and silently drop
+    # candidate pairs)
+    assert n_bits % 4 == 0 and 4 <= n_bits <= 32
     band_w = n_bits // 4
     docs = ensure_parallelism(docs)
     tc = (docs.select(F.col(id_col).alias("id"),
@@ -675,13 +679,17 @@ def source_minhash_similarity(docs: DataFrame, n_hashes: int = 16,
           .distinct())
     sigs = sh.groupBy("g").agg(*[
         F.min(F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("sh"))))
-        .alias(f"mh{s}") for s in range(n_hashes)])
+        .alias(f"mh{s}") for s in range(n_hashes)]).cache()
     a, b = sigs.alias("a"), sigs.alias("b")
     n_match = None
     for s in range(n_hashes):
         t = F.when(F.col(f"a.mh{s}") == F.col(f"b.mh{s}"), 1).otherwise(0)
         n_match = t if n_match is None else n_match + t
-    return (a.join(b, F.col("a.g") < F.col("b.g"))
-            .select(F.col("a.g").alias("src_a"), F.col("b.g").alias("src_b"),
-                    n_match.cast("int").alias("n_match"),
-                    (n_match.cast("double") / n_hashes).alias("jaccard_est")))
+    out = (a.join(b, F.col("a.g") < F.col("b.g"))
+           .select(F.col("a.g").alias("src_a"), F.col("b.g").alias("src_b"),
+                   n_match.cast("int").alias("n_match"),
+                   (n_match.cast("double") / n_hashes)
+                   .alias("jaccard_est")))
+    # the signature table feeds both self-join branches: cache it for
+    # the computation, release via the checkpoint barrier
+    return finalize_release(out, sigs)

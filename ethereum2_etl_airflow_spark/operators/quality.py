@@ -142,7 +142,8 @@ def hll_portable_registers(df: DataFrame, col: str,
     w = (h / m).cast("long")
     rho = F.when(w == 0, F.lit(25)).otherwise(
         F.lit(25) - F.length(F.bin(w))).cast("int")
-    return (df.select(j.alias("j"), rho.alias("rho"))
+    return (df.where(F.col(col).isNotNull())
+            .select(j.alias("j"), rho.alias("rho"))
             .groupBy("j").agg(F.max("rho").alias("rho")))
 
 

@@ -137,6 +137,14 @@ def negative_sample(df: DataFrame, anchor_ids: list[int], k: int = 5,
                df.select(id_col, label_col)
                .where(F.col(id_col).isin([int(a) for a in anchor_ids]))
                .collect()}
+    missing = [int(a) for a in anchor_ids if int(a) not in anchors]
+    if missing:
+        raise ValueError(f"anchor ids not present in {id_col}: {missing}")
+    null_lab = [a for a, lab in anchors.items() if lab is None]
+    if null_lab:
+        # label != NULL is never true — the anchor would silently
+        # produce zero negatives, so fail loudly instead
+        raise ValueError(f"anchors with NULL {label_col}: {null_lab}")
     branches = []
     for aid in anchor_ids:
         aid = int(aid)

@@ -354,7 +354,8 @@ def inverted_postings(docs, k: int = 8, text_col: str = "text",
 
     tf = (docs.select(F.col(id_col).alias("doc"),
                       F.explode(tokens(F.col(text_col))).alias("term"))
-          .groupBy("term", "doc").agg(F.count("*").alias("tf")))
+          .groupBy("term", "doc").agg(F.count("*").alias("tf"))
+          .cache())  # feeds BOTH the stats and the top-k branch
     stats = tf.groupBy("term").agg(F.count("*").alias("df"),
                                    F.sum("tf").alias("tf_total"))
     ordered = tf.withColumn(
@@ -369,9 +370,11 @@ def inverted_postings(docs, k: int = 8, text_col: str = "text",
                             ":", s["doc"].cast("string"),
                             s["tf"].cast("string"))), ",")
                     .alias("postings")))
-    return (stats.join(postings, "term")
-            .select("term", "df", F.col("tf_total").cast("long")
-                    .alias("tf_total"), "postings"))
+    from ..functions.layout import finalize_release
+    out = (stats.join(postings, "term")
+           .select("term", "df", F.col("tf_total").cast("long")
+                   .alias("tf_total"), "postings"))
+    return finalize_release(out, tf)
 
 
 def skipgram_counts(docs, window: int = 2, text_col: str = "text",

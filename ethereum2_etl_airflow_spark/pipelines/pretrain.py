@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.curation import chunk_sliding
+from ..operators.curation import chunk_sliding, fold_expr
 from ..operators.text import fingerprint, gopher_filter
 
 __all__ = ["curate_pretrain"]
@@ -41,8 +41,4 @@ def curate_pretrain(docs: DataFrame, window: int = 32, stride: int = 24,
                  .select(id_col))
     unique = kept.join(survivors, id_col, "left_semi")
     chunks = chunk_sliding(unique, window, stride, text_col, id_col)
-    hx = F.md5(F.col(id_col).cast("string"))
-    hexmap = "0123456789abcdef"
-    v = ((F.instr(F.lit(hexmap), F.substring(hx, 1, 1)) - 1) * 16
-         + (F.instr(F.lit(hexmap), F.substring(hx, 2, 1)) - 1))
-    return chunks.withColumn("fold", (v % k_folds).cast("int"))
+    return chunks.withColumn("fold", fold_expr(F.col(id_col), k_folds))

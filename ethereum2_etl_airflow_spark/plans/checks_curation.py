@@ -991,12 +991,8 @@ def q_split_group_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     -duplicates cluster within sources.  Same engine-portable md5-mod
     family as assign_folds; stateless narrow map."""
     d = _docs(spark, sf_dir)
-    hx = F.md5(F.col("source"))
-    hexmap = "0123456789abcdef"
-    v = ((F.instr(F.lit(hexmap), F.substring(hx, 1, 1)) - 1) * 16
-         + (F.instr(F.lit(hexmap), F.substring(hx, 2, 1)) - 1))
     return (d.select("doc_id", "source",
-                     (v % 5).cast("int").alias("fold"))
+                     C.fold_expr(F.col("source"), 5).alias("fold"))
             .orderBy("doc_id"))
 
 

@@ -2041,6 +2041,47 @@ EXTENSION_CHECKS["random_walks"] = (q_random_walks, ORACLE_RANDOM_WALKS)
 
 # --- streaming CMS maintenance (stateful complete-mode aggregation) -------
 
+def _file_stream(spark: SparkSession, sf_dir: str, table: str,
+                 tag: str, nanos: bool = False):
+    """readStream over a single driver-testdata parquet table: exposes
+    the file via a symlink in a stable temp dir (streaming file sources
+    need a directory; read-only testdata stays untouched).  Shared by
+    the complete-mode sketch-maintenance checks."""
+    import hashlib
+    import os
+    import tempfile
+
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"e2etl_{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, f"{table}.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(f"{sf_dir}/{table}.parquet", link)
+        except FileExistsError:
+            pass
+    reader = spark.read.option("nanosAsLong", nanos) if nanos \
+        else spark.read
+    schema = reader.parquet(f"{sf_dir}/{table}.parquet").schema
+    stream = spark.readStream.schema(schema)
+    if nanos:
+        stream = stream.option("nanosAsLong", True)
+    return stream.option("maxFilesPerTrigger", 1).parquet(src_dir)
+
+
+def _run_complete(df, spark: SparkSession):
+    """Run a complete-mode streaming aggregation to completion over
+    available input (memory sink) and return the final table."""
+    import uuid
+
+    name = f"cm_{uuid.uuid4().hex[:8]}"
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CMS counters maintained BY THE STREAM ENGINE: documents
     arrive as a file stream, the (row, bucket) counts are a stateful
@@ -2050,32 +2091,11 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle.  State is the d·w counter table: constant-bounded however
     long the stream runs, the property that makes CMS the streaming
     frequency summary."""
-    import hashlib
-    import os
-    import tempfile
-    import uuid
-
     from ..operators.quality import cms_build
 
-    src_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"e2etl_cmsstream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
-    os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "documents.parquet")
-    if not os.path.exists(link):
-        try:
-            os.symlink(f"{sf_dir}/documents.parquet", link)
-        except FileExistsError:
-            pass
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", 1).parquet(src_dir))
-    sketch = cms_build(stream)
-    name = f"cms_{uuid.uuid4().hex[:8]}"
-    q = (sketch.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(name).orderBy("row", "bucket")
+    stream = _file_stream(spark, sf_dir, "documents", "cmsstream")
+    return (_run_complete(cms_build(stream), spark)
+            .orderBy("row", "bucket"))
 
 
 ORACLE_STREAM_CMS = """
@@ -2234,34 +2254,12 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-by-max makes the streamed registers equal the batch ones
     exactly (same contract as stream_cms, for the distinct-count axis).
     State: ≤ 2^b register rows, constant for any stream length."""
-    import hashlib
-    import os
-    import tempfile
-    import uuid
-
     from ..operators.quality import hll_portable_registers
 
-    src_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"e2etl_hllstream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
-    os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(link):
-        try:
-            os.symlink(f"{sf_dir}/events.parquet", link)
-        except FileExistsError:
-            pass
-    schema = spark.read.option("nanosAsLong", True) \
-        .parquet(f"{sf_dir}/events.parquet").schema
-    stream = (spark.readStream.schema(schema)
-              .option("nanosAsLong", True)
-              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    stream = _file_stream(spark, sf_dir, "events", "hllstream",
+                          nanos=True)
     regs = hll_portable_registers(stream.select("user_id"), "user_id")
-    name = f"hll_{uuid.uuid4().hex[:8]}"
-    q = (regs.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(name).orderBy("j")
+    return _run_complete(regs, spark).orderBy("j")
 
 
 ORACLE_STREAM_HLL = """

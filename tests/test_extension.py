@@ -721,3 +721,36 @@ def test_hll_portable_accuracy_and_merge(spark):
         sorted(map(tuple, whole.collect()))       # merge-by-max contract
     est = hll_portable_estimate(whole).first()["est_raw"]
     assert abs(est - 5000) / 5000 < 0.15          # ~6.5% std error at m=256
+
+
+def test_bloom_probe_survives_caller_bits_column(spark):
+    from ethereum2_etl_airflow_spark.functions.bloom import (
+        bloom_build, bloom_probe)
+
+    big = spark.range(0, 100).selectExpr("id AS k", "array(id) AS bits")
+    small = spark.range(0, 100, 10).withColumnRenamed("id", "k")
+    out = bloom_probe(big, "k", bloom_build(small, "k"))
+    assert "bits" in out.columns          # the caller's column survives
+    assert out.count() >= 10
+
+
+def test_negative_sample_rejects_unknown_anchor(spark, sf_dir):
+    import pytest as _pytest
+
+    from ethereum2_etl_airflow_spark.operators.sampling import (
+        negative_sample)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="not present"):
+        negative_sample(emb, [99_999_999], k=3)
+
+
+def test_hll_portable_ignores_nulls(spark):
+    from ethereum2_etl_airflow_spark.operators.quality import (
+        hll_portable_estimate, hll_portable_registers)
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    regs = hll_portable_registers(df, "k")
+    assert regs.where(F.col("j").isNull()).count() == 0
+    est = hll_portable_estimate(regs).first()
+    assert est["n_zero"] == 256 - 2
