@@ -27,7 +27,8 @@ from ..functions.layout import ensure_parallelism, finalize_release
 from ..functions.vectors import dot_compact, with_normalized
 
 __all__ = ["topk_cosine_bruteforce", "partial_topk", "ann_ivf_topk",
-           "ann_lsh_candidates", "sparse_cosine_pairs", "pq_topk"]
+           "ann_lsh_candidates", "sparse_cosine_pairs", "pq_topk",
+           "retrieval_topk"]
 
 
 def partial_topk(scored: DataFrame, k: int,
@@ -435,3 +436,42 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
            .select("query_id", "vec_id", "rank",
                    F.col("approx_dist").cast("long").alias("approx_dist")))
     return finalize_release(out, qdf)
+
+
+def retrieval_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+                   shortlist: int = 50, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Two-stage retrieval — the production ANN serving shape: the PQ
+    tier shortlists ``shortlist`` candidates per query by ADC distance
+    (memory-bound scan of one-byte codes), then ONLY the shortlist pays
+    the exact decimal-accumulated cosine and the final top-``k`` rank.
+
+    End-to-end deterministic: the PQ stage is integer-exact
+    (:func:`pq_topk`) and the rescore uses the portable decimal cosine
+    kernel, so the composed ranking is SQL-oracle-checkable — the
+    quality contract (does PQ's shortlist recall feed the right final
+    top-k) is what the oracle pins, not just each stage alone.
+
+    Scale shape: stage-1 cost is the PQ scan; stage-2 touches
+    |Q|·shortlist rows — independent of corpus size; the final rank
+    windows over ≤ shortlist rows per query."""
+    cand = (pq_topk(emb, query_ids, k=shortlist, id_col=id_col,
+                    vec_col=vec_col)
+            .select("query_id", "vec_id"))
+    nv = (with_normalized(ensure_parallelism(emb), vec_col, "nv")
+          .select(id_col, "nv").cache())
+    q = (nv.where(F.col(id_col).isin([int(x) for x in query_ids]))
+         .select(F.col(id_col).alias("query_id"), F.col("nv").alias("qv")))
+    scored = (cand
+              .join(nv.withColumnRenamed(id_col, "vec_id"), "vec_id")
+              .join(F.broadcast(q), "query_id")
+              .select("query_id", "vec_id",
+                      dot_compact(F.col("qv"), F.col("nv"))
+                      .cast("decimal(18,9)").cast("double")
+                      .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k)
+           .select("query_id", "vec_id", "rank", "cosine"))
+    return finalize_release(out, nv)

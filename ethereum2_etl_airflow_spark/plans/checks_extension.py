@@ -2275,3 +2275,78 @@ FROM h GROUP BY j ORDER BY j
 
 
 EXTENSION_CHECKS["stream_hll"] = (q_stream_hll, ORACLE_STREAM_HLL)
+
+
+# --- two-stage retrieval (PQ shortlist -> exact decimal rerank) -----------
+
+def q_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (S.retrieval_topk(_emb(spark, sf_dir), query_ids=[1, 2, 3],
+                             k=10, shortlist=50)
+            .orderBy("query_id", "rank"))
+
+
+ORACLE_RETRIEVAL_TOPK = f"""
+WITH q8 AS (
+  SELECT vec_id,
+         CASE WHEN m = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / m) AS BIGINT))
+         END AS q
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS m
+        FROM embeddings)),
+anch AS (
+  SELECT q AS aq,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS arank
+  FROM q8
+  QUALIFY arank < 8),
+subdist AS (
+  SELECT v.vec_id, t.s, a.arank,
+         list_sum(list_transform(range(1, 17),
+           i -> (v.q[t.s * 16 + i] - a.aq[t.s * 16 + i])
+              * (v.q[t.s * 16 + i] - a.aq[t.s * 16 + i]))) AS dist
+  FROM q8 v, range(4) t(s), anch a),
+codes AS (
+  SELECT vec_id, s, arank AS code
+  FROM subdist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                             ORDER BY dist, arank) = 1),
+lut AS (
+  SELECT vec_id AS query_id, s, arank, dist
+  FROM subdist WHERE vec_id IN (1, 2, 3)),
+adc AS (
+  SELECT l.query_id, c.vec_id, CAST(SUM(l.dist) AS BIGINT) AS approx_dist
+  FROM codes c JOIN lut l ON l.s = c.s AND l.arank = c.code
+  WHERE l.query_id != c.vec_id
+  GROUP BY l.query_id, c.vec_id),
+short AS (
+  SELECT query_id, vec_id
+  FROM adc
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY approx_dist, vec_id) <= 50),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, {{nv}} AS nv FROM e),
+scored AS (
+  SELECT s.query_id, s.vec_id,
+         CAST({{dot}} AS DOUBLE) AS cosine
+  FROM short s
+  JOIN n c ON c.vec_id = s.vec_id
+  JOIN n q ON q.vec_id = s.query_id)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS INT)
+         AS rank,
+       cosine
+FROM scored
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+""".format(nv=_NV.format(v="v"), dot=_DOT_C.format(a="q.nv", b="c.nv"))
+
+
+EXTENSION_CHECKS["retrieval_topk"] = (
+    q_retrieval_topk, ORACLE_RETRIEVAL_TOPK)

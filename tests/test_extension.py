@@ -754,3 +754,24 @@ def test_hll_portable_ignores_nulls(spark):
     assert regs.where(F.col("j").isNull()).count() == 0
     est = hll_portable_estimate(regs).first()
     assert est["n_zero"] == 256 - 2
+
+
+def test_retrieval_topk_recall_vs_exact(spark, sf_dir):
+    """PQ distances over the synthetic near-orthogonal vectors are
+    coarse, so the contract is: far above the random baseline (10/500 =
+    2%) and monotone in the shortlist size (a bigger shortlist can only
+    help the exact reranker)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in S.topk_cosine_bruteforce(emb, [1, 2, 3], k=10)
+             .collect()}
+
+    def recall(sl):
+        two = {(r["query_id"], r["vec_id"]) for r in
+               S.retrieval_topk(emb, [1, 2, 3], k=10, shortlist=sl)
+               .collect()}
+        return len(exact & two) / len(exact)
+
+    r50, r200 = recall(50), recall(200)
+    assert r50 >= 0.2          # 10x the random baseline
+    assert r200 >= r50         # shortlist growth never hurts
