@@ -1361,3 +1361,37 @@ RELATIONAL_CHECKS.update({
     "sql_udf": (q_sql_udf, ORACLE_SQL_UDF),
     "sql_tvf": (q_sql_tvf, ORACLE_SQL_TVF),
 })
+
+
+# --- GROUP BY ALL / ORDER BY ALL (analyst-SQL surface) --------------------
+
+def q_sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's GROUP BY ALL / ORDER BY ALL sugar: every non-aggregate
+    select item becomes a grouping key, the sort covers the whole select
+    list — the analyst-facing shorthand both engines resolve to the
+    identical explicit plan (which is the oracle)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("gba_orders_v")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(FLOOR(o_totalprice * 100)) AS BIGINT)
+                 AS cents
+        FROM gba_orders_v
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
+
+
+ORACLE_SQL_GROUPBY_ALL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority, n, cents
+"""
+
+
+RELATIONAL_CHECKS.update({
+    "sql_groupby_all": (q_sql_groupby_all, ORACLE_SQL_GROUPBY_ALL),
+})
