@@ -6,11 +6,14 @@ training data (binary stays columnar in parquet; metadata predicates
 prune without touching payload bytes).
 
 The Spark-side plumbing here is real and tested: schema, batching,
-``mapInPandas`` signature, partition sizing.  The actual codec calls are
-STUBBED — the image/audio libraries are not in this container — behind
-``decode_stub``: a deterministic fake that derives features from the raw
-bytes, and a clearly-marked ``NotImplementedError`` branch where PIL /
-torchaudio / ffmpeg would plug in.
+``mapInPandas`` signature, partition sizing.  Decoding is tiered:
+binary-PPM images decode for REAL with a pure-stdlib parser (no
+external codec — X5's decode path is fully exercisable in this
+container, end-to-end tested through the Arrow stage); other image
+mimes decode via a soft-imported PIL where available; audio/video stay
+honestly stubbed behind a clearly-marked ``NotImplementedError`` where
+torchaudio / ffmpeg would plug in; octet-stream uses a deterministic
+byte-derived fake so plumbing tests run hermetically.
 
 Scale notes: payload partitions should target ~128 MB of *bytes* (so
 ``spark.sql.files.maxPartitionBytes`` governs, not row counts); feature
@@ -28,7 +31,7 @@ from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "FRAME_SCHEMA",
            "attach_binary_payload", "read_media_dir", "decode_stub",
-           "extract_features", "sample_frames"]
+           "extract_features", "sample_frames", "make_ppm"]
 
 #: payload + typed metadata layout for a multimodal table
 MEDIA_SCHEMA = T.StructType([
@@ -99,12 +102,67 @@ def _pil_image():
         return None
 
 
+def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Minimal binary-PPM (P6) parser: returns (width, height, rgb
+    bytes).  Raises ValueError on malformed input — surfaced per-row by
+    the Arrow stage like any codec error would be."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":           # comment to end of line
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        fields.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(x) for x in fields)
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    rgb = payload[i:i + 3 * w * h]
+    if len(rgb) != 3 * w * h:
+        raise ValueError("truncated PPM raster")
+    return w, h, rgb
+
+
+def make_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic little P6 image for tests/fixtures: pixel (x, y)
+    has R=(x+seed)%256, G=(y+seed)%256, B=(x*y+seed)%256."""
+    raster = bytearray()
+    for y in range(height):
+        for x in range(width):
+            raster += bytes(((x + seed) % 256, (y + seed) % 256,
+                             (x * y + seed) % 256))
+    return b"P6\n%d %d\n255\n" % (width, height) + bytes(raster)
+
+
 def decode_stub(payload: bytes, mime: str) -> dict:
     """Decoder seam.  ``image/*`` decodes via PIL when importable
     (soft import — executors without the lib fall through to the typed
     stub error); audio/video stay honestly stubbed (torchaudio / pyav
     absent from this container); other mimes use the deterministic
     byte-derived fake so plumbing tests run hermetically."""
+    if mime == "image/x-portable-pixmap":
+        # pure-stdlib decode: binary PPM (P6) is a whitespace-delimited
+        # header + raw RGB24 — a REAL image decode path that needs no
+        # external codec, so X5 is fully exercisable in any container
+        w, h, pixels = _decode_ppm(payload)
+        lum = [(pixels[i] * 299 + pixels[i + 1] * 587
+                + pixels[i + 2] * 114) // 1000
+               for i in range(0, min(len(pixels), 3 * 256), 3)]
+        return {
+            "n_bytes": len(payload),
+            "head_hex": payload[:16].hex(),
+            "n_frames": 1,
+            "feature_sum": int(sum(lum)),
+        }
     if mime.startswith("image/"):
         Image = _pil_image()
         if Image is None:

@@ -775,3 +775,40 @@ def test_retrieval_topk_recall_vs_exact(spark, sf_dir):
     r50, r200 = recall(50), recall(200)
     assert r50 >= 0.2          # 10x the random baseline
     assert r200 >= r50         # shortlist growth never hurts
+
+
+def test_ppm_decode_end_to_end_through_arrow_stage(spark):
+    """X5 with a REAL decode: binary-PPM payloads flow through the
+    mapInPandas feature stage and produce the exact luminance features
+    the pure-Python reference computes — no external codec involved."""
+    from ethereum2_etl_airflow_spark.operators.multimodal import (
+        decode_stub, extract_features, make_ppm)
+
+    rows = [(i, make_ppm(16, 16, seed=i),
+             ("image/x-portable-pixmap", 16 * 16 * 3 + 15, 16, 16))
+            for i in range(5)]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, "
+        "meta struct<mime:string,n_bytes:bigint,width:int,height:int>")
+    got = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert len(got) == 5
+    for i in range(5):
+        ref = decode_stub(make_ppm(16, 16, seed=i),
+                          "image/x-portable-pixmap")
+        assert got[i]["feature_sum"] == ref["feature_sum"]
+        assert got[i]["n_frames"] == 1
+
+
+def test_ppm_parser_rejects_malformed(spark):
+    import pytest as _pytest
+
+    from ethereum2_etl_airflow_spark.operators.multimodal import (
+        _decode_ppm, make_ppm)
+
+    w, h, rgb = _decode_ppm(make_ppm(4, 3, seed=1))
+    assert (w, h, len(rgb)) == (4, 3, 36)
+    with _pytest.raises(ValueError, match="truncated"):
+        _decode_ppm(make_ppm(4, 3)[:-5])
+    with _pytest.raises(ValueError, match="not a P6"):
+        _decode_ppm(b"JPEG....")
