@@ -2350,3 +2350,62 @@ ORDER BY query_id, rank
 
 EXTENSION_CHECKS["retrieval_topk"] = (
     q_retrieval_topk, ORACLE_RETRIEVAL_TOPK)
+
+
+# --- multimodal with a REAL decode and an exact oracle --------------------
+
+def q_mm_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary image payloads decoded FOR REAL through the Arrow stage,
+    with an exact SQL oracle: the 16×16 PPM raster is a closed-form
+    function of (x, y, doc_id), so the luminance feature the decoder
+    extracts is re-derivable in pure SQL — the first multimodal check
+    that verifies VALUES, not just row counts."""
+    import pandas as pd
+
+    from ..operators import multimodal as MM
+
+    d = _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(64)
+
+    def gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [MM.make_ppm(16, 16, seed=int(i) % 256)
+                            for i in pdf["doc_id"]],
+            })
+            yield out
+
+    from pyspark.sql import types as T
+    media_flat = d.mapInPandas(
+        gen, T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())]))
+    media = media_flat.select(
+        "doc_id", "payload",
+        F.struct(F.lit("image/x-portable-pixmap").alias("mime"),
+                 F.octet_length("payload").cast("long").alias("n_bytes"),
+                 F.lit(16).alias("width"),
+                 F.lit(16).alias("height")).alias("meta"))
+    return (MM.extract_features(media)
+            .select("doc_id", "n_bytes", "n_frames", "feature_sum")
+            .orderBy("doc_id"))
+
+
+ORACLE_MM_PPM = """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64),
+px AS (
+  SELECT i.doc_id, x.x, y.y, i.doc_id % 256 AS s
+  FROM ids i, range(16) x(x), range(16) y(y)),
+lum AS (
+  SELECT doc_id,
+         SUM(((x + s) % 256 * 299 + (y + s) % 256 * 587
+              + (x * y + s) % 256 * 114) // 1000) AS fsum
+  FROM px GROUP BY doc_id)
+SELECT doc_id,
+       CAST(13 + 768 AS BIGINT) AS n_bytes,
+       CAST(1 AS INT) AS n_frames,
+       CAST(fsum AS BIGINT) AS feature_sum
+FROM lum ORDER BY doc_id
+"""
+
+
+EXTENSION_CHECKS["mm_ppm"] = (q_mm_ppm, ORACLE_MM_PPM)
