@@ -164,11 +164,28 @@ def main() -> None:
             run_one(name)
         return times, round(time.time() - t0, 3)
 
+    def release_blocks() -> None:
+        """Between passes: checkpointed RDD blocks from finished queries
+        are only freed when their Python DataFrames are GC'd and the
+        ContextCleaner runs — 185 queries of leftovers otherwise crowd
+        executor storage and make later heavy shuffles spill (observed:
+        the first sequential query paying 2-3x its quiet-machine time).
+        An explicit gc + cache clear between passes keeps each pass's
+        timings independent of what ran before it."""
+        import gc
+
+        gc.collect()
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+
     conc_times: dict[str, float] = {}
     seq_times: dict[str, float] = {}
     conc_wall = seq_wall = None
     if not seq_only:
         conc_times, conc_wall = run_concurrent()
+        release_blocks()
     if not skip_seq:
         # one query at a time: slot-contention-free numbers for
         # round-over-round per-query comparison
