@@ -3,15 +3,17 @@
 Runs each ``__spark_entry__.queries()`` entry at ``$SPARK_GRAFT_SF_DIR``
 (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
 
-Output contract (driver-parseable): the FIRST stdout line is one compact
+Output contract (driver-parseable): the LAST stdout line is one compact
 headline JSON object — {"metric", "value", "unit", "sf", "cpus",
-"concurrent_wall_sec", "sequential_wall_sec", "n_queries", "n_errors"} —
-small enough for any tail/line buffer.  The bulky per-query timing maps
-follow on their own lines ({"queries": ...} for the concurrent pass,
-{"queries_sequential": ...}), each rounded to 2 dp.  Round 2's single
-giant line (both 106-entry maps at 3 dp inline with the headline)
-overflowed the driver's capture and the round lost its official bench
-number; keep the headline line short and first.
+"concurrent_wall_sec", "sequential_wall_sec", "n_queries", "n_errors",
+"queries"} — where "queries" is the sequential per-query map at 2 dp
+(the round-over-round comparable numbers).  The driver keeps the TAIL
+of stdout, so nothing may print after the headline: the
+contention-inflated concurrent per-query map goes to a sidecar file
+(bench_concurrent.json, self-labeled {"pass": "concurrent"}) rather
+than stdout.  Round 2 lost its official number to one giant first line;
+round 3 lost it again by printing the headline FIRST while the driver
+kept the tail — headline LAST is the contract that matches the capture.
 
 Queries are submitted with bounded concurrency: Spark's scheduler is
 designed to share executors across concurrent jobs, so independent
@@ -26,7 +28,9 @@ which is the number to diff round-over-round for per-query regressions.
 
 Env knobs: SPARK_GRAFT_BENCH_SEQUENTIAL=1 → sequential pass only;
 SPARK_GRAFT_BENCH_SKIP_SEQUENTIAL=1 → concurrent pass only (fast
-iteration); SPARK_GRAFT_BENCH_THREADS=N → concurrency override.
+iteration); SPARK_GRAFT_BENCH_THREADS=N → concurrency override;
+SPARK_GRAFT_BENCH_ONLY=a,b,c → restrict to the named queries (output
+contract smoke-testing).
 
 Each query is forced with a noop sink (full execution, no driver
 collection cost) after a session warm-up.
@@ -136,6 +140,11 @@ def main() -> None:
              "decontaminate", "token_count", "emb_quantize"]
     order = [q for q in heavy if q in qs] + \
         [q for q in sorted(qs) if q not in heavy]
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        order = [q for q in order if q in keep]
+        qs = {k: v for k, v in qs.items() if k in keep}
 
     # One submitting thread per core: the suite is stage-latency-bound,
     # not CPU-bound (~60 short queries x ~10 stages each), so deep
@@ -211,16 +220,23 @@ def main() -> None:
                 "sf": sf, "cpus": int(cpus),
                 "concurrent_wall_sec": conc_wall,
                 "sequential_wall_sec": seq_wall,
-                "n_queries": len(qs), "n_errors": n_err,
-                "queries": r2(seq_times if seq_wall is not None
-                              else conc_times)}
-    # FIRST line: headline + the headline pass's per-query map at 2 dp
-    # (~2.5 KB — half the size of the line that overflowed in round 2).
-    # The other pass's map follows on its own line.
-    print(json.dumps(headline), flush=True)
-    if conc_times and seq_wall is not None:
-        print(json.dumps({"queries_concurrent": r2(conc_times)}),
+                "n_queries": len(qs), "n_errors": n_err}
+    # The contention-inflated concurrent per-query map is NOT comparable
+    # round-over-round (32 queries share task slots), so it never touches
+    # stdout: sidecar file, self-labeled.
+    if conc_times:
+        with open(os.path.join(REPO, "bench_concurrent.json"), "w") as fh:
+            json.dump({"pass": "concurrent", "nthreads": nthreads,
+                       "wall_sec": conc_wall,
+                       "queries": r2(conc_times)}, fh)
+    # Per-query sequential map on its own EARLIER line (kept when the
+    # capture buffer is big enough), then the compact headline as the
+    # FINAL stdout line — the driver keeps the tail, and nothing prints
+    # after this.
+    if seq_times:
+        print(json.dumps({"pass": "sequential", "queries": r2(seq_times)}),
               flush=True)
+    print(json.dumps(headline), flush=True)
     spark.stop()
 
 
