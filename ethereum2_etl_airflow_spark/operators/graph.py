@@ -41,7 +41,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                          algorithm: str = "label") -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id reachable from ``node``.
-    Deterministic (min is order-free).
+    Deterministic (min is order-free).  Node ids keep their input type
+    — any ORDERABLE type works (long doc_ids, string urls); "minimum"
+    means the type's own ordering (lexicographic for strings).
 
     ``algorithm="label"`` (default): min-label propagation, O(diameter)
     rounds — right for the star-ish components near-dedup produces.
@@ -50,10 +52,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     link graphs) and diameter is unbounded."""
     if algorithm == "star":
         return _connected_components_star(edges, src, dst, max_iter)
-    sym = (edges.select(F.col(src).cast("long").alias("u"),
-                        F.col(dst).cast("long").alias("v"))
-           .union(edges.select(F.col(dst).cast("long").alias("u"),
-                               F.col(src).cast("long").alias("v")))
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(edges.select(F.col(dst).alias("u"),
+                               F.col(src).alias("v")))
            .cache())
     # seed with min(closed neighborhood) — identical to what the first
     # propagation round would produce from identity labels, for the cost
@@ -121,11 +122,10 @@ def _connected_components_star(edges: DataFrame, src: str, dst: str,
     to per-component stars rooted at the component minimum in O(log n)
     rounds, independent of diameter.  Lineage is cut per round with
     ``localCheckpoint`` like the label-propagation path."""
-    nodes = (edges.select(F.col(src).cast("long").alias("u"))
-             .union(edges.select(F.col(dst).cast("long").alias("u")))
+    nodes = (edges.select(F.col(src).alias("u"))
+             .union(edges.select(F.col(dst).alias("u")))
              .distinct().localCheckpoint(eager=True))
-    e = (edges.select(F.col(src).cast("long").alias("u"),
-                      F.col(dst).cast("long").alias("v"))
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u") != F.col("v"))
          .distinct().localCheckpoint(eager=True))
     e_count = e.count()
@@ -289,9 +289,16 @@ def cluster_survivors(docs: DataFrame, pairs: DataFrame,
     filtering ``is_survivor`` is the dedup, keeping the rest is the
     audit trail.
 
+    ``score_col`` must be numeric-castable (it is cast to long for the
+    election); ``id_col`` only needs to be ORDERABLE — string doc_ids
+    are fine, because the desc/asc mix is realized by negating the
+    SCORE, never the id: ``min(struct(-score, id))`` picks the highest
+    score, ties broken by the smallest id under the id type's own
+    ordering.
+
     Scale shape: CC is the iterative piece (bounded rounds, one shuffle
     join each); survivor election is ONE map-side-combining
-    ``max(struct(score, -id))`` per cluster joined back on the cluster
+    ``min(struct(-score, id))`` per cluster joined back on the cluster
     key — no per-cluster window sort, no skew on popular clusters."""
     cc = connected_components(pairs, src, dst)
     scored = docs.select(F.col(id_col),
@@ -302,11 +309,10 @@ def cluster_survivors(docs: DataFrame, pairs: DataFrame,
                        F.coalesce("component", F.col(id_col))
                        .alias("cluster_id")))
     best = (members.groupBy("cluster_id")
-            .agg(F.max(F.struct(F.col("__score"),
-                                (-F.col(id_col)).alias("__negid")))
+            .agg(F.min(F.struct((-F.col("__score")).alias("__negscore"),
+                                F.col(id_col).alias("__id")))
                  .alias("b"))
-            .select("cluster_id", (-F.col("b.__negid"))
-                    .alias("survivor_id")))
+            .select("cluster_id", F.col("b.__id").alias("survivor_id")))
     return (members.join(best, "cluster_id")
             .select(id_col, "cluster_id", "survivor_id",
                     (F.col(id_col) == F.col("survivor_id"))

@@ -45,6 +45,9 @@ MEDIA_SCHEMA = T.StructType([
     ])),
 ])
 
+# feature_sum = sum of the first 256 pixels' luminance in row-major
+# order (fixed-cost fingerprint; see decode_stub docstring) — NOT a
+# full-image sum.
 FEATURE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("n_bytes", T.LongType()),
@@ -148,7 +151,14 @@ def decode_stub(payload: bytes, mime: str) -> dict:
     (soft import — executors without the lib fall through to the typed
     stub error); audio/video stay honestly stubbed (torchaudio / pyav
     absent from this container); other mimes use the deterministic
-    byte-derived fake so plumbing tests run hermetically."""
+    byte-derived fake so plumbing tests run hermetically.
+
+    ``feature_sum`` convention (all image paths, PPM and PIL alike):
+    the sum of the luminance / grayscale values of the FIRST 256 pixels
+    in row-major order — a fixed-cost content fingerprint whose cost
+    does not grow with image size, NOT a full-image sum.  Oracles
+    checking ``feature_sum`` must encode the same 256-pixel cap (see
+    ``ORACLE_MM_PPM``), or they only agree on images ≤ 256 px."""
     if mime == "image/x-portable-pixmap":
         # pure-stdlib decode: binary PPM (P6) is a whitespace-delimited
         # header + raw RGB24 — a REAL image decode path that needs no

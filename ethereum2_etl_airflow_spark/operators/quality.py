@@ -37,7 +37,17 @@ __all__ = ["run_expectations", "cms_build", "cms_estimate",
 def run_expectations(df: DataFrame, specs: list[tuple]) -> DataFrame:
     """(constraint, violations, passed) — one row per spec, computed in
     a single pass over ``df`` (plus Spark's distinct-expansion for any
-    ``unique`` specs)."""
+    ``unique`` specs).
+
+    NULL semantics (matches Great Expectations' default): ``range``,
+    ``in_set`` and ``matches`` evaluate only non-NULL values — a NULL
+    makes the predicate NULL and ``count_if`` skips it, so an all-NULL
+    column satisfies those constraints.  Completeness is its own
+    dimension: pair them with a ``not_null`` spec on the same column
+    when NULLs should fail."""
+    if not specs:
+        raise ValueError("run_expectations: specs list is empty — "
+                         "at least one constraint is required")
     aggs = []
     names = []
     for spec in specs:
@@ -156,8 +166,12 @@ def hll_portable_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
     is left to consumers (n_zero is surfaced for it)."""
     m = 1 << b
     alpha = 0.7213 / (1 + 1.079 / m)
+    # coalesce: SUM over zero rows is NULL — an empty register table
+    # must still yield the well-defined all-registers-empty estimate
+    # alpha * m^2 / m, not NULL
     agg = registers.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_used"),
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("rho"))),
+                   F.lit(0.0)).alias("s_used"),
         F.count("*").alias("n_used"))
     return agg.select(
         (F.lit(m) - F.col("n_used")).cast("long").alias("n_zero"),

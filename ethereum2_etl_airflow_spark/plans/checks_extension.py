@@ -2393,8 +2393,12 @@ def q_mm_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MM_PPM = """
 WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64),
 px AS (
+  -- decode_stub's feature_sum caps at the FIRST 256 pixels in
+  -- row-major order (y * width + x < 256); the cap is encoded here so
+  -- the check stays valid for any fixture size, not just 16x16
   SELECT i.doc_id, x.x, y.y, i.doc_id % 256 AS s
-  FROM ids i, range(16) x(x), range(16) y(y)),
+  FROM ids i, range(16) x(x), range(16) y(y)
+  WHERE y.y * 16 + x.x < 256),
 lum AS (
   SELECT doc_id,
          SUM(((x + s) % 256 * 299 + (y + s) % 256 * 587

@@ -630,6 +630,64 @@ def test_cluster_survivors_longest_wins_singletons_survive(spark):
     assert got[3]["is_survivor"] and got[3]["cluster_id"] == 3
 
 
+def test_cluster_survivors_string_ids(spark):
+    """The desc/asc election negates the SCORE, not the id, so string
+    doc_ids elect correctly: highest score wins, ties -> smallest id."""
+    from ethereum2_etl_airflow_spark.operators.graph import (
+        cluster_survivors)
+
+    docs = spark.createDataFrame(
+        [("doc-a", "same len"), ("doc-b", "same len"),
+         ("doc-c", "the clearly longest text")],
+        "doc_id string, text string")
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c")],
+        "id_a string, id_b string")
+    got = {r["doc_id"]: r for r in
+           cluster_survivors(docs, pairs, F.length("text")).collect()}
+    assert got["doc-c"]["is_survivor"]            # highest score
+    assert not got["doc-a"]["is_survivor"]
+    assert not got["doc-b"]["is_survivor"]
+    # tie case: equal scores -> lexicographically smallest id
+    tie = spark.createDataFrame(
+        [("z-doc", "same"), ("a-doc", "same")], "doc_id string, text string")
+    tp = spark.createDataFrame([("a-doc", "z-doc")],
+                               "id_a string, id_b string")
+    tgot = {r["doc_id"]: r for r in
+            cluster_survivors(tie, tp, F.length("text")).collect()}
+    assert tgot["a-doc"]["is_survivor"] and not tgot["z-doc"]["is_survivor"]
+
+
+def test_run_expectations_null_semantics_and_empty_specs(spark):
+    import pytest as _pytest
+
+    from ethereum2_etl_airflow_spark.operators.quality import (
+        run_expectations)
+
+    df = spark.createDataFrame([(None,), (None,)], "v double")
+    out = {r["constraint"]: r["passed"]
+           for r in run_expectations(df, [
+               ("v_range", "range", "v", 0.0, 1.0),
+               ("v_complete", "not_null", "v"),
+           ]).collect()}
+    assert out["v_range"]            # NULLs pass range (GE default)
+    assert not out["v_complete"]     # completeness is its own dimension
+    with _pytest.raises(ValueError, match="empty"):
+        run_expectations(df, [])
+
+
+def test_hll_portable_estimate_empty_registers(spark):
+    from ethereum2_etl_airflow_spark.operators.quality import (
+        hll_portable_estimate)
+
+    empty = spark.createDataFrame([], "j long, rho int")
+    est = hll_portable_estimate(empty).first()
+    m = 256
+    alpha = 0.7213 / (1 + 1.079 / m)
+    assert est["n_zero"] == m
+    assert abs(est["est_raw"] - alpha * m) < 1e-9   # alpha*m^2/m, not NULL
+
+
 def test_kcore_peel_keeps_clique_drops_pendants(spark):
     from ethereum2_etl_airflow_spark.operators.graph import kcore_peel
 
