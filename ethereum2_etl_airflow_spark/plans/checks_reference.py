@@ -562,6 +562,55 @@ def q_scan_beacon_api(spark, sf_dir):
             .orderBy("block_epoch"))
 
 
+def q_scan_beacon_validators(spark, sf_dir):
+    """S10 validators entity: a one-epoch validator-set snapshot through
+    the ``beacon_api`` source (the reference's
+    ``export_beacon_validators`` stream, `build_export_dag.py:129-147`,
+    as epoch-range partitions).  No SQL oracle — no DuckDB-visible
+    input; row parity with the fixture generator is asserted in
+    tests/test_beacon_api_source.py."""
+    from pyspark.sql import functions as F
+
+    from ..sources.beacon_api import register_beacon_api
+
+    register_beacon_api(spark)
+    df = (spark.read.format("beacon_api")
+          .option("entity", "validators")
+          .option("start_epoch", 5).option("end_epoch", 6)
+          .option("n_validators", 96)
+          .option("genesis", 1704067200).option("secs_per_slot", 300)
+          .load())
+    return (df.groupBy("status")
+            .agg(F.count("*").alias("n"),
+                 F.sum("balance").alias("total_balance"),
+                 F.count_if(F.col("slashed")).alias("n_slashed"))
+            .orderBy("status"))
+
+
+def q_scan_beacon_committees(spark, sf_dir):
+    """S10 committees entity: an epoch range of committee assignments
+    through the ``beacon_api`` source (the reference's
+    ``export_beacon_committees`` stream, `build_export_dag.py:149-168`).
+    No SQL oracle — no DuckDB-visible input; row parity with the
+    fixture generator is asserted in tests/test_beacon_api_source.py."""
+    from pyspark.sql import functions as F
+
+    from ..sources.beacon_api import register_beacon_api
+
+    register_beacon_api(spark)
+    df = (spark.read.format("beacon_api")
+          .option("entity", "committees")
+          .option("start_epoch", 0).option("end_epoch", 9)
+          .option("epochs_per_partition", 3)
+          .option("genesis", 1704067200).option("secs_per_slot", 300)
+          .load())
+    return (df.groupBy("epoch")
+            .agg(F.count("*").alias("n_committees"),
+                 F.sum(F.size("committee")).alias("n_seats"),
+                 F.min("epoch_timestamp").alias("epoch_start"))
+            .orderBy("epoch"))
+
+
 def q_date_arith(spark, sf_dir):
     """Interval/date arithmetic surface: date_add, add_months, datediff
     from a fixed anchor, truncation — the scheduling math the reference
@@ -603,6 +652,8 @@ FROM events WHERE event_id < 2000 ORDER BY event_id
 
 REFERENCE_CHECKS: dict[str, tuple] = {
     "scan_beacon_api": (q_scan_beacon_api, None),
+    "scan_beacon_validators": (q_scan_beacon_validators, None),
+    "scan_beacon_committees": (q_scan_beacon_committees, None),
     "date_arith": (q_date_arith, ORACLE_DATE_ARITH),
     "date_fns": (q_date_fns, ORACLE_DATE_FNS),
     "json_extract": (q_json_extract, ORACLE_JSON_EXTRACT),

@@ -1,33 +1,50 @@
 """``beacon_api`` — a Spark 4 Python Data Source for the reference's
-external-API export step (SURVEY §2.1 S10: ethereum2-etl pulls blocks
-from a beacon node's REST API; reference
-`/root/reference/dags/ethereum2etl_airflow/build_export_dag.py` runs
-that exporter as an Airflow callback *outside* any engine).
+external-API export step (SURVEY §2.1 S10: ethereum2-etl pulls blocks,
+validators and committees from a beacon node's REST API; reference
+`/root/reference/dags/ethereum2etl_airflow/build_export_dag.py:104-168`
+runs those three exporters as Airflow callbacks *outside* any engine).
 
 Here the exporter IS a source: ``spark.read.format("beacon_api")``
-plans one input partition per slot range, so a 1000-executor cluster
-fetches ranges concurrently with no driver fan-out code, and everything
-downstream (schema enforcement, partitioned load, verify) is the same
-plan as any other scan.  Options:
+plans one input partition per slot/epoch range, so a 1000-executor
+cluster fetches ranges concurrently with no driver fan-out code, and
+everything downstream (schema enforcement, partitioned load, verify)
+is the same plan as any other scan.  Options:
 
-- ``start_slot`` / ``end_slot``  (end exclusive)
-- ``slots_per_partition``        (default 288 — one mainnet day ≈ 7200;
-  the default keeps local tests snappy)
+- ``entity``                     ``blocks`` (default) | ``validators``
+  | ``committees`` — the reference's three export streams
+  (`build_export_dag.py:104,129,149`); selects the schema, the
+  partition granularity (slot ranges for blocks, epoch ranges for the
+  other two) and the REST endpoint
+- ``start_slot`` / ``end_slot``  (blocks; end exclusive)
+- ``slots_per_partition``        (blocks; default 288 — one mainnet
+  day ≈ 7200; the default keeps local tests snappy)
+- ``start_epoch`` / ``end_epoch``  (validators/committees; end
+  exclusive; the hourly snapshot shape is ``end = start + 1``,
+  matching the reference's ``start_epoch=end_epoch`` call)
+- ``epochs_per_partition``       (validators/committees; default 8)
+- ``committees_per_epoch``       offline-stub fan-out (default 4)
+- ``n_validators``               offline-stub validator-set size
+  (default 64)
 - ``genesis`` / ``secs_per_slot``
 - ``provider_uris``              comma-separated beacon-node base URIs;
-  when set, each slot is fetched over HTTP
-  (``GET {uri}/eth/v2/beacon/blocks/{slot}``) with the reference's
+  when set, data is fetched over HTTP — blocks via
+  ``GET {uri}/eth/v2/beacon/blocks/{slot}``, committees via
+  ``GET {uri}/eth/v1/beacon/states/{slot}/committees?epoch={e}``,
+  validators via ``GET {uri}/eth/v1/beacon/states/{slot}/validators``
+  (state id = the epoch's start slot) — with the reference's
   provider-fallback semantics (O8, `build_export_dag.py:210-224`: try
-  each URI in order, re-raise the last failure), a 404 becoming the
-  ``skipped`` placeholder row the exporter emits for missed proposals
+  each URI in order, re-raise the last failure).  A blocks 404 becomes
+  the ``skipped`` placeholder row the exporter emits for missed
+  proposals; a committees/validators 404 (state pruned/unavailable)
+  yields no rows for that epoch.
 - ``rate_limit``                 requests/second token bucket per task
   (O15, `variables.py:20-21`); 0/absent = unthrottled
 - ``timeout_s``                  per-request HTTP timeout (default 10)
 
 Without ``provider_uris`` the fetch is the deterministic offline stub
-(:func:`.fixtures.block_row`) so tests and the verify invariants run
-hermetically; both paths share the same partition planning, schema, and
-executor-side iteration.
+(:func:`.fixtures.block_row` / ``committee_rows`` / ``validator_row``)
+so tests and the verify invariants run hermetically; both paths share
+the same partition planning, schema, and executor-side iteration.
 
 Scale notes: partitions are pure metadata (two ints), so a backfill of
 10 M slots plans cheaply; per-partition fetch is sequential within a
@@ -35,7 +52,10 @@ task, parallel across tasks — exactly the reference exporter's
 ``export_max_workers`` knob, but expressed as Spark parallelism.  The
 rate limit is per TASK (matching the reference's one-client-per-task
 model); cluster-wide QPS = rate_limit × concurrent tasks, so size
-``slots_per_partition``/scheduling accordingly.
+``slots_per_partition``/scheduling accordingly.  A mainnet validators
+response is one large call per epoch (~1 M rows) — that is the API's
+own granularity and exactly what the reference exporter pulls; epoch
+ranges still parallelize a multi-epoch backfill across tasks.
 """
 
 from __future__ import annotations
@@ -57,6 +77,12 @@ SLOTS_PER_EPOCH = 32
 
 @dataclass
 class SlotRange(InputPartition):
+    start: int
+    end: int
+
+
+@dataclass
+class EpochRange(InputPartition):
     start: int
     end: int
 
@@ -171,12 +197,91 @@ def _parse_block_response(payload: dict, slot: int, genesis: int,
     }
 
 
+def _fetch_state_http(uri: str, path: str, timeout_s: float) -> dict | None:
+    """State-scoped GET (committees/validators); ``None`` for a 404
+    (state pruned or not yet available — no rows for that epoch),
+    raise on anything else so provider fallback / task retry engage."""
+    from urllib.error import HTTPError
+
+    try:
+        return _http_get_json(f"{uri.rstrip('/')}{path}", timeout_s)
+    except HTTPError as ex:
+        if ex.code == 404:
+            return None
+        raise
+
+
+def _parse_committees_response(payload: dict, epoch: int, genesis: int,
+                               secs_per_slot: int) -> list[dict]:
+    """Map ``/eth/v1/beacon/states/{slot}/committees?epoch=`` onto the
+    beacon_committees schema: one row per committee, validator indices
+    (JSON-safe uint64 strings) cast to BIGINT, ``epoch_timestamp``
+    derived from the epoch's start slot like the reference's range
+    services."""
+    ts = _slot_ts(epoch * SLOTS_PER_EPOCH, genesis, secs_per_slot)
+    rows = []
+    for c in payload.get("data") or []:
+        rows.append({
+            "epoch": epoch,
+            "epoch_timestamp": ts,
+            "slot": int(c["slot"]),
+            "index": int(c["index"]),
+            "committee": [int(v) for v in c.get("validators") or []],
+        })
+    return rows
+
+
+def _parse_validators_response(payload: dict, epoch: int, genesis: int,
+                               secs_per_slot: int) -> list[dict]:
+    """Map ``/eth/v1/beacon/states/{slot}/validators`` onto the
+    beacon_validators schema.  Balances arrive as gwei strings →
+    DECIMAL(38,9) ETH (the BigQuery NUMERIC convention,
+    `beacon_validators.json:22-26`); the four *_epoch fields STAY
+    STRINGS because the 2^64-1 "never" sentinel overflows int64
+    (SURVEY §7.4.2)."""
+    from decimal import Decimal
+
+    ts = _slot_ts(epoch * SLOTS_PER_EPOCH, genesis, secs_per_slot)
+    gwei = Decimal(10) ** 9
+    rows = []
+    for item in payload.get("data") or []:
+        v = item.get("validator") or {}
+        rows.append({
+            "epoch": epoch,
+            "timestamp": ts,
+            "pubkey": v.get("pubkey"),
+            "validator_index": int(item["index"]),
+            "balance": (None if item.get("balance") is None
+                        else Decimal(item["balance"]) / gwei),
+            "withdrawal_credentials": v.get("withdrawal_credentials"),
+            "effective_balance": (None if v.get("effective_balance") is None
+                                  else Decimal(v["effective_balance"]) / gwei),
+            "slashed": v.get("slashed"),
+            "activation_eligibility_epoch": v.get("activation_eligibility_epoch"),
+            "activation_epoch": v.get("activation_epoch"),
+            "exit_epoch": v.get("exit_epoch"),
+            "withdrawable_epoch": v.get("withdrawable_epoch"),
+            "status": item.get("status"),
+        })
+    return rows
+
+
 class BeaconApiReader(DataSourceReader):
     def __init__(self, schema, options):
         self.schema_ = schema
+        self.entity = options.get("entity", "blocks")
+        if self.entity not in ("blocks", "validators", "committees"):
+            raise ValueError(
+                f"beacon_api: unknown entity {self.entity!r} — expected "
+                "blocks | validators | committees")
         self.start = int(options.get("start_slot", 0))
         self.end = int(options.get("end_slot", 0))
         self.per_part = int(options.get("slots_per_partition", 288))
+        self.start_epoch = int(options.get("start_epoch", 0))
+        self.end_epoch = int(options.get("end_epoch", 0))
+        self.epochs_per_part = int(options.get("epochs_per_partition", 8))
+        self.committees_per_epoch = int(options.get("committees_per_epoch", 4))
+        self.n_validators = int(options.get("n_validators", 64))
         self.genesis = int(options.get("genesis", 1606824023))
         self.secs = int(options.get("secs_per_slot", 12))
         self.providers = [u.strip()
@@ -187,31 +292,94 @@ class BeaconApiReader(DataSourceReader):
         self.fields = [f.name for f in schema.fields]
 
     def partitions(self):
-        return [SlotRange(s, min(s + self.per_part, self.end))
-                for s in range(self.start, self.end, self.per_part)]
+        if self.entity == "blocks":
+            return [SlotRange(s, min(s + self.per_part, self.end))
+                    for s in range(self.start, self.end, self.per_part)]
+        return [EpochRange(e, min(e + self.epochs_per_part, self.end_epoch))
+                for e in range(self.start_epoch, self.end_epoch,
+                               self.epochs_per_part)]
 
-    def read(self, partition: SlotRange):
+    def _limiter(self):
+        from ..dags.build_dags import RateLimiter
+
+        return RateLimiter(self.rate) if self.rate > 0 else None
+
+    def read(self, partition):
+        rows = {"blocks": self._read_blocks,
+                "committees": self._read_committees,
+                "validators": self._read_validators}[self.entity](partition)
+        for row in rows:
+            yield tuple(row.get(f) for f in self.fields)
+
+    def _read_blocks(self, partition: SlotRange):
         if not self.providers:
             for slot in range(partition.start, partition.end):
-                row = _fetch_block_row(slot, self.genesis, self.secs)
-                yield tuple(row.get(f) for f in self.fields)
+                yield _fetch_block_row(slot, self.genesis, self.secs)
             return
         # HTTP path — imported executor-side; RateLimiter/provider_fallback
         # are the same O15/O8 implementations the DAG layer uses
-        from ..dags.build_dags import RateLimiter, provider_fallback
+        from ..dags.build_dags import provider_fallback
 
-        limiter = RateLimiter(self.rate) if self.rate > 0 else None
+        limiter = self._limiter()
         for slot in range(partition.start, partition.end):
             if limiter is not None:
                 limiter.acquire()
             payload = provider_fallback(
                 self.providers,
                 lambda uri: _fetch_block_http(uri, slot, self.timeout_s))
-            row = (_skipped_row(slot, self.genesis, self.secs)
+            yield (_skipped_row(slot, self.genesis, self.secs)
                    if payload is None
                    else _parse_block_response(payload, slot, self.genesis,
                                               self.secs))
-            yield tuple(row.get(f) for f in self.fields)
+
+    def _read_committees(self, partition: EpochRange):
+        if not self.providers:
+            from .fixtures import committee_rows
+
+            for epoch in range(partition.start, partition.end):
+                yield from committee_rows(epoch, self.genesis,
+                                          self.committees_per_epoch,
+                                          self.secs)
+            return
+        from ..dags.build_dags import provider_fallback
+
+        limiter = self._limiter()
+        for epoch in range(partition.start, partition.end):
+            if limiter is not None:
+                limiter.acquire()
+            state = epoch * SLOTS_PER_EPOCH
+            payload = provider_fallback(
+                self.providers,
+                lambda uri: _fetch_state_http(
+                    uri, f"/eth/v1/beacon/states/{state}/committees"
+                         f"?epoch={epoch}", self.timeout_s))
+            if payload is not None:
+                yield from _parse_committees_response(
+                    payload, epoch, self.genesis, self.secs)
+
+    def _read_validators(self, partition: EpochRange):
+        if not self.providers:
+            from .fixtures import validator_row
+
+            for epoch in range(partition.start, partition.end):
+                for i in range(self.n_validators):
+                    yield validator_row(i, epoch, self.genesis, self.secs)
+            return
+        from ..dags.build_dags import provider_fallback
+
+        limiter = self._limiter()
+        for epoch in range(partition.start, partition.end):
+            if limiter is not None:
+                limiter.acquire()
+            state = epoch * SLOTS_PER_EPOCH
+            payload = provider_fallback(
+                self.providers,
+                lambda uri: _fetch_state_http(
+                    uri, f"/eth/v1/beacon/states/{state}/validators",
+                    self.timeout_s))
+            if payload is not None:
+                yield from _parse_validators_response(
+                    payload, epoch, self.genesis, self.secs)
 
 
 class BeaconApiStreamReader(SimpleDataSourceStreamReader):
@@ -294,12 +462,26 @@ class BeaconApiDataSource(DataSource):
     def schema(self) -> str:
         # DDL string, not StructType: schema() executes in a Python
         # worker where fromDDL has no SparkContext to parse with
-        return beacon_ddl("beacon_blocks")
+        entity = self.options.get("entity", "blocks")
+        if entity not in ("blocks", "validators", "committees"):
+            raise ValueError(
+                f"beacon_api: unknown entity {entity!r} — expected "
+                "blocks | validators | committees")
+        return beacon_ddl(f"beacon_{entity}")
 
     def reader(self, schema) -> BeaconApiReader:
         return BeaconApiReader(schema, self.options)
 
     def simpleStreamReader(self, schema) -> BeaconApiStreamReader:
+        entity = self.options.get("entity", "blocks")
+        if entity != "blocks":
+            # validators/committees are epoch snapshots the reference
+            # exports on a cron, not a head-following stream; the batch
+            # reader with end_epoch = start_epoch + 1 is that shape
+            raise ValueError(
+                "beacon_api streaming supports entity=blocks only; "
+                f"got {entity!r} — use the batch reader with an epoch "
+                "range instead")
         return BeaconApiStreamReader(schema, self.options)
 
 

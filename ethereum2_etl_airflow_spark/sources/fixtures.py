@@ -27,7 +27,8 @@ from ..functions.chaintime import (
 )
 from .schemas import beacon_schema
 
-__all__ = ["block_row", "gen_beacon_blocks", "gen_beacon_committees",
+__all__ = ["block_row", "committee_rows", "validator_row",
+           "gen_beacon_blocks", "gen_beacon_committees",
            "gen_beacon_validators", "write_staging_ndjson"]
 
 
@@ -94,6 +95,25 @@ def gen_beacon_blocks(spark: SparkSession, n_slots: int,
     return spark.createDataFrame(rows, schema=beacon_schema("beacon_blocks"))
 
 
+def committee_rows(epoch: int, genesis: int = GENESIS_UNIX,
+                   committees_per_epoch: int = 4,
+                   secs_per_slot: int = SECONDS_PER_SLOT) -> list[dict]:
+    """One epoch's worth of committee rows — shared by the fixture
+    generator and the ``beacon_api`` source's offline seam."""
+    rows = []
+    for slot in range(epoch * SLOTS_PER_EPOCH,
+                      epoch * SLOTS_PER_EPOCH + committees_per_epoch):
+        rows.append({
+            "epoch": epoch,
+            "epoch_timestamp": _ts(epoch * SLOTS_PER_EPOCH, genesis,
+                                   secs_per_slot),
+            "slot": slot,
+            "index": slot % committees_per_epoch,
+            "committee": [(slot * 31 + k) % 2048 for k in range(8)],
+        })
+    return rows
+
+
 def gen_beacon_committees(spark: SparkSession, n_epochs: int,
                           genesis: int = GENESIS_UNIX,
                           committees_per_epoch: int = 4,
@@ -104,15 +124,35 @@ def gen_beacon_committees(spark: SparkSession, n_epochs: int,
     for e in range(n_epochs):
         if e in gap_epochs:
             continue
-        for slot in range(e * SLOTS_PER_EPOCH, e * SLOTS_PER_EPOCH + committees_per_epoch):
-            rows.append({
-                "epoch": e,
-                "epoch_timestamp": _ts(e * SLOTS_PER_EPOCH, genesis, secs_per_slot),
-                "slot": slot,
-                "index": slot % committees_per_epoch,
-                "committee": [(slot * 31 + k) % 2048 for k in range(8)],
-            })
+        rows.extend(committee_rows(e, genesis, committees_per_epoch,
+                                   secs_per_slot))
     return spark.createDataFrame(rows, schema=beacon_schema("beacon_committees"))
+
+
+def validator_row(i: int, epoch: int, genesis: int = GENESIS_UNIX,
+                  secs_per_slot: int = SECONDS_PER_SLOT) -> dict:
+    """One validator-snapshot row — shared by the fixture generator and
+    the ``beacon_api`` source's offline seam."""
+    ts = _ts(epoch * SLOTS_PER_EPOCH, genesis, secs_per_slot)
+    statuses = ["active_ongoing", "active_exiting", "pending_queued",
+                "exited_unslashed", "withdrawal_possible"]
+    exiting = i % 5 == 1
+    return {
+        "epoch": epoch,
+        "timestamp": ts,
+        "pubkey": _hex("b0", i),
+        "validator_index": i,
+        "balance": Decimal(32_000_000_000 + (i * 1_000_003) % 2_000_000_000)
+        / Decimal(10**9),
+        "withdrawal_credentials": _hex("01", i),
+        "effective_balance": Decimal(32),
+        "slashed": i % 97 == 13,
+        "activation_eligibility_epoch": str(i % 3),
+        "activation_epoch": str(i % 5),
+        "exit_epoch": str(epoch + 10 + i % 7) if exiting else str(FAR_FUTURE_EPOCH),
+        "withdrawable_epoch": str(epoch + 266) if exiting else str(FAR_FUTURE_EPOCH),
+        "status": statuses[i % len(statuses)],
+    }
 
 
 def gen_beacon_validators(spark: SparkSession, n_validators: int, epoch: int,
@@ -122,28 +162,8 @@ def gen_beacon_validators(spark: SparkSession, n_validators: int, epoch: int,
     (`build_hourly_export_dag.py:126-145`, start_epoch=end_epoch).  A mix
     of sentinel (2^64-1 "never") and concrete exit epochs per FIXTURES §A.
     """
-    ts = _ts(epoch * SLOTS_PER_EPOCH, genesis, secs_per_slot)
-    statuses = ["active_ongoing", "active_exiting", "pending_queued",
-                "exited_unslashed", "withdrawal_possible"]
-    rows = []
-    for i in range(n_validators):
-        exiting = i % 5 == 1
-        rows.append({
-            "epoch": epoch,
-            "timestamp": ts,
-            "pubkey": _hex("b0", i),
-            "validator_index": i,
-            "balance": Decimal(32_000_000_000 + (i * 1_000_003) % 2_000_000_000)
-            / Decimal(10**9),
-            "withdrawal_credentials": _hex("01", i),
-            "effective_balance": Decimal(32),
-            "slashed": i % 97 == 13,
-            "activation_eligibility_epoch": str(i % 3),
-            "activation_epoch": str(i % 5),
-            "exit_epoch": str(epoch + 10 + i % 7) if exiting else str(FAR_FUTURE_EPOCH),
-            "withdrawable_epoch": str(epoch + 266) if exiting else str(FAR_FUTURE_EPOCH),
-            "status": statuses[i % len(statuses)],
-        })
+    rows = [validator_row(i, epoch, genesis, secs_per_slot)
+            for i in range(n_validators)]
     return spark.createDataFrame(rows, schema=beacon_schema("beacon_validators"))
 
 

@@ -164,10 +164,53 @@ def _api_payload(slot: int) -> dict:
             }}}}
 
 
+def _committees_payload(epoch: int) -> dict:
+    """Beacon-node-shaped /committees response whose parse round-trips
+    to committee_rows(epoch)."""
+    from ethereum2_etl_airflow_spark.sources.fixtures import committee_rows
+
+    return {"data": [{"index": str(r["index"]), "slot": str(r["slot"]),
+                      "validators": [str(v) for v in r["committee"]]}
+                     for r in committee_rows(epoch, GENESIS, 4, SECS)]}
+
+
+def _validators_payload(epoch: int, n: int) -> dict:
+    """Beacon-node-shaped /validators response whose parse round-trips
+    to validator_row(i, epoch): ETH decimals back to gwei strings."""
+    from ethereum2_etl_airflow_spark.sources.fixtures import validator_row
+
+    items = []
+    for i in range(n):
+        r = validator_row(i, epoch, GENESIS, SECS)
+        items.append({
+            "index": str(r["validator_index"]),
+            "balance": str(int(r["balance"] * 10**9)),
+            "status": r["status"],
+            "validator": {
+                "pubkey": r["pubkey"],
+                "withdrawal_credentials": r["withdrawal_credentials"],
+                "effective_balance": str(int(r["effective_balance"] * 10**9)),
+                "slashed": r["slashed"],
+                "activation_eligibility_epoch":
+                    r["activation_eligibility_epoch"],
+                "activation_epoch": r["activation_epoch"],
+                "exit_epoch": r["exit_epoch"],
+                "withdrawable_epoch": r["withdrawable_epoch"]}})
+    return {"data": items}
+
+
 def _make_handler(fail_all: bool = False):
     class Handler(http.server.BaseHTTPRequestHandler):
         def log_message(self, *args):  # keep pytest output clean
             pass
+
+        def _json(self, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def do_GET(self):
             if fail_all:
@@ -175,21 +218,33 @@ def _make_handler(fail_all: bool = False):
                 self.end_headers()
                 return
             m = re.match(r"^/eth/v2/beacon/blocks/(\d+)$", self.path)
-            if not m:
-                self.send_response(400)
-                self.end_headers()
+            if m:
+                slot = int(m.group(1))
+                if slot % 7 == 3:  # missed proposal → 404 → skipped row
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self._json(_api_payload(slot))
                 return
-            slot = int(m.group(1))
-            if slot % 7 == 3:  # missed proposal → 404 → skipped row
-                self.send_response(404)
-                self.end_headers()
+            m = re.match(
+                r"^/eth/v1/beacon/states/(\d+)/committees\?epoch=(\d+)$",
+                self.path)
+            if m:
+                epoch = int(m.group(2))
+                if epoch >= 100:  # pruned state → 404 → no rows
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self._json(_committees_payload(epoch))
                 return
-            body = json.dumps(_api_payload(slot)).encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
+            m = re.match(r"^/eth/v1/beacon/states/(\d+)/validators$",
+                         self.path)
+            if m:
+                epoch = int(m.group(1)) // 32
+                self._json(_validators_payload(epoch, 24))
+                return
+            self.send_response(400)
             self.end_headers()
-            self.wfile.write(body)
     return Handler
 
 
@@ -268,6 +323,90 @@ def test_http_rate_limit_o15_smoke(spark):
         assert len(rows) == 14
     finally:
         node.close()
+
+
+def _entity_source(spark, entity, start_epoch, end_epoch, uris=None, **opts):
+    register_beacon_api(spark)
+    r = (spark.read.format("beacon_api")
+         .option("entity", entity)
+         .option("start_epoch", start_epoch).option("end_epoch", end_epoch)
+         .option("genesis", GENESIS).option("secs_per_slot", SECS))
+    if uris:
+        r = r.option("provider_uris", uris)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_committees_source_matches_fixture_generator(spark):
+    from ethereum2_etl_airflow_spark.sources.fixtures import (
+        gen_beacon_committees)
+
+    src = _entity_source(spark, "committees", 0, 9,
+                         epochs_per_partition=3)
+    gen = gen_beacon_committees(spark, 9, genesis=GENESIS,
+                                secs_per_slot=SECS)
+    assert src.schema == gen.schema
+    assert src.rdd.getNumPartitions() == 3   # ceil(9/3)
+    assert src.orderBy("slot", "index").collect() \
+        == gen.orderBy("slot", "index").collect()
+
+
+def test_validators_source_matches_fixture_generator(spark):
+    from ethereum2_etl_airflow_spark.sources.fixtures import (
+        gen_beacon_validators)
+
+    src = _entity_source(spark, "validators", 5, 6, n_validators=32)
+    gen = gen_beacon_validators(spark, 32, epoch=5, genesis=GENESIS,
+                                secs_per_slot=SECS)
+    assert src.schema == gen.schema
+    assert src.orderBy("validator_index").collect() \
+        == gen.orderBy("validator_index").collect()
+
+
+def test_http_committees_fetches_and_maps(spark):
+    node = _FakeNode()
+    try:
+        got = _entity_source(spark, "committees", 0, 6, uris=node.uri,
+                             epochs_per_partition=2)
+        want = _entity_source(spark, "committees", 0, 6,
+                              epochs_per_partition=2)
+        assert got.orderBy("slot", "index").collect() \
+            == want.orderBy("slot", "index").collect()
+        # pruned state (epoch >= 100 → 404) yields no rows, no error
+        empty = _entity_source(spark, "committees", 100, 102,
+                               uris=node.uri)
+        assert empty.count() == 0
+    finally:
+        node.close()
+
+
+def test_http_validators_fetches_and_maps(spark):
+    node = _FakeNode()
+    try:
+        got = _entity_source(spark, "validators", 5, 6, uris=node.uri)
+        want = _entity_source(spark, "validators", 5, 6, n_validators=24)
+        assert got.orderBy("validator_index").collect() \
+            == want.orderBy("validator_index").collect()
+    finally:
+        node.close()
+
+
+def test_entity_option_rejects_unknown_and_streaming_non_blocks(spark):
+    import pytest as _pytest
+
+    register_beacon_api(spark)
+    with _pytest.raises(Exception, match="unknown entity"):
+        (spark.read.format("beacon_api").option("entity", "nope")
+         .load().collect())
+    # simpleStreamReader is only invoked at query start, so assert the
+    # guard on the DataSource directly
+    from ethereum2_etl_airflow_spark.sources.beacon_api import (
+        BeaconApiDataSource)
+
+    with _pytest.raises(ValueError, match="entity=blocks only"):
+        BeaconApiDataSource({"entity": "committees"}) \
+            .simpleStreamReader(None)
 
 
 def test_beacon_api_stream_follows_head_and_resumes(spark, tmp_path):
