@@ -30,8 +30,9 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "FRAME_SCHEMA",
-           "attach_binary_payload", "read_media_dir", "decode_stub",
-           "extract_features", "sample_frames", "make_ppm"]
+           "AUDIO_SCHEMA", "attach_binary_payload", "read_media_dir",
+           "decode_stub", "extract_features", "extract_audio_features",
+           "sample_frames", "make_ppm", "make_wav"]
 
 #: payload + typed metadata layout for a multimodal table
 MEDIA_SCHEMA = T.StructType([
@@ -146,6 +147,97 @@ def make_ppm(width: int, height: int, seed: int = 0) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + bytes(raster)
 
 
+def make_wav(n_frames: int, seed: int = 0, framerate: int = 8000) -> bytes:
+    """Deterministic little PCM16 mono WAV for tests/fixtures: sample k
+    is ``((k * 2029 + seed * 151) % 65536) - 32768`` — closed-form in
+    (k, seed), so every decoded statistic is re-derivable in pure SQL
+    (see ``ORACLE_MM_WAV``)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        samples = [((k * 2029 + seed * 151) % 65536) - 32768
+                   for k in range(n_frames)]
+        w.writeframes(struct.pack(f"<{n_frames}h", *samples))
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Pure-stdlib WAV decode (the audio analogue of :func:`_decode_ppm`
+    — a REAL decode path with no external codec): returns
+    ``(framerate, n_frames, samples)`` for PCM16, explicitly
+    little-endian so the result is host-order-independent.  Stereo
+    payloads yield interleaved samples (n_frames counts frames, the
+    sample list has n_frames * n_channels entries)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"unsupported sample width {w.getsampwidth()} (PCM16 only)")
+        framerate = w.getframerate()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    n = len(raw) // 2
+    return framerate, n_frames, list(struct.unpack(f"<{n}h", raw))
+
+
+#: decoded-audio statistics: duration/peak/energy as exact integers so
+#: a SQL oracle can re-derive them; sumsq_256 follows the same
+#: first-256-samples cap convention as the image feature_sum.
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("framerate", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("peak_abs", T.IntegerType()),
+    T.StructField("sumsq_256", T.LongType()),
+])
+
+
+def extract_audio_features(media: DataFrame,
+                           batch_hint: int | None = None) -> DataFrame:
+    """Arrow-batched PCM stats over WAV payloads via ``mapInPandas`` —
+    the audio decode stage, same shape as :func:`extract_features`:
+    duration from the header, peak = max(|sample|) over the whole
+    clip, energy = sum of squares of the FIRST 256 samples (fixed-cost
+    fingerprint, mirroring the image 256-pixel cap).  All integers, so
+    the mm_wav check verifies VALUES against a closed-form SQL oracle."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fr, nf, samples = _decode_wav(payload)
+                feats.append({
+                    "doc_id": int(doc_id),
+                    "n_bytes": len(payload),
+                    "n_frames": nf,
+                    "framerate": fr,
+                    "duration_ms": nf * 1000 // fr,
+                    "peak_abs": max((abs(s) for s in samples), default=0),
+                    "sumsq_256": sum(s * s for s in samples[:256]),
+                })
+            yield pd.DataFrame(feats)[[f.name for f in AUDIO_SCHEMA.fields]]
+
+    flat = media.select("doc_id", "payload")
+    if batch_hint:
+        flat = flat.repartition(batch_hint)
+    else:
+        from ..functions.layout import ensure_parallelism
+        flat = ensure_parallelism(flat)
+    return flat.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
 def decode_stub(payload: bytes, mime: str) -> dict:
     """Decoder seam.  ``image/*`` decodes via PIL when importable
     (soft import — executors without the lib fall through to the typed
@@ -191,9 +283,21 @@ def decode_stub(payload: bytes, mime: str) -> dict:
             "n_frames": n_frames,
             "feature_sum": int(sum(px[:256])),
         }
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        # pure-stdlib decode (wave module) — the audio tier is REAL,
+        # like PPM for images; feature_sum follows the 256-cap
+        # convention (sum of |sample| over the first 256 samples)
+        _, nf, samples = _decode_wav(payload)
+        return {
+            "n_bytes": len(payload),
+            "head_hex": payload[:16].hex(),
+            "n_frames": nf,
+            "feature_sum": sum(abs(s) for s in samples[:256]),
+        }
     if mime.startswith(("audio/", "video/")):
         # Real decode path: torchaudio.load / pyav demux — not in this
-        # container; plug the real decoder in here.
+        # container; plug the real decoder in here.  (WAV decodes for
+        # real above; this covers compressed audio + all video.)
         raise NotImplementedError(
             f"codec for {mime!r} not available in this environment; "
             "plug the real decoder into decode_stub()")

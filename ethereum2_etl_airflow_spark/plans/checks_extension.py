@@ -2413,3 +2413,60 @@ FROM lum ORDER BY doc_id
 
 
 EXTENSION_CHECKS["mm_ppm"] = (q_mm_ppm, ORACLE_MM_PPM)
+
+
+def q_mm_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary WAV payloads decoded FOR REAL through the Arrow stage
+    (pure-stdlib ``wave`` parse, X5's audio tier), with an exact SQL
+    oracle: the PCM samples are a closed-form function of
+    (k, doc_id), so duration / peak / energy are re-derivable in pure
+    SQL — the audio analogue of ``mm_ppm``."""
+    import pandas as pd
+
+    from ..operators import multimodal as MM
+
+    d = _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(64)
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [MM.make_wav(400, seed=int(i) % 256)
+                            for i in pdf["doc_id"]],
+            })
+
+    from pyspark.sql import types as T
+    media = d.mapInPandas(
+        gen, T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())]))
+    return (MM.extract_audio_features(media)
+            .select("doc_id", "n_bytes", "n_frames", "framerate",
+                    "duration_ms", "peak_abs", "sumsq_256")
+            .orderBy("doc_id"))
+
+
+ORACLE_MM_WAV = """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64),
+smp AS (
+  -- make_wav's closed-form PCM: sample k of doc d is
+  -- ((k*2029 + (d%256)*151) % 65536) - 32768
+  SELECT i.doc_id, k.k,
+         ((k.k * 2029 + (i.doc_id % 256) * 151) % 65536) - 32768 AS s
+  FROM ids i, range(400) k(k)),
+st AS (
+  SELECT doc_id,
+         MAX(ABS(s)) AS peak_abs,
+         SUM(CASE WHEN k < 256 THEN s * s ELSE 0 END) AS sumsq_256
+  FROM smp GROUP BY doc_id)
+SELECT doc_id,
+       CAST(44 + 800 AS BIGINT) AS n_bytes,       -- 44-byte header + 400*2
+       CAST(400 AS BIGINT) AS n_frames,
+       CAST(8000 AS INT) AS framerate,
+       CAST(50 AS BIGINT) AS duration_ms,
+       CAST(peak_abs AS INT) AS peak_abs,
+       CAST(sumsq_256 AS BIGINT) AS sumsq_256
+FROM st ORDER BY doc_id
+"""
+
+
+EXTENSION_CHECKS["mm_wav"] = (q_mm_wav, ORACLE_MM_WAV)

@@ -116,13 +116,16 @@ def test_multimodal_stub_features(spark, docs):
 
 
 def test_multimodal_codec_soft_import():
-    """Without PIL the image path raises the typed stub error; audio and
-    video are always stubbed in this container."""
+    """Without PIL the image path raises the typed stub error; WAV
+    decodes for real (stdlib wave); compressed audio and video are
+    stubbed in this container."""
     if M._pil_image() is None:
         with pytest.raises(NotImplementedError):
             M.decode_stub(b"\x89PNG", "image/png")
     with pytest.raises(NotImplementedError):
-        M.decode_stub(b"\x00", "audio/wav")
+        M.decode_stub(b"\x00", "audio/mpeg")
+    with pytest.raises(NotImplementedError):
+        M.decode_stub(b"\x00", "video/mp4")
 
 
 def test_multimodal_pil_decode_when_available():
@@ -856,6 +859,71 @@ def test_ppm_decode_end_to_end_through_arrow_stage(spark):
                           "image/x-portable-pixmap")
         assert got[i]["feature_sum"] == ref["feature_sum"]
         assert got[i]["n_frames"] == 1
+
+
+def test_wav_decode_end_to_end_through_arrow_stage(spark):
+    """X5's audio tier with a REAL decode: PCM16 WAV payloads flow
+    through the mapInPandas audio stage (pure-stdlib wave parse) and
+    produce exact integer stats — duration from the header, full-clip
+    peak, 256-sample energy."""
+    from ethereum2_etl_airflow_spark.operators.multimodal import (
+        extract_audio_features, make_wav)
+
+    rows = [(i, make_wav(400, seed=i)) for i in range(5)]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in extract_audio_features(media).collect()}
+    assert len(got) == 5
+    for i in range(5):
+        samples = [((k * 2029 + i * 151) % 65536) - 32768
+                   for k in range(400)]
+        r = got[i]
+        assert r["n_frames"] == 400 and r["framerate"] == 8000
+        assert r["duration_ms"] == 50
+        assert r["n_bytes"] == 44 + 800
+        assert r["peak_abs"] == max(abs(s) for s in samples)
+        assert r["sumsq_256"] == sum(s * s for s in samples[:256])
+
+
+def test_wav_decode_stub_route_and_rejects_non_pcm16():
+    import io
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    from ethereum2_etl_airflow_spark.operators.multimodal import (
+        _decode_wav, decode_stub, make_wav)
+
+    # decode_stub routes audio/wav to the real decoder with the
+    # 256-sample |s| cap convention
+    feat = decode_stub(make_wav(300, seed=3), "audio/wav")
+    samples = [((k * 2029 + 3 * 151) % 65536) - 32768 for k in range(300)]
+    assert feat["n_frames"] == 300
+    assert feat["feature_sum"] == sum(abs(s) for s in samples[:256])
+    # compressed audio and video remain honestly stubbed
+    with _pytest.raises(NotImplementedError):
+        decode_stub(b"\xff\xfb...", "audio/mpeg")
+    with _pytest.raises(NotImplementedError):
+        decode_stub(b"\x00...", "video/mp4")
+    # non-PCM16 rejected with a typed error
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 10)
+    with _pytest.raises(ValueError, match="PCM16"):
+        _decode_wav(buf.getvalue())
+    # stereo: n_frames counts frames, samples interleave both channels
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<8h", *([1000, -2000] * 4)))
+    fr, nf, samples = _decode_wav(buf.getvalue())
+    assert (fr, nf, len(samples)) == (8000, 4, 8)
+    assert samples[:2] == [1000, -2000]
 
 
 def test_ppm_parser_rejects_malformed(spark):
