@@ -1418,7 +1418,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "transform(slice(ps, i + 2, size(ps) - i - 1), "
                  "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
              .select("p.id_a", "p.id_b").distinct())
-    return (triangle_counts(pairs, assume_canonical=True)
+    # |V| <= |part| (bounded dimension) -> the degree table broadcasts
+    return (triangle_counts(pairs, assume_canonical=True,
+                            broadcast_degrees=True)
             .orderBy(F.col("n_triangles").desc(), "node").limit(100))
 
 
