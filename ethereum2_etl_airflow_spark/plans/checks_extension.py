@@ -2472,3 +2472,91 @@ FROM st ORDER BY doc_id
 
 
 EXTENSION_CHECKS["mm_wav"] = (q_mm_wav, ORACLE_MM_WAV)
+
+
+# --- model-inference stages (operators/scoring.py) ------------------------
+
+def q_scoring_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62: hashed-bag-of-words linear classifier INFERENCE over the
+    corpus — fastText-architecture quality filtering with the md5
+    hashing trick, every score integer-exact against the oracle."""
+    from ..operators.scoring import hashed_linear_score
+
+    return (hashed_linear_score(_docs(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
+ORACLE_SCORING_LINEAR = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(t), 1, 8))::BIGINT % 4096) AS bucket
+  FROM tok),
+s AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM((bucket * 2654435761) % 2001 - 1000) AS BIGINT) AS score
+  FROM b GROUP BY doc_id)
+SELECT doc_id, n_tokens, score, score > 0 AS keep
+FROM s ORDER BY doc_id
+"""
+
+
+EXTENSION_CHECKS["scoring_linear"] = (q_scoring_linear,
+                                      ORACLE_SCORING_LINEAR)
+
+
+def q_rp_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63: deterministic +-1 random-projection embeddings in long
+    (doc, dim, component) form — the embedding-generation stage with
+    bit-identical output on any engine."""
+    from ..operators.scoring import random_projection_embed
+
+    sub = _docs(spark, sf_dir).where(F.col("doc_id") % 17 == 0)
+    return (random_projection_embed(sub, dims=8)
+            .orderBy("doc_id", "dim"))
+
+
+ORACLE_RP_EMBED = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents WHERE doc_id % 17 = 0),
+d AS (
+  SELECT doc_id, j.j AS dim,
+         (('0x' || substr(md5(t || '|' || CAST(j.j AS VARCHAR)), 1, 2))
+           ::BIGINT % 2) * 2 - 1 AS sign
+  FROM tok, range(8) j(j))
+SELECT doc_id, CAST(dim AS INT) AS dim,
+       CAST(SUM(sign) AS BIGINT) AS component
+FROM d GROUP BY doc_id, dim ORDER BY doc_id, dim
+"""
+
+
+EXTENSION_CHECKS["rp_embed"] = (q_rp_embed, ORACLE_RP_EMBED)
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64: quality-weighted deterministic sampling — keep probability
+    proportional to a per-doc score, derandomized via md5(seed:id), a
+    pure narrow filter (score here derives from doc_id so the oracle
+    replays it; in production it is any quality column)."""
+    from ..operators.scoring import weighted_sample
+
+    d = _docs(spark, sf_dir)
+    return (weighted_sample(d, (F.col("doc_id") % 100) / 80.0, seed="ws")
+            .select("doc_id").orderBy("doc_id"))
+
+
+ORACLE_SAMPLE_WEIGHTED = """
+SELECT doc_id FROM documents
+WHERE ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        * 10000
+      < CAST(round(least(1.0, greatest(0.0, (doc_id % 100) / 80.0))
+                   * 10000) AS BIGINT) * 65536
+ORDER BY doc_id
+"""
+
+
+EXTENSION_CHECKS["sample_weighted"] = (q_sample_weighted,
+                                       ORACLE_SAMPLE_WEIGHTED)

@@ -938,3 +938,69 @@ def test_ppm_parser_rejects_malformed(spark):
         _decode_ppm(make_ppm(4, 3)[:-5])
     with _pytest.raises(ValueError, match="not a P6"):
         _decode_ppm(b"JPEG....")
+
+
+def test_hashed_linear_score_weights_table_matches_closed_form(spark, docs):
+    """The broadcast (bucket, weight) model path must reproduce the
+    closed-form demo model exactly — same hashing, same scores."""
+    from ethereum2_etl_airflow_spark.operators.scoring import (
+        demo_weights, hashed_linear_score)
+
+    sub = docs.limit(40)
+    a = hashed_linear_score(sub).orderBy("doc_id").collect()
+    b = hashed_linear_score(sub, weights=demo_weights(spark)) \
+        .orderBy("doc_id").collect()
+    assert a == b
+    assert all(r["keep"] == (r["score"] > 0) for r in a)
+
+
+def test_hashed_linear_score_plan_jvm_only_broadcast(spark, docs):
+    """Inference is pure codegen: no Python eval in either path, and
+    the model join is broadcast (never a shuffle of the token stream
+    against a 4096-row table)."""
+    from ethereum2_etl_airflow_spark.operators.scoring import (
+        demo_weights, hashed_linear_score)
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+
+    plan = plan_string(
+        hashed_linear_score(docs, weights=demo_weights(spark)), "simple")
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sample_clamps_and_is_deterministic(spark, docs):
+    from ethereum2_etl_airflow_spark.operators.scoring import (
+        weighted_sample)
+
+    sub = docs.limit(100)
+    # score >= 1 keeps everything; score <= 0 keeps nothing
+    assert weighted_sample(sub, F.lit(5.0)).count() == 100
+    assert weighted_sample(sub, F.lit(-1.0)).count() == 0
+    half = weighted_sample(sub, F.lit(0.5), seed="s1")
+    ids1 = sorted(r["doc_id"] for r in half.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  weighted_sample(sub, F.lit(0.5), seed="s1").collect())
+    assert ids1 == ids2                       # reproducible
+    assert 20 <= len(ids1) <= 80              # ~Binomial(100, .5)
+    ids3 = sorted(r["doc_id"] for r in
+                  weighted_sample(sub, F.lit(0.5), seed="s2").collect())
+    assert ids1 != ids3                       # new seed, new sample
+
+
+def test_random_projection_embed_shape_and_range(spark, docs):
+    from ethereum2_etl_airflow_spark.operators.scoring import (
+        random_projection_embed)
+    from ethereum2_etl_airflow_spark.operators.text import token_count
+
+    sub = docs.limit(20)
+    out = random_projection_embed(sub, dims=4)
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["dim"])
+    assert all(dims == {0, 1, 2, 3} for dims in per_doc.values())
+    # |component| <= token count (sum of +-1 per token)
+    nt = {r["doc_id"]: r["n"] for r in
+          sub.select("doc_id", token_count("text").alias("n")).collect()}
+    assert all(abs(r["component"]) <= nt[r["doc_id"]] for r in rows)

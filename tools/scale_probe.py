@@ -7,8 +7,15 @@ and the Gopher filter at each factor (warm once, min of 2).  Sub-linear
 or linear growth is the pass condition; super-linear growth would mean a
 quadratic join / one-task window / driver loop hiding in the operator.
 
+``--graph`` probes the graph batch instead: the part co-purchase edge
+list scales as N disjoint copies of the subgraph (both endpoint ids
+shifted), then triangle_counts / pagerank_int / kcore_peel /
+random_walks are timed at each factor — the measurement behind the
+m^1.5 wedge bound and the O(1)-lineage iterative claims in
+docs/SCALE.md.
+
     python tools/scale_probe.py [--sf-dir /root/testdata/sf0.1] \
-        [--factors 1,4,16]
+        [--factors 1,4,16] [--graph]
 """
 
 from __future__ import annotations
@@ -26,7 +33,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--factors", default="1,4,16")
+    ap.add_argument("--graph", action="store_true",
+                    help="probe the graph operator batch instead")
     args = ap.parse_args()
+
+    if args.graph:
+        graph_probe(args)
+        return
 
     from pyspark.sql import functions as F
 
@@ -77,6 +90,69 @@ def main() -> None:
         print(f"SCALE n={n} li={sl.count()} docs={sd.count()} "
               f"q1={r1} dedup_exact={r2} minhash={r3} gopher={r4}",
               flush=True)
+    spark.stop()
+
+
+def graph_probe(args) -> None:
+    """Scale the part co-purchase graph as N DISJOINT copies (both
+    endpoint ids shifted by the copy index, so distinct() cannot
+    collapse them and component structure is preserved per copy) and
+    time each graph operator.  Expectation: triangle_counts tracks the
+    m^1.5 wedge bound on this bounded-degree graph (≈ linear in
+    edges); the iterative ops (pagerank, kcore, walks) are
+    rounds × (one shuffle join over edges) → linear."""
+    from pyspark.sql import functions as F
+
+    from ethereum2_etl_airflow_spark.operators.graph import (
+        kcore_peel, pagerank_int, random_walks, triangle_counts)
+    from ethereum2_etl_airflow_spark.session import build_session
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    spark = build_session(app_name="scale-probe-graph")
+
+    li = load_table(spark, args.sf_dir, "lineitem")
+    pairs = (li.groupBy("l_orderkey")
+             .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+             .select(F.explode(F.expr(
+                 "flatten(transform(ps, (x, i) -> "
+                 "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                 "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
+             .select("p.id_a", "p.id_b").distinct()
+             .localCheckpoint(eager=True))
+
+    def scaled_edges(n: int):
+        out = None
+        for i in range(n):
+            shift = F.lit(i * 50_000_000)
+            d = pairs.select((F.col("id_a") + shift).alias("id_a"),
+                             (F.col("id_b") + shift).alias("id_b"))
+            out = d if out is None else out.unionByName(d)
+        return out.localCheckpoint(eager=True)
+
+    def best2(fn) -> float:
+        fn()
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return round(min(times), 2)
+
+    def noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    for n in [int(x) for x in args.factors.split(",")]:
+        e = scaled_edges(n)
+        m = e.count()
+        r_tri = best2(lambda: noop(
+            triangle_counts(e, assume_canonical=True)))
+        r_pr = best2(lambda: noop(
+            pagerank_int(e.withColumnRenamed("id_a", "src")
+                         .withColumnRenamed("id_b", "dst"))))
+        r_kc = best2(lambda: noop(kcore_peel(e, k=3, n_rounds=3)))
+        r_rw = best2(lambda: noop(random_walks(e, walk_len=3)))
+        print(f"SCALE-GRAPH n={n} edges={m} triangles={r_tri} "
+              f"pagerank={r_pr} kcore={r_kc} walks={r_rw}", flush=True)
     spark.stop()
 
 
