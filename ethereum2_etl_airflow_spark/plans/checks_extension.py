@@ -2560,3 +2560,56 @@ ORDER BY doc_id
 
 EXTENSION_CHECKS["sample_weighted"] = (q_sample_weighted,
                                        ORACLE_SAMPLE_WEIGHTED)
+
+
+# --- distributed BPE tokenizer (operators/tokenizer.py) -------------------
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65: round-0 BPE statistics — frequency-weighted adjacent
+    character-pair counts over the corpus vocabulary.  The corpus
+    collapses to a distinct (word, freq) table first, so the pair count
+    is vocab-bounded; top-200 by (cnt desc, a, b) keeps the check
+    payload small."""
+    from ..operators.tokenizer import bpe_pair_counts
+
+    return (bpe_pair_counts(_docs(spark, sf_dir))
+            .orderBy(F.col("cnt").desc(), "a", "b").limit(200))
+
+
+ORACLE_BPE_PAIRS = """
+WITH w AS (
+  SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        FROM documents)
+  GROUP BY t),
+p AS (
+  -- lateral per-word index list: valid for any word length
+  SELECT substr(w.word, i.i, 1) AS a, substr(w.word, i.i + 1, 1) AS b,
+         w.freq
+  FROM w, UNNEST(range(1, len(w.word))) AS i(i))
+SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM p GROUP BY a, b
+ORDER BY cnt DESC, a, b LIMIT 200
+"""
+
+
+EXTENSION_CHECKS["bpe_pairs"] = (q_bpe_pairs, ORACLE_BPE_PAIRS)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65b: the BPE TRAINING loop — 12 merge rounds over the corpus
+    vocabulary, each round one combining pair-count aggregate + a 1-row
+    argmax collect + a narrow aggregate-lambda rewrite.  Rows-only by
+    nature (the iterative argmax chain is not one SQL statement); the
+    pytest suite asserts exact equality with a pure-Python reference
+    BPE trainer."""
+    from ..operators.tokenizer import bpe_train
+
+    merges = bpe_train(_docs(spark, sf_dir).where(F.col("doc_id") < 300),
+                       n_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string, merged string")
+
+
+EXTENSION_CHECKS["bpe_merges"] = (q_bpe_merges, None)

@@ -1004,3 +1004,83 @@ def test_random_projection_embed_shape_and_range(spark, docs):
     nt = {r["doc_id"]: r["n"] for r in
           sub.select("doc_id", token_count("text").alias("n")).collect()}
     assert all(abs(r["component"]) <= nt[r["doc_id"]] for r in rows)
+
+
+def _reference_bpe(word_freqs: dict, n_merges: int):
+    """Textbook BPE trainer (Sennrich et al.) — the ground truth the
+    distributed trainer must match EXACTLY, tie-break and all."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference_exactly(spark):
+    from ethereum2_etl_airflow_spark.operators.tokenizer import (
+        bpe_train, word_freqs)
+
+    texts = ["low lower lowest", "new newer newest news",
+             "low low new new new", "wide wider widest lowly"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    wf = {r["word"]: r["freq"] for r in word_freqs(docs).collect()}
+    want = _reference_bpe(wf, 10)
+    got = bpe_train(docs, n_merges=10)
+    assert got == want
+    assert len(got) >= 5          # the corpus supports several merges
+
+
+def test_bpe_encode_applies_merges_and_roundtrips(spark):
+    from ethereum2_etl_airflow_spark.operators.tokenizer import (
+        bpe_encode, bpe_train)
+
+    texts = ["low lower lowest", "new newer newest news",
+             "low low new new new", "wide wider widest lowly"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=8)
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        words = t.split()
+        r = out[i]
+        assert r["n_tokens"] == len(words)
+        # pieces concatenate back to the exact character stream
+        assert "".join(r["pieces"]) == "".join(words)
+        # merging only shrinks: pieces <= total characters
+        assert r["n_pieces"] <= sum(len(w) for w in words)
+    # with zero merges every piece is a single character
+    zero = bpe_encode(docs, []).collect()
+    assert all(r["n_pieces"] == sum(len(w) for w in texts[r["doc_id"]].split())
+               for r in zero)
+
+
+def test_bpe_train_early_stop_on_unique_text(spark):
+    from ethereum2_etl_airflow_spark.operators.tokenizer import bpe_train
+
+    docs = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
+    # every pair occurs once -> cnt < 2 -> no merges learned
+    assert bpe_train(docs, n_merges=5) == []
