@@ -141,7 +141,7 @@ def main() -> None:
     # start immediately so the suite's makespan is their runtime, not
     # their runtime plus whatever queued in front of them
     heavy = ["triangle_count", "random_walks", "dedup_survivors", "kcore",
-             "bpe_merges", "scoring_linear",
+             "bpe_merges", "scoring_linear", "span_hits", "repeated_spans",
              "pipeline_pretrain", "stream_cms",
              "dedup_clusters_star",
              "dedup_clusters", "sim_ivf", "sim_pq", "stream_join_full",

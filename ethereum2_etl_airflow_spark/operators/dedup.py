@@ -40,7 +40,7 @@ __all__ = [
     "minhash_exact_pairs", "simhash_exact_pairs",
     "source_minhash_similarity",
     "cosine_near_dup_pairs", "incremental_new_docs", "contamination_score",
-    "dedup_chunks",
+    "dedup_chunks", "repeated_ngram_spans", "repeated_span_hits",
 ]
 
 
@@ -693,3 +693,68 @@ def source_minhash_similarity(docs: DataFrame, n_hashes: int = 16,
     # the signature table feeds both self-join branches: cache it for
     # the computation, release via the checkpoint barrier
     return finalize_release(out, sigs)
+
+
+def repeated_ngram_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Cross-document repeated token n-gram spans — the memorization
+    signal of Lee et al. (ACL 2022, "Deduplicating Training Data Makes
+    Language Models Better"): a span appearing verbatim in many
+    documents (boilerplate, licenses, templates) is exactly what a
+    model memorizes, and exactly what near-dup DOCUMENT dedup misses
+    when the hosts differ everywhere else.
+
+    Returns (span, n_docs, n_occurrences) for every n-token span
+    occurring in ≥ ``min_docs`` distinct documents.
+
+    Scale shape: the span stream is a narrow per-doc fan-out (|tokens|
+    rows per doc, no self-join); the stats are ONE groupBy with
+    map-side combining plus Spark's distinct-count expansion for
+    n_docs.  No candidate-pair stage at all — span identity IS the
+    join key, so the quadratic trap of pairwise dedup never appears."""
+    grams = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__ts")).select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"CASE WHEN size(__ts) < {n} THEN array() ELSE "
+            f"transform(sequence(0, size(__ts) - {n}), "
+            f"i -> concat_ws(' ', slice(__ts, i + 1, {n}))) END"))
+        .alias("span"))
+    return (grams.groupBy("span")
+            .agg(F.countDistinct(id_col).cast("long").alias("n_docs"),
+                 F.count("*").cast("long").alias("n_occurrences"))
+            .where(F.col("n_docs") >= min_docs))
+
+
+def repeated_span_hits(docs: DataFrame, n: int = 5, min_docs: int = 2,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document curation signal from :func:`repeated_ngram_spans`:
+    how much of each document is corpus-repeated boilerplate —
+    (id, n_spans, n_repeated, repeated_pct as integer percent).
+
+    The repeated-span set joins back via a plain equi-join on the span
+    string; at corpus scale substitute a Bloom/semi-join build of the
+    span set (functions.bloom) — the shape stays one combining groupBy
+    per doc."""
+    spans = repeated_ngram_spans(docs, n, min_docs, text_col, id_col) \
+        .select("span")
+    grams = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__ts")).select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"CASE WHEN size(__ts) < {n} THEN array() ELSE "
+            f"transform(sequence(0, size(__ts) - {n}), "
+            f"i -> concat_ws(' ', slice(__ts, i + 1, {n}))) END"))
+        .alias("span"))
+    hit = (grams.join(spans.withColumn("__hit", F.lit(1)), "span", "left")
+           .groupBy(id_col)
+           .agg(F.count("*").cast("long").alias("n_spans"),
+                F.sum(F.coalesce("__hit", F.lit(0))).cast("long")
+                .alias("n_repeated")))
+    # integer division (div), not double-divide-then-cast: engines
+    # disagree on double->int casts (truncate vs round)
+    return hit.select(
+        id_col, "n_spans", "n_repeated",
+        F.expr("n_repeated * 100 div n_spans").alias("repeated_pct"))

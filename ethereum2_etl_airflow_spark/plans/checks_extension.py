@@ -2613,3 +2613,76 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTENSION_CHECKS["bpe_merges"] = (q_bpe_merges, None)
+
+
+# --- cross-document repeated spans (Lee et al. memorization signal) -------
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66: verbatim repeated 5-token spans across the corpus — span
+    identity is the aggregation key, so there is NO candidate-pair
+    stage; one fan-out + one combining groupBy."""
+    from ..operators.dedup import repeated_ngram_spans
+
+    return (repeated_ngram_spans(_docs(spark, sf_dir), n=5, min_docs=2)
+            .orderBy(F.col("n_docs").desc(),
+                     F.col("n_occurrences").desc(), "span")
+            .limit(200))
+
+
+ORACLE_REPEATED_SPANS = """
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ts, i.i, i.i + 4), ' ') AS span
+  FROM tk, UNNEST(range(1, len(ts) - 3)) AS i(i)
+  WHERE len(ts) >= 5),
+st AS (
+  SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM g GROUP BY span)
+SELECT span, n_docs, n_occurrences FROM st
+WHERE n_docs >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, span LIMIT 200
+"""
+
+
+EXTENSION_CHECKS["repeated_spans"] = (q_repeated_spans,
+                                      ORACLE_REPEATED_SPANS)
+
+
+def q_span_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66b: per-document boilerplate fraction — what share of each
+    document's 5-token spans are corpus-repeated.  The curation
+    decision signal derived from q_repeated_spans."""
+    from ..operators.dedup import repeated_span_hits
+
+    return (repeated_span_hits(_docs(spark, sf_dir), n=5, min_docs=2)
+            .where(F.col("n_repeated") > 0)
+            .orderBy("doc_id"))
+
+
+ORACLE_SPAN_HITS = """
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ts, i.i, i.i + 4), ' ') AS span
+  FROM tk, UNNEST(range(1, len(ts) - 3)) AS i(i)
+  WHERE len(ts) >= 5),
+rep AS (
+  SELECT span FROM g GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+hit AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(count_if(r.span IS NOT NULL) AS BIGINT) AS n_repeated
+  FROM g LEFT JOIN rep r ON g.span = r.span
+  GROUP BY g.doc_id)
+SELECT doc_id, n_spans, n_repeated,
+       CAST(n_repeated * 100 // n_spans AS BIGINT) AS repeated_pct
+FROM hit WHERE n_repeated > 0 ORDER BY doc_id
+"""
+
+
+EXTENSION_CHECKS["span_hits"] = (q_span_hits, ORACLE_SPAN_HITS)

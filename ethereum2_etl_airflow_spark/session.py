@@ -115,7 +115,13 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM IS the executor; 32 concurrent
+        # tasks each building shuffled-hash relations need real
+        # execution-pool headroom (8g starved the graph batch at 4x
+        # data: "Can't acquire 67108864 bytes to build hash relation").
+        # A quarter of this machine's 128 GiB; spark-submit overrides
+        # on a cluster.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1084,3 +1084,26 @@ def test_bpe_train_early_stop_on_unique_text(spark):
     docs = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
     # every pair occurs once -> cnt < 2 -> no merges learned
     assert bpe_train(docs, n_merges=5) == []
+
+
+def test_repeated_spans_find_planted_boilerplate(spark):
+    from ethereum2_etl_airflow_spark.operators.dedup import (
+        repeated_ngram_spans, repeated_span_hits)
+
+    boiler = "all rights reserved by the example corporation"
+    texts = [f"unique document {i} alpha beta gamma delta {boiler}"
+             for i in range(6)] + ["totally different content here today"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    spans = repeated_ngram_spans(docs, n=5, min_docs=4)
+    got = {r["span"]: r for r in spans.collect()}
+    key = "all rights reserved by the"
+    assert key in got
+    assert got[key]["n_docs"] == 6 and got[key]["n_occurrences"] == 6
+    # the unique preambles never repeat across >= 4 docs
+    assert not any("unique document" in s for s in got)
+    hits = {r["doc_id"]: r for r in
+            repeated_span_hits(docs, n=5, min_docs=4).collect()}
+    assert hits[6]["n_repeated"] == 0           # the clean doc
+    assert all(hits[i]["n_repeated"] > 0 for i in range(6))
+    assert all(0 <= hits[i]["repeated_pct"] <= 100 for i in range(7))
