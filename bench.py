@@ -110,7 +110,7 @@ def main() -> None:
         from ethereum2_etl_airflow_spark.plans.checks_reference import (
             ensure_csv_staged, ensure_evolved_staged, ensure_ndjson_staged,
             ensure_orc_staged, ensure_overwrite_sink,
-            ensure_partition_staged)
+            ensure_partition_staged, ensure_xml_staged)
 
         ensure_sessionize_source(spark, sf_dir)
         ensure_stream_join_outer_source(spark, sf_dir)
@@ -120,6 +120,7 @@ def main() -> None:
         ensure_evolved_staged(spark, sf_dir)
         ensure_partition_staged(spark, sf_dir)
         ensure_overwrite_sink(spark, sf_dir)
+        ensure_xml_staged(spark, sf_dir)
     except Exception as ex:
         print(f"# bench warm-up fixture error: {str(ex).splitlines()[0][:120]}",
               file=sys.stderr)

@@ -159,6 +159,53 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+# --- S1d: XML round-trip (Spark 4 built-in XML source) --------------------
+
+def ensure_xml_staged(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the XML staging fixture (idempotent per sf_dir):
+    documents serialized as row-tagged XML — the feed/sitemap/API-dump
+    shape.  Bench warm-up hook like the CSV one."""
+    out = _staged(sf_dir, "xml")
+    if not _is_staged(out):
+        d = load_table(spark, sf_dir, "documents")
+        (d.select("doc_id", "text", "lang", "source", "n_chars")
+         .write.mode("overwrite").format("xml")
+         .option("rootTag", "docs").option("rowTag", "doc").save(out))
+    return out
+
+
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip with an IMPOSED schema (Spark 4's built-in XML
+    source; no inference job): read the staged row-tagged files with
+    declared types and aggregate — entity escaping round-trips through
+    the writer/reader pair."""
+    from pyspark.sql import types as T
+
+    out = ensure_xml_staged(spark, sf_dir)
+    st = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    back = (spark.read.schema(st).format("xml")
+            .option("rowTag", "doc").load(out))
+    return (back.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(F.length("text")).alias("total_text_len"))
+            .orderBy("lang"))
+
+
+ORACLE_SCAN_XML = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 # --- S1c: ORC round-trip + schema-evolution scan --------------------------
 
 def ensure_orc_staged(spark: SparkSession, sf_dir: str) -> str:
@@ -659,6 +706,7 @@ REFERENCE_CHECKS: dict[str, tuple] = {
     "json_extract": (q_json_extract, ORACLE_JSON_EXTRACT),
     "scan_ndjson": (q_scan_ndjson, ORACLE_SCAN_NDJSON),
     "scan_csv": (q_scan_csv, ORACLE_SCAN_CSV),
+    "scan_xml": (q_scan_xml, ORACLE_SCAN_XML),
     "scan_orc": (q_scan_orc, ORACLE_SCAN_ORC),
     "scan_evolved": (q_scan_evolved, ORACLE_SCAN_EVOLVED),
     "scan_partition": (q_scan_partition, ORACLE_SCAN_PARTITION),
