@@ -400,7 +400,20 @@ def random_walks(edges: DataFrame, walk_len: int = 4,
     beyond the fixed ``walk_len``.  Returns (walk_id, step, node) with
     step 0 = the seed; walks stop early at sinks (no out-edges in the
     symmetrized graph never happens — symmetrization guarantees
-    deg ≥ 1)."""
+    deg ≥ 1).
+
+    The adjacency (the shuffled-hash BUILD side of every step join) is
+    EXPLICITLY hash-partitioned on ``u`` at
+    ``max(spark.sql.shuffle.partitions, 2 × defaultParallelism)``, and
+    the frontier repartitions to the same layout each step: explicit
+    user repartitioning is exempt from AQE partition coalescing, which
+    otherwise merges the build-side shuffle into few ~64 MB partitions
+    whose hash maps (~4× expansion) blow the per-task execution quota
+    (observed at 16× data in tools/scale_probe.py --graph)."""
+    sess = edges.sparkSession
+    npart = max(int(sess.conf.get("spark.sql.shuffle.partitions",
+                                  "200") or 200),
+                sess.sparkContext.defaultParallelism * 2)
     sym = (edges.select(F.col(src).cast("long").alias("u"),
                         F.col(dst).cast("long").alias("v"))
            .union(edges.select(F.col(dst).cast("long").alias("u"),
@@ -411,6 +424,7 @@ def random_walks(edges: DataFrame, walk_len: int = 4,
                        F.col("v").cast("string"))), "v")
     adj = (sym.withColumn("rnk", F.row_number().over(w_adj) - 1)
            .withColumn("deg", F.count("*").over(Window.partitionBy("u")))
+           .repartition(npart, "u")
            .localCheckpoint(eager=True))
     frontier = (adj.select("u").distinct()
                 .select(F.col("u").alias("walk_id"),
@@ -427,9 +441,13 @@ def random_walks(edges: DataFrame, walk_len: int = 4,
             .cast("long"), F.col("deg"))
         # shuffle_hash: sort-merge would re-sort the (large) adjacency
         # every step; hashing it instead keeps each step one exchange +
-        # build, and the frontier streams through unsorted
-        nxt = (cur.join(adj.hint("shuffle_hash"),
-                        cur["node"] == adj["u"])
+        # build, and the frontier streams through unsorted.  The
+        # explicit same-width repartition on the probe side lines up
+        # with adj's pinned layout so neither side can be AQE-coalesced
+        # into oversized build partitions.
+        probe = cur.repartition(npart, "node")
+        nxt = (probe.join(adj.hint("shuffle_hash"),
+                          probe["node"] == adj["u"])
                .where(F.col("rnk") == pick)
                .select("walk_id", F.lit(s).alias("step"),
                        F.col("v").alias("node")))

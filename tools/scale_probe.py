@@ -87,8 +87,13 @@ def main() -> None:
         r2 = best2(lambda: noop(D.dedup_exact(sd)))
         r3 = best2(lambda: noop(D.minhash_exact_pairs(sd)))
         r4 = best2(lambda: noop(X.gopher_filter(sd)))
+        from ethereum2_etl_airflow_spark.operators.scoring import (
+            hashed_linear_score)
+        r5 = best2(lambda: noop(hashed_linear_score(sd)))
+        r6 = best2(lambda: noop(D.repeated_ngram_spans(sd)))
         print(f"SCALE n={n} li={sl.count()} docs={sd.count()} "
-              f"q1={r1} dedup_exact={r2} minhash={r3} gopher={r4}",
+              f"q1={r1} dedup_exact={r2} minhash={r3} gopher={r4} "
+              f"linear_score={r5} repeated_spans={r6}",
               flush=True)
     spark.stop()
 
@@ -142,6 +147,12 @@ def graph_probe(args) -> None:
         df.write.mode("overwrite").format("noop").save()
 
     for n in [int(x) for x in args.factors.split(",")]:
+        # cluster-sizing discipline under data growth: shuffle-partition
+        # count scales with the data so per-partition hash-join builds
+        # stay memory-bounded (|E|/P roughly constant) — exactly what a
+        # real deployment does between 1x and 16x data.  Runtime-settable;
+        # triangle_counts reads the conf at call time.
+        spark.conf.set("spark.sql.shuffle.partitions", str(64 * max(1, n // 2)))
         e = scaled_edges(n)
         m = e.count()
         r_tri = best2(lambda: noop(
