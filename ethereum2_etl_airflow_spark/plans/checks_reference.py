@@ -588,9 +588,10 @@ FROM events WHERE event_id < 2000 ORDER BY event_id
 def q_scan_beacon_api(spark, sf_dir):
     """S10 in-engine: one day of blocks through the ``beacon_api``
     Python data source (slot-range partition planning; stubbed fetch
-    seam).  No SQL oracle — the source has no DuckDB-visible input; row
-    parity with the fixture generator is asserted in
-    tests/test_beacon_api_source.py."""
+    seam).  VALUE-checked: the offline fetch is closed-form in the slot
+    number, so the oracle re-derives every aggregate from ``range(288)``
+    with no table at all; HTTP-path parity with the same shape is
+    asserted in tests/test_beacon_api_source.py."""
     from pyspark.sql import functions as F
 
     from ..sources.beacon_api import register_beacon_api
@@ -602,20 +603,32 @@ def q_scan_beacon_api(spark, sf_dir):
           .option("genesis", 1704067200).option("secs_per_slot", 300)
           .load())
     return (df.groupBy("block_epoch")
-            .agg(F.count("*").alias("n_slots"),
+            .agg(F.count("*").cast("long").alias("n_slots"),
                  F.sum(F.when(F.col("skipped"), 1).otherwise(0))
-                 .alias("n_skipped"),
-                 F.min("block_timestamp").alias("epoch_start"))
+                 .cast("long").alias("n_skipped"),
+                 F.min("block_timestamp").cast("timestamp_ntz")
+                 .alias("epoch_start"))
             .orderBy("block_epoch"))
+
+
+ORACLE_SCAN_BEACON_API = """
+WITH s AS (SELECT i AS slot FROM range(288) t(i))
+SELECT slot // 32 AS block_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_slots,
+       CAST(count_if(slot % 7 = 3) AS BIGINT) AS n_skipped,
+       make_timestamp((1704067200 + (slot // 32) * 32 * 300)
+                      * 1000000) AS epoch_start
+FROM s GROUP BY slot // 32 ORDER BY block_epoch
+"""
 
 
 def q_scan_beacon_validators(spark, sf_dir):
     """S10 validators entity: a one-epoch validator-set snapshot through
     the ``beacon_api`` source (the reference's
     ``export_beacon_validators`` stream, `build_export_dag.py:129-147`,
-    as epoch-range partitions).  No SQL oracle — no DuckDB-visible
-    input; row parity with the fixture generator is asserted in
-    tests/test_beacon_api_source.py."""
+    as epoch-range partitions).  VALUE-checked: the offline snapshot is
+    closed-form in the validator index, so the oracle re-derives status
+    mix, decimal balances and slash counts from ``range(96)``."""
     from pyspark.sql import functions as F
 
     from ..sources.beacon_api import register_beacon_api
@@ -628,18 +641,45 @@ def q_scan_beacon_validators(spark, sf_dir):
           .option("genesis", 1704067200).option("secs_per_slot", 300)
           .load())
     return (df.groupBy("status")
-            .agg(F.count("*").alias("n"),
-                 F.sum("balance").alias("total_balance"),
-                 F.count_if(F.col("slashed")).alias("n_slashed"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 # integer gwei: DECIMAL(38,9) survives Spark exactly but
+                 # DuckDB's client returns wide decimals as floats —
+                 # scale to BIGINT so the value-hash compares exactly
+                 (F.sum("balance") * 1000000000).cast("long")
+                 .alias("total_balance_gwei"),
+                 F.count_if(F.col("slashed")).cast("long")
+                 .alias("n_slashed"))
             .orderBy("status"))
+
+
+ORACLE_SCAN_BEACON_VALIDATORS = """
+WITH v AS (
+  SELECT i,
+         CASE i % 5 WHEN 0 THEN 'active_ongoing'
+                    WHEN 1 THEN 'active_exiting'
+                    WHEN 2 THEN 'pending_queued'
+                    WHEN 3 THEN 'exited_unslashed'
+                    ELSE 'withdrawal_possible' END AS status,
+         CAST(CAST(32000000000 + (i * 1000003) % 2000000000
+                   AS DECIMAL(38,0))
+              * CAST(0.000000001 AS DECIMAL(10,9))
+              AS DECIMAL(38,9)) AS balance,
+         i % 97 = 13 AS slashed
+  FROM range(96) t(i))
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(balance) * 1000000000 AS BIGINT) AS total_balance_gwei,
+       CAST(count_if(slashed) AS BIGINT) AS n_slashed
+FROM v GROUP BY status ORDER BY status
+"""
 
 
 def q_scan_beacon_committees(spark, sf_dir):
     """S10 committees entity: an epoch range of committee assignments
     through the ``beacon_api`` source (the reference's
     ``export_beacon_committees`` stream, `build_export_dag.py:149-168`).
-    No SQL oracle — no DuckDB-visible input; row parity with the
-    fixture generator is asserted in tests/test_beacon_api_source.py."""
+    VALUE-checked: assignments are closed-form in (epoch, slot), so the
+    oracle re-derives counts, seat totals and epoch timestamps from
+    ``range(9) x range(4)``."""
     from pyspark.sql import functions as F
 
     from ..sources.beacon_api import register_beacon_api
@@ -652,10 +692,23 @@ def q_scan_beacon_committees(spark, sf_dir):
           .option("genesis", 1704067200).option("secs_per_slot", 300)
           .load())
     return (df.groupBy("epoch")
-            .agg(F.count("*").alias("n_committees"),
-                 F.sum(F.size("committee")).alias("n_seats"),
-                 F.min("epoch_timestamp").alias("epoch_start"))
+            .agg(F.count("*").cast("long").alias("n_committees"),
+                 F.sum(F.size("committee")).cast("long").alias("n_seats"),
+                 F.min("epoch_timestamp").cast("timestamp_ntz")
+                 .alias("epoch_start"))
             .orderBy("epoch"))
+
+
+ORACLE_SCAN_BEACON_COMMITTEES = """
+WITH c AS (
+  SELECT e.e AS epoch, e.e * 32 + j.j AS slot
+  FROM range(9) e(e), range(4) j(j))
+SELECT epoch, CAST(COUNT(*) AS BIGINT) AS n_committees,
+       CAST(COUNT(*) * 8 AS BIGINT) AS n_seats,
+       make_timestamp((1704067200 + epoch * 32 * 300) * 1000000)
+         AS epoch_start
+FROM c GROUP BY epoch ORDER BY epoch
+"""
 
 
 def q_date_arith(spark, sf_dir):
@@ -698,9 +751,9 @@ FROM events WHERE event_id < 2000 ORDER BY event_id
 
 
 REFERENCE_CHECKS: dict[str, tuple] = {
-    "scan_beacon_api": (q_scan_beacon_api, None),
-    "scan_beacon_validators": (q_scan_beacon_validators, None),
-    "scan_beacon_committees": (q_scan_beacon_committees, None),
+    "scan_beacon_api": (q_scan_beacon_api, ORACLE_SCAN_BEACON_API),
+    "scan_beacon_validators": (q_scan_beacon_validators, ORACLE_SCAN_BEACON_VALIDATORS),
+    "scan_beacon_committees": (q_scan_beacon_committees, ORACLE_SCAN_BEACON_COMMITTEES),
     "date_arith": (q_date_arith, ORACLE_DATE_ARITH),
     "date_fns": (q_date_fns, ORACLE_DATE_FNS),
     "json_extract": (q_json_extract, ORACLE_JSON_EXTRACT),
