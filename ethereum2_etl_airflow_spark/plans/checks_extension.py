@@ -398,10 +398,31 @@ FROM documents ORDER BY doc_id
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: Arrow-batched mapInPandas decode plumbing (stubbed
-    codec) — the Spark-side shape of any image/audio feature extractor."""
+    """Arrow-batched mapInPandas decode plumbing — the Spark-side shape
+    of any image/audio feature extractor.  VALUE-checked (round 4): the
+    octet-stream fake derives features purely from the payload bytes,
+    and the driver corpus is ASCII, so the oracle re-derives byte
+    length, head hex, frame count and the 256-byte feature sum from the
+    text itself."""
     media = M.attach_binary_payload(_docs(spark, sf_dir))
     return M.extract_features(media).orderBy("doc_id")
+
+
+ORACLE_MM_FEATURES = """
+-- assumes an ASCII corpus (verified for the driver testdata): then the
+-- UTF-8 payload bytes ARE the character codes
+WITH b AS (
+  SELECT doc_id, strlen(text) AS n_bytes,
+         lower(hex(substr(text, 1, 16))) AS head_hex,
+         CAST(strlen(text) // 100 AS INT) AS n_frames,
+         CAST((SELECT COALESCE(SUM(ascii(substr(d.text, i.i, 1))), 0)
+               FROM range(1, 257) i(i)
+               WHERE i.i <= length(d.text)) AS BIGINT) AS feature_sum
+  FROM documents d)
+SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, head_hex, n_frames,
+       feature_sum
+FROM b ORDER BY doc_id
+"""
 
 
 # --- streaming: hourly micro-batch analog ---------------------------------
@@ -1096,7 +1117,7 @@ EXTENSION_CHECKS: dict[str, tuple] = {
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
     "mm_meta": (q_mm_meta, ORACLE_MM_META),
-    "mm_features": (q_mm_features, None),
+    "mm_features": (q_mm_features, ORACLE_MM_FEATURES),
     "stream_hourly": (q_stream_hourly, ORACLE_STREAM_HOURLY),
 }
 
