@@ -185,7 +185,12 @@ def main() -> None:
         times: dict[str, float] = {}
         run_one = make_runner(times)
         t0 = time.time()
-        for i, name in enumerate(order):
+        # alphabetical, NOT heavy-first: sequential total is
+        # order-independent, and running the light queries first means
+        # the heavy graph/streaming batch measures on a warm machine
+        # instead of absorbing one-time JVM/codegen costs — per-query
+        # numbers stay comparable round-over-round
+        for i, name in enumerate(sorted(order)):
             # periodic block release: leftover checkpoint blocks from
             # completed queries otherwise accumulate across the pass and
             # tax later queries (same effect the inter-pass release

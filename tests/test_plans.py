@@ -394,3 +394,41 @@ def test_pq_code_table_is_narrow_int_codes(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 5
     assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_round4_text_ops_stay_jvm_side(spark, sf_dir):
+    """The round-4 corpus operators (BPE pair stats, repeated spans,
+    random-projection embed) are pure column algebra: no Python eval
+    operator anywhere in their plans — the 100 TB hot path stays inside
+    codegen."""
+    from ethereum2_etl_airflow_spark.operators.dedup import (
+        repeated_ngram_spans)
+    from ethereum2_etl_airflow_spark.operators.scoring import (
+        random_projection_embed)
+    from ethereum2_etl_airflow_spark.operators.tokenizer import (
+        bpe_pair_counts)
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (bpe_pair_counts(docs),
+               repeated_ngram_spans(docs),
+               random_projection_embed(docs, dims=4)):
+        plan = plan_string(df, "simple")
+        for marker in ("BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in plan
+
+
+def test_repeated_spans_single_aggregation_no_join(spark, sf_dir):
+    """The memorization-span statistic has NO candidate-pair stage:
+    its plan carries zero join operators — span identity is the
+    aggregation key."""
+    from ethereum2_etl_airflow_spark.operators.dedup import (
+        repeated_ngram_spans)
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    plan = plan_string(
+        repeated_ngram_spans(load_table(spark, sf_dir, "documents")),
+        "simple")
+    assert "Join" not in plan
