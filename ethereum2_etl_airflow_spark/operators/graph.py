@@ -36,6 +36,19 @@ __all__ = ["connected_components", "pagerank_int", "triangle_counts",
            "cluster_survivors", "kcore_peel", "random_walks"]
 
 
+def _release_round_blocks() -> None:
+    """Free the PREVIOUS round's ``localCheckpoint`` blocks in an
+    iterative operator: reassigning the loop variable drops the last
+    Python reference, but the backing RDD blocks are only removed when
+    the ContextCleaner sees the object collected — an explicit
+    ``gc.collect()`` per round (~10 ms) keeps live checkpoint storage
+    at two rounds instead of all of them (at 16× data the accumulated
+    rounds OOM'd a 16 GB heap in kcore_peel)."""
+    import gc
+
+    gc.collect()
+
+
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 30,
                          algorithm: str = "label") -> DataFrame:
@@ -79,6 +92,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                .localCheckpoint(eager=True))
         changed = new.where("changed").limit(1).count()
         labels = new.drop("changed")
+        _release_round_blocks()
         if changed == 0:
             break
     sym.unpersist()
@@ -137,6 +151,7 @@ def _connected_components_star(edges: DataFrame, src: str, dst: str,
         new_count = new.count()
         same_size = new_count == e_count
         e, e_count = new, new_count
+        _release_round_blocks()
         if same_size and grew == 0:
             break
     # fixpoint: every edge is (node, component-min); roots + isolated
@@ -292,6 +307,7 @@ def pagerank_int(edges: DataFrame, n_iter: int = 3,
                                         f" div {damp_den}"))
                               .cast("bigint").alias("score"))
                       .localCheckpoint(eager=True))
+            _release_round_blocks()
         return scores
     finally:
         e.unpersist()
@@ -374,6 +390,7 @@ def kcore_peel(edges: DataFrame, k: int = 3, n_rounds: int = 4,
         e = (e.join(keep, "u", "left_semi")
              .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
              .localCheckpoint(eager=True))
+        _release_round_blocks()
     return (e.groupBy("u").agg(F.count("*").alias("degree"))
             .select(F.col("u").alias("node"), "degree"))
 
@@ -422,10 +439,15 @@ def random_walks(edges: DataFrame, walk_len: int = 4,
     w_adj = Window.partitionBy("u").orderBy(
         F.md5(F.concat(F.col("u").cast("string"), F.lit("|"),
                        F.col("v").cast("string"))), "v")
+    # cache, not localCheckpoint: adj is built ONCE (no lineage-depth
+    # issue) and feeds walk_len join branches + the frontier seed; a
+    # releasable cache lets finalize_release drop the ~|2E|-row blocks
+    # when the walks are materialized — checkpoint blocks would linger
+    # until driver GC and OOM repeated large runs in one session.
     adj = (sym.withColumn("rnk", F.row_number().over(w_adj) - 1)
            .withColumn("deg", F.count("*").over(Window.partitionBy("u")))
            .repartition(npart, "u")
-           .localCheckpoint(eager=True))
+           .cache())
     frontier = (adj.select("u").distinct()
                 .select(F.col("u").alias("walk_id"),
                         F.lit(0).alias("step"),
@@ -453,4 +475,5 @@ def random_walks(edges: DataFrame, walk_len: int = 4,
                        F.col("v").alias("node")))
         out = out.unionByName(nxt)
         cur = nxt
-    return out
+    from ..functions.layout import finalize_release
+    return finalize_release(out, adj)

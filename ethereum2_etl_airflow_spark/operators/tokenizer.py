@@ -116,6 +116,11 @@ def bpe_train(docs: DataFrame, n_merges: int = 20,
         syms = (syms.select("word", "freq",
                             F.expr(_merge_expr(a, b)).alias("syms"))
                 .localCheckpoint(eager=True))
+        # free the previous round's checkpoint blocks (see
+        # operators.graph._release_round_blocks)
+        from .graph import _release_round_blocks
+
+        _release_round_blocks()
     return merges
 
 

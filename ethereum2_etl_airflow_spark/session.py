@@ -119,9 +119,11 @@ def build_session(
         # tasks each building shuffled-hash relations need real
         # execution-pool headroom (8g starved the graph batch at 4x
         # data: "Can't acquire 67108864 bytes to build hash relation").
-        # A quarter of this machine's 128 GiB; spark-submit overrides
-        # on a cluster.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # 16g measured fastest across the 196-query suite (208.6 s vs
+        # 216.9 s at 8g and 234.1 s at 32g — GC cost dominates beyond
+        # the working set) while clearing the 16x-data graph probe;
+        # spark-submit overrides on a cluster.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
