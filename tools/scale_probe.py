@@ -113,6 +113,12 @@ def graph_probe(args) -> None:
     from ethereum2_etl_airflow_spark.session import build_session
     from ethereum2_etl_airflow_spark.sources.testdata import load_table
 
+    # size the heap to the DATA, not the suite default: this experiment
+    # deliberately materializes 16x edge sets + per-op intermediates in
+    # one JVM, and 16 GiB (the suite-tuned default) is memory-marginal
+    # at the top factor — exactly the executor-memory dial a real
+    # cluster turns when the per-node data share grows
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     spark = build_session(app_name="scale-probe-graph")
 
     li = load_table(spark, args.sf_dir, "lineitem")
@@ -152,7 +158,16 @@ def graph_probe(args) -> None:
         # stay memory-bounded (|E|/P roughly constant) — exactly what a
         # real deployment does between 1x and 16x data.  Runtime-settable;
         # triangle_counts reads the conf at call time.
-        spark.conf.set("spark.sql.shuffle.partitions", str(64 * max(1, n // 2)))
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(64 * max(1, n // 2)))
+        # release the previous factor's checkpointed edge set + any op
+        # leftovers before materializing the next (larger) one — without
+        # this the cumulative 1x+4x residue OOMs the 16x factor even
+        # though a solo 16x run fits comfortably
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
         e = scaled_edges(n)
         m = e.count()
         r_tri = best2(lambda: noop(
