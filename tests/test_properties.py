@@ -256,3 +256,88 @@ def test_cms_estimate_at_least_exact_count(spark, texts):
            for r in cms_estimate(sketch, probes).collect()}
     for t, n in exact.items():
         assert est[t] >= n        # CMS never underestimates
+
+
+@SET
+@given(st.lists(st.text(
+    alphabet="abc 0", min_size=0, max_size=40), min_size=1, max_size=8),
+    st.integers(1, 8))
+def test_bpe_train_matches_reference_on_arbitrary_text(spark, texts,
+                                                       n_merges):
+    """The distributed BPE trainer must agree EXACTLY (order, content,
+    early stop) with the textbook driver-side trainer on arbitrary
+    corpora — including empty docs, single chars, and all-dup tokens."""
+    import re
+
+    from ethereum2_etl_airflow_spark.operators.tokenizer import bpe_train
+    from test_extension import _reference_bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    wf: dict = {}
+    for t in texts:
+        for w in re.findall("[a-z0-9]+", t.lower()):
+            wf[w] = wf.get(w, 0) + 1
+    assert bpe_train(docs, n_merges=n_merges) == _reference_bpe(wf, n_merges)
+
+
+@SET
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30),
+                min_size=1, max_size=6))
+def test_bpe_encode_roundtrip_property(spark, texts):
+    """Encoding never loses characters: pieces concatenate back to the
+    tokenized character stream for any corpus and any learned merges."""
+    import re
+
+    from ethereum2_etl_airflow_spark.operators.tokenizer import (
+        bpe_encode, bpe_train)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=4)
+    for r in bpe_encode(docs, merges).collect():
+        words = re.findall("[a-z0-9]+", texts[r["doc_id"]].lower())
+        assert "".join(r["pieces"]) == "".join(words)
+        assert r["n_tokens"] == len(words)
+
+
+@SET
+@given(st.lists(st.integers(0, 1000), min_size=1, max_size=40,
+                unique=True),
+       st.integers(0, 10), st.integers(0, 10))
+def test_weighted_sample_monotone_in_score(spark, ids, s_lo, s_hi):
+    """Derandomized sampling is MONOTONE: raising every document's score
+    can only grow the kept set (the md5 threshold test is pointwise
+    monotone in the score) — the property that makes score tuning safe
+    to reason about."""
+    from ethereum2_etl_airflow_spark.operators.scoring import (
+        weighted_sample)
+
+    lo, hi = sorted((s_lo, s_hi))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    keep_lo = {r["doc_id"] for r in
+               weighted_sample(docs, F.lit(lo / 10.0)).collect()}
+    keep_hi = {r["doc_id"] for r in
+               weighted_sample(docs, F.lit(hi / 10.0)).collect()}
+    assert keep_lo <= keep_hi
+
+
+@SET
+@given(st.lists(st.text(alphabet="abcd ", min_size=0, max_size=60),
+                min_size=2, max_size=8))
+def test_repeated_spans_duplicated_doc_fully_flagged(spark, texts):
+    """Planting an exact duplicate of a document makes EVERY one of its
+    spans corpus-repeated — repeated_span_hits must report 100% for
+    both copies (when they have any spans at all)."""
+    from ethereum2_etl_airflow_spark.operators.dedup import (
+        repeated_span_hits)
+
+    n = len(texts)
+    rows = [(i, t) for i, t in enumerate(texts)] + [(n, texts[0])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = {r["doc_id"]: r
+            for r in repeated_span_hits(docs, n=3, min_docs=2).collect()}
+    for d in (0, n):
+        if d in hits:                      # docs with >= 3 tokens only
+            assert hits[d]["n_repeated"] == hits[d]["n_spans"]
+            assert hits[d]["repeated_pct"] == 100
