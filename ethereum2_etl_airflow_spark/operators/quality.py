@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["run_expectations", "cms_build", "cms_estimate",
+           "mdq_sample", "mdq_quantiles",
            "hll_portable_registers", "hll_portable_estimate"]
 
 
@@ -178,3 +179,47 @@ def hll_portable_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
         (F.lit(alpha) * m * m
          / (F.col("s_used") + (F.lit(m) - F.col("n_used"))))
         .alias("est_raw"))
+
+
+def mdq_sample(df: DataFrame, col: str, n: int = 256,
+               id_col: str = "doc_id") -> DataFrame:
+    """md5-reservoir quantile sketch, build side: the ``n`` rows whose
+    ``md5(id)`` sorts smallest, carrying their value — a uniform sample
+    whose MEMBERSHIP is a pure function of the ids present, so the
+    sketch is deterministic under any partitioning, any engine, any
+    run (the portability property KLL/t-digest lack, which is why those
+    are rows-only wherever they appear and this one is value-checked).
+
+    Mergeable: the sketch of a union is the n md5-smallest of the
+    union of sketches — shards build locally, merge by re-taking the
+    n smallest (associative + commutative + idempotent).
+
+    Scale shape: TakeOrdered (per-partition heap + driver merge of
+    n·P candidate rows) — never a global sort; the sketch itself is a
+    constant-size table."""
+    key = F.md5(F.col(id_col).cast("string"))
+    return (df.where(F.col(col).isNotNull())
+            .select(key.alias("rk"), F.col(col).cast("double").alias("v"))
+            .orderBy("rk").limit(n))
+
+
+def mdq_quantiles(sample: DataFrame, qs: list[float]) -> DataFrame:
+    """Quantile estimates off an :func:`mdq_sample` sketch: for each q,
+    the value at rank ``ceil(q * m)`` (1-based, clamped) in the value
+    order of the m sampled rows — ``percentile_disc`` over the sample.
+    Sampling error is the usual order-statistic bound (~1/sqrt(n) in
+    rank space); the ESTIMATE is exactly reproducible cross-engine
+    because the sample is."""
+    from pyspark.sql import Window
+
+    m_cnt = F.count("*").over(Window.partitionBy())
+    ranked = sample.select(
+        "v", F.row_number().over(Window.orderBy("v", "rk")).alias("r"),
+        m_cnt.alias("m"))
+    targets = F.array(*[F.lit(float(q)) for q in qs])
+    tgt = (ranked.limit(1).select(F.explode(targets).alias("q"))
+           .select("q"))
+    return (tgt.join(ranked, F.col("r") ==
+                     F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("m"))))
+            .select("q", F.col("v").alias("value"))
+            .orderBy("q"))

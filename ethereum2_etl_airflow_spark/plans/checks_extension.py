@@ -2707,3 +2707,39 @@ FROM hit WHERE n_repeated > 0 ORDER BY doc_id
 
 
 EXTENSION_CHECKS["span_hits"] = (q_span_hits, ORACLE_SPAN_HITS)
+
+
+# --- md5-reservoir quantile sketch (operators/quality.py) -----------------
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67: the quantile member of the portable-sketch family (CMS =
+    frequencies, HLL = cardinality, this = quantiles): a deterministic
+    md5-reservoir sample whose membership is a pure function of the ids
+    present, so the APPROXIMATE estimates are exactly reproducible
+    cross-engine — value-checked, where KLL/t-digest could only ever be
+    rows-only."""
+    from ..operators.quality import mdq_quantiles, mdq_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    s = mdq_sample(ev, "value", n=256, id_col="event_id")
+    return mdq_quantiles(s, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+ORACLE_QUANTILE_SKETCH = """
+WITH s AS (
+  SELECT md5(CAST(event_id AS VARCHAR)) AS rk, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+  ORDER BY rk LIMIT 256),
+r AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, rk) AS r,
+         COUNT(*) OVER () AS m
+  FROM s)
+SELECT q.q AS q, r.v AS value
+FROM (SELECT UNNEST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q) q
+JOIN r ON r.r = GREATEST(1, CAST(CEIL(q.q * r.m) AS BIGINT))
+ORDER BY q
+"""
+
+
+EXTENSION_CHECKS["quantile_sketch"] = (q_quantile_sketch,
+                                       ORACLE_QUANTILE_SKETCH)

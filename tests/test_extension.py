@@ -1107,3 +1107,43 @@ def test_repeated_spans_find_planted_boilerplate(spark):
     assert hits[6]["n_repeated"] == 0           # the clean doc
     assert all(hits[i]["n_repeated"] > 0 for i in range(6))
     assert all(0 <= hits[i]["repeated_pct"] <= 100 for i in range(7))
+
+
+def test_mdq_sketch_mergeable_and_accurate(spark, sf_dir):
+    """The md5-reservoir quantile sketch merges associatively (sketch of
+    a union == re-sketch of the union of shard sketches) and its
+    estimates land within the order-statistic rank tolerance of the
+    exact quantiles."""
+    from ethereum2_etl_airflow_spark.operators.quality import (
+        mdq_quantiles, mdq_sample)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    n = 128
+    merged = (mdq_sample(a, "value", n, "event_id")
+              .unionByName(mdq_sample(b, "value", n, "event_id"))
+              .orderBy("rk").limit(n))
+    whole = mdq_sample(ev, "value", n, "event_id")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))      # merge contract
+    # rank accuracy: the q-estimate's true rank is within ~4/sqrt(n)
+    vals = sorted(r["value"] for r in ev.where(F.col("value").isNotNull())
+                  .select("value").collect())
+    est = {r["q"]: r["value"]
+           for r in mdq_quantiles(whole, [0.25, 0.5, 0.75]).collect()}
+    import bisect
+
+    for q, v in est.items():
+        true_rank = bisect.bisect_left(vals, v) / len(vals)
+        assert abs(true_rank - q) < 4 / (n ** 0.5), (q, true_rank)
+
+
+def test_mdq_sketch_empty_input(spark):
+    from ethereum2_etl_airflow_spark.operators.quality import (
+        mdq_quantiles, mdq_sample)
+
+    empty = spark.createDataFrame([], "doc_id long, value double")
+    s = mdq_sample(empty, "value", 16)
+    assert s.count() == 0
+    assert mdq_quantiles(s, [0.5]).count() == 0   # empty, not an error
