@@ -432,3 +432,27 @@ def test_repeated_spans_single_aggregation_no_join(spark, sf_dir):
         repeated_ngram_spans(load_table(spark, sf_dir, "documents")),
         "simple")
     assert "Join" not in plan
+
+
+def test_representative_checks_survive_ansi_mode(spark, sf_dir):
+    """Spark 4 defaults to ANSI SQL in many deployments; the engine's
+    core query surface must not depend on permissive-cast behavior.
+    Runs a representative slice (scans, TPC-H aggs, date math, chain
+    time, windows, joins, the round-4 corpus ops) with
+    spark.sql.ansi.enabled=true — runtime-settable, restored after."""
+    from ethereum2_etl_airflow_spark.plans.registry import spark_queries
+
+    qs = spark_queries()
+    names = ["q1_pricing", "q6_forecast", "date_fns", "chain_slot_epoch",
+             "str_fns", "agg_cube", "dedup_exact", "filter_date_le",
+             "json_extract", "window_rank", "join_inner",
+             "scoring_linear", "bpe_pairs", "text_stats", "url_parse",
+             "sample_weighted"]
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for n in names:
+            qs[n](spark, sf_dir).write.mode("overwrite") \
+                .format("noop").save()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
