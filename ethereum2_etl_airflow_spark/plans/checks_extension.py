@@ -2743,3 +2743,66 @@ ORDER BY q
 
 EXTENSION_CHECKS["quantile_sketch"] = (q_quantile_sketch,
                                        ORACLE_QUANTILE_SKETCH)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65c: the BPE ENCODE kernel value-checked — a FIXED
+    training-shaped merge list (each merge's parts exist before it, so
+    priority-order encoding equals sequential rank application) is
+    applied by the Arrow kernel, and the oracle re-implements the same
+    greedy left-to-right merge as chained regexp_replace passes over a
+    pipe-separated symbol string (lookahead keeps the shared boundary,
+    global flag preserves the non-overlapping left-to-right
+    semantics)."""
+    from ..operators.tokenizer import bpe_encode
+
+    merges = [("e", "r"), ("t", "h"), ("th", "e"), ("o", "n"),
+              ("a", "n"), ("an", "d")]
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 13 == 0)
+    return (bpe_encode(d, merges)
+            .select("doc_id", "n_tokens", "n_pieces")
+            .orderBy("doc_id"))
+
+
+ORACLE_BPE_ENCODE = r"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents WHERE doc_id % 13 = 0),
+w AS (
+  SELECT doc_id, UNNEST(ws) AS word FROM tk),
+sym AS (
+  -- each symbol wrapped in its own pipes: 'low' -> '|l||o||w|', so a
+  -- merge replace consumes no shared boundary and RE2 (no lookahead)
+  -- keeps exact greedy left-to-right non-overlap semantics
+  SELECT doc_id, word,
+         '|' || array_to_string(regexp_extract_all(word, '.'), '||')
+             || '|' AS s
+  FROM w),
+m AS (
+  SELECT doc_id, word,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(s,
+                '\|e\|\|r\|', '|er|', 'g'),
+              '\|t\|\|h\|', '|th|', 'g'),
+            '\|th\|\|e\|', '|the|', 'g'),
+          '\|o\|\|n\|', '|on|', 'g'),
+        '\|a\|\|n\|', '|an|', 'g'),
+      '\|an\|\|d\|', '|and|', 'g') AS s
+  FROM sym),
+per_word AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(s, '\|')) // 2 AS BIGINT)
+           AS pieces
+  FROM m)
+SELECT t.doc_id,
+       CAST(len(t.ws) AS INT) AS n_tokens,
+       CAST(COALESCE((SELECT SUM(p.pieces) FROM per_word p
+                      WHERE p.doc_id = t.doc_id), 0) AS INT) AS n_pieces
+FROM tk t ORDER BY t.doc_id
+"""
+
+
+EXTENSION_CHECKS["bpe_encode"] = (q_bpe_encode, ORACLE_BPE_ENCODE)
