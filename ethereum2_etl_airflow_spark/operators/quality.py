@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["run_expectations", "cms_build", "cms_estimate",
-           "mdq_sample", "mdq_quantiles",
+           "mdq_sample", "mdq_quantiles", "mdq_bucket_registers",
            "hll_portable_registers", "hll_portable_estimate"]
 
 
@@ -223,3 +223,25 @@ def mdq_quantiles(sample: DataFrame, qs: list[float]) -> DataFrame:
                      F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("m"))))
             .select("q", F.col("v").alias("value"))
             .orderBy("q"))
+
+
+def mdq_bucket_registers(df: DataFrame, col: str, n_buckets: int = 64,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Streaming-friendly form of the md5-reservoir quantile sketch:
+    ``n_buckets`` registers, each holding the (md5-minimal id's) value
+    within its bucket — a bottom-1-per-bucket uniform sample.  Unlike
+    :func:`mdq_sample`'s global TakeOrdered (not expressible as a
+    streaming aggregation), this is ONE ``min(struct(rk, v))`` groupBy,
+    so Structured Streaming maintains it in complete mode with
+    constant state (≤ n_buckets rows), and merge-by-min makes streamed
+    registers equal batch ones exactly — same contract as the CMS and
+    portable-HLL registers."""
+    key = F.md5(F.col(id_col).cast("string"))
+    b = F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_buckets
+    return (df.where(F.col(col).isNotNull())
+            .select(b.alias("bucket"), key.alias("rk"),
+                    F.col(col).cast("double").alias("v"))
+            .groupBy("bucket")
+            .agg(F.min(F.struct("rk", "v")).alias("m"))
+            .select("bucket", F.col("m.rk").alias("rk"),
+                    F.col("m.v").alias("v")))

@@ -2806,3 +2806,35 @@ FROM tk t ORDER BY t.doc_id
 
 
 EXTENSION_CHECKS["bpe_encode"] = (q_bpe_encode, ORACLE_BPE_ENCODE)
+
+
+def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67b: the bucketed quantile-sketch registers maintained BY THE
+    STREAM ENGINE as a complete-mode min-aggregation over an events
+    file stream — merge-by-min makes the streamed registers equal the
+    batch ones exactly (the CMS/HLL contract, for the quantile axis).
+    State: ≤ 64 register rows, constant for any stream length."""
+    from ..operators.quality import mdq_bucket_registers
+
+    stream = _file_stream(spark, sf_dir, "events", "mdqstream",
+                          nanos=True)
+    regs = mdq_bucket_registers(stream.select("event_id", "value"),
+                                "value", n_buckets=64,
+                                id_col="event_id")
+    return _run_complete(regs, spark).orderBy("bucket")
+
+
+ORACLE_STREAM_QUANTILE = """
+WITH h AS (
+  SELECT md5(CAST(event_id AS VARCHAR)) AS rk,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+           % 64 AS bucket,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL)
+SELECT bucket, MIN(rk) AS rk, arg_min(v, rk) AS v
+FROM h GROUP BY bucket ORDER BY bucket
+"""
+
+
+EXTENSION_CHECKS["stream_quantile"] = (q_stream_quantile,
+                                       ORACLE_STREAM_QUANTILE)

@@ -1147,3 +1147,24 @@ def test_mdq_sketch_empty_input(spark):
     s = mdq_sample(empty, "value", 16)
     assert s.count() == 0
     assert mdq_quantiles(s, [0.5]).count() == 0   # empty, not an error
+
+
+def test_mdq_bucket_registers_merge_by_min(spark, sf_dir):
+    """Shard registers merged by min(struct) equal the whole-input
+    registers — the mergeability contract that makes the streaming
+    complete-mode maintenance exact."""
+    from ethereum2_etl_airflow_spark.operators.quality import (
+        mdq_bucket_registers)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = (mdq_bucket_registers(a, "value", 32, "event_id")
+              .unionByName(mdq_bucket_registers(b, "value", 32,
+                                                "event_id"))
+              .groupBy("bucket")
+              .agg(F.min(F.struct("rk", "v")).alias("m"))
+              .select("bucket", "m.rk", "m.v"))
+    whole = mdq_bucket_registers(ev, "value", 32, "event_id")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
