@@ -45,6 +45,7 @@ __all__ = [
     "quantize_embeddings", "bin_by_quantile", "outliers_p99", "funnel",
     "winsorize", "table_diff", "funnel_steps",
     "cohort_retention", "chunk_sliding", "url_features",
+    "weighted_median",
 ]
 
 # RE2- and Java-regex-identical patterns (no backrefs / lookaround):
@@ -545,3 +546,36 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
                     "week_offset", "n_active", "n_cohort",
                     (F.col("n_active").cast("double")
                      / F.col("n_cohort").cast("double")).alias("retention")))
+
+
+def weighted_median(df: DataFrame, group_col: str, val_col: str,
+                    weight_col: str) -> DataFrame:
+    """Per-group weighted (lower) median via a VECTORIZED custom
+    aggregate — the ``GROUPED_AGG`` pandas-UDF shape for any statistic
+    Spark's built-ins lack: the group's rows arrive as Arrow-backed
+    Series, the kernel returns one scalar, and Spark runs it inside a
+    regular hash aggregation (one shuffle on the group key, groups
+    never collected to the driver).
+
+    Definition: the smallest v whose cumulative weight (in v order)
+    reaches half the total — deterministic under ties (duplicate v
+    values share a boundary, so the chosen v is order-independent),
+    hence SQL-oracle-checkable with integer weights.
+
+    At 100 TB: per-group state is the group's rows in one Arrow batch —
+    bounded by the largest group like any exact median; groups beyond
+    memory go through the two-pass quantile-binning path
+    (:func:`bin_by_quantile`) instead."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmed(v: pd.Series, w: pd.Series) -> float:
+        d = pd.DataFrame({"v": v, "w": w}).sort_values("v")
+        half = d["w"].sum() / 2.0
+        return float(d.loc[d["w"].cumsum() >= half, "v"].iloc[0])
+
+    return (df.groupBy(group_col)
+            .agg(wmed(F.col(val_col), F.col(weight_col))
+                 .alias("weighted_median")))

@@ -2838,3 +2838,36 @@ FROM h GROUP BY bucket ORDER BY bucket
 
 EXTENSION_CHECKS["stream_quantile"] = (q_stream_quantile,
                                        ORACLE_STREAM_QUANTILE)
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68: vectorized custom aggregate (GROUPED_AGG pandas UDF) — the
+    extension-point shape for statistics Spark lacks, value-checked:
+    per-event-type weighted median of value with integer weights."""
+    from ..operators.curation import weighted_median
+
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .withColumn("w", (F.col("user_id") % 10 + 1).cast("long")))
+    return (weighted_median(ev, "event_type", "value", "w")
+            .orderBy("event_type"))
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH t AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         user_id % 10 + 1 AS w,
+         SUM(user_id % 10 + 1) OVER (PARTITION BY event_type)
+           AS total,
+         SUM(user_id % 10 + 1) OVER (
+           PARTITION BY event_type ORDER BY CAST(value AS DOUBLE)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type, MIN(v) AS weighted_median
+FROM t WHERE cum * 2 >= total
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+EXTENSION_CHECKS["weighted_median"] = (q_weighted_median,
+                                       ORACLE_WEIGHTED_MEDIAN)
