@@ -2871,3 +2871,58 @@ GROUP BY event_type ORDER BY event_type
 
 EXTENSION_CHECKS["weighted_median"] = (q_weighted_median,
                                        ORACLE_WEIGHTED_MEDIAN)
+
+
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15 upgraded to VALUE-checked: the strided frame-sampling stage
+    over text-backed payloads — stride math (ceil(n/target), frame 0
+    always included) and the sliced frame bytes are closed-form in the
+    ASCII text, so the oracle re-derives every row including frame
+    content (hex) from the documents table."""
+    from ..operators import multimodal as MM
+
+    media = MM.attach_binary_payload(
+        _docs(spark, sf_dir).where(F.col("doc_id") % 11 == 0))
+    return (MM.sample_frames(media)
+            .select("doc_id", "frame_idx", "frame_off",
+                    F.lower(F.hex("frame")).alias("frame_hex"))
+            .orderBy("doc_id", "frame_idx"))
+
+
+ORACLE_MM_FRAMES = """
+WITH d AS (
+  SELECT doc_id, text, strlen(text) // 100 AS n
+  FROM documents WHERE doc_id % 11 = 0),
+f AS (
+  SELECT doc_id, CAST(i.i AS INT) AS frame_idx,
+         CAST(i.i * 100 AS BIGINT) AS frame_off,
+         lower(hex(substr(text, i.i * 100 + 1, 100))) AS frame_hex
+  FROM d, UNNEST(range(0, n, (n + 3) // 4)) AS i(i)
+  WHERE n > 0)
+SELECT doc_id, frame_idx, frame_off, frame_hex
+FROM f ORDER BY doc_id, frame_idx
+"""
+
+
+EXTENSION_CHECKS["mm_frames"] = (q_mm_frames, ORACLE_MM_FRAMES)
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65d: the corpus vocabulary statistic BPE training consumes —
+    top-300 (word, freq) by (freq desc, word); the one-pass collapse
+    that bounds every later merge round by |vocab|, not |corpus|."""
+    from ..operators.tokenizer import word_freqs
+
+    return (word_freqs(_docs(spark, sf_dir))
+            .orderBy(F.col("freq").desc(), "word").limit(300))
+
+
+ORACLE_BPE_VOCAB = """
+SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents)
+GROUP BY t ORDER BY freq DESC, word LIMIT 300
+"""
+
+
+EXTENSION_CHECKS["bpe_vocab"] = (q_bpe_vocab, ORACLE_BPE_VOCAB)
