@@ -396,7 +396,8 @@ def kcore_peel(edges: DataFrame, k: int = 3, n_rounds: int = 4,
 
 
 def random_walks(edges: DataFrame, walk_len: int = 4,
-                 src: str = "id_a", dst: str = "id_b") -> DataFrame:
+                 src: str = "id_a", dst: str = "id_b",
+                 assume_canonical: bool = False) -> DataFrame:
     """Deterministic uniform random walks — the corpus generator for
     node2vec/DeepWalk-style graph embeddings: one walk per node, each
     step choosing a neighbor "uniformly" by an md5-derived index, so
@@ -409,71 +410,76 @@ def random_walks(edges: DataFrame, walk_len: int = 4,
     ordering of v's adjacency — a per-(walk, step) independent choice,
     so two walks visiting the same node diverge.
 
-    Scale shape: adjacency ranking is one window partitioned by the
-    source node (hub nodes sort their own neighborhood — bounded by max
-    degree; pre-bucket the adjacency for power-law graphs); each step is
-    then ONE equi-join of the frontier against the ranked adjacency on
-    (node, chosen_rank) — no per-row sampling state, no driver loop
-    beyond the fixed ``walk_len``.  Returns (walk_id, step, node) with
-    step 0 = the seed; walks stop early at sinks (no out-edges in the
-    symmetrized graph never happens — symmetrization guarantees
-    deg ≥ 1).
+    Layout: the adjacency is collapsed to ONE ROW PER NODE holding the
+    neighbor ids pre-sorted in the (md5(v|u), u) pick order — a
+    map-side-combining ``collect_list`` + per-group ``sort_array``
+    (narrow), no window, no ranked edge table.  Each step is then one
+    join of the |V|-row frontier against the |V|-row neighbor table
+    plus an O(1) ``element_at`` — the step cost is frontier-sized,
+    independent of |E|.  (Two earlier shapes were step-dominated at
+    sf0.1: joining the frontier to the 2|E|-row ranked edge list on
+    ``node`` alone streamed deg(v) rows per frontier row through a
+    residual ``rnk == pick`` filter — 4.3× the oracle, the suite's
+    slowest query — and the (node, rank) equi-join fix still
+    re-exchanged the full edge list every step because an
+    AQE-planned cached relation does not expose its pinned
+    partitioning to EnsureRequirements.)
 
-    The adjacency (the shuffled-hash BUILD side of every step join) is
-    EXPLICITLY hash-partitioned on ``u`` at
-    ``max(spark.sql.shuffle.partitions, 2 × defaultParallelism)``, and
-    the frontier repartitions to the same layout each step: explicit
-    user repartitioning is exempt from AQE partition coalescing, which
-    otherwise merges the build-side shuffle into few ~64 MB partitions
-    whose hash maps (~4× expansion) blow the per-task execution quota
-    (observed at 16× data in tools/scale_probe.py --graph)."""
-    sess = edges.sparkSession
-    npart = max(int(sess.conf.get("spark.sql.shuffle.partitions",
-                                  "200") or 200),
-                sess.sparkContext.defaultParallelism * 2)
+    Frontiers are ``localCheckpoint``-ed per step (|V| rows each — the
+    same order as the returned walk corpus itself) so the step joins
+    execute once instead of re-running inside every union branch, and
+    lineage stays O(1) deep.
+
+    Memory contract: a node's whole neighbor array must fit in one
+    aggregation buffer — O(max_degree) per row (~40 B/neighbor during
+    the sort, 8 B after), vs. the old window's spillable sort.  Fine
+    for bounded-degree similarity/co-occurrence graphs (this module's
+    use case); for power-law graphs with multi-million-degree hubs,
+    cap neighborhoods upstream or rank the edge list with a window.
+
+    ``assume_canonical=True``: caller guarantees the edge list is
+    deduplicated with ``src < dst`` — skips the symmetrized
+    ``distinct()`` (a full exchange of 2|E| rows; duplicate edges
+    would otherwise corrupt deg and the pick order).
+
+    Returns (walk_id, step, node) with step 0 = the seed; walks never
+    stop early (symmetrization guarantees deg ≥ 1)."""
     sym = (edges.select(F.col(src).cast("long").alias("u"),
                         F.col(dst).cast("long").alias("v"))
            .union(edges.select(F.col(dst).cast("long").alias("u"),
                                F.col(src).cast("long").alias("v")))
-           .where(F.col("u") != F.col("v")).distinct())
-    w_adj = Window.partitionBy("u").orderBy(
-        F.md5(F.concat(F.col("u").cast("string"), F.lit("|"),
-                       F.col("v").cast("string"))), "v")
-    # cache, not localCheckpoint: adj is built ONCE (no lineage-depth
-    # issue) and feeds walk_len join branches + the frontier seed; a
-    # releasable cache lets finalize_release drop the ~|2E|-row blocks
-    # when the walks are materialized — checkpoint blocks would linger
-    # until driver GC and OOM repeated large runs in one session.
-    adj = (sym.withColumn("rnk", F.row_number().over(w_adj) - 1)
-           .withColumn("deg", F.count("*").over(Window.partitionBy("u")))
-           .repartition(npart, "u")
-           .cache())
-    frontier = (adj.select("u").distinct()
-                .select(F.col("u").alias("walk_id"),
-                        F.lit(0).alias("step"),
-                        F.col("u").alias("node")))
-    out = frontier
-    cur = frontier
+           .where(F.col("u") != F.col("v")))
+    if not assume_canonical:
+        sym = sym.distinct()
+    h = F.md5(F.concat(F.col("u").cast("string"), F.lit("|"),
+                       F.col("v").cast("string")))
+    # cache, not localCheckpoint: nbrs feeds walk_len join branches +
+    # the frontier seed; a releasable cache lets finalize_release drop
+    # the blocks when the walks are materialized — checkpoint blocks
+    # would linger until driver GC and OOM repeated runs in one session.
+    nbrs = (sym.groupBy("u")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct(h.alias("h"), F.col("v").alias("v")))),
+                lambda x: x["v"]).alias("arr"))
+            .cache())
+    cur = nbrs.select(F.col("u").alias("walk_id"), F.col("u").alias("node"))
+    outs = [cur.select("walk_id", F.lit(0).alias("step"), "node")]
     for s in range(1, walk_len + 1):
+        j = cur.join(nbrs, cur["node"] == nbrs["u"])
         pick = F.pmod(
             F.conv(F.substring(F.md5(F.concat(
                 F.col("walk_id").cast("string"), F.lit("|"),
                 F.lit(str(s)), F.lit("|"),
                 F.col("node").cast("string"))), 1, 8), 16, 10)
-            .cast("long"), F.col("deg"))
-        # shuffle_hash: sort-merge would re-sort the (large) adjacency
-        # every step; hashing it instead keeps each step one exchange +
-        # build, and the frontier streams through unsorted.  The
-        # explicit same-width repartition on the probe side lines up
-        # with adj's pinned layout so neither side can be AQE-coalesced
-        # into oversized build partitions.
-        probe = cur.repartition(npart, "node")
-        nxt = (probe.join(adj.hint("shuffle_hash"),
-                          probe["node"] == adj["u"])
-               .where(F.col("rnk") == pick)
-               .select("walk_id", F.lit(s).alias("step"),
-                       F.col("v").alias("node")))
-        out = out.unionByName(nxt)
-        cur = nxt
+            .cast("long"), F.size("arr"))
+        cur = (j.select("walk_id",
+                        F.element_at("arr", (pick + 1).cast("int"))
+                        .alias("node"))
+               .localCheckpoint(eager=True))
+        outs.append(cur.select("walk_id", F.lit(s).alias("step"), "node"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
     from ..functions.layout import finalize_release
-    return finalize_release(out, adj)
+    return finalize_release(out, nbrs)

@@ -2025,7 +2025,9 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "transform(slice(ps, i + 2, size(ps) - i - 1), "
                  "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
              .select("p.id_a", "p.id_b").distinct())
-    return (random_walks(pairs, walk_len=4)
+    # pairs are canonical (id_a < id_b) and distinct by construction —
+    # skip the operator's symmetrized re-dedup exchange
+    return (random_walks(pairs, walk_len=4, assume_canonical=True)
             .where(F.col("walk_id") % 97 == 0)
             .orderBy("walk_id", "step"))
 
