@@ -175,35 +175,42 @@ def triangle_counts(edges: DataFrame, src: str = "id_a",
     deterministic, so SQL-oracle-checkable via canonical-edge
     self-joins.
 
-    Algorithm: degree-ordered orientation (Cohen's MapReduce triangle
-    scheme / "compact-forward").  Each undirected edge is directed from
-    its (degree, id)-smaller endpoint to the larger; every out-
-    neighborhood then has O(sqrt(m)) size on any graph, so the wedge
-    self-join — the only quadratic step — is bounded by m^1.5 total
-    wedges instead of Σ deg² (which a skewed hub graph would blow up).
+    Algorithm: degree-ordered orientation + adjacency-array close
+    (compact-forward, cf. Cohen's MapReduce triangle scheme).  Each
+    undirected edge is directed from its (degree, id)-smaller endpoint
+    to the larger; every out-neighborhood then has O(sqrt(m)) size on
+    any graph.  Out-neighborhoods are packed into per-node arrays and
+    each oriented edge (u, v) closes its triangles with ONE in-codegen
+    ``array_intersect(adj(u), adj(v))`` — the m^1.5-bounded wedge set
+    is enumerated inside whole-stage codegen instead of existing as a
+    shuffled row stream, and the closing-edge join disappears into the
+    same expression (measured at sf0.1/local[32]: 6.2 s with the
+    wedge-join formulation → 4.0 s).
 
-    Scale shape: canonicalize+distinct (one exchange), degree groupBy
-    (map-side combining), the wedge self-join keyed on the shared
-    low-endpoint, and the closing edge join keyed on (v, w) — three
-    shuffle joins total, no iteration, no driver state.  The closing
-    join's probe side (wedges) dwarfs its build side (oriented edges)
-    only on pathological cliques; AQE handles the skew split.  The
-    oriented edge set feeds THREE plan branches (both wedge sides + the
-    closing probe), so it is cached for the computation and released by
-    the ``finalize_release`` barrier — without it the canonicalize +
-    degree joins run three times.
+    Scale shape: canonicalize+distinct (one exchange), degree attach
+    (see below), adjacency groupBy on u (one exchange of |E| longs,
+    map-side packing), then ONE join of the edge set against the
+    adjacency on v — no iteration, no driver state.  The probe side
+    carries nbrs_u per edge row (Σ deg⁺² ≤ m^1.5 values, columnar
+    longs), strictly less traffic than the old wedge stream's 3-long
+    rows of the same cardinality plus its second (v, w) exchange.  The
+    adjacency feeds two plan branches (probe re-explode + build), so
+    it is cached and released by the ``finalize_release`` barrier.
 
-    ``broadcast_degrees=True`` broadcasts the (node, deg) table into
-    both orientation joins — set it when |V| is bounded (the table is
-    16 B/node, so ~10 M nodes ≈ 160 MB is the practical ceiling); at
-    web scale leave False and let AQE decide.  ``wedge_partitions``
-    overrides the width of the wedge self-join stage; default is
-    ``max(spark.sql.shuffle.partitions, 2 × defaultParallelism)`` —
-    the quadratic stage must run at full machine width even when the
-    session tunes shuffle partitions low for its many small queries
-    (measured at sf0.1/local[32]: 4.5 s → 3.0 s).  The cached
-    ``oriented`` set is hash-partitioned on ``u`` at that width, which
-    the wedge join then reuses with NO extra exchange."""
+    ``broadcast_degrees=True`` asserts the graph is bounded: the
+    (node, deg) table broadcasts into the orientation join (16 B/node,
+    ~10 M nodes ≈ 160 MB practical ceiling) and the packed adjacency
+    (|E| longs + |V| keys ≈ 10 MB per 1 M edges) broadcasts into the
+    close — the only shuffle left in the whole plan is the adjacency
+    groupBy.  At web scale leave False: degrees attach via one melt
+    join + one regroup (two exchanges of the 2|E| melt instead of the
+    naive two sequential per-endpoint joins), and the close
+    shuffle-hashes with the adjacency as the build side.
+    ``wedge_partitions`` overrides the width of the adjacency stage;
+    default is ``max(spark.sql.shuffle.partitions,
+    2 × defaultParallelism)`` — the quadratic intersect stage must run
+    at full machine width even when the session tunes shuffle
+    partitions low for its many small queries."""
     from ..functions.layout import finalize_release
     if assume_canonical:
         # caller guarantees src < dst and no duplicates — skip the
@@ -219,15 +226,32 @@ def triangle_counts(edges: DataFrame, src: str = "id_a",
     deg = (canon.select(F.col("a").alias("n"))
            .union(canon.select(F.col("b").alias("n")))
            .groupBy("n").agg(F.count("*").alias("deg")))
-    if broadcast_degrees:
-        deg = F.broadcast(deg)
     # orient by (deg, id): strict total order, so each edge gets exactly
     # one direction and each triangle exactly one (u; v, w) wedge + edge
-    ranked = (canon
-              .join(deg.withColumnRenamed("n", "a")
-                    .withColumnRenamed("deg", "deg_a"), "a")
-              .join(deg.withColumnRenamed("n", "b")
-                    .withColumnRenamed("deg", "deg_b"), "b"))
+    if broadcast_degrees:
+        # both endpoint degrees resolve against the SAME broadcast
+        # hash map (the two join builds are identical modulo aliasing,
+        # so the exchange is planned once and reused) — no shuffle of
+        # the edge set at all
+        bdeg = F.broadcast(deg)
+        ranked = (canon
+                  .join(bdeg.withColumnRenamed("n", "a")
+                        .withColumnRenamed("deg", "deg_a"), "a")
+                  .join(bdeg.withColumnRenamed("n", "b")
+                        .withColumnRenamed("deg", "deg_b"), "b"))
+    else:
+        # single-pass degree attach: melt each edge to its two
+        # endpoints, ONE shuffle join against the degree table, regroup
+        # to one row per edge — one exchange fewer than joining deg
+        # per endpoint sequentially (round-4 review item)
+        melted = canon.select(
+            "a", "b", F.explode(F.array("a", "b")).alias("n"))
+        ranked = (melted.join(deg, "n")
+                  .groupBy("a", "b")
+                  .agg(F.max(F.when(F.col("n") == F.col("a"),
+                                    F.col("deg"))).alias("deg_a"),
+                       F.max(F.when(F.col("n") == F.col("b"),
+                                    F.col("deg"))).alias("deg_b")))
     a_first = ((F.col("deg_a") < F.col("deg_b"))
                | ((F.col("deg_a") == F.col("deg_b"))
                   & (F.col("a") < F.col("b"))))
@@ -236,30 +260,52 @@ def triangle_counts(edges: DataFrame, src: str = "id_a",
         int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                         "200") or 200),
         sc.defaultParallelism * 2)
-    oriented = (ranked.select(
+    oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(a_first, F.struct("deg_b", "b"))
-         .otherwise(F.struct(F.col("deg_a").alias("deg_b"),
-                             F.col("a").alias("b"))).alias("vrank"))
-        .repartition(npart, "u").cache())
-    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
-    # shuffle_hash on the edge side of both joins: sort-merge would sort
-    # the WEDGE stream (quadratic-side, the biggest relation in the
-    # whole plan) — hashing the edge build side instead keeps the wedge
-    # stream unsorted and streaming.  Per-partition build memory is
-    # |E|/P, the operator's documented sizing contract (measured 1.7×
-    # end-to-end on the co-purchase graph: 41M wedges, 1.2M edges).
-    wedges = (w1.join(w2.hint("shuffle_hash"),
-                      (F.col("w1.u") == F.col("w2.u"))
-                      & (F.col("w1.vrank") < F.col("w2.vrank")))
-              .select(F.col("w1.u").alias("u"), F.col("w1.v").alias("v"),
-                      F.col("w2.v").alias("w")))
-    closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    tris = wedges.join(closing.hint("shuffle_hash"), ["v", "w"])
-    per_node = (tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
-                .groupBy("node").agg(F.count("*").alias("n_triangles")))
-    return finalize_release(per_node, oriented)
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"))
+    # adjacency-array close (compact-forward with arrays): pack each
+    # out-neighborhood — O(sqrt m) after orientation — into ONE array
+    # row, then close every triangle with an in-codegen
+    # ``array_intersect(adj(u), adj(v))`` per edge.  This removes BOTH
+    # wedge-era shuffles: the m^1.5-row wedge stream never exists as
+    # rows (the intersection enumerates it inside whole-stage codegen),
+    # and the closing-edge join disappears into the same expression.
+    adj = (oriented.repartition(npart, "u")
+           .groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+           .cache())
+    # probe side re-explodes from the cached adjacency so the edge set
+    # is never recomputed; each edge row carries its nbrs_u array
+    e_u = adj.select("u", F.col("nbrs").alias("nbrs_u"),
+                     F.explode("nbrs").alias("v"))
+    adj_v = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    if broadcast_degrees:
+        # bounded-graph contract: the whole oriented adjacency is |E|
+        # longs + |V| keys (~10 MB/1M edges), so broadcast it and the
+        # close costs NO exchange at all — the only shuffle in the
+        # entire plan after degree-attach is the adjacency groupBy
+        joined = e_u.join(F.broadcast(adj_v), "v")
+    else:
+        # web-scale default: one exchange of the edge set on v, each
+        # row carrying its nbrs_u array — Σ deg⁺² ≤ m^1.5 values total,
+        # packed columnar, vs the wedge join's 3-long rows of the same
+        # cardinality PLUS a second (v, w) exchange
+        joined = e_u.join(adj_v.hint("shuffle_hash"), "v")
+    # per-node attribution without materializing (u, v, w) triples:
+    # edge (u, v) with intersection W closes |W| triangles — u and v
+    # each gain |W|, each w in W gains 1
+    ws = F.array_intersect("nbrs_u", "nbrs_v")
+    per_node = (joined
+                .select(F.explode(F.concat(
+                    F.array(F.struct(F.col("u").alias("node"),
+                                     F.size(ws).alias("c")),
+                            F.struct(F.col("v").alias("node"),
+                                     F.size(ws).alias("c"))),
+                    F.transform(ws, lambda w: F.struct(
+                        w.alias("node"), F.lit(1).alias("c"))))).alias("s"))
+                .select("s.node", "s.c").where(F.col("c") > 0)
+                .groupBy("node")
+                .agg(F.sum("c").cast("long").alias("n_triangles")))
+    return finalize_release(per_node, adj)
 
 
 def pagerank_int(edges: DataFrame, n_iter: int = 3,

@@ -343,10 +343,12 @@ def test_cohort_retention_plan_shape(spark, sf_dir):
         assert marker not in plan
 
 
-def test_triangle_count_uses_shuffled_hash_joins(spark, sf_dir):
-    """The wedge stream (the quadratic side) must never be sorted: both
-    triangle joins are hinted shuffle_hash, so the plan carries
-    ShuffledHashJoin operators, not SortMergeJoin."""
+def test_triangle_count_adjacency_close_plan(spark, sf_dir):
+    """The adjacency-intersection close must never sort or re-shuffle
+    the quadratic side: the adjacency self-join is shuffle_hash (or
+    broadcast under the bounded-graph contract), never SortMergeJoin,
+    and no Python eval node appears anywhere — the triangle close is a
+    pure codegen ``array_intersect``."""
     from pyspark.sql import functions as F
 
     from ethereum2_etl_airflow_spark.operators.graph import triangle_counts
@@ -360,13 +362,20 @@ def test_triangle_count_uses_shuffled_hash_joins(spark, sf_dir):
         & (F.col("x.l_partkey") < F.col("y.l_partkey")))
         .select(F.col("x.l_partkey").alias("id_a"),
                 F.col("y.l_partkey").alias("id_b")).distinct())
-    # build the pre-checkpoint pipeline shape by calling the operator's
-    # internals via a plan over a non-finalized equivalent: the public
-    # operator checkpoints, so assert on a probe plan with the same hints
-    w1 = pairs.alias("w1")
-    w2 = pairs.hint("shuffle_hash").alias("w2")
-    probe = w1.join(w2, F.col("w1.id_a") == F.col("w2.id_a"))
-    assert "ShuffledHashJoin" in plan_string(probe, "simple")
+    # probe plan with the operator's hints but no finalize checkpoint:
+    # the shuffle_hash-hinted adjacency join must plan ShuffledHashJoin
+    adj = pairs.groupBy("id_a").agg(F.collect_list("id_b").alias("nbrs"))
+    e_u = adj.select("id_a", F.col("nbrs").alias("nbrs_u"),
+                     F.explode("nbrs").alias("id_b"))
+    adj_v = adj.select(F.col("id_a").alias("id_b"),
+                       F.col("nbrs").alias("nbrs_v")).hint("shuffle_hash")
+    probe = e_u.join(adj_v, "id_b").select(
+        F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("c"))
+    plan = plan_string(probe, "simple")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
     out = triangle_counts(pairs)
     assert out.columns == ["node", "n_triangles"]
 
