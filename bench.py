@@ -5,10 +5,12 @@ Runs each ``__spark_entry__.queries()`` entry at ``$SPARK_GRAFT_SF_DIR``
 
 Output contract (driver-parseable): the LAST stdout line is one compact
 headline JSON object — {"metric", "value", "unit", "sf", "cpus",
-"concurrent_wall_sec", "sequential_wall_sec", "n_queries", "n_errors",
-"queries"} — where "queries" is the sequential per-query map at 2 dp
-(the round-over-round comparable numbers).  The driver keeps the TAIL
-of stdout, so nothing may print after the headline: the
+"concurrent_wall_sec", "sequential_wall_sec", "n_queries", "n_errors"}.
+The sequential per-query map at 2 dp (the round-over-round comparable
+numbers) prints on its own EARLIER stdout line, self-labeled
+{"pass": "sequential", "queries": {...}} — kept out of the headline so
+the final line stays compact.  The driver keeps the TAIL of stdout, so
+nothing may print after the headline: the
 contention-inflated concurrent per-query map goes to a sidecar file
 (bench_concurrent.json, self-labeled {"pass": "concurrent"}) rather
 than stdout.  Round 2 lost its official number to one giant first line;

@@ -572,7 +572,12 @@ def weighted_median(df: DataFrame, group_col: str, val_col: str,
 
     @pandas_udf("double")
     def wmed(v: pd.Series, w: pd.Series) -> float:
-        d = pd.DataFrame({"v": v, "w": w}).sort_values("v")
+        # NULL/NaN guard: a single NaN weight would poison the cumsum
+        # (mask all-False -> .iloc[0] IndexError kills the whole task);
+        # NULL rows carry no weight, so dropping them IS the semantics
+        d = pd.DataFrame({"v": v, "w": w}).dropna().sort_values("v")
+        if d.empty:
+            return None
         half = d["w"].sum() / 2.0
         return float(d.loc[d["w"].cumsum() >= half, "v"].iloc[0])
 

@@ -385,8 +385,16 @@ def cluster_survivors(docs: DataFrame, pairs: DataFrame,
     ``min(struct(-score, id))`` per cluster joined back on the cluster
     key — no per-cluster window sort, no skew on popular clusters."""
     cc = connected_components(pairs, src, dst)
+    # NULL scores must LOSE the election: -NULL is NULL, which sorts
+    # FIRST in struct ordering and would otherwise win the min() —
+    # coalesce to -2^62 (not long-min: the election negates the score,
+    # and -long-min overflows / raises under ANSI) so a NULL-score doc
+    # is picked only when the whole cluster is unscored (ties then
+    # break on id as usual)
     scored = docs.select(F.col(id_col),
-                         score_col.cast("long").alias("__score"))
+                         F.coalesce(score_col.cast("long"),
+                                    F.lit(-(1 << 62)).cast("long"))
+                         .alias("__score"))
     members = (scored.join(cc.withColumnRenamed("node", id_col),
                            id_col, "left")
                .select(id_col, "__score",

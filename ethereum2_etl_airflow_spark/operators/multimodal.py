@@ -227,7 +227,13 @@ def extract_audio_features(media: DataFrame,
                     "peak_abs": max((abs(s) for s in samples), default=0),
                     "sumsq_256": sum(s * s for s in samples[:256]),
                 })
-            yield pd.DataFrame(feats)[[f.name for f in AUDIO_SCHEMA.fields]]
+            # columns= (not post-hoc [[...]] selection): a zero-row
+            # batch yields pd.DataFrame([]) with NO columns, and the
+            # column selection would KeyError — explicit columns give
+            # an empty typed frame instead
+            yield pd.DataFrame(feats,
+                               columns=[f.name for f in
+                                        AUDIO_SCHEMA.fields])
 
     flat = media.select("doc_id", "payload")
     if batch_hint:

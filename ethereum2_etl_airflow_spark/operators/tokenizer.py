@@ -133,7 +133,12 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
 
     The merge list broadcasts with the serialized kernel; distinct
     words within an Arrow batch are encoded once (memo dict), so the
-    per-batch cost tracks unique words, not token occurrences."""
+    per-batch cost tracks unique words, not token occurrences.  The
+    output id column keeps ``id_col``'s name and input type (string
+    ids work).  ``encode_word`` is the textbook O(L²)-per-unique-word
+    scan — the memo makes it irrelevant at natural-language word
+    lengths; if encode ever dominates (long agglutinative tokens, no
+    pre-split), the heap/linked-list merge is the O(L log L) upgrade."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -161,8 +166,11 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
             syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
         return syms
 
+    # id field named after id_col and typed from the input schema, so a
+    # renamed or string id column round-trips instead of breaking on a
+    # hardcoded doc_id:LongType + int() cast
     schema = T.StructType([
-        T.StructField("doc_id", T.LongType()),
+        T.StructField(id_col, docs.schema[id_col].dataType),
         T.StructField("n_tokens", T.IntegerType()),
         T.StructField("n_pieces", T.IntegerType()),
         T.StructField("pieces", T.ArrayType(T.StringType())),
@@ -180,7 +188,7 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
                     if enc is None:
                         enc = memo[w] = encode_word(w)
                     pieces.extend(enc)
-                out.append((int(doc_id), len(words), len(pieces), pieces))
+                out.append((doc_id, len(words), len(pieces), pieces))
             yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=schema)

@@ -359,3 +359,18 @@ def test_chunk_sliding_boundaries(spark):
     assert by_doc[3][0]["chunk_text"].split()[24] == \
         by_doc[3][1]["chunk_text"].split()[0]
     assert len(by_doc[4]) == 1 and by_doc[4][0]["n_tokens"] == 2
+
+
+def test_weighted_median_null_and_nan_weights(spark):
+    """NULL values / NULL weights carry no weight: the kernel drops
+    them instead of letting a NaN poison the cumsum (which used to
+    raise IndexError and kill the task); an all-NULL group yields NULL."""
+    rows = [("g1", 1.0, 1.0), ("g1", 2.0, None), ("g1", 3.0, 1.0),
+            ("g2", None, 5.0), ("g2", 7.0, 1.0),
+            ("g3", 9.0, None), ("g3", None, 1.0)]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    out = {r["k"]: r["weighted_median"]
+           for r in C.weighted_median(df, "k", "v", "w").collect()}
+    assert out["g1"] == 1.0        # weights (1, 1) over v (1, 3) -> lower med
+    assert out["g2"] == 7.0        # the only fully-non-null row
+    assert out["g3"] is None       # no usable (v, w) pair at all

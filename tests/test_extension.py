@@ -661,6 +661,25 @@ def test_cluster_survivors_string_ids(spark):
     assert tgot["a-doc"]["is_survivor"] and not tgot["z-doc"]["is_survivor"]
 
 
+def test_cluster_survivors_null_score_loses(spark):
+    """A NULL score must LOSE the election (-NULL sorts first in struct
+    ordering and would otherwise win the min-struct); a fully unscored
+    cluster still elects deterministically by id."""
+    from ethereum2_etl_airflow_spark.operators.graph import (
+        cluster_survivors)
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, None), (3, None), (4, None)],
+        "doc_id long, score long")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    got = {r["doc_id"]: r for r in
+           cluster_survivors(docs, pairs, F.col("score")).collect()}
+    # scored doc beats the NULL-score member
+    assert got[1]["is_survivor"] and not got[2]["is_survivor"]
+    # all-NULL cluster: smallest id survives
+    assert got[3]["is_survivor"] and not got[4]["is_survivor"]
+
+
 def test_run_expectations_null_semantics_and_empty_specs(spark):
     import pytest as _pytest
 
@@ -1168,3 +1187,32 @@ def test_mdq_bucket_registers_merge_by_min(spark, sf_dir):
     whole = mdq_bucket_registers(ev, "value", 32, "event_id")
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, whole.collect()))
+
+
+def test_bpe_encode_string_ids_and_renamed_column(spark):
+    """bpe_encode's output id field takes id_col's NAME and TYPE from
+    the input — string ids under a renamed column must round-trip."""
+    from ethereum2_etl_airflow_spark.operators.tokenizer import (
+        bpe_encode, bpe_train)
+
+    docs = spark.createDataFrame(
+        [("u-1", "low lower lowest"), ("u-2", "low low")],
+        "uid string, text string")
+    merges = bpe_train(docs, n_merges=4)
+    out = {r["uid"]: r for r in
+           bpe_encode(docs, merges, id_col="uid").collect()}
+    assert set(out) == {"u-1", "u-2"}
+    assert out["u-2"]["n_tokens"] == 2
+    assert "".join(out["u-1"]["pieces"]) == "lowlowerlowest"
+
+
+def test_extract_audio_features_empty_input(spark):
+    """A zero-row input must yield an empty typed frame, not a
+    KeyError from selecting columns off pd.DataFrame([])."""
+    from ethereum2_etl_airflow_spark.operators.multimodal import (
+        extract_audio_features)
+
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    out = extract_audio_features(empty)
+    assert out.collect() == []
+    assert out.columns[:3] == ["doc_id", "n_bytes", "n_frames"]
