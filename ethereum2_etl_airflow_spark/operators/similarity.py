@@ -377,55 +377,66 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     qrows = {int(r[id_col]): list(r["q"]) for r in bounded
              if r["role"] == "q"}
 
-    def sub_dist_expr(s: int, aq: list[int]):
-        terms = [(F.element_at("q", s * d_sub + i + 1)
-                  - F.lit(aq[s * d_sub + i])) for i in range(d_sub)]
-        sq = [t * t for t in terms]
-        out = sq[0]
-        for t in sq[1:]:
-            out = out + t
-        return out
+    def sub_dist_sql(s: int, aq: list[int]) -> str:
+        # argmin-equivalent distance: Σ(qᵢ-aᵢ)² = Σaᵢ² - 2Σqᵢaᵢ + Σqᵢ²,
+        # and Σqᵢ² is constant across anchors so it drops out of the
+        # argmin — each element_at then appears ONCE per anchor and the
+        # ordering (ties included: equal distances shift equally) is
+        # bit-identical to the squared form
+        lo = s * d_sub
+        ssq = sum(a * a for a in aq[lo:lo + d_sub])
+        dots = "+".join(f"element_at(q,{lo + i + 1})*({aq[lo + i]}L)"
+                        for i in range(d_sub))
+        return f"{ssq}L-2*({dots})"
 
-    coded = qdf
-    for s in range(m_sub):
-        dists = F.array(*[sub_dist_expr(s, aq) for aq in aqs])
-        coded = coded.withColumn(
-            f"c{s}",
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    # argmin as ONE least-of-structs per subspace — (dist, rank) structs
+    # compare lexicographically, so least() picks the min distance with
+    # ties to the lower anchor rank.  Built as ONE SQL string per code
+    # column, not nested Column operators: the assignment tree is
+    # ~4,000 expression nodes, and constructing it node-by-node through
+    # the Python Column API costs a py4j round-trip PER NODE — measured
+    # 3.5 s of pure driver-side construction per call, the operator's
+    # actual small-SF floor (execution over the corpus is ~0.5 s at
+    # sf0.1).  F.expr hands the whole string to Catalyst's parser in a
+    # single round-trip.
+    code_cols = [
+        F.expr("least(" + ",".join(
+            f"named_struct('d',{sub_dist_sql(s, aq)},'r',{r})"
+            for r, aq in enumerate(aqs)) + ").r").alias(f"c{s}")
+        for s in range(m_sub)]
     # materialize the code table (id + m_sub ints per vector — the PQ
     # index itself, 64× smaller than the vectors): the per-query top-k
     # branches below each scan it, and the assignment expressions are
     # wide enough that re-analyzing/re-running them per branch costs
     # more than the one bounded write
-    coded = coded.drop("q").localCheckpoint(eager=True)
+    coded = qdf.select(id_col, *code_cols).localCheckpoint(eager=True)
     # per-query ADC: LUT entries are plain Python ints baked as literals
     def lut(qq: list[int], s: int, aq: list[int]) -> int:
         return sum((qq[s * d_sub + i] - aq[s * d_sub + i]) ** 2
                    for i in range(d_sub))
 
-    per_q = []
-    for qid in query_ids:
-        qq = qrows[int(qid)]
+    # per-query TakeOrderedAndProject instead of the Arrow-backed
+    # partial_topk: |Q| is already literal-bounded by the LUT design, so
+    # one JVM per-partition-heap top-k per query keeps the whole PQ plan
+    # Python-free (measured: the Arrow pass floor was >half the runtime
+    # at small SF).  Each branch carries ONLY its own query's LUT sum —
+    # a |Q|-way exploded struct here would make every branch re-analyze
+    # and re-execute all |Q| distance expressions just to filter |Q|-1
+    # of them away.  For unbounded query sets score against
+    # partial_topk instead.
+    def q_dist(qq: list[int]):
         dist = None
         for s in range(m_sub):
             tbl = F.array(*[F.lit(lut(qq, s, aq)).cast("long")
                             for aq in aqs])
             term = F.element_at(tbl, F.col(f"c{s}") + 1)
             dist = term if dist is None else dist + term
-        per_q.append(F.struct(F.lit(int(qid)).cast("long")
-                              .alias("query_id"), dist.alias("dist")))
-    scored = (coded.select(F.col(id_col).alias("vec_id"),
-                           F.explode(F.array(*per_q)).alias("s"))
-              .select("s.query_id", "vec_id",
-                      F.col("s.dist").alias("approx_dist"))
-              .where(F.col("query_id") != F.col("vec_id")))
-    # per-query TakeOrderedAndProject instead of the Arrow-backed
-    # partial_topk: |Q| is already literal-bounded by the LUT design, so
-    # one JVM per-partition-heap top-k per query keeps the whole PQ plan
-    # Python-free (measured: the Arrow pass floor was >half the runtime
-    # at small SF).  Each branch scans the cached code table once; for
-    # unbounded query sets score against partial_topk instead.
-    tops = [scored.where(F.col("query_id") == int(qid))
+        return dist
+
+    tops = [coded.select(F.lit(int(qid)).cast("long").alias("query_id"),
+                         F.col(id_col).alias("vec_id"),
+                         q_dist(qrows[int(qid)]).alias("approx_dist"))
+            .where(F.col("vec_id") != int(qid))
             .orderBy("approx_dist", "vec_id").limit(k)
             for qid in query_ids]
     allq = tops[0]
