@@ -9,11 +9,13 @@ The Spark-side plumbing here is real and tested: schema, batching,
 ``mapInPandas`` signature, partition sizing.  Decoding is tiered:
 binary-PPM images decode for REAL with a pure-stdlib parser (no
 external codec — X5's decode path is fully exercisable in this
-container, end-to-end tested through the Arrow stage); other image
-mimes decode via a soft-imported PIL where available; audio/video stay
-honestly stubbed behind a clearly-marked ``NotImplementedError`` where
-torchaudio / ffmpeg would plug in; octet-stream uses a deterministic
-byte-derived fake so plumbing tests run hermetically.
+container, end-to-end tested through the Arrow stage); PCM16 WAV audio
+and raw YUV4MPEG2 (Y4M) video decode for real the same way (stdlib
+``wave`` / a ~40-line header+planes parser); other image mimes decode
+via a soft-imported PIL where available; COMPRESSED audio/video codecs
+stay honestly stubbed behind a clearly-marked ``NotImplementedError``
+where torchaudio / ffmpeg would plug in; octet-stream uses a
+deterministic byte-derived fake so plumbing tests run hermetically.
 
 Scale notes: payload partitions should target ~128 MB of *bytes* (so
 ``spark.sql.files.maxPartitionBytes`` governs, not row counts); feature
@@ -30,9 +32,10 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "FRAME_SCHEMA",
-           "AUDIO_SCHEMA", "attach_binary_payload", "read_media_dir",
-           "decode_stub", "extract_features", "extract_audio_features",
-           "sample_frames", "make_ppm", "make_wav"]
+           "AUDIO_SCHEMA", "VIDEO_FRAME_SCHEMA", "attach_binary_payload",
+           "read_media_dir", "decode_stub", "extract_features",
+           "extract_audio_features", "sample_frames", "make_ppm",
+           "make_wav", "make_y4m", "sample_y4m_frames"]
 
 #: payload + typed metadata layout for a multimodal table
 MEDIA_SCHEMA = T.StructType([
@@ -189,6 +192,123 @@ def _decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     return framerate, n_frames, list(struct.unpack(f"<{n}h", raw))
 
 
+def make_y4m(width: int, height: int, n_frames: int,
+             seed: int = 0) -> bytes:
+    """Deterministic little YUV4MPEG2 (Y4M) clip for tests/fixtures —
+    mono colourspace (luma plane only, part of the Y4M spec), so every
+    pixel is closed-form: frame t, pixel (x, y) has luma
+    ``(x + 3·y + 7·t + seed) % 256`` — re-derivable in pure SQL (see
+    ``ORACLE_MM_Y4M``)."""
+    out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 Cmono\n"
+                    % (width, height))
+    for t in range(n_frames):
+        out += b"FRAME\n"
+        out += bytes((x + 3 * y + 7 * t + seed) % 256
+                     for y in range(height) for x in range(width))
+    return bytes(out)
+
+
+def _decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Pure-stdlib YUV4MPEG2 decode (the video analogue of
+    :func:`_decode_ppm` — a REAL decode path, no external codec): Y4M
+    is a space-delimited ASCII header plus raw uncompressed planes per
+    ``FRAME`` marker.  Returns ``(width, height, [luma_plane, ...])``
+    — the luma (Y) plane of every frame; chroma planes of 4:2:0
+    variants are skipped over but not returned.  Raises ValueError on
+    malformed input or unsupported colourspaces (compressed codecs
+    stay behind the :func:`decode_stub` NotImplementedError)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    colour = "420jpeg"  # the spec's default when no C tag is present
+    for p in payload[:nl].split(b" ")[1:]:
+        if p[:1] == b"W":
+            w = int(p[1:])
+        elif p[:1] == b"H":
+            h = int(p[1:])
+        elif p[:1] == b"C":
+            colour = p[1:].decode("ascii")
+    if w is None or h is None:
+        raise ValueError("missing W/H in Y4M header")
+    if colour == "mono":
+        fsize = w * h
+    elif colour in ("420", "420jpeg", "420mpeg2", "420paldv"):
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+    elif colour == "444":
+        fsize = 3 * w * h
+    else:
+        raise ValueError(f"unsupported Y4M colourspace C{colour}")
+    frames: list[bytes] = []
+    i = nl + 1
+    while i < len(payload):
+        j = payload.index(b"\n", i)
+        if payload[i:i + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        i = j + 1
+        if len(payload) - i < fsize:
+            raise ValueError("truncated Y4M frame")
+        frames.append(bytes(payload[i:i + w * h]))
+        i += fsize
+    return w, h, frames
+
+
+#: real-frame sampling output: all-integer per-frame luma statistics so
+#: a SQL oracle can re-derive every row; luma_256 follows the same
+#: first-256-values cap convention as the image feature_sum.
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("luma_sum", T.LongType()),
+    T.StructField("luma_256", T.LongType()),
+])
+
+
+def sample_y4m_frames(media: DataFrame, target: int = 4,
+                      batch_hint: int | None = None) -> DataFrame:
+    """REAL frame sampling for Y4M video payloads: decode the container
+    (:func:`_decode_y4m`), pick ``target`` evenly-strided frames per
+    clip (every ``ceil(n_frames/target)``-th, frame 0 always included
+    — same stride contract as :func:`sample_frames`), and emit one row
+    of exact-integer luma statistics per sampled frame.  This is the
+    decode→frame-sample stage of a video training pipeline with the
+    frame boundaries coming from the container itself, not a byte
+    window.
+
+    Pure map stage (no shuffle); fan-out ≤ ``target`` rows per clip.
+    Compressed containers (mp4 etc.) still raise — only raw Y4M decodes
+    in-container; a real deployment swaps :func:`_decode_y4m` for a
+    pyav demux with the same schema."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = _decode_y4m(p)
+                n = len(frames)
+                if n == 0:
+                    continue
+                stride = -(-n // target)  # ceil
+                for idx in range(0, n, stride):
+                    y = frames[idx]
+                    rows.append((int(d), idx, n, w, h,
+                                 sum(y), sum(y[:256])))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              VIDEO_FRAME_SCHEMA.fields])
+
+    from ..functions.layout import ensure_parallelism
+    flat = media.select("doc_id", "payload")
+    if batch_hint:
+        flat = flat.repartition(batch_hint)
+    else:
+        flat = ensure_parallelism(flat)
+    return flat.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
 #: decoded-audio statistics: duration/peak/energy as exact integers so
 #: a SQL oracle can re-derive them; sumsq_256 follows the same
 #: first-256-samples cap convention as the image feature_sum.
@@ -300,10 +420,22 @@ def decode_stub(payload: bytes, mime: str) -> dict:
             "n_frames": nf,
             "feature_sum": sum(abs(s) for s in samples[:256]),
         }
+    if mime in ("video/x-yuv4mpeg", "video/yuv4mpeg2"):
+        # pure-stdlib decode — the video tier is REAL for raw Y4M, like
+        # PPM for images and WAV for audio; feature_sum follows the
+        # 256-cap convention (sum of frame 0's first 256 luma values)
+        _, _, frames = _decode_y4m(payload)
+        return {
+            "n_bytes": len(payload),
+            "head_hex": payload[:16].hex(),
+            "n_frames": len(frames),
+            "feature_sum": int(sum(frames[0][:256])) if frames else 0,
+        }
     if mime.startswith(("audio/", "video/")):
         # Real decode path: torchaudio.load / pyav demux — not in this
-        # container; plug the real decoder in here.  (WAV decodes for
-        # real above; this covers compressed audio + all video.)
+        # container; plug the real decoder in here.  (WAV and raw Y4M
+        # decode for real above; this covers COMPRESSED audio/video
+        # codecs only.)
         raise NotImplementedError(
             f"codec for {mime!r} not available in this environment; "
             "plug the real decoder into decode_stub()")

@@ -2909,6 +2909,70 @@ FROM f ORDER BY doc_id, frame_idx
 EXTENSION_CHECKS["mm_frames"] = (q_mm_frames, ORACLE_MM_FRAMES)
 
 
+def q_mm_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 video tier decoded FOR REAL: raw YUV4MPEG2 clips parsed by the
+    pure-stdlib container decoder, frame-sampled from the container's
+    own FRAME boundaries (not byte windows), with every sampled frame's
+    luma statistics exact integers — the 32×16 mono luma plane is a
+    closed-form function of (x, y, frame, doc_id), so the oracle
+    re-derives all VALUES in pure SQL.  Completes the multimodal
+    matrix: PPM images, PCM WAV audio, Y4M video all value-checked."""
+    import pandas as pd
+
+    from ..operators import multimodal as MM
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 13 == 0) \
+        .select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [MM.make_y4m(32, 16, int(i) % 5 + 1,
+                                        seed=int(i))
+                            for i in pdf["doc_id"]],
+            })
+
+    from pyspark.sql import types as T
+    media = d.mapInPandas(
+        gen, T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())]))
+    return (MM.sample_y4m_frames(media, target=4)
+            .orderBy("doc_id", "frame_idx"))
+
+
+ORACLE_MM_Y4M = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 5 + 1 AS INT) AS n
+  FROM documents WHERE doc_id % 13 = 0),
+fr AS (
+  -- stride = ceil(n/4), frame 0 always sampled (sample_y4m_frames
+  -- contract, same as sample_frames)
+  SELECT doc_id, n, CAST(t.t AS INT) AS frame_idx
+  FROM d, UNNEST(range(0, n, (n + 3) // 4)) AS t(t)),
+px AS (
+  -- luma(x, y, t, seed=doc_id) = (x + 3y + 7t + doc_id) % 256 over the
+  -- 32x16 mono plane in row-major order (p -> x = p % 32, y = p // 32);
+  -- luma_256 caps at the first 256 values, the repo-wide convention
+  SELECT doc_id, n, frame_idx,
+         SUM((p.p % 32 + 3 * (p.p // 32) + 7 * frame_idx + doc_id) % 256)
+           AS luma_sum,
+         SUM(CASE WHEN p.p < 256 THEN
+               (p.p % 32 + 3 * (p.p // 32) + 7 * frame_idx + doc_id) % 256
+             ELSE 0 END) AS luma_256
+  FROM fr, UNNEST(range(0, 512)) AS p(p)
+  GROUP BY 1, 2, 3)
+SELECT doc_id, frame_idx, n AS n_frames,
+       CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(luma_sum AS BIGINT) AS luma_sum,
+       CAST(luma_256 AS BIGINT) AS luma_256
+FROM px ORDER BY doc_id, frame_idx
+"""
+
+
+EXTENSION_CHECKS["mm_y4m"] = (q_mm_y4m, ORACLE_MM_Y4M)
+
+
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X65d: the corpus vocabulary statistic BPE training consumes —
     top-300 (word, freq) by (freq desc, word); the one-pass collapse

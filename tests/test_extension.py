@@ -1216,3 +1216,62 @@ def test_extract_audio_features_empty_input(spark):
     out = extract_audio_features(empty)
     assert out.collect() == []
     assert out.columns[:3] == ["doc_id", "n_bytes", "n_frames"]
+
+
+def test_y4m_roundtrip_and_decode_stub():
+    """make_y4m -> _decode_y4m roundtrip; the video mime decodes for
+    REAL in decode_stub; 4:2:0 chroma planes are skipped correctly;
+    malformed input raises ValueError (not a crash downstream)."""
+    from ethereum2_etl_airflow_spark.operators import multimodal as M2
+
+    clip = M2.make_y4m(8, 4, n_frames=3, seed=5)
+    w, h, frames = M2._decode_y4m(clip)
+    assert (w, h, len(frames)) == (8, 4, 3)
+    # closed form: frame t pixel (x, y) = (x + 3y + 7t + 5) % 256
+    assert frames[2][0] == (0 + 0 + 14 + 5) % 256
+    assert frames[1][8 * 3 + 7] == (7 + 9 + 7 + 5) % 256
+    out = M2.decode_stub(clip, "video/x-yuv4mpeg")
+    assert out["n_frames"] == 3
+    assert out["feature_sum"] == sum(frames[0][:256])
+    # C420: frame advance must skip the two half-res chroma planes
+    y_plane = bytes(range(32))
+    c420 = (b"YUV4MPEG2 W8 H4 F25:1 Ip A1:1 C420jpeg\n"
+            + b"FRAME\n" + y_plane + bytes(16)      # 2 x (4x2) chroma
+            + b"FRAME\n" + y_plane[::-1] + bytes(16))
+    w2, h2, fs2 = M2._decode_y4m(c420)
+    assert (w2, h2, len(fs2)) == (8, 4, 2)
+    assert fs2[0] == y_plane and fs2[1] == y_plane[::-1]
+    for bad in (b"nope", b"YUV4MPEG2 W8 H4 Cmono\nFRAME\n" + bytes(10),
+                b"YUV4MPEG2 W8 H4 Cfoo\nFRAME\n" + bytes(32)):
+        with pytest.raises(ValueError):
+            M2._decode_y4m(bad)
+    # compressed codecs stay honestly stubbed
+    with pytest.raises(NotImplementedError):
+        M2.decode_stub(b"\x00", "video/mp4")
+
+
+def test_sample_y4m_frames_stride_and_stats(spark):
+    """Container-boundary frame sampling: ceil(n/target) stride, frame 0
+    always included, exact luma sums; empty input yields a typed empty
+    frame."""
+    import pandas as pd
+
+    from ethereum2_etl_airflow_spark.operators import multimodal as M2
+
+    rows = [(1, M2.make_y4m(32, 16, 5, seed=1)),
+            (2, M2.make_y4m(32, 16, 1, seed=2))]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {}
+    for r in M2.sample_y4m_frames(media, target=4).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    # n=5 -> stride 2 -> frames 0, 2, 4
+    assert [r["frame_idx"] for r in sorted(got[1],
+                                           key=lambda r: r["frame_idx"])] \
+        == [0, 2, 4]
+    assert [r["frame_idx"] for r in got[2]] == [0]
+    f0 = next(r for r in got[1] if r["frame_idx"] == 0)
+    want = sum((x + 3 * y + 1) % 256 for y in range(16) for x in range(32))
+    assert f0["luma_sum"] == want and f0["width"] == 32
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    out = M2.sample_y4m_frames(empty)
+    assert out.collect() == [] and out.columns[0] == "doc_id"
