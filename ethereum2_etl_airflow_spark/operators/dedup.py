@@ -41,6 +41,7 @@ __all__ = [
     "source_minhash_similarity",
     "cosine_near_dup_pairs", "incremental_new_docs", "contamination_score",
     "dedup_chunks", "repeated_ngram_spans", "repeated_span_hits",
+    "semantic_dedup",
 ]
 
 
@@ -601,6 +602,84 @@ def cosine_near_dup_pairs(emb: DataFrame, block_col: str = "label",
              .select(block_col, "id_a", "id_b",
                      F.col("cos9").cast("double").alias("cosine")))
     return finalize_release(final, nv)
+
+
+def semantic_dedup(emb: DataFrame, n_cells: int = 8,
+                   threshold_millis: int = 950, dim: int = 64,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication",
+    arXiv'23): cluster the embedding space coarsely, then prune
+    near-identical *meanings* within each cluster — documents whose
+    embeddings are ε-close to a cell-mate are redundant for training
+    even when their text never matched any lexical dedup tier.
+
+    Deterministic, oracle-exact composition (the PQ/IVF determinism
+    recipe — no float k-means, so the whole pipeline is SQL-checkable):
+
+    1. **Cells**: int8 floor-quantize (exact math of
+       :func:`~.similarity.pq_topk`), pick the ``n_cells`` corpus
+       vectors with the smallest ``(md5(id), id)`` as anchors, assign
+       each vector to its integer-L2-nearest anchor (ties → lower
+       anchor rank) — a pure codegen scan, anchors are a bounded
+       driver literal.
+    2. **Intra-cell prune**: exact ε-pairs within each cell via
+       :func:`cosine_near_dup_pairs` (blocked GEMM prefilter + decimal
+       rescore) with the cell as the blocking key.
+    3. **Survivors**: a document is removed iff some SMALLER-id
+       cell-mate sits within ε (pairs are canonical ``id_a < id_b``,
+       so removed = distinct ``id_b``) — the lowest id of every
+       ε-neighborhood chain survives; deterministic and
+       order-independent, no iterative greedy state.
+
+    Returns ``(vec_id, cell)`` for the surviving documents.
+
+    Scale shape: the anchor scan and cell assignment are one narrow
+    map; the quadratic GEMM is bounded by the largest cell (raise
+    ``n_cells`` so |corpus|/n_cells stays inside the documented
+    per-task memory contract of :func:`cosine_near_dup_pairs`); the
+    removal is one distinct + one left-anti join on the id.  At real
+    scale swap the md5 anchors for sampled k-means centroids — the
+    plan shape is unchanged (the check keeps the deterministic anchors
+    so the oracle stays exact)."""
+    x = F.col(vec_col)
+    maxabs = F.array_max(F.transform(x, lambda e: F.abs(e.cast("double"))))
+    q8 = F.transform(
+        x, lambda e: F.when(F.col("m") == 0.0, F.lit(0).cast("long"))
+        .otherwise(F.floor(e.cast("double") * 127.0 / F.col("m"))
+                   .cast("long")))
+    qdf = (ensure_parallelism(emb)
+           .withColumn("m", maxabs)
+           .select(F.col(id_col), F.col(vec_col), q8.alias("q")).cache())
+    hx = F.md5(F.col(id_col).cast("string"))
+    anchors = [list(r["q"]) for r in
+               sorted(qdf.orderBy(hx, F.col(id_col)).limit(n_cells)
+                      .select(hx.alias("hx"), F.col(id_col), "q").collect(),
+                      key=lambda r: (r["hx"], r[id_col]))]
+
+    def cell_dist_sql(aq: list[int]) -> str:
+        # argmin-equivalent: Σaᵢ² - 2Σqᵢaᵢ (Σqᵢ² constant across
+        # anchors); one SQL string per anchor — node-by-node Column
+        # construction pays a py4j round-trip per node (see pq_topk)
+        ssq = sum(a * a for a in aq)
+        dots = "+".join(f"element_at(q,{i + 1})*({aq[i]}L)"
+                        for i in range(dim))
+        return f"{ssq}L-2*({dots})"
+
+    cell = F.expr("least(" + ",".join(
+        f"named_struct('d',{cell_dist_sql(aq)},'r',{r})"
+        for r, aq in enumerate(anchors)) + ").r")
+    with_cell = qdf.select(F.col(id_col).alias("vec_id"),
+                           F.col(vec_col).alias("embedding"),
+                           cell.alias("__cell"))
+    pairs = cosine_near_dup_pairs(with_cell, block_col="__cell",
+                                  threshold_millis=threshold_millis)
+    removed = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    survivors = (with_cell.join(removed, "vec_id", "left_anti")
+                 .select(F.col("vec_id").alias(id_col),
+                         F.col("__cell").alias("cell")))
+    return finalize_release(survivors, qdf)
 
 
 def dedup_chunks(docs: DataFrame, text_col: str = "text",

@@ -322,6 +322,68 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted-copy corpus: 1.01-scaled copies keep
+    the exact embedding DIRECTION (identical int8 quantization → same
+    cell; cosine 1.0 to the original), so every copy must be pruned and
+    every original survive — plus whatever organically-close pairs the
+    0.95 threshold finds.  Fully deterministic (md5 anchors + integer
+    cells + decimal cosine), so the oracle re-derives the exact
+    survivor set."""
+    return (D.semantic_dedup(_emb_corpus(spark, sf_dir).drop("label"),
+                             n_cells=8, threshold_millis=950)
+            .orderBy("vec_id"))
+
+
+ORACLE_DEDUP_SEMANTIC = f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01)
+  FROM embeddings),
+q8 AS (
+  SELECT vec_id, v,
+         CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v,
+                     x -> CAST(FLOOR(x * 127.0 / m) AS BIGINT))
+         END AS q
+  FROM (SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS m
+        FROM corpus)),
+anch AS (
+  SELECT q AS aq,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS arank
+  FROM q8
+  QUALIFY arank < 8),
+dist AS (
+  SELECT c.vec_id, a.arank,
+         list_sum(list_transform(range(1, 65),
+           i -> (c.q[i] - a.aq[i]) * (c.q[i] - a.aq[i]))) AS d
+  FROM q8 c, anch a),
+cells AS (
+  SELECT vec_id, CAST(arank AS INT) AS cell
+  FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d, arank) = 1),
+n AS (
+  SELECT vec_id, {_NV.format(v='v')} AS nv FROM q8),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a
+  JOIN cells ca ON ca.vec_id = a.vec_id
+  JOIN cells cb ON cb.cell = ca.cell AND cb.vec_id > ca.vec_id
+  JOIN n b ON b.vec_id = cb.vec_id
+  WHERE CAST({_DOT_C.format(a='a.nv', b='b.nv')} AS DOUBLE) >= 950 / 1000.0)
+SELECT c.vec_id, c.cell
+FROM cells c
+WHERE c.vec_id NOT IN (SELECT id_b FROM pairs)
+ORDER BY c.vec_id
+"""
+
+
 # --- X3: similarity search ------------------------------------------------
 
 _QUERY_IDS = [0, 1, 2, 3, 4]
@@ -1157,6 +1219,8 @@ ORDER BY r.doc_id
 
 
 EXTENSION_CHECKS["dedup_chunks"] = (q_dedup_chunks, ORACLE_DEDUP_CHUNKS)
+EXTENSION_CHECKS["dedup_semantic"] = (q_dedup_semantic,
+                                      ORACLE_DEDUP_SEMANTIC)
 
 
 # --- stream-static enrichment join ----------------------------------------

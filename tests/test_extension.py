@@ -1275,3 +1275,18 @@ def test_sample_y4m_frames_stride_and_stats(spark):
     empty = spark.createDataFrame([], "doc_id long, payload binary")
     out = M2.sample_y4m_frames(empty)
     assert out.collect() == [] and out.columns[0] == "doc_id"
+
+
+def test_semantic_dedup_prunes_planted_copies(spark, sf_dir):
+    """Every 1.01-scaled copy (same direction -> same cell, cosine 1.0)
+    is pruned; every original survives; survivor ids are the id_a side
+    of each epsilon-chain."""
+    corpus = _emb_corpus(spark, sf_dir).drop("label")
+    n = corpus.count() // 2
+    out = D.semantic_dedup(corpus, n_cells=8, threshold_millis=950)
+    rows = out.collect()
+    ids = {r["vec_id"] for r in rows}
+    assert not any(i >= 1000000 for i in ids)      # all copies pruned
+    assert len(ids) == n                            # all originals kept
+    # cells cover the advertised range
+    assert all(0 <= r["cell"] < 8 for r in rows)
