@@ -170,6 +170,67 @@ def make_wav(n_frames: int, seed: int = 0, framerate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
+def make_mulaw_wav(n_frames: int, seed: int = 0,
+                   framerate: int = 8000) -> bytes:
+    """Deterministic G.711 µ-law mono WAV for tests/fixtures: encoded
+    byte k is ``(k * 37 + seed * 11) % 256`` — closed-form, and the
+    µ-law expansion itself is pure integer bit math, so decoded
+    statistics are re-derivable in SQL (see ``ORACLE_MM_MULAW``).
+    Container written by hand: stdlib ``wave`` is PCM-only, and a
+    µ-law RIFF is just fmt(audio_format=7, 8-bit) + data."""
+    import struct
+
+    data = bytes((k * 37 + seed * 11) % 256 for k in range(n_frames))
+    fmt = struct.pack("<HHIIHH", 7, 1, framerate, framerate, 1, 8)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mulaw_expand(u: int) -> int:
+    """G.711 µ-law byte → linear PCM16 sample (the ITU-T decode table
+    as its closed-form: complement, then ``(((m<<3)+0x84)<<e)-0x84``
+    with the sign bit applied) — range ±32124, matching the classic
+    ``audioop.ulaw2lin(.., 2)`` (removed from the stdlib in 3.13)."""
+    u = ~u & 0xFF
+    e = (u >> 4) & 0x07
+    m = u & 0x0F
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return -mag if u & 0x80 else mag
+
+
+def _decode_mulaw_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Pure-stdlib G.711 µ-law WAV decode: hand-parsed RIFF chunks
+    (stdlib ``wave`` raises on non-PCM formats) + the
+    :func:`_mulaw_expand` companding expansion per byte.  Returns
+    ``(framerate, n_frames, samples)`` like :func:`_decode_wav`."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    framerate = None
+    data = None
+    i = 12
+    while i + 8 <= len(payload):
+        tag = payload[i:i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4:i + 8])
+        body = payload[i + 8:i + 8 + size]
+        if tag == b"fmt ":
+            audio_format, channels, framerate = struct.unpack(
+                "<HHI", body[:8])
+            if audio_format != 7 or channels != 1:
+                raise ValueError(
+                    f"not mono µ-law (format={audio_format}, "
+                    f"channels={channels})")
+        elif tag == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if framerate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return framerate, len(data), [_mulaw_expand(b) for b in data]
+
+
 def _decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     """Pure-stdlib WAV decode (the audio analogue of :func:`_decode_ppm`
     — a REAL decode path with no external codec): returns
@@ -334,10 +395,17 @@ def extract_audio_features(media: DataFrame,
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import wave
+
         for pdf in batches:
             feats = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                fr, nf, samples = _decode_wav(payload)
+                try:
+                    fr, nf, samples = _decode_wav(payload)
+                except wave.Error:
+                    # stdlib wave is PCM-only; G.711 µ-law RIFFs take
+                    # the hand-parsed companding path
+                    fr, nf, samples = _decode_mulaw_wav(payload)
                 feats.append({
                     "doc_id": int(doc_id),
                     "n_bytes": len(payload),
@@ -431,11 +499,21 @@ def decode_stub(payload: bytes, mime: str) -> dict:
             "n_frames": len(frames),
             "feature_sum": int(sum(frames[0][:256])) if frames else 0,
         }
+    if mime in ("audio/basic", "audio/x-mulaw"):
+        # pure-stdlib G.711 µ-law decode — a real COMPANDED-codec path
+        # (hand-parsed RIFF + the ITU-T expansion in _mulaw_expand)
+        _, nf, samples = _decode_mulaw_wav(payload)
+        return {
+            "n_bytes": len(payload),
+            "head_hex": payload[:16].hex(),
+            "n_frames": nf,
+            "feature_sum": sum(abs(s) for s in samples[:256]),
+        }
     if mime.startswith(("audio/", "video/")):
         # Real decode path: torchaudio.load / pyav demux — not in this
-        # container; plug the real decoder in here.  (WAV and raw Y4M
-        # decode for real above; this covers COMPRESSED audio/video
-        # codecs only.)
+        # container; plug the real decoder in here.  (PCM WAV, G.711
+        # µ-law, and raw Y4M decode for real above; this covers
+        # perceptually-compressed codecs — mp3/aac/h264 — only.)
         raise NotImplementedError(
             f"codec for {mime!r} not available in this environment; "
             "plug the real decoder into decode_stub()")

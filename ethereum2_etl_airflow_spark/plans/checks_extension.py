@@ -3037,6 +3037,68 @@ FROM px ORDER BY doc_id, frame_idx
 EXTENSION_CHECKS["mm_y4m"] = (q_mm_y4m, ORACLE_MM_Y4M)
 
 
+def q_mm_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 companded-audio tier decoded FOR REAL: G.711 µ-law RIFFs
+    (stdlib wave is PCM-only, so the container is hand-parsed and the
+    ITU-T expansion is pure integer bit math) — every decoded sample is
+    closed-form in (k, doc_id), so the oracle re-derives peak/energy
+    VALUES in SQL through the same expansion formula."""
+    import pandas as pd
+
+    from ..operators import multimodal as MM
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0) \
+        .select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [MM.make_mulaw_wav(int(i) % 300 + 50,
+                                              seed=int(i))
+                            for i in pdf["doc_id"]],
+            })
+
+    from pyspark.sql import types as T
+    media = d.mapInPandas(
+        gen, T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())]))
+    return MM.extract_audio_features(media).orderBy("doc_id")
+
+
+ORACLE_MM_MULAW = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 300 + 50 AS BIGINT) AS nf
+  FROM documents WHERE doc_id % 7 = 0),
+enc AS (
+  -- encoded byte k = (k*37 + doc_id*11) % 256; µ-law expand =
+  -- complement (255-u), then (((m<<3)+132)<<e)-132 with the sign bit
+  SELECT doc_id, nf, k.k,
+         255 - ((k.k * 37 + doc_id * 11) % 256) AS uc
+  FROM d, UNNEST(range(0, nf)) AS k(k)),
+dec AS (
+  SELECT doc_id, nf, k,
+         CASE WHEN uc >= 128
+              THEN -(((uc % 16) * 8 + 132) * (1 << ((uc // 16) % 8)) - 132)
+              ELSE   ((uc % 16) * 8 + 132) * (1 << ((uc // 16) % 8)) - 132
+         END AS sv
+  FROM enc),
+agg AS (
+  SELECT doc_id, MAX(nf) AS nf, MAX(abs(sv)) AS peak_abs,
+         SUM(CASE WHEN k < 256 THEN sv * sv ELSE 0 END) AS sumsq_256
+  FROM dec GROUP BY doc_id)
+SELECT doc_id, CAST(44 + nf AS BIGINT) AS n_bytes,
+       CAST(nf AS BIGINT) AS n_frames, CAST(8000 AS INT) AS framerate,
+       CAST(nf * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(peak_abs AS INT) AS peak_abs,
+       CAST(sumsq_256 AS BIGINT) AS sumsq_256
+FROM agg ORDER BY doc_id
+"""
+
+
+EXTENSION_CHECKS["mm_mulaw"] = (q_mm_mulaw, ORACLE_MM_MULAW)
+
+
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X65d: the corpus vocabulary statistic BPE training consumes —
     top-300 (word, freq) by (freq desc, word); the one-pass collapse

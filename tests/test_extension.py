@@ -1290,3 +1290,44 @@ def test_semantic_dedup_prunes_planted_copies(spark, sf_dir):
     assert len(ids) == n                            # all originals kept
     # cells cover the advertised range
     assert all(0 <= r["cell"] < 8 for r in rows)
+
+
+def test_mulaw_wav_decode_and_stub():
+    """Hand-parsed G.711 RIFF: expansion matches the ITU-T table's
+    closed form (peak 32124 at code 0x80's complement), the stub mime
+    decodes for real, PCM WAVs still take the stdlib path, and
+    malformed RIFFs raise ValueError."""
+    from ethereum2_etl_airflow_spark.operators import multimodal as M2
+
+    assert M2._mulaw_expand(0xFF) == 0       # positive silence code
+    assert M2._mulaw_expand(0x7F) == 0       # negative silence code
+    assert M2._mulaw_expand(0x00) == -32124  # max negative
+    assert M2._mulaw_expand(0x80) == 32124   # max positive
+    p = M2.make_mulaw_wav(80, seed=3)
+    fr, nf, samples = M2._decode_mulaw_wav(p)
+    assert (fr, nf, len(samples)) == (8000, 80, 80)
+    out = M2.decode_stub(p, "audio/basic")
+    assert out["n_frames"] == 80
+    assert out["feature_sum"] == sum(abs(s) for s in samples)
+    with pytest.raises(ValueError):
+        M2._decode_mulaw_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):   # PCM fmt through the mulaw path
+        M2._decode_mulaw_wav(M2.make_wav(10))
+    # perceptual codecs remain honestly stubbed
+    with pytest.raises(NotImplementedError):
+        M2.decode_stub(b"\x00", "audio/mpeg")
+
+
+def test_extract_audio_features_mulaw_dispatch(spark):
+    """extract_audio_features transparently handles both PCM and µ-law
+    RIFFs in one batch (stdlib wave path + hand-parsed fallback)."""
+    from ethereum2_etl_airflow_spark.operators import multimodal as M2
+
+    rows = [(1, M2.make_wav(100, seed=1)),
+            (2, M2.make_mulaw_wav(60, seed=2))]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in M2.extract_audio_features(media).collect()}
+    assert got[1]["n_frames"] == 100 and got[2]["n_frames"] == 60
+    assert got[2]["n_bytes"] == 44 + 60
+    _, _, s2 = M2._decode_mulaw_wav(rows[1][1])
+    assert got[2]["peak_abs"] == max(abs(x) for x in s2)

@@ -35,10 +35,15 @@ def main() -> None:
     ap.add_argument("--factors", default="1,4,16")
     ap.add_argument("--graph", action="store_true",
                     help="probe the graph operator batch instead")
+    ap.add_argument("--ann", action="store_true",
+                    help="probe the similarity/ANN operator batch instead")
     args = ap.parse_args()
 
     if args.graph:
         graph_probe(args)
+        return
+    if args.ann:
+        ann_probe(args)
         return
 
     from pyspark.sql import functions as F
@@ -95,6 +100,91 @@ def main() -> None:
               f"q1={r1} dedup_exact={r2} minhash={r3} gopher={r4} "
               f"linear_score={r5} repeated_spans={r6}",
               flush=True)
+    spark.stop()
+
+
+def ann_probe(args) -> None:
+    """Scale the embedding corpus (and, for the text-sparse op, the
+    documents corpus) as N disjoint-id copies and time the
+    similarity/ANN batch.  What each shape should show:
+
+    - ``pq_topk`` / ``retrieval_topk``: the corpus side is a pure
+      codegen scan (codes/LUTs are bounded driver literals) → linear;
+      the driver-side constant (codebook collect + plan build) shows
+      up as a flat intercept, NOT a slope.
+    - ``embed_neardup`` / ``semantic_dedup``: the quadratic GEMM is
+      bounded per block/cell, so with block cardinality scaled along
+      with the data (disjoint labels per copy; n_cells ∝ n) growth is
+      linear in blocks — the documented memory contract in action.
+    - ``sparse_cosine_pairs``: PPJoin-style prefix filtering over
+      blocked docs — same blocked-linear expectation.
+    """
+    from pyspark.sql import functions as F
+
+    from ethereum2_etl_airflow_spark.operators import dedup as D
+    from ethereum2_etl_airflow_spark.operators import similarity as S
+    from ethereum2_etl_airflow_spark.session import build_session
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    spark = build_session(app_name="scale-probe-ann")
+
+    emb = load_table(spark, args.sf_dir, "embeddings").cache()
+    emb.count()
+    docs = load_table(spark, args.sf_dir, "documents").cache()
+    docs.count()
+
+    def best2(fn) -> float:
+        fn()
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return round(min(times), 2)
+
+    def noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    for n in [int(x) for x in args.factors.split(",")]:
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+        emb.cache().count()
+        docs.cache().count()
+        # disjoint ids per copy; labels/sources disjoint per copy too,
+        # so block SIZE stays constant while block COUNT scales — the
+        # contract under which the blocked-quadratic ops claim linear
+        se = None
+        for i in range(n):
+            d = emb.select((F.col("vec_id") + F.lit(i * 50_000_000))
+                           .alias("vec_id"), "embedding",
+                           (F.col("label") + F.lit(i * 1000)).alias("label"))
+            se = d if se is None else se.unionByName(d)
+        se = se.localCheckpoint(eager=True)
+        sd = None
+        for i in range(n):
+            d = docs.withColumn("doc_id", F.col("doc_id")
+                                + F.lit(i * 50_000_000)) \
+                .withColumn("source", F.concat(F.col("source"),
+                                               F.lit(f"#{i}")))
+            sd = d if sd is None else sd.unionByName(d)
+        sd = sd.localCheckpoint(eager=True)
+        nrows = se.count()
+        r_pq = best2(lambda: noop(S.pq_topk(se, [1, 2, 3], k=10)))
+        r_rt = best2(lambda: noop(
+            S.retrieval_topk(se, [1, 2, 3], k=10, shortlist=50)))
+        r_nd = best2(lambda: noop(
+            D.cosine_near_dup_pairs(se, block_col="label",
+                                    threshold_millis=999)))
+        r_sem = best2(lambda: noop(
+            D.semantic_dedup(se, n_cells=8 * n, threshold_millis=950)))
+        r_sc = best2(lambda: noop(
+            S.sparse_cosine_pairs(sd, threshold_millis=650)))
+        print(f"SCALE-ANN n={n} vecs={nrows} sim_pq={r_pq} "
+              f"retrieval_topk={r_rt} embed_neardup={r_nd} "
+              f"semantic_dedup={r_sem} sparse_cosine={r_sc}", flush=True)
     spark.stop()
 
 
