@@ -606,8 +606,8 @@ def cosine_near_dup_pairs(emb: DataFrame, block_col: str = "label",
 
 def semantic_dedup(emb: DataFrame, n_cells: int = 8,
                    threshold_millis: int = 950, dim: int = 64,
-                   id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   assign_via_join: bool | None = None) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication",
     arXiv'23): cluster the embedding space coarsely, then prune
@@ -635,14 +635,18 @@ def semantic_dedup(emb: DataFrame, n_cells: int = 8,
 
     Returns ``(vec_id, cell)`` for the surviving documents.
 
-    Scale shape: the anchor scan and cell assignment are one narrow
-    map; the quadratic GEMM is bounded by the largest cell (raise
-    ``n_cells`` so |corpus|/n_cells stays inside the documented
-    per-task memory contract of :func:`cosine_near_dup_pairs`); the
-    removal is one distinct + one left-anti join on the id.  At real
-    scale swap the md5 anchors for sampled k-means centroids — the
-    plan shape is unchanged (the check keeps the deterministic anchors
-    so the oracle stays exact)."""
+    Scale shape: cell assignment is a pure codegen scan for ≤64 cells
+    (anchors baked as one SQL expression) and a broadcast
+    nested-loop + partial-aggregating min-of-structs beyond that
+    (identical semantics, plan size O(1) in n_cells, still no corpus
+    shuffle); the quadratic GEMM is bounded by the largest cell.
+    Sizing discipline: ``n_cells ∝ √N`` balances the N·n_cells
+    assignment against the N²/n_cells GEMM at N^1.5 total — the FAISS
+    IVF rule (measured in ``tools/scale_probe.py --ann``).  The removal
+    is one distinct + one left-anti join on the id.  At real scale swap
+    the md5 anchors for sampled k-means centroids — the plan shape is
+    unchanged (the check keeps the deterministic anchors so the oracle
+    stays exact)."""
     x = F.col(vec_col)
     maxabs = F.array_max(F.transform(x, lambda e: F.abs(e.cast("double"))))
     q8 = F.transform(
@@ -658,21 +662,46 @@ def semantic_dedup(emb: DataFrame, n_cells: int = 8,
                       .select(hx.alias("hx"), F.col(id_col), "q").collect(),
                       key=lambda r: (r["hx"], r[id_col]))]
 
-    def cell_dist_sql(aq: list[int]) -> str:
-        # argmin-equivalent: Σaᵢ² - 2Σqᵢaᵢ (Σqᵢ² constant across
-        # anchors); one SQL string per anchor — node-by-node Column
-        # construction pays a py4j round-trip per node (see pq_topk)
-        ssq = sum(a * a for a in aq)
-        dots = "+".join(f"element_at(q,{i + 1})*({aq[i]}L)"
-                        for i in range(dim))
-        return f"{ssq}L-2*({dots})"
+    if assign_via_join is None:
+        assign_via_join = len(anchors) > 64
+    if not assign_via_join:
+        # bounded cell count: bake the anchors as ONE SQL expression —
+        # pure codegen scan, no join at all
+        def cell_dist_sql(aq: list[int]) -> str:
+            # argmin-equivalent: Σaᵢ² - 2Σqᵢaᵢ (Σqᵢ² constant across
+            # anchors); one SQL string per anchor — node-by-node Column
+            # construction pays a py4j round-trip per node (see pq_topk)
+            ssq = sum(a * a for a in aq)
+            dots = "+".join(f"element_at(q,{i + 1})*({aq[i]}L)"
+                            for i in range(dim))
+            return f"{ssq}L-2*({dots})"
 
-    cell = F.expr("least(" + ",".join(
-        f"named_struct('d',{cell_dist_sql(aq)},'r',{r})"
-        for r, aq in enumerate(anchors)) + ").r")
-    with_cell = qdf.select(F.col(id_col).alias("vec_id"),
-                           F.col(vec_col).alias("embedding"),
-                           cell.alias("__cell"))
+        cell = F.expr("least(" + ",".join(
+            f"named_struct('d',{cell_dist_sql(aq)},'r',{r})"
+            for r, aq in enumerate(anchors)) + ").r")
+        with_cell = qdf.select(F.col(id_col).alias("vec_id"),
+                               F.col(vec_col).alias("embedding"),
+                               cell.alias("__cell"))
+    else:
+        # many cells (n_cells ∝ √N at scale): a literal argmin
+        # expression would grow past codegen's method limits, so assign
+        # via a broadcast nested-loop against the tiny anchor table and
+        # ONE partial-aggregating min-of-structs per vector — identical
+        # semantics (ties → lower anchor rank), plan size O(1) in
+        # n_cells, still no shuffle of the corpus (the partial agg
+        # collapses the N·n_cells stream inside each task)
+        adf = emb.sparkSession.createDataFrame(
+            [(r, aq) for r, aq in enumerate(anchors)],
+            "__arank int, __aq array<bigint>")
+        d2 = F.aggregate(
+            F.zip_with("q", "__aq", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        with_cell = (qdf.crossJoin(F.broadcast(adf))
+                     .groupBy(F.col(id_col).alias("vec_id"))
+                     .agg(F.first(vec_col).alias("embedding"),
+                          F.min(F.struct(d2.alias("d"),
+                                         F.col("__arank").alias("r")))
+                          .getField("r").alias("__cell")))
     pairs = cosine_near_dup_pairs(with_cell, block_col="__cell",
                                   threshold_millis=threshold_millis)
     removed = pairs.select(F.col("id_b").alias("vec_id")).distinct()

@@ -1331,3 +1331,17 @@ def test_extract_audio_features_mulaw_dispatch(spark):
     assert got[2]["n_bytes"] == 44 + 60
     _, _, s2 = M2._decode_mulaw_wav(rows[1][1])
     assert got[2]["peak_abs"] == max(abs(x) for x in s2)
+
+
+def test_semantic_dedup_assignment_paths_agree(spark, sf_dir):
+    """The literal-argmin and broadcast-join cell assignments are the
+    same function: identical (vec_id, cell) survivor sets (ties -> lower
+    anchor rank in both)."""
+    corpus = _emb_corpus(spark, sf_dir).drop("label").limit(300)
+    lit_path = {(r["vec_id"], r["cell"]) for r in
+                D.semantic_dedup(corpus, n_cells=8,
+                                 assign_via_join=False).collect()}
+    join_path = {(r["vec_id"], r["cell"]) for r in
+                 D.semantic_dedup(corpus, n_cells=8,
+                                  assign_via_join=True).collect()}
+    assert lit_path == join_path and lit_path

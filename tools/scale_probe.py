@@ -155,11 +155,22 @@ def ann_probe(args) -> None:
         docs.cache().count()
         # disjoint ids per copy; labels/sources disjoint per copy too,
         # so block SIZE stays constant while block COUNT scales — the
-        # contract under which the blocked-quadratic ops claim linear
+        # contract under which the blocked-quadratic ops claim linear.
+        # Embeddings are ROTATED per copy (cyclic shift by the copy
+        # index): identical copies would be exact semantic twins, and
+        # the near-dup/semantic ops would then measure TRUE-PAIR mass
+        # growing quadratically with the factor (data semantics, not a
+        # plan defect — first sweep measured exactly that); rotation
+        # preserves norms and the value distribution while making the
+        # copies mutually dissimilar, so dup density per copy stays
+        # constant and the probe isolates the scan/GEMM scaling.
         se = None
         for i in range(n):
+            rot = (F.concat(F.slice("embedding", i + 1, 64 - i),
+                            F.slice("embedding", 1, i))
+                   if i else F.col("embedding"))
             d = emb.select((F.col("vec_id") + F.lit(i * 50_000_000))
-                           .alias("vec_id"), "embedding",
+                           .alias("vec_id"), rot.alias("embedding"),
                            (F.col("label") + F.lit(i * 1000)).alias("label"))
             se = d if se is None else se.unionByName(d)
         se = se.localCheckpoint(eager=True)
@@ -178,8 +189,13 @@ def ann_probe(args) -> None:
         r_nd = best2(lambda: noop(
             D.cosine_near_dup_pairs(se, block_col="label",
                                     threshold_millis=999)))
+        # cells scale with sqrt(data) — the FAISS IVF discipline: cell
+        # assignment costs N·n_cells and the per-cell GEMM costs
+        # N²/n_cells, so n_cells ∝ √N balances both at N^1.5 total
+        # (linear per-core once the cluster grows with the data)
+        ncells = 8 * max(1, int(n ** 0.5))
         r_sem = best2(lambda: noop(
-            D.semantic_dedup(se, n_cells=8 * n, threshold_millis=950)))
+            D.semantic_dedup(se, n_cells=ncells, threshold_millis=950)))
         r_sc = best2(lambda: noop(
             S.sparse_cosine_pairs(sd, threshold_millis=650)))
         print(f"SCALE-ANN n={n} vecs={nrows} sim_pq={r_pq} "
