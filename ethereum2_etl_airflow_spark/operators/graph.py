@@ -324,25 +324,35 @@ def pagerank_int(edges: DataFrame, n_iter: int = 3,
     drift vs. real PageRank is ≤ n_iter ulps of 1/scale — ranking-
     irrelevant at scale=1e6.
 
-    Scale shape: each round is one shuffle join (edges × scores on
-    src) + a map-side-combining SUM on dst; edges are cached once,
-    scores are ``localCheckpoint``-ed per round so lineage stays O(1)
-    deep.  Dangling nodes (no in-edges) settle at the teleport base.
-    At 100 TB this is the same per-round cost envelope as label
-    propagation; n_iter is fixed, not convergence-probed, to keep the
-    oracle exact."""
+    Scale shape — ONE exchange per round: the out-degree is fused into
+    the cached edge set once (it is loop-invariant; joining it every
+    round was a whole extra join), both the degree-fused edges and the
+    node table are cached HASH-PARTITIONED on their join keys, and the
+    per-round score table inherits hash(node) partitioning through the
+    ``localCheckpoint`` (LogicalRDD preserves outputPartitioning) — so
+    the edges × scores join and the dangling-node left join both plan
+    with zero exchange, and the only shuffle each round is the
+    map-side-combining SUM of contributions on dst.  Dangling nodes
+    (no in-edges) settle at the teleport base.  At 100 TB this is the
+    same per-round cost envelope as label propagation; n_iter is
+    fixed, not convergence-probed, to keep the oracle exact."""
     base = scale - damp_num * scale // damp_den
+    npart = max(
+        int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                        "200") or 200),
+        edges.sparkSession.sparkContext.defaultParallelism)
     e = edges.select("src", "dst").distinct()
-    e = e.persist()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = (e.join(outdeg, "src")
+          .repartition(npart, "src").persist())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct()
+             .repartition(npart, "node").persist())
     try:
-        nodes = (e.select(F.col("src").alias("node"))
-                 .union(e.select(F.col("dst").alias("node"))).distinct())
-        outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
         scores = nodes.select("node", F.lit(scale).cast("bigint")
                               .alias("score")).localCheckpoint(eager=True)
         for _ in range(n_iter):
-            contrib = (e.join(scores, e["src"] == scores["node"])
-                       .join(outdeg, "src")
+            contrib = (ed.join(scores, ed["src"] == scores["node"])
                        .select(F.col("dst").alias("node"),
                                F.expr("score div deg").alias("c")))
             agg = contrib.groupBy("node").agg(F.sum("c").alias("s"))
@@ -356,7 +366,8 @@ def pagerank_int(edges: DataFrame, n_iter: int = 3,
             _release_round_blocks()
         return scores
     finally:
-        e.unpersist()
+        ed.unpersist()
+        nodes.unpersist()
 
 
 def cluster_survivors(docs: DataFrame, pairs: DataFrame,
