@@ -41,7 +41,7 @@ __all__ = [
     "source_minhash_similarity",
     "cosine_near_dup_pairs", "incremental_new_docs", "contamination_score",
     "dedup_chunks", "repeated_ngram_spans", "repeated_span_hits",
-    "semantic_dedup",
+    "semantic_dedup", "semantic_dedup_incremental",
 ]
 
 
@@ -706,6 +706,92 @@ def semantic_dedup(emb: DataFrame, n_cells: int = 8,
                                   threshold_millis=threshold_millis)
     removed = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     survivors = (with_cell.join(removed, "vec_id", "left_anti")
+                 .select(F.col("vec_id").alias(id_col),
+                         F.col("__cell").alias("cell")))
+    return finalize_release(survivors, qdf)
+
+
+def semantic_dedup_incremental(batch: DataFrame, history: DataFrame,
+                               n_cells: int = 8,
+                               threshold_millis: int = 950,
+                               dim: int = 64, id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Arrival-time SemDeDup: prune an arriving ``batch`` against the
+    accepted ``history`` (and against itself) — the incremental
+    companion of :func:`semantic_dedup`, mirroring what
+    :func:`incremental_new_docs` does for exact dedup.  A batch
+    document is dropped iff some history document OR some smaller-id
+    batch-mate sits within ε in its cell; history is never dropped.
+
+    The codebook comes from HISTORY ONLY (the ``n_cells`` smallest
+    ``(md5(id), id)`` history vectors, int8-quantized) — the
+    incremental contract: cell boundaries don't drift as batches
+    arrive, so yesterday's survivors stay comparable to today's.
+    Ids must be disjoint across batch and history (same contract as
+    every id-keyed incremental operator here).
+
+    Returns ``(vec_id, cell)`` for surviving BATCH documents.
+
+    Scale shape: identical to :func:`semantic_dedup` (anchor scan →
+    blocked GEMM → one distinct + one anti join) with the GEMM run
+    once over the unioned corpus per cell; history rows add to cell
+    size, so the same n_cells ∝ √N discipline applies to history
+    growth."""
+    both = (ensure_parallelism(history)
+            .select(F.col(id_col), F.col(vec_col),
+                    F.lit(True).alias("__hist"))
+            .unionByName(
+                ensure_parallelism(batch)
+                .select(F.col(id_col), F.col(vec_col),
+                        F.lit(False).alias("__hist"))))
+    x = F.col(vec_col)
+    maxabs = F.array_max(F.transform(x, lambda e: F.abs(e.cast("double"))))
+    q8 = F.transform(
+        x, lambda e: F.when(F.col("m") == 0.0, F.lit(0).cast("long"))
+        .otherwise(F.floor(e.cast("double") * 127.0 / F.col("m"))
+                   .cast("long")))
+    qdf = (both.withColumn("m", maxabs)
+           .select(F.col(id_col), F.col(vec_col), "__hist",
+                   q8.alias("q")).cache())
+    hx = F.md5(F.col(id_col).cast("string"))
+    anchors = [list(r["q"]) for r in
+               sorted(qdf.where("__hist")
+                      .orderBy(hx, F.col(id_col)).limit(n_cells)
+                      .select(hx.alias("hx"), F.col(id_col), "q").collect(),
+                      key=lambda r: (r["hx"], r[id_col]))]
+
+    def cell_dist_sql(aq: list[int]) -> str:
+        ssq = sum(a * a for a in aq)
+        dots = "+".join(f"element_at(q,{i + 1})*({aq[i]}L)"
+                        for i in range(dim))
+        return f"{ssq}L-2*({dots})"
+
+    cell = F.expr("least(" + ",".join(
+        f"named_struct('d',{cell_dist_sql(aq)},'r',{r})"
+        for r, aq in enumerate(anchors)) + ").r")
+    with_cell = qdf.select(F.col(id_col).alias("vec_id"),
+                           F.col(vec_col).alias("embedding"),
+                           F.col("__hist"), cell.alias("__cell"))
+    pairs = cosine_near_dup_pairs(
+        with_cell.select("vec_id", "embedding", "__cell"),
+        block_col="__cell", threshold_millis=threshold_millis)
+    roles = with_cell.select("vec_id", "__hist")
+    tagged = (pairs
+              .join(roles.withColumnRenamed("vec_id", "id_a")
+                    .withColumnRenamed("__hist", "__hist_a"), "id_a")
+              .join(roles.withColumnRenamed("vec_id", "id_b")
+                    .withColumnRenamed("__hist", "__hist_b"), "id_b"))
+    # removal rules on canonical (id_a < id_b) pairs: a batch doc near
+    # ANY history doc drops (whichever side it canonicalized to); a
+    # batch-batch pair drops the larger id; history-history is ignored
+    removed = (tagged.select(
+        F.when(F.col("__hist_a") & ~F.col("__hist_b"), F.col("id_b"))
+        .when(~F.col("__hist_a") & F.col("__hist_b"), F.col("id_a"))
+        .when(~F.col("__hist_a") & ~F.col("__hist_b"), F.col("id_b"))
+        .alias("vec_id"))
+        .where(F.col("vec_id").isNotNull()).distinct())
+    survivors = (with_cell.where(~F.col("__hist"))
+                 .join(removed, "vec_id", "left_anti")
                  .select(F.col("vec_id").alias(id_col),
                          F.col("__cell").alias("cell")))
     return finalize_release(survivors, qdf)

@@ -384,6 +384,98 @@ ORDER BY c.vec_id
 """
 
 
+def q_dedup_semantic_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-time SemDeDup: history = the embeddings table; the
+    arriving batch = 1.01-scaled copies of every history vector
+    (+1000000 — same direction → same cell, cosine 1.0 → must ALL be
+    pruned against history) plus cyclically-rotated vectors (+2000000 —
+    new directions → survive unless organically ε-close).  Codebook
+    from history only (the incremental no-drift contract).  Fully
+    deterministic, so the oracle re-derives the exact batch-survivor
+    set through the same cells/pairs/rules."""
+    hist = _emb(spark, sf_dir)
+    scaled = hist.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.01)
+        .alias("embedding"))
+    rotated = hist.select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.concat(F.slice(F.transform("embedding",
+                                     lambda x: x.cast("double")), 2, 63),
+                 F.slice(F.transform("embedding",
+                                     lambda x: x.cast("double")), 1, 1))
+        .alias("embedding"))
+    batch = scaled.unionByName(rotated)
+    return (D.semantic_dedup_incremental(batch, hist, n_cells=8,
+                                         threshold_millis=950)
+            .orderBy("vec_id"))
+
+
+ORACLE_DEDUP_SEMANTIC_INC = f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         TRUE AS is_hist
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01), FALSE
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 2000000,
+         list_concat(list_transform(embedding[2:64],
+                                    x -> CAST(x AS DOUBLE)),
+                     list_transform(embedding[1:1],
+                                    x -> CAST(x AS DOUBLE))), FALSE
+  FROM embeddings),
+q8 AS (
+  SELECT vec_id, v, is_hist,
+         CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v,
+                     x -> CAST(FLOOR(x * 127.0 / m) AS BIGINT))
+         END AS q
+  FROM (SELECT vec_id, v, is_hist,
+               list_max(list_transform(v, x -> abs(x))) AS m
+        FROM corpus)),
+anch AS (
+  SELECT q AS aq,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS arank
+  FROM q8 WHERE is_hist
+  QUALIFY arank < 8),
+dist AS (
+  SELECT c.vec_id, a.arank,
+         list_sum(list_transform(range(1, 65),
+           i -> (c.q[i] - a.aq[i]) * (c.q[i] - a.aq[i]))) AS d
+  FROM q8 c, anch a),
+cells AS (
+  SELECT vec_id, CAST(arank AS INT) AS cell
+  FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d, arank) = 1),
+n AS (
+  SELECT vec_id, is_hist, {_NV.format(v='v')} AS nv FROM q8),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.is_hist AS ha, b.is_hist AS hb
+  FROM n a
+  JOIN cells ca ON ca.vec_id = a.vec_id
+  JOIN cells cb ON cb.cell = ca.cell AND cb.vec_id > ca.vec_id
+  JOIN n b ON b.vec_id = cb.vec_id
+  WHERE CAST({_DOT_C.format(a='a.nv', b='b.nv')} AS DOUBLE) >= 950 / 1000.0),
+removed AS (
+  SELECT DISTINCT CASE WHEN ha AND NOT hb THEN id_b
+                       WHEN hb AND NOT ha THEN id_a
+                       WHEN NOT ha AND NOT hb THEN id_b END AS vec_id
+  FROM pairs
+  WHERE NOT (ha AND hb))
+SELECT c.vec_id, c.cell
+FROM cells c
+JOIN (SELECT vec_id FROM corpus WHERE NOT is_hist) b USING (vec_id)
+WHERE c.vec_id NOT IN (SELECT vec_id FROM removed WHERE vec_id IS NOT NULL)
+ORDER BY c.vec_id
+"""
+
+
 # --- X3: similarity search ------------------------------------------------
 
 _QUERY_IDS = [0, 1, 2, 3, 4]
@@ -1221,6 +1313,8 @@ ORDER BY r.doc_id
 EXTENSION_CHECKS["dedup_chunks"] = (q_dedup_chunks, ORACLE_DEDUP_CHUNKS)
 EXTENSION_CHECKS["dedup_semantic"] = (q_dedup_semantic,
                                       ORACLE_DEDUP_SEMANTIC)
+EXTENSION_CHECKS["dedup_semantic_inc"] = (q_dedup_semantic_inc,
+                                          ORACLE_DEDUP_SEMANTIC_INC)
 
 
 # --- stream-static enrichment join ----------------------------------------

@@ -1345,3 +1345,35 @@ def test_semantic_dedup_assignment_paths_agree(spark, sf_dir):
                  D.semantic_dedup(corpus, n_cells=8,
                                   assign_via_join=True).collect()}
     assert lit_path == join_path and lit_path
+
+
+def test_semantic_dedup_incremental_rules(spark, sf_dir):
+    """Batch docs matching history drop; genuinely new directions
+    survive; intra-batch epsilon-chains keep the lowest id; history is
+    never returned."""
+    from pyspark.sql import functions as F2
+
+    hist = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding").limit(200)
+    n = hist.count()
+    scaled = hist.select((F2.col("vec_id") + 1000000).alias("vec_id"),
+                         F2.transform("embedding",
+                                      lambda x: x.cast("double") * 1.01)
+                         .alias("embedding"))
+    # two identical batch copies of a rotated (novel) vector: one must
+    # survive (the smaller id), the other drop intra-batch
+    rot = hist.limit(1).select(
+        (F2.col("vec_id") + 2000000).alias("vec_id"),
+        F2.concat(F2.slice(F2.transform("embedding",
+                                        lambda x: x.cast("double")), 2, 63),
+                  F2.slice(F2.transform("embedding",
+                                        lambda x: x.cast("double")), 1, 1))
+        .alias("embedding"))
+    rot2 = rot.select((F2.col("vec_id") + 1).alias("vec_id"), "embedding")
+    batch = scaled.unionByName(rot).unionByName(rot2)
+    out = {r["vec_id"] for r in
+           D.semantic_dedup_incremental(batch, hist, n_cells=4).collect()}
+    assert not any(1000000 <= i < 2000000 for i in out)   # matched history
+    rot_id = rot.first()["vec_id"]
+    assert rot_id in out and rot_id + 1 not in out        # intra-batch rule
+    assert all(i >= 1000000 for i in out)                 # no history rows
