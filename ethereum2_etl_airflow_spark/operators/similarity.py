@@ -28,7 +28,7 @@ from ..functions.vectors import dot_compact, with_normalized
 
 __all__ = ["topk_cosine_bruteforce", "partial_topk", "ann_ivf_topk",
            "ann_lsh_candidates", "sparse_cosine_pairs", "pq_topk",
-           "retrieval_topk"]
+           "retrieval_topk", "build_pq_index", "query_pq_index"]
 
 
 def partial_topk(scored: DataFrame, k: int,
@@ -377,53 +377,68 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     qrows = {int(r[id_col]): list(r["q"]) for r in bounded
              if r["role"] == "q"}
 
+    # materialize the code table (id + m_sub ints per vector — the PQ
+    # index itself, 64× smaller than the vectors): the per-query top-k
+    # branches below each scan it, and the assignment expressions are
+    # wide enough that re-analyzing/re-running them per branch costs
+    # more than the one bounded write
+    coded = qdf.select(id_col, *_pq_code_cols(aqs, d_sub, m_sub)) \
+        .localCheckpoint(eager=True)
+    out = _pq_adc_topk(coded, aqs, qrows, query_ids, k,
+                       d_sub=d_sub, m_sub=m_sub, id_col=id_col)
+    return finalize_release(out, qdf)
+
+
+def _pq_code_cols(aqs: list[list[int]], d_sub: int, m_sub: int) -> list:
+    """The PQ code-assignment expressions, one per subspace.
+
+    Argmin as ONE least-of-structs per subspace — (dist, rank) structs
+    compare lexicographically, so least() picks the min distance with
+    ties to the lower anchor rank.  Built as ONE SQL string per code
+    column, not nested Column operators: the assignment tree is ~4,000
+    expression nodes, and constructing it node-by-node through the
+    Python Column API costs a py4j round-trip PER NODE — measured 3.5 s
+    of pure driver-side construction per call, the operator's actual
+    small-SF floor (execution over the corpus is ~0.5 s at sf0.1).
+    F.expr hands the whole string to Catalyst's parser in a single
+    round-trip.  The distance is the argmin-equivalent dot form:
+    Σ(qᵢ-aᵢ)² = Σaᵢ² - 2Σqᵢaᵢ + Σqᵢ², and Σqᵢ² is constant across
+    anchors so it drops out — each element_at appears ONCE per anchor
+    and the ordering (ties included) is bit-identical to the squared
+    form."""
     def sub_dist_sql(s: int, aq: list[int]) -> str:
-        # argmin-equivalent distance: Σ(qᵢ-aᵢ)² = Σaᵢ² - 2Σqᵢaᵢ + Σqᵢ²,
-        # and Σqᵢ² is constant across anchors so it drops out of the
-        # argmin — each element_at then appears ONCE per anchor and the
-        # ordering (ties included: equal distances shift equally) is
-        # bit-identical to the squared form
         lo = s * d_sub
         ssq = sum(a * a for a in aq[lo:lo + d_sub])
         dots = "+".join(f"element_at(q,{lo + i + 1})*({aq[lo + i]}L)"
                         for i in range(d_sub))
         return f"{ssq}L-2*({dots})"
 
-    # argmin as ONE least-of-structs per subspace — (dist, rank) structs
-    # compare lexicographically, so least() picks the min distance with
-    # ties to the lower anchor rank.  Built as ONE SQL string per code
-    # column, not nested Column operators: the assignment tree is
-    # ~4,000 expression nodes, and constructing it node-by-node through
-    # the Python Column API costs a py4j round-trip PER NODE — measured
-    # 3.5 s of pure driver-side construction per call, the operator's
-    # actual small-SF floor (execution over the corpus is ~0.5 s at
-    # sf0.1).  F.expr hands the whole string to Catalyst's parser in a
-    # single round-trip.
-    code_cols = [
+    return [
         F.expr("least(" + ",".join(
             f"named_struct('d',{sub_dist_sql(s, aq)},'r',{r})"
             for r, aq in enumerate(aqs)) + ").r").alias(f"c{s}")
         for s in range(m_sub)]
-    # materialize the code table (id + m_sub ints per vector — the PQ
-    # index itself, 64× smaller than the vectors): the per-query top-k
-    # branches below each scan it, and the assignment expressions are
-    # wide enough that re-analyzing/re-running them per branch costs
-    # more than the one bounded write
-    coded = qdf.select(id_col, *code_cols).localCheckpoint(eager=True)
-    # per-query ADC: LUT entries are plain Python ints baked as literals
+
+
+def _pq_adc_topk(coded: DataFrame, aqs: list[list[int]],
+                 qrows: dict[int, list[int]], query_ids: list[int],
+                 k: int, *, d_sub: int, m_sub: int,
+                 id_col: str) -> DataFrame:
+    """ADC scoring + per-query top-k over a (materialized) code table.
+
+    Per-query TakeOrderedAndProject instead of the Arrow-backed
+    partial_topk: |Q| is already literal-bounded by the LUT design, so
+    one JVM per-partition-heap top-k per query keeps the whole PQ plan
+    Python-free (measured: the Arrow pass floor was >half the runtime
+    at small SF).  Each branch carries ONLY its own query's LUT sum —
+    a |Q|-way exploded struct here would make every branch re-analyze
+    and re-execute all |Q| distance expressions just to filter |Q|-1
+    of them away.  For unbounded query sets score against partial_topk
+    instead."""
     def lut(qq: list[int], s: int, aq: list[int]) -> int:
         return sum((qq[s * d_sub + i] - aq[s * d_sub + i]) ** 2
                    for i in range(d_sub))
 
-    # per-query TakeOrderedAndProject instead of the Arrow-backed
-    # partial_topk: |Q| is already literal-bounded by the LUT design, so
-    # one JVM per-partition-heap top-k per query keeps the whole PQ plan
-    # Python-free (measured: the Arrow pass floor was >half the runtime
-    # at small SF).  Each branch carries ONLY its own query's LUT sum —
-    # a |Q|-way exploded struct here would make every branch re-analyze
-    # and re-execute all |Q| distance expressions just to filter |Q|-1
-    # of them away.  For unbounded query sets score against
-    # partial_topk instead.
     def q_dist(qq: list[int]):
         dist = None
         for s in range(m_sub):
@@ -443,10 +458,83 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     for t in tops[1:]:
         allq = allq.unionByName(t)
     w = Window.partitionBy("query_id").orderBy("approx_dist", "vec_id")
-    out = (allq.withColumn("rank", F.row_number().over(w))
-           .select("query_id", "vec_id", "rank",
-                   F.col("approx_dist").cast("long").alias("approx_dist")))
-    return finalize_release(out, qdf)
+    return (allq.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "vec_id", "rank",
+                    F.col("approx_dist").cast("long").alias("approx_dist")))
+
+
+def build_pq_index(emb: DataFrame, path: str, m_sub: int = 4,
+                   n_anchors: int = 8, dim: int = 64,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> None:
+    """Persist the PQ index — the production serving shape's build
+    side: ``<path>/codes`` (one row per vector: id + ``m_sub`` int
+    codes, 64× smaller than the vectors) and ``<path>/codebook``
+    (``n_anchors`` rows of quantized anchor vectors with their rank)
+    as parquet.  Same deterministic math as :func:`pq_topk`, so an
+    index built here and served by :func:`query_pq_index` returns
+    bit-identical rankings to the in-session operator — which is what
+    the ``sim_pq_index`` check pins (round-trip through parquet loses
+    nothing).
+
+    Scale: the build is one codegen scan + one columnar write; the
+    codebook is a bounded sidecar.  Rebuild cadence is the caller's
+    policy (anchors drift only when the corpus distribution does)."""
+    assert dim % m_sub == 0
+    d_sub = dim // m_sub
+    x = F.col(vec_col)
+    maxabs = F.array_max(F.transform(x, lambda e: F.abs(e.cast("double"))))
+    q8 = F.transform(
+        x, lambda e: F.when(F.col("m") == 0.0, F.lit(0).cast("long"))
+        .otherwise(F.floor(e.cast("double") * 127.0 / F.col("m"))
+                   .cast("long")))
+    qdf = (ensure_parallelism(emb)
+           .withColumn("m", maxabs)
+           .select(F.col(id_col), q8.alias("q")).cache())
+    hx = F.md5(F.col(id_col).cast("string"))
+    anchors = [list(r["q"]) for r in
+               sorted(qdf.orderBy(hx, F.col(id_col)).limit(n_anchors)
+                      .select(hx.alias("hx"), F.col(id_col), "q").collect(),
+                      key=lambda r: (r["hx"], r[id_col]))]
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(r, aq) for r, aq in enumerate(anchors)],
+        "arank int, aq array<bigint>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    qdf.select(F.col(id_col).alias("vec_id"),
+               *_pq_code_cols(anchors, d_sub, m_sub)) \
+        .write.mode("overwrite").parquet(f"{path}/codes")
+    qdf.unpersist()
+
+
+def query_pq_index(spark, path: str,
+                   queries: dict[int, list[float]], k: int = 10,
+                   m_sub: int = 4, dim: int = 64) -> DataFrame:
+    """Serve top-k from a persisted PQ index (:func:`build_pq_index`)
+    — query vectors arrive from OUTSIDE the corpus (the serving-time
+    reality), are int8 floor-quantized driver-side with the identical
+    per-vector math (pure Python on the same float64 ops, so quantized
+    codes match what the corpus pass would produce), and score against
+    the stored codes via literal LUTs — the corpus-side cost is one
+    columnar scan of the codes table per query batch, never touching
+    raw vectors."""
+    import math
+
+    cb = sorted(spark.read.parquet(f"{path}/codebook").collect(),
+                key=lambda r: r["arank"])
+    aqs = [list(r["aq"]) for r in cb]
+    coded = spark.read.parquet(f"{path}/codes")
+
+    def quant(v: list[float]) -> list[int]:
+        m = max(abs(float(e)) for e in v) if v else 0.0
+        if m == 0.0:
+            return [0] * len(v)
+        return [math.floor(float(e) * 127.0 / m) for e in v]
+
+    qrows = {int(qid): quant(v) for qid, v in queries.items()}
+    return _pq_adc_topk(coded, aqs, qrows, list(qrows), k,
+                        d_sub=dim // m_sub, m_sub=m_sub,
+                        id_col="vec_id")
 
 
 def retrieval_topk(emb: DataFrame, query_ids: list[int], k: int = 10,

@@ -1773,6 +1773,31 @@ ORDER BY query_id, rank
 EXTENSION_CHECKS["sim_pq"] = (q_sim_pq, ORACLE_SIM_PQ)
 
 
+def q_sim_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index persistence round-trip: build the index to parquet
+    (codes + codebook), then serve the SAME queries from disk with the
+    query vectors arriving from outside the session (driver-side int8
+    quantization, identical float64 math) — the result must be
+    bit-identical to the in-session PQ operator, so ORACLE_SIM_PQ is
+    reused verbatim.  What this pins: the serving shape (columnar scan
+    of stored codes, no raw vectors touched at query time) loses
+    nothing through the parquet round-trip."""
+    import os
+
+    emb = _emb(spark, sf_dir)
+    path = ("/tmp/spark_graft_pq_index_"
+            + os.path.basename(os.path.normpath(sf_dir)))
+    S.build_pq_index(emb, path)
+    qvecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+             for r in emb.where(F.col("vec_id").isin([1, 2, 3]))
+             .collect()}
+    return (S.query_pq_index(spark, path, qvecs, k=10)
+            .orderBy("query_id", "rank"))
+
+
+EXTENSION_CHECKS["sim_pq_index"] = (q_sim_pq_index, ORACLE_SIM_PQ)
+
+
 # --- corpus-level source-overlap matrix (group MinHash) -------------------
 
 def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1377,3 +1377,20 @@ def test_semantic_dedup_incremental_rules(spark, sf_dir):
     rot_id = rot.first()["vec_id"]
     assert rot_id in out and rot_id + 1 not in out        # intra-batch rule
     assert all(i >= 1000000 for i in out)                 # no history rows
+
+
+def test_pq_index_roundtrip_matches_in_session(spark, sf_dir, tmp_path):
+    """build_pq_index -> query_pq_index returns the identical ranking
+    to pq_topk: parquet round-trip + driver-side query quantization
+    lose nothing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = [(r["query_id"], r["vec_id"], r["rank"], r["approx_dist"])
+            for r in S.pq_topk(emb, [1, 2], k=5)
+            .orderBy("query_id", "rank").collect()]
+    S.build_pq_index(emb, str(tmp_path / "pqidx"))
+    qv = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+          for r in emb.where(F.col("vec_id").isin([1, 2])).collect()}
+    got = [(r["query_id"], r["vec_id"], r["rank"], r["approx_dist"])
+           for r in S.query_pq_index(spark, str(tmp_path / "pqidx"), qv, k=5)
+           .orderBy("query_id", "rank").collect()]
+    assert got == want and len(got) == 10
