@@ -1596,7 +1596,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "flatten(transform(ps, (x, i) -> "
                  "transform(slice(ps, i + 2, size(ps) - i - 1), "
                  "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
-             .select("p.id_a", "p.id_b").distinct())
+             .select("p.id_a", "p.id_b").distinct()
+             # eager checkpoint: the operator reads the edge set from
+             # two plan branches (degree build + orientation probe) —
+             # one materialization of the 2-long rows beats running the
+             # collect_set + HOF pair expansion twice
+             .localCheckpoint(eager=True))
     # |V| <= |part| (bounded dimension) -> the degree table broadcasts
     return (triangle_counts(pairs, assume_canonical=True,
                             broadcast_degrees=True)
