@@ -146,6 +146,7 @@ def main() -> None:
     heavy = ["triangle_count", "random_walks", "dedup_survivors", "kcore",
              "bpe_merges", "scoring_linear", "span_hits", "repeated_spans",
              "pipeline_pretrain", "stream_cms",
+             "dedup_semantic", "dedup_semantic_inc", "sim_pq_index",
              "dedup_clusters_star",
              "dedup_clusters", "sim_ivf", "sim_pq", "stream_join_full",
              "stream_join_outer",

@@ -341,3 +341,34 @@ def test_repeated_spans_duplicated_doc_fully_flagged(spark, texts):
         if d in hits:                      # docs with >= 3 tokens only
             assert hits[d]["n_repeated"] == hits[d]["n_spans"]
             assert hits[d]["repeated_pct"] == 100
+
+
+@given(st.integers(1, 6), st.integers(1, 6), st.integers(0, 5),
+       st.integers(0, 10**9))
+def test_y4m_roundtrip_property(w, h, n, seed):
+    """make_y4m -> _decode_y4m is lossless for any dims/frames/seed:
+    header fields, frame count, and every luma byte round-trip."""
+    from ethereum2_etl_airflow_spark.operators.multimodal import (
+        _decode_y4m, make_y4m)
+
+    clip = make_y4m(w, h, n, seed=seed)
+    gw, gh, frames = _decode_y4m(clip)
+    assert (gw, gh, len(frames)) == (w, h, n)
+    for t, fr in enumerate(frames):
+        assert list(fr) == [(x + 3 * y + 7 * t + seed) % 256
+                            for y in range(h) for x in range(w)]
+
+
+@given(st.integers(0, 255))
+def test_mulaw_expand_matches_table_properties(u):
+    """The µ-law expansion is bounded (|s| <= 32124), odd-symmetric
+    under the sign bit (expand(u ^ 0x80) == -expand(u)), and the two
+    silence codes decode to exactly 0."""
+    from ethereum2_etl_airflow_spark.operators.multimodal import (
+        _mulaw_expand)
+
+    s = _mulaw_expand(u)
+    assert -32124 <= s <= 32124
+    assert _mulaw_expand(u ^ 0x80) == -s
+    if u in (0x7F, 0xFF):
+        assert s == 0
