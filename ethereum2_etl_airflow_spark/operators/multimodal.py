@@ -526,19 +526,57 @@ def decode_stub(payload: bytes, mime: str) -> dict:
     }
 
 
-def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+#: FEATURE_SCHEMA + decode-outcome column for the permissive mode
+FEATURE_SCHEMA_MARKED = T.StructType(
+    FEATURE_SCHEMA.fields + [T.StructField("error", T.StringType())])
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None,
+                     on_error: str = "fail") -> DataFrame:
     """Arrow-batched feature extraction over the payload column via
     ``mapInPandas`` — the decode stage shape for any modality: one Python
-    round-trip per Arrow batch, output schema fixed by FEATURE_SCHEMA."""
+    round-trip per Arrow batch, output schema fixed by FEATURE_SCHEMA.
+
+    ``on_error`` is the corrupt-input policy — the thing that matters at
+    100 TB, where a handful of truncated/misdetected files among
+    billions must not kill a task (and with it the stage's retries):
+
+    - ``"fail"`` (default): decode errors propagate — the strict mode
+      for curated inputs;
+    - ``"mark"``: every row survives with ``n_bytes``/``head_hex``
+      (derivable without decoding) plus an ``error`` column — NULL on
+      success, the decoder's message on failure (decode features NULL);
+      quarantine = ``WHERE error IS NOT NULL``;
+    - ``"skip"``: failed rows are dropped silently (schema unchanged).
+    """
     import pandas as pd
+
+    if on_error not in ("fail", "mark", "skip"):
+        raise ValueError(f"on_error must be fail|mark|skip, got {on_error!r}")
+    schema = FEATURE_SCHEMA_MARKED if on_error == "mark" else FEATURE_SCHEMA
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            feats = [decode_stub(p, m)
-                     for p, m in zip(pdf["payload"], pdf["mime"])]
-            out = pd.DataFrame(feats)
-            out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out[[f.name for f in FEATURE_SCHEMA.fields]]
+            feats = []
+            for doc_id, p, m in zip(pdf["doc_id"], pdf["payload"],
+                                    pdf["mime"]):
+                try:
+                    d = decode_stub(p, m)
+                    err = None
+                except Exception as e:  # noqa: BLE001 — policy seam
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    d = {"n_bytes": len(p), "head_hex": p[:16].hex(),
+                         "n_frames": None, "feature_sum": None}
+                    err = f"{type(e).__name__}: {e}"
+                row = {"doc_id": int(doc_id), **d}
+                if on_error == "mark":
+                    row["error"] = err
+                feats.append(row)
+            yield pd.DataFrame(feats, columns=[f.name for f in
+                                               schema.fields])
 
     flat = media.select("doc_id", "payload", F.col("meta.mime").alias("mime"))
     if batch_hint:
@@ -546,7 +584,7 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     else:
         from ..functions.layout import ensure_parallelism
         flat = ensure_parallelism(flat)
-    return flat.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return flat.mapInPandas(run, schema=schema)
 
 
 FRAME_SCHEMA = T.StructType([

@@ -2628,6 +2628,73 @@ FROM lum ORDER BY doc_id
 EXTENSION_CHECKS["mm_ppm"] = (q_mm_ppm, ORACLE_MM_PPM)
 
 
+def q_mm_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-input tolerance (the 100 TB media reality): every third
+    payload is a truncated PPM; ``on_error="mark"`` must keep EVERY row
+    alive — byte-level metadata always present, decode features NULL
+    and the error marked exactly on the corrupt ids, closed-form
+    features on the good ones (same luminance math as ``mm_ppm``)."""
+    import pandas as pd
+
+    from ..operators import multimodal as MM
+
+    d = _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(48)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 3 == 0:   # header claims 8x8 but raster is short
+                    rows.append((i, b"P6\n8 8\n255\n" + bytes(10)))
+                else:
+                    rows.append((i, MM.make_ppm(8, 8, seed=i % 256)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from pyspark.sql import types as T
+    media_flat = d.mapInPandas(
+        gen, T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())]))
+    media = media_flat.select(
+        "doc_id", "payload",
+        F.struct(F.lit("image/x-portable-pixmap").alias("mime"),
+                 F.octet_length("payload").cast("long").alias("n_bytes"),
+                 F.lit(8).alias("width"), F.lit(8).alias("height"))
+        .alias("meta"))
+    return (MM.extract_features(media, on_error="mark")
+            .select("doc_id", "n_bytes", "n_frames", "feature_sum",
+                    F.col("error").isNull().alias("ok"))
+            .orderBy("doc_id"))
+
+
+ORACLE_MM_ERRORS = """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48),
+base AS (SELECT doc_id, doc_id % 3 = 0 AS bad, doc_id % 256 AS s
+         FROM ids),
+px AS (
+  SELECT b.doc_id, b.s, x.x, y.y
+  FROM base b, range(8) x(x), range(8) y(y)
+  WHERE NOT b.bad),
+lum AS (
+  SELECT doc_id,
+         SUM(((x + s) % 256 * 299 + (y + s) % 256 * 587
+              + (x * y + s) % 256 * 114) // 1000) AS fsum
+  FROM px GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(CASE WHEN b.bad THEN 21 ELSE 11 + 192 END AS BIGINT)
+         AS n_bytes,
+       CASE WHEN b.bad THEN NULL ELSE CAST(1 AS INT) END AS n_frames,
+       CASE WHEN b.bad THEN NULL ELSE CAST(l.fsum AS BIGINT) END
+         AS feature_sum,
+       NOT b.bad AS ok
+FROM base b LEFT JOIN lum l USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+EXTENSION_CHECKS["mm_errors"] = (q_mm_errors, ORACLE_MM_ERRORS)
+
+
 def q_mm_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary WAV payloads decoded FOR REAL through the Arrow stage
     (pure-stdlib ``wave`` parse, X5's audio tier), with an exact SQL

@@ -1394,3 +1394,30 @@ def test_pq_index_roundtrip_matches_in_session(spark, sf_dir, tmp_path):
            for r in S.query_pq_index(spark, str(tmp_path / "pqidx"), qv, k=5)
            .orderBy("query_id", "rank").collect()]
     assert got == want and len(got) == 10
+
+
+def test_extract_features_on_error_policies(spark):
+    """fail raises through the stage; skip drops exactly the corrupt
+    rows; mark keeps every row with byte metadata + the error string."""
+    from ethereum2_etl_airflow_spark.operators import multimodal as M2
+
+    rows = [(1, M2.make_ppm(4, 4, seed=9)), (2, b"P6\n4 4\n255\nxx")]
+    flat = spark.createDataFrame(rows, "doc_id long, payload binary")
+    media = flat.select(
+        "doc_id", "payload",
+        F.struct(F.lit("image/x-portable-pixmap").alias("mime"),
+                 F.octet_length("payload").cast("long").alias("n_bytes"),
+                 F.lit(4).alias("width"), F.lit(4).alias("height"))
+        .alias("meta"))
+    with pytest.raises(Exception, match="truncated PPM raster"):
+        M2.extract_features(media, on_error="fail").collect()
+    kept = M2.extract_features(media, on_error="skip").collect()
+    assert [r["doc_id"] for r in kept] == [1]
+    marked = {r["doc_id"]: r for r in
+              M2.extract_features(media, on_error="mark").collect()}
+    assert marked[1]["error"] is None and marked[1]["n_frames"] == 1
+    assert marked[2]["error"] is not None
+    assert marked[2]["n_frames"] is None
+    assert marked[2]["n_bytes"] == len(rows[1][1])   # metadata survives
+    with pytest.raises(ValueError):
+        M2.extract_features(media, on_error="quarantine")
