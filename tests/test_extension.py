@@ -1421,3 +1421,16 @@ def test_extract_features_on_error_policies(spark):
     assert marked[2]["n_bytes"] == len(rows[1][1])   # metadata survives
     with pytest.raises(ValueError):
         M2.extract_features(media, on_error="quarantine")
+
+
+def test_extract_features_arrow_matches_pandas(spark, docs):
+    """The mapInArrow decode stage is the same function as the
+    mapInPandas one: identical rows on the same media."""
+    from ethereum2_etl_airflow_spark.operators import multimodal as M2
+
+    media = M2.attach_binary_payload(docs.limit(40))
+    key = lambda r: (r["doc_id"], r["n_bytes"], r["head_hex"],  # noqa: E731
+                     r["n_frames"], r["feature_sum"])
+    a = sorted(map(key, M2.extract_features(media).collect()))
+    b = sorted(map(key, M2.extract_features_arrow(media).collect()))
+    assert a == b and len(a) == 40
