@@ -562,6 +562,15 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media).orderBy("doc_id")
 
 
+def q_mm_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-NATIVE (mapInArrow) decode stage — same semantics as
+    mm_features without the pandas conversion on either side of the
+    Python boundary; the identical oracle pins that the two APIs are
+    the same function."""
+    media = M.attach_binary_payload(_docs(spark, sf_dir))
+    return M.extract_features_arrow(media).orderBy("doc_id")
+
+
 ORACLE_MM_FEATURES = """
 -- assumes an ASCII corpus (verified for the driver testdata): then the
 -- UTF-8 payload bytes ARE the character codes
@@ -1272,6 +1281,7 @@ EXTENSION_CHECKS: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, None),
     "mm_meta": (q_mm_meta, ORACLE_MM_META),
     "mm_features": (q_mm_features, ORACLE_MM_FEATURES),
+    "mm_features_arrow": (q_mm_features_arrow, ORACLE_MM_FEATURES),
     "stream_hourly": (q_stream_hourly, ORACLE_STREAM_HOURLY),
 }
 
