@@ -37,6 +37,8 @@ def main() -> None:
                     help="probe the graph operator batch instead")
     ap.add_argument("--ann", action="store_true",
                     help="probe the similarity/ANN operator batch instead")
+    ap.add_argument("--curation", action="store_true",
+                    help="probe the curation/tokenizer batch instead")
     args = ap.parse_args()
 
     if args.graph:
@@ -44,6 +46,9 @@ def main() -> None:
         return
     if args.ann:
         ann_probe(args)
+        return
+    if args.curation:
+        curation_probe(args)
         return
 
     from pyspark.sql import functions as F
@@ -100,6 +105,70 @@ def main() -> None:
               f"q1={r1} dedup_exact={r2} minhash={r3} gopher={r4} "
               f"linear_score={r5} repeated_spans={r6}",
               flush=True)
+    spark.stop()
+
+
+def curation_probe(args) -> None:
+    """Scale the documents corpus as N disjoint-id copies (sources
+    disjoint per copy so per-key row counts stay constant while key
+    count scales) and time the curation/tokenizer batch.  Expected
+    shapes: pii_scrub is a narrow codegen map (linear); cap_per_key is
+    two-phase partial-cap + window over ≤ cap·P survivors (linear, no
+    dominant-key sort); bin_by_quantile is one sketch-sized cutpoint
+    aggregate + a narrow assignment (linear); pack_offsets is the
+    distributed prefix-sum (linear, one extra exchange); bpe_train
+    collapses the corpus to a (word, freq) table ONCE, so extra copies
+    of the same text change the freq VALUES, not the table size —
+    near-flat is the expected reading, and the fixed per-merge argmax
+    floor dominates."""
+    from pyspark.sql import functions as F
+
+    from ethereum2_etl_airflow_spark.operators import curation as C
+    from ethereum2_etl_airflow_spark.operators.tokenizer import bpe_train
+    from ethereum2_etl_airflow_spark.session import build_session
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    spark = build_session(app_name="scale-probe-curation")
+    docs = load_table(spark, args.sf_dir, "documents").cache()
+    docs.count()
+
+    def best2(fn) -> float:
+        fn()
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return round(min(times), 2)
+
+    def noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    for n in [int(x) for x in args.factors.split(",")]:
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+        docs.cache().count()
+        sd = None
+        for i in range(n):
+            d = (docs.withColumn("doc_id", F.col("doc_id")
+                                 + F.lit(i * 50_000_000))
+                 .withColumn("source", F.concat(F.col("source"),
+                                                F.lit(f"#{i}"))))
+            sd = d if sd is None else sd.unionByName(d)
+        sd = sd.localCheckpoint(eager=True)
+        nd = sd.count()
+        r_pii = best2(lambda: noop(C.pii_scrub(sd)))
+        r_cap = best2(lambda: noop(
+            C.cap_per_key(sd, "source", "doc_id", cap=50)))
+        r_bin = best2(lambda: noop(C.bin_by_quantile(sd, "n_chars")))
+        r_pack = best2(lambda: noop(C.pack_offsets(sd)))
+        r_bpe = best2(lambda: bpe_train(sd, n_merges=4))
+        print(f"SCALE-CURATION n={n} docs={nd} pii_scrub={r_pii} "
+              f"cap_per_key={r_cap} bin_quantile={r_bin} "
+              f"pack_offsets={r_pack} bpe_train4={r_bpe}", flush=True)
     spark.stop()
 
 
