@@ -2887,10 +2887,14 @@ EXTENSION_CHECKS["bpe_pairs"] = (q_bpe_pairs, ORACLE_BPE_PAIRS)
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X65b: the BPE TRAINING loop — 12 merge rounds over the corpus
     vocabulary, each round one combining pair-count aggregate + a 1-row
-    argmax collect + a narrow aggregate-lambda rewrite.  Rows-only by
-    nature (the iterative argmax chain is not one SQL statement); the
-    pytest suite asserts exact equality with a pure-Python reference
-    BPE trainer."""
+    argmax collect + a narrow aggregate-lambda rewrite.  Oracle-EXACT
+    since round 5: the iterative chain unrolls as 12 generated CTE
+    rounds (the pagerank/CC unrolling precedent) — the left-to-right
+    non-overlapping merge is literally SQL ``replace()`` over a
+    fully-delimited symbol string (``|a||b|`` → ``|ab|``; every symbol
+    wrapped on both sides, so boundaries are exact and consecutive
+    merges each keep their own delimiters).  The pytest suite ALSO
+    asserts exact equality with a pure-Python reference trainer."""
     from ..operators.tokenizer import bpe_train
 
     merges = bpe_train(_docs(spark, sf_dir).where(F.col("doc_id") < 300),
@@ -2900,7 +2904,55 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank int, a string, b string, merged string")
 
 
-EXTENSION_CHECKS["bpe_merges"] = (q_bpe_merges, None)
+def _bpe_merges_oracle(n_merges: int = 12) -> str:
+    """Generate the chained-CTE DuckDB oracle for ``n_merges`` BPE
+    rounds.  Per round k: pair counts from the delimited symbol
+    strings (split on '||', adjacent pairs via a lateral range), the
+    (cnt desc, a, b) argmax as a 1-row CTE, and the rewrite as one
+    ``replace``.  A round's merge row is emitted only while every
+    round up to it found a pair with cnt ≥ 2 — bpe_train's early-stop
+    contract.  Every CTE is ``AS MATERIALIZED``: DuckDB's inlining
+    heuristic otherwise re-expands the s0→s12 chain per reference and
+    the plan goes exponential (measured: 8 rounds = 11.7 s inlined vs
+    12 rounds = 0.28 s materialized)."""
+    parts = ["""w AS MATERIALIZED (
+  SELECT t AS word, COUNT(*) AS freq
+  FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        FROM documents WHERE doc_id < 300)
+  GROUP BY t),
+s0 AS MATERIALIZED (
+  SELECT word, freq,
+         '|' || array_to_string(list_transform(
+             range(1, length(word) + 1),
+             i -> substr(word, i, 1)), '||') || '|' AS s
+  FROM w)"""]
+    for k in range(n_merges):
+        parts.append(f"""y{k} AS MATERIALIZED (
+  SELECT freq, string_split(substr(s, 2, length(s) - 2), '||') AS syms
+  FROM s{k}),
+p{k} AS MATERIALIZED (
+  SELECT syms[i.i] AS a, syms[i.i + 1] AS b,
+         CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM y{k}, UNNEST(range(1, len(syms))) AS i(i)
+  GROUP BY 1, 2),
+m{k} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+s{k + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(s, '|' || m.a || '||' || m.b || '|',
+                 '|' || m.a || m.b || '|') AS s
+  FROM s{k}, m{k} m)""")
+    rows = []
+    for k in range(n_merges):
+        guards = " AND ".join(f"(SELECT cnt FROM m{j}) >= 2"
+                              for j in range(k + 1))
+        rows.append(f"SELECT CAST({k} AS INT) AS rank, a, b, "
+                    f"a || b AS merged FROM m{k} WHERE {guards}")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(rows) + "\nORDER BY rank")
+
+
+EXTENSION_CHECKS["bpe_merges"] = (q_bpe_merges, _bpe_merges_oracle(12))
 
 
 # --- cross-document repeated spans (Lee et al. memorization signal) -------
