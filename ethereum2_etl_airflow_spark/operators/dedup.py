@@ -715,13 +715,18 @@ def semantic_dedup_incremental(batch: DataFrame, history: DataFrame,
                                n_cells: int = 8,
                                threshold_millis: int = 950,
                                dim: int = 64, id_col: str = "vec_id",
-                               vec_col: str = "embedding") -> DataFrame:
+                               vec_col: str = "embedding",
+                               intra_batch: bool = True) -> DataFrame:
     """Arrival-time SemDeDup: prune an arriving ``batch`` against the
     accepted ``history`` (and against itself) — the incremental
     companion of :func:`semantic_dedup`, mirroring what
     :func:`incremental_new_docs` does for exact dedup.  A batch
-    document is dropped iff some history document OR some smaller-id
-    batch-mate sits within ε in its cell; history is never dropped.
+    document is dropped iff some history document OR (with
+    ``intra_batch=True``, the default) some smaller-id batch-mate sits
+    within ε in its cell; history is never dropped.
+    ``intra_batch=False`` is the SEMANTIC-DECONTAMINATION mode: only
+    history (the benchmark set) disqualifies — batch-internal
+    similarity is not leakage and must not prune training docs.
 
     The codebook comes from HISTORY ONLY (the ``n_cells`` smallest
     ``(md5(id), id)`` history vectors, int8-quantized) — the
@@ -784,12 +789,13 @@ def semantic_dedup_incremental(batch: DataFrame, history: DataFrame,
     # removal rules on canonical (id_a < id_b) pairs: a batch doc near
     # ANY history doc drops (whichever side it canonicalized to); a
     # batch-batch pair drops the larger id; history-history is ignored
-    removed = (tagged.select(
-        F.when(F.col("__hist_a") & ~F.col("__hist_b"), F.col("id_b"))
-        .when(~F.col("__hist_a") & F.col("__hist_b"), F.col("id_a"))
-        .when(~F.col("__hist_a") & ~F.col("__hist_b"), F.col("id_b"))
-        .alias("vec_id"))
-        .where(F.col("vec_id").isNotNull()).distinct())
+    rm = (F.when(F.col("__hist_a") & ~F.col("__hist_b"), F.col("id_b"))
+          .when(~F.col("__hist_a") & F.col("__hist_b"), F.col("id_a")))
+    if intra_batch:
+        rm = rm.when(~F.col("__hist_a") & ~F.col("__hist_b"),
+                     F.col("id_b"))
+    removed = (tagged.select(rm.alias("vec_id"))
+               .where(F.col("vec_id").isNotNull()).distinct())
     survivors = (with_cell.where(~F.col("__hist"))
                  .join(removed, "vec_id", "left_anti")
                  .select(F.col("vec_id").alias(id_col),

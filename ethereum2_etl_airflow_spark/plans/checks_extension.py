@@ -476,6 +476,84 @@ ORDER BY c.vec_id
 """
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (X62's intra_batch=False mode): drop
+    TRAIN docs whose embeddings are ε-close to a BENCHMARK embedding —
+    the paraphrase-leakage channel the n-gram `decontaminate` check
+    cannot see.  Benchmark = 1.01-scaled copies of every 13th train
+    vector (same direction → guaranteed leak hits); exactly those train
+    docs must drop and train-internal similarity must NOT prune
+    anything.  Oracle re-derives the survivor set with the intra-batch
+    rule absent."""
+    train = _emb(spark, sf_dir)
+    bench = (train.where(F.col("vec_id") % 13 == 0)
+             .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                     F.transform("embedding",
+                                 lambda x: x.cast("double") * 1.01)
+                     .alias("embedding")))
+    return (D.semantic_dedup_incremental(train, bench, n_cells=8,
+                                         threshold_millis=950,
+                                         intra_batch=False)
+            .orderBy("vec_id"))
+
+
+ORACLE_DECONTAMINATE_SEMANTIC = f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         FALSE AS is_hist
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01), TRUE
+  FROM embeddings WHERE vec_id % 13 = 0),
+q8 AS (
+  SELECT vec_id, v, is_hist,
+         CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v,
+                     x -> CAST(FLOOR(x * 127.0 / m) AS BIGINT))
+         END AS q
+  FROM (SELECT vec_id, v, is_hist,
+               list_max(list_transform(v, x -> abs(x))) AS m
+        FROM corpus)),
+anch AS (
+  SELECT q AS aq,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS arank
+  FROM q8 WHERE is_hist
+  QUALIFY arank < 8),
+dist AS (
+  SELECT c.vec_id, a.arank,
+         list_sum(list_transform(range(1, 65),
+           i -> (c.q[i] - a.aq[i]) * (c.q[i] - a.aq[i]))) AS d
+  FROM q8 c, anch a),
+cells AS (
+  SELECT vec_id, CAST(arank AS INT) AS cell
+  FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d, arank) = 1),
+n AS (
+  SELECT vec_id, is_hist, {_NV.format(v='v')} AS nv FROM q8),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.is_hist AS ha, b.is_hist AS hb
+  FROM n a
+  JOIN cells ca ON ca.vec_id = a.vec_id
+  JOIN cells cb ON cb.cell = ca.cell AND cb.vec_id > ca.vec_id
+  JOIN n b ON b.vec_id = cb.vec_id
+  WHERE CAST({_DOT_C.format(a='a.nv', b='b.nv')} AS DOUBLE) >= 950 / 1000.0),
+removed AS (
+  SELECT DISTINCT CASE WHEN ha AND NOT hb THEN id_b
+                       WHEN hb AND NOT ha THEN id_a END AS vec_id
+  FROM pairs
+  WHERE ha != hb)
+SELECT c.vec_id, c.cell
+FROM cells c
+JOIN (SELECT vec_id FROM corpus WHERE NOT is_hist) b USING (vec_id)
+WHERE c.vec_id NOT IN (SELECT vec_id FROM removed WHERE vec_id IS NOT NULL)
+ORDER BY c.vec_id
+"""
+
+
 # --- X3: similarity search ------------------------------------------------
 
 _QUERY_IDS = [0, 1, 2, 3, 4]
@@ -1325,6 +1403,8 @@ EXTENSION_CHECKS["dedup_semantic"] = (q_dedup_semantic,
                                       ORACLE_DEDUP_SEMANTIC)
 EXTENSION_CHECKS["dedup_semantic_inc"] = (q_dedup_semantic_inc,
                                           ORACLE_DEDUP_SEMANTIC_INC)
+EXTENSION_CHECKS["decontaminate_semantic"] = (
+    q_decontaminate_semantic, ORACLE_DECONTAMINATE_SEMANTIC)
 
 
 # --- stream-static enrichment join ----------------------------------------

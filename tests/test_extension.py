@@ -1434,3 +1434,32 @@ def test_extract_features_arrow_matches_pandas(spark, docs):
     a = sorted(map(key, M2.extract_features(media).collect()))
     b = sorted(map(key, M2.extract_features_arrow(media).collect()))
     assert a == b and len(a) == 40
+
+
+def test_decontaminate_semantic_only_history_disqualifies(spark, sf_dir):
+    """intra_batch=False: a train doc near a benchmark doc drops; two
+    identical train docs BOTH survive (batch-internal similarity is not
+    leakage)."""
+    from pyspark.sql import functions as F2
+
+    train = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding").limit(100)
+    dup = train.limit(1).select((F2.col("vec_id") + 500000).alias("vec_id"),
+                                "embedding")
+    train2 = train.unionByName(dup)
+    bench = (train.where(F2.col("vec_id") % 10 == 0)
+             .select((F2.col("vec_id") + 1000000).alias("vec_id"),
+                     F2.transform("embedding",
+                                  lambda x: x.cast("double") * 1.01)
+                     .alias("embedding")))
+    out = {r["vec_id"] for r in
+           D.semantic_dedup_incremental(train2, bench, n_cells=4,
+                                        intra_batch=False).collect()}
+    leaked = {r["vec_id"] for r in
+              train.where(F2.col("vec_id") % 10 == 0).collect()}
+    assert leaked.isdisjoint(out)           # every leak pruned
+    dup_id = dup.first()["vec_id"]
+    orig_id = train.first()["vec_id"]
+    if orig_id not in leaked:
+        # identical twins both survive without the intra-batch rule
+        assert orig_id in out and dup_id in out
