@@ -44,9 +44,14 @@ LANG_PRIORITY = ["en", "de", "es", "fr"]
 
 
 def tokens(col: Column | str) -> Column:
-    """Word tokens (lowercased)."""
+    """Word tokens (lowercased).  NULL text tokenizes as empty — the
+    downstream contract every consumer assumes: without the coalesce,
+    ``size(regexp_extract_all(NULL))`` is -1 under Spark's legacy
+    sizeOfNull, and a -1 token count silently poisons ratios, quotas,
+    and packing budgets (found by the pathological-input sweep)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), 0)
+    return F.regexp_extract_all(F.lower(F.coalesce(c, F.lit(""))),
+                                F.lit(WORD_RE), 0)
 
 
 def token_count(col: Column | str) -> Column:
@@ -55,9 +60,11 @@ def token_count(col: Column | str) -> Column:
 
 def bpe_token_count(col: Column | str) -> Column:
     """BPE-ish pre-tokenization count — the standard proxy for LLM token
-    budgeting when the real tokenizer isn't in the cluster image."""
+    budgeting when the real tokenizer isn't in the cluster image.  NULL
+    text counts 0 (same contract as :func:`token_count`)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), 0))
+    return F.size(F.regexp_extract_all(F.coalesce(c, F.lit("")),
+                                       F.lit(BPE_RE), 0))
 
 
 def normalize_text(col: Column | str) -> Column:
