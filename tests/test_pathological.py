@@ -108,3 +108,50 @@ def test_multimodal_empty_inputs(spark):
     flat = spark.createDataFrame([], "doc_id long, payload binary")
     assert M.sample_y4m_frames(flat).collect() == []
     assert M.sample_frames(flat).collect() == []
+
+
+def test_streaming_empty_source(spark, tmp_path):
+    """An empty (schema-only) streaming source completes an availableNow
+    run with zero output rows — no hang, no crash — for the windowed-agg
+    and watermark-dedup paths."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from ethereum2_etl_airflow_spark.streaming.dedup import dedup_stream
+    from ethereum2_etl_airflow_spark.streaming.hourly import (
+        hourly_counts_stream)
+
+    ev_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    src_dir = str(tmp_path / "empty_events")
+    spark.createDataFrame([], ev_schema).write.parquet(src_dir)
+
+    name = f"empty_{uuid.uuid4().hex[:8]}"
+    q = (hourly_counts_stream(spark, src_dir, ev_schema,
+                              ts_col="ts")
+         .writeStream.format("memory")
+         .queryName(name).outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.table(name).collect() == []
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ])
+    dsrc = str(tmp_path / "empty_docs")
+    spark.createDataFrame([], doc_schema).write.parquet(dsrc)
+    dstream = spark.readStream.schema(doc_schema).parquet(dsrc)
+    name2 = f"empty_{uuid.uuid4().hex[:8]}"
+    q2 = (dedup_stream(dstream).writeStream.format("memory")
+          .queryName(name2).outputMode("append")
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    assert spark.table(name2).collect() == []
