@@ -1,0 +1,133 @@
+"""Distributed n-gram language-model scoring — the perplexity-style
+quality filter of an LLM pre-training pipeline (CCNet/Gopher use a
+KenLM 5-gram; the distributed-trainable core is the same: count n-grams
+on a reference corpus, score candidate documents by how surprising
+their n-grams are).  The reference repo has no equivalent (its pipeline
+stops at per-table loads); this is part of the LLM-training-data
+extension mandated by BASELINE.json.
+
+Model: add-one-smoothed bigram LM.  For a scored bigram (w1, w2):
+
+    p(w2 | w1) = (c2(w1, w2) + 1) / (c1(w1) + V)
+
+with ``c2`` the training bigram count, ``c1`` the training unigram
+count, and ``V`` the training vocabulary size — unseen bigrams and
+unseen prefixes degrade gracefully to the uniform floor 1/(c1+V).
+
+Determinism contract (the house recipe — no float log anywhere, so
+every output hash-matches a DuckDB oracle bit-for-bit):
+
+- ``ppl_bits``   = Σ over doc bigrams of floor(log2(1/p)) — the integer
+  bit-cost of the document under the LM (perplexity = 2^(ppl_bits/n)
+  up to the floor; the float exponentiation is the consumer's step).
+  floor(log2(den div num)) is computed as ``length(bin(x)) - 1`` —
+  exact integer log2, the same trick as the HLL rho
+  (:mod:`.quality`).  Since num = c2+1 ≤ c1+1 ≤ den, the argument is
+  always ≥ 1.
+- ``probmass_fp`` = Σ of the fixed-point probabilities
+  ``(num · 10^6) div den`` — a linear-domain companion score (high =
+  predictable / low-novelty text).
+- ``n_bigrams`` / ``oov_bigrams`` — volume and novelty counts.
+
+Scale shape (100 TB corpus, the point of training it distributed):
+
+- training is two map-side-combining groupBys (unigrams, bigrams) —
+  the model tables grow with the *vocabulary*, sub-linearly in the
+  corpus;
+- the vocabulary size V is the only driver scalar (bounded state, the
+  PQ-codebook house rule);
+- scoring collapses each document to its DISTINCT bigrams first
+  (groupBy (doc, w1, w2) with a count) so the model joins move one row
+  per distinct bigram, not one per token — then two shuffle joins
+  against the model tables (broadcast when the model fits under the
+  threshold; AQE decides) and ONE final per-doc aggregate;
+- everything is JVM column expressions — no Python in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens
+
+__all__ = ["doc_bigrams", "train_bigram_lm", "perplexity_scores"]
+
+#: fixed-point scale for the linear-domain probability mass
+PROB_SCALE = 1_000_000
+
+
+def doc_bigrams(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, w1, w2) — one row per bigram OCCURRENCE in each document.
+    Bigrams are built by zipping the token array against itself shifted
+    by one (two ``slice`` calls + ``arrays_zip`` — narrow, no join);
+    documents with < 2 tokens yield no rows.  NULL text tokenizes as
+    empty (the :func:`~.text.tokens` contract)."""
+    tk = F.col("__tk")
+    n = F.greatest(F.size(tk) - 1, F.lit(0))
+    return (df.select(F.col(id_col), tokens(text_col).alias("__tk"))
+            .select(F.col(id_col),
+                    F.explode(F.arrays_zip(
+                        F.slice(tk, 1, n).alias("w1"),
+                        F.slice(tk, 2, n).alias("w2"))).alias("__bg"))
+            .select(id_col, F.col("__bg.w1").alias("w1"),
+                    F.col("__bg.w2").alias("w2")))
+
+
+def train_bigram_lm(train: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id"
+                    ) -> tuple[DataFrame, DataFrame, int]:
+    """Count unigrams and bigrams over the training corpus.
+
+    Returns ``(uni, bi, vocab_size)`` where ``uni`` is (w1, c1), ``bi``
+    is (w1, w2, c2) and ``vocab_size`` is the distinct-unigram count —
+    the only value materialized to the driver (one scalar)."""
+    toks = train.select(F.explode(tokens(text_col)).alias("w1"))
+    uni = toks.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = (doc_bigrams(train, text_col, id_col)
+          .groupBy("w1", "w2").agg(F.count("*").alias("c2")))
+    vocab_size = uni.count()
+    return uni, bi, vocab_size
+
+
+def perplexity_scores(corpus: DataFrame, train: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Score every ``corpus`` document under the bigram LM trained on
+    ``train``: (id, n_bigrams, oov_bigrams, ppl_bits, probmass_fp),
+    one row per corpus document (zero counts for docs with < 2
+    tokens).  All columns BIGINT — see the module docstring for the
+    exact arithmetic."""
+    uni, bi, v = train_bigram_lm(train, text_col, id_col)
+    # an empty / all-degenerate training corpus has V = 0, which would
+    # zero the smoothing denominator (div-by-zero → NULL under default
+    # semantics, error under ANSI); clamp to 1 — every score degrades
+    # to the uniform floor over a single-token vocabulary
+    v = max(int(v), 1)
+    # distinct bigrams per doc with multiplicity: the model joins then
+    # move |distinct bigrams| rows instead of |tokens| rows
+    db = (doc_bigrams(corpus, text_col, id_col)
+          .groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m")))
+    j = (db.join(bi, ["w1", "w2"], "left")
+         .join(uni, "w1", "left"))
+    # num = c2 + 1, den = c1 + V.  floor(log2(den div num)) is the
+    # binary-string length − 1 — exact integer log2, and den ≥ num
+    # always (c2 ≤ c1 by construction) so the div argument is ≥ 1
+    bits = F.length(F.bin(F.expr(
+        f"(coalesce(c1, 0) + {int(v)}L) div (coalesce(c2, 0) + 1L)"))) - 1
+    fp = F.expr(f"((coalesce(c2, 0) + 1L) * {PROB_SCALE}L) "
+                f"div (coalesce(c1, 0) + {int(v)}L)")
+    per = (j.groupBy(id_col).agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("c2").isNull(), F.col("m")).otherwise(F.lit(0)))
+        .cast("long").alias("oov_bigrams"),
+        F.sum(F.col("m") * bits).cast("long").alias("ppl_bits"),
+        F.sum(F.col("m") * fp).cast("long").alias("probmass_fp")))
+    base = corpus.select(F.col(id_col))
+    return (base.join(per, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("oov_bigrams", F.lit(0)).alias("oov_bigrams"),
+                    F.coalesce("ppl_bits", F.lit(0)).alias("ppl_bits"),
+                    F.coalesce("probmass_fp", F.lit(0))
+                    .alias("probmass_fp")))

@@ -3451,3 +3451,144 @@ GROUP BY t ORDER BY freq DESC, word LIMIT 300
 
 
 EXTENSION_CHECKS["bpe_vocab"] = (q_bpe_vocab, ORACLE_BPE_VOCAB)
+
+
+# --- X69: bigram-LM perplexity scoring -------------------------------------
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69: distributed bigram-LM quality scoring (the CCNet/Gopher
+    perplexity-filter shape): train add-one-smoothed bigram counts on
+    the even-doc_id half of the corpus, score the odd half — integer
+    bit-cost + fixed-point probability mass, no float log anywhere
+    (operators.lm docstring has the exact arithmetic)."""
+    from ..operators.lm import perplexity_scores
+
+    d = _docs(spark, sf_dir)
+    return (perplexity_scores(d.where("doc_id % 2 = 1"),
+                              d.where("doc_id % 2 = 0"))
+            .orderBy("doc_id"))
+
+
+ORACLE_LM_PERPLEXITY = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9]+') AS tk
+  FROM documents),
+uni AS (
+  SELECT t AS w1, COUNT(*) AS c1
+  FROM (SELECT UNNEST(tk) AS t FROM tok WHERE doc_id % 2 = 0) GROUP BY 1),
+vocab AS (SELECT COUNT(*) AS v FROM uni),
+bi AS (
+  SELECT w1, w2, COUNT(*) AS c2
+  FROM (SELECT tk[i] AS w1, tk[i+1] AS w2
+        FROM tok, UNNEST(range(1, len(tk))) AS t(i) WHERE doc_id % 2 = 0)
+  GROUP BY 1, 2),
+sb AS (
+  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, COUNT(*) AS m
+  FROM tok, UNNEST(range(1, len(tk))) AS t(i) WHERE doc_id % 2 = 1
+  GROUP BY 1, 2, 3),
+per AS (
+  SELECT sb.doc_id,
+         SUM(sb.m) AS n_bigrams,
+         SUM(CASE WHEN bi.c2 IS NULL THEN sb.m ELSE 0 END) AS oov_bigrams,
+         SUM(sb.m * (length(bin((COALESCE(uni.c1, 0) + v.v)
+                                // (COALESCE(bi.c2, 0) + 1))) - 1))
+             AS ppl_bits,
+         SUM(sb.m * (((COALESCE(bi.c2, 0) + 1) * 1000000)
+                     // (COALESCE(uni.c1, 0) + v.v))) AS probmass_fp
+  FROM sb LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1)
+  CROSS JOIN vocab v
+  GROUP BY sb.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(per.oov_bigrams, 0) AS BIGINT) AS oov_bigrams,
+       CAST(COALESCE(per.ppl_bits, 0) AS BIGINT) AS ppl_bits,
+       CAST(COALESCE(per.probmass_fp, 0) AS BIGINT) AS probmass_fp
+FROM documents d LEFT JOIN per USING (doc_id)
+WHERE d.doc_id % 2 = 1 ORDER BY doc_id
+"""
+
+
+EXTENSION_CHECKS["lm_perplexity"] = (q_lm_perplexity, ORACLE_LM_PERPLEXITY)
+
+
+# --- X70: k-means clustering + cluster-balanced sampling -------------------
+
+def _kmeans_oracle_sql(k: int, n_iter: int, dim: int,
+                       sampled: int | None = None) -> str:
+    """Unrolled-CTE oracle for :func:`~..operators.clustering.kmeans_int`
+    (the bpe_merges recipe: a fixed iteration count generates one CTE
+    chain per round — quantize, seed by (md5(id), id), then per round
+    an integer-L2 argmin assignment and a truncating-integer-mean
+    centroid update with empty-cluster carry).  ``sampled`` appends the
+    per-cluster (md5(id), id) top-n of cluster_balanced_sample."""
+    parts = [f"""q0 AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / m) AS BIGINT) END) AS q
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS m
+        FROM embeddings)),
+qp AS (SELECT vec_id, i - 1 AS pos, q[i] AS v
+       FROM q0, UNNEST(range(1, {dim} + 1)) t(i)),
+seeds AS (SELECT vec_id, q FROM q0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
+c0 AS (SELECT r, i - 1 AS pos, q[i] AS cv
+       FROM (SELECT q, row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS r
+             FROM seeds), UNNEST(range(1, {dim} + 1)) t(i))"""]
+    for j in range(1, n_iter + 1):
+        parts.append(f"""d{j} AS (
+  SELECT qp.vec_id, c.r, SUM((qp.v - c.cv) * (qp.v - c.cv)) AS d2
+  FROM qp JOIN c{j - 1} c USING (pos) GROUP BY qp.vec_id, c.r),
+a{j} AS (
+  SELECT vec_id, r AS cluster FROM (
+    SELECT vec_id, r, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d2, r) AS rn FROM d{j}) WHERE rn = 1),
+u{j} AS (
+  SELECT a.cluster AS r, qp.pos, SUM(qp.v) // COUNT(*) AS cv
+  FROM a{j} a JOIN qp USING (vec_id) GROUP BY 1, 2),
+c{j} AS (
+  SELECT p.r, p.pos, COALESCE(u.cv, p.cv) AS cv
+  FROM c{j - 1} p LEFT JOIN u{j} u ON u.r = p.r AND u.pos = p.pos)""")
+    parts.append(f"""df AS (
+  SELECT qp.vec_id, c.r, SUM((qp.v - c.cv) * (qp.v - c.cv)) AS d2
+  FROM qp JOIN c{n_iter} c USING (pos) GROUP BY qp.vec_id, c.r),
+fin AS (
+  SELECT vec_id, CAST(r AS INT) AS cluster, CAST(d2 AS BIGINT) AS dist2
+  FROM (SELECT vec_id, r, d2, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d2, r) AS rn FROM df)
+  WHERE rn = 1)""")
+    if sampled is None:
+        tail = "SELECT vec_id, cluster, dist2 FROM fin ORDER BY vec_id"
+    else:
+        tail = f"""SELECT vec_id, cluster, dist2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn FROM fin)
+WHERE srn <= {sampled} ORDER BY vec_id"""
+    return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70a: Lloyd's k-means over int8-quantized embeddings — integer-
+    exact distances/updates, md5 seeds, fixed 3 rounds (operators.
+    clustering docstring has the determinism recipe and scale shape)."""
+    from ..operators.clustering import kmeans_int
+
+    return kmeans_int(_emb(spark, sf_dir), k=4, n_iter=3).orderBy("vec_id")
+
+
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70b: cluster-balanced diversity sampling — k-means cells, then
+    the 10 smallest (md5(id), id) members per cell."""
+    from ..operators.clustering import cluster_balanced_sample
+
+    return (cluster_balanced_sample(_emb(spark, sf_dir), k=4, n_iter=3,
+                                    per_cluster=10)
+            .orderBy("vec_id"))
+
+
+EXTENSION_CHECKS["kmeans_clusters"] = (
+    q_kmeans_clusters, _kmeans_oracle_sql(k=4, n_iter=3, dim=64))
+EXTENSION_CHECKS["cluster_sample"] = (
+    q_cluster_sample, _kmeans_oracle_sql(k=4, n_iter=3, dim=64, sampled=10))

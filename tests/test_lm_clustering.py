@@ -1,0 +1,114 @@
+"""Bigram-LM scoring (X69) and k-means clustering (X70): semantic
+assertions beyond the oracle parity harness — hand-checkable corpora,
+OOV accounting, partition/quota invariants, rerun determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ethereum2_etl_airflow_spark.operators.clustering import (
+    cluster_balanced_sample, kmeans_int,
+)
+from ethereum2_etl_airflow_spark.operators.lm import (
+    PROB_SCALE, doc_bigrams, perplexity_scores, train_bigram_lm,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bigram_lm_hand_corpus(spark):
+    # train: "a b a b a" -> unigrams a:3 b:2 (V=2); bigrams ab:2 ba:2
+    train = _docs(spark, [(0, "a b a b a")])
+    uni, bi, v = train_bigram_lm(train)
+    assert v == 2
+    assert {(r["w1"], r["c1"]) for r in uni.collect()} == {("a", 3), ("b", 2)}
+    assert {(r["w1"], r["w2"], r["c2"]) for r in bi.collect()} == {
+        ("a", "b", 2), ("b", "a", 2)}
+
+    # score "a b c": (a,b) seen num=3 den=5 -> bits=floor(log2(5 div 3))=0,
+    # fp=600000; (b,c) unseen num=1 den=4 -> bits=2, fp=250000
+    out = perplexity_scores(_docs(spark, [(1, "a b c")]), train).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_bigrams"], r["oov_bigrams"]) == (2, 1)
+    assert r["ppl_bits"] == 0 + 2
+    assert r["probmass_fp"] == 3 * PROB_SCALE // 5 + PROB_SCALE // 4
+
+
+def test_lm_degenerate_docs_score_zero(spark):
+    train = _docs(spark, [(0, "a b a")])
+    corpus = _docs(spark, [(1, "solo"), (2, None), (3, "")])
+    rows = {r["doc_id"]: r for r in
+            perplexity_scores(corpus, train).collect()}
+    # one row per doc, all-zero for <2-token docs (incl. NULL text)
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert (r["n_bigrams"], r["oov_bigrams"],
+                r["ppl_bits"], r["probmass_fp"]) == (0, 0, 0, 0)
+
+
+def test_lm_empty_training_corpus(spark):
+    """V clamps to 1: scoring under an empty LM is the uniform floor,
+    never a div-by-zero NULL/error."""
+    train = _docs(spark, []).where("doc_id < 0")
+    out = perplexity_scores(_docs(spark, [(1, "a b")]), train).collect()
+    assert len(out) == 1
+    r = out[0]
+    # num=1, den=0+1 -> bits=0, fp=PROB_SCALE
+    assert (r["n_bigrams"], r["oov_bigrams"]) == (1, 1)
+    assert r["ppl_bits"] == 0
+    assert r["probmass_fp"] == PROB_SCALE
+
+
+def test_doc_bigrams_orders_pairs(spark):
+    got = [(r["w1"], r["w2"]) for r in
+           doc_bigrams(_docs(spark, [(0, "x y z")])).collect()]
+    assert got == [("x", "y"), ("y", "z")]
+
+
+def test_oov_bits_dominate_in_distribution_shift(spark, sf_dir):
+    """Scoring a disjoint-domain doc must cost more bits per bigram than
+    rescoring training-domain text — the filter signal the operator
+    exists for."""
+    d = (_docs(spark, [(99, "zq wx zq wx zq")])
+         .unionByName(_docs(spark, [(98, "the of the of the")])))
+    train = _docs(spark, [(0, "the of the of the and the of")])
+    rows = {r["doc_id"]: r for r in perplexity_scores(d, train).collect()}
+    assert rows[99]["oov_bigrams"] == rows[99]["n_bigrams"]  # all-OOV
+    assert rows[99]["ppl_bits"] > rows[98]["ppl_bits"]
+
+
+def test_kmeans_partitions_all_vectors(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = kmeans_int(emb, k=4, n_iter=2)
+    n = emb.count()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+    cl = [r["cluster"] for r in out.select("cluster").distinct().collect()]
+    assert set(cl) <= {0, 1, 2, 3}
+    assert len(cl) >= 2  # sf0.001 embeddings aren't one blob
+    assert out.agg(F.min("dist2")).first()[0] >= 0
+
+
+def test_kmeans_rerun_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted((r["vec_id"], r["cluster"], r["dist2"])
+               for r in kmeans_int(emb, k=3, n_iter=2).collect())
+    b = sorted((r["vec_id"], r["cluster"], r["dist2"])
+               for r in kmeans_int(emb.repartition(7), k=3,
+                                   n_iter=2).collect())
+    assert a == b  # layout-invariant (md5 seeds, integer math)
+
+
+def test_cluster_sample_respects_quota(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cluster_balanced_sample(emb, k=4, n_iter=2, per_cluster=5)
+    sizes = {r["cluster"]: r["n"] for r in
+             out.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    assert sizes and all(v <= 5 for v in sizes.values())
+    # sampled rows keep their kmeans assignment
+    full = {(r["vec_id"], r["cluster"])
+            for r in kmeans_int(emb, k=4, n_iter=2).collect()}
+    assert {(r["vec_id"], r["cluster"]) for r in out.collect()} <= full

@@ -39,6 +39,8 @@ def main() -> None:
                     help="probe the similarity/ANN operator batch instead")
     ap.add_argument("--curation", action="store_true",
                     help="probe the curation/tokenizer batch instead")
+    ap.add_argument("--lm", action="store_true",
+                    help="probe the LM-scoring/clustering batch instead")
     args = ap.parse_args()
 
     if args.graph:
@@ -49,6 +51,9 @@ def main() -> None:
         return
     if args.curation:
         curation_probe(args)
+        return
+    if args.lm:
+        lm_probe(args)
         return
 
     from pyspark.sql import functions as F
@@ -270,6 +275,84 @@ def ann_probe(args) -> None:
         print(f"SCALE-ANN n={n} vecs={nrows} sim_pq={r_pq} "
               f"retrieval_topk={r_rt} embed_neardup={r_nd} "
               f"semantic_dedup={r_sem} sparse_cosine={r_sc}", flush=True)
+    spark.stop()
+
+
+def lm_probe(args) -> None:
+    """Scale documents / embeddings as N disjoint-id copies and time the
+    LM-scoring + clustering batch (X69/X70).  Expected shapes:
+
+    - ``perplexity_scores``: copies repeat the SAME text, so the model
+      tables (vocab-sized) stay CONSTANT while the scored corpus scales
+      — the sub-linear-model/linear-scoring claim in operators/lm.py.
+      Scoring is two joins + one agg → linear in corpus rows.
+    - ``kmeans_int``: per round one broadcast crossJoin collapsed by a
+      partial agg (N·k map-side) + one combining (cluster, pos) groupBy
+      (N·dim rows) → linear; the k×dim centroid state is constant.
+    - ``cluster_balanced_sample``: adds a k-partition window over the
+      assignment → same linear envelope.
+
+    Embeddings are rotated per copy (the ANN-probe trick) so cluster
+    geometry stays non-degenerate as copies multiply."""
+    from pyspark.sql import functions as F
+
+    from ethereum2_etl_airflow_spark.operators.clustering import (
+        cluster_balanced_sample, kmeans_int)
+    from ethereum2_etl_airflow_spark.operators.lm import perplexity_scores
+    from ethereum2_etl_airflow_spark.session import build_session
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    spark = build_session(app_name="scale-probe-lm")
+    docs = load_table(spark, args.sf_dir, "documents").cache()
+    docs.count()
+    emb = load_table(spark, args.sf_dir, "embeddings").cache()
+    emb.count()
+
+    def best2(fn) -> float:
+        fn()
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return round(min(times), 2)
+
+    def noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    for n in [int(x) for x in args.factors.split(",")]:
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+        docs.cache().count()
+        emb.cache().count()
+        sd = None
+        for i in range(n):
+            d = docs.withColumn("doc_id",
+                                F.col("doc_id") + F.lit(i * 50_000_000))
+            sd = d if sd is None else sd.unionByName(d)
+        sd = sd.localCheckpoint(eager=True)
+        se = None
+        for i in range(n):
+            rot = (F.concat(F.slice("embedding", i + 1, 64 - i),
+                            F.slice("embedding", 1, i))
+                   if i else F.col("embedding"))
+            d = emb.select((F.col("vec_id") + F.lit(i * 50_000_000))
+                           .alias("vec_id"), rot.alias("embedding"))
+            se = d if se is None else se.unionByName(d)
+        se = se.localCheckpoint(eager=True)
+        nd, ne = sd.count(), se.count()
+        r_ppl = best2(lambda: noop(
+            perplexity_scores(sd.where("doc_id % 2 = 1"),
+                              sd.where("doc_id % 2 = 0"))))
+        r_km = best2(lambda: noop(kmeans_int(se, k=8, n_iter=3)))
+        r_cs = best2(lambda: noop(
+            cluster_balanced_sample(se, k=8, n_iter=3, per_cluster=20)))
+        print(f"SCALE-LM n={n} docs={nd} vecs={ne} "
+              f"lm_perplexity={r_ppl} kmeans={r_km} "
+              f"cluster_sample={r_cs}", flush=True)
     spark.stop()
 
 
