@@ -50,7 +50,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from .text import tokens
 
-__all__ = ["doc_bigrams", "train_bigram_lm", "perplexity_scores"]
+__all__ = ["doc_bigrams", "train_bigram_lm", "perplexity_scores",
+           "dsir_logratio_bits", "dsir_select"]
 
 #: fixed-point scale for the linear-domain probability mass
 PROB_SCALE = 1_000_000
@@ -131,3 +132,80 @@ def perplexity_scores(corpus: DataFrame, train: DataFrame,
                     F.coalesce("ppl_bits", F.lit(0)).alias("ppl_bits"),
                     F.coalesce("probmass_fp", F.lit(0))
                     .alias("probmass_fp")))
+
+
+def dsir_logratio_bits(raw: DataFrame, target: DataFrame,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS'23): score every
+    ``raw`` document under TWO bigram LMs — one trained on the
+    ``target`` (high-quality / in-domain) corpus, one on ``raw`` itself
+    — and weight by the likelihood ratio.  In the integer-bits domain
+    the log-ratio is exactly
+
+        logratio_bits = bits_raw − bits_target
+
+    (positive ⇒ the document is MORE predictable under the target LM
+    than under its own corpus LM ⇒ target-like; the paper's
+    log p_target − log p_raw with the same floor(log2) integerization
+    as :func:`perplexity_scores`, so the whole weight computation is
+    oracle-exact — the paper's Gumbel resampling step is replaced by
+    the deterministic top-n of :func:`dsir_select`).
+
+    Returns (id, n_bigrams, bits_target, bits_raw, logratio_bits),
+    one row per raw document; degenerate (< 2-token) documents score
+    zero everywhere.
+
+    Scale shape: the raw corpus collapses to distinct (doc, w1, w2)
+    bigrams ONCE and joins both vocab-sized model tables (4 left
+    joins, broadcast under the threshold — model size grows with
+    vocabulary, not corpus), then one per-doc aggregate.  Training is
+    two combining groupBys per corpus; two driver scalars (the vocab
+    sizes)."""
+    uni_t, bi_t, vt = train_bigram_lm(target, text_col, id_col)
+    uni_r, bi_r, vr = train_bigram_lm(raw, text_col, id_col)
+    vt, vr = max(int(vt), 1), max(int(vr), 1)
+    db = (doc_bigrams(raw, text_col, id_col)
+          .groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m")))
+    j = (db
+         .join(bi_t.withColumnRenamed("c2", "c2_t"), ["w1", "w2"], "left")
+         .join(uni_t.withColumnRenamed("c1", "c1_t"), "w1", "left")
+         .join(bi_r.withColumnRenamed("c2", "c2_r"), ["w1", "w2"], "left")
+         .join(uni_r.withColumnRenamed("c1", "c1_r"), "w1", "left"))
+
+    def bits(c1: str, c2: str, v: int):
+        return F.length(F.bin(F.expr(
+            f"(coalesce({c1}, 0) + {v}L) div (coalesce({c2}, 0) + 1L)"))) - 1
+
+    per = (j.groupBy(id_col).agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.sum(F.col("m") * bits("c1_t", "c2_t", vt))
+        .cast("long").alias("bits_target"),
+        F.sum(F.col("m") * bits("c1_r", "c2_r", vr))
+        .cast("long").alias("bits_raw")))
+    return (raw.select(F.col(id_col)).join(per, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("bits_target", F.lit(0))
+                    .alias("bits_target"),
+                    F.coalesce("bits_raw", F.lit(0)).alias("bits_raw"),
+                    (F.coalesce("bits_raw", F.lit(0))
+                     - F.coalesce("bits_target", F.lit(0)))
+                    .alias("logratio_bits")))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, n: int,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the ``n`` raw documents most target-like by
+    (logratio_bits desc, id asc) — the deterministic selection step of
+    DSIR (the paper resamples with Gumbel noise; a fixed order keeps
+    the operator engine-reproducible and oracle-checkable).  Returns
+    the same columns as :func:`dsir_logratio_bits`, filtered.
+
+    Scale shape: global top-n via TakeOrdered (per-partition partial
+    top-n, no full sort) — n is a curation budget, bounded."""
+    scored = dsir_logratio_bits(raw, target, text_col, id_col)
+    return (scored.orderBy(F.col("logratio_bits").desc(), F.col(id_col))
+            .limit(n))

@@ -3592,3 +3592,73 @@ EXTENSION_CHECKS["kmeans_clusters"] = (
     q_kmeans_clusters, _kmeans_oracle_sql(k=4, n_iter=3, dim=64))
 EXTENSION_CHECKS["cluster_sample"] = (
     q_cluster_sample, _kmeans_oracle_sql(k=4, n_iter=3, dim=64, sampled=10))
+
+
+# --- X71: DSIR-style data selection -----------------------------------------
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71: DSIR data selection (Xie et al., NeurIPS'23): every tenth
+    document plays the high-quality target set, the rest is the raw
+    pool; the 50 most target-like raw docs win by exact integer
+    likelihood-ratio bits (operators.lm.dsir_logratio_bits) with
+    deterministic (ratio desc, id) ordering."""
+    from ..operators.lm import dsir_select
+
+    d = _docs(spark, sf_dir)
+    return dsir_select(d.where("doc_id % 10 != 0"),
+                       d.where("doc_id % 10 = 0"), n=50)
+
+
+ORACLE_DSIR_SELECT = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9]+') AS tk
+  FROM documents),
+tuni AS (
+  SELECT t AS w1, COUNT(*) AS c1
+  FROM (SELECT UNNEST(tk) AS t FROM tok WHERE doc_id % 10 = 0) GROUP BY 1),
+tvocab AS (SELECT GREATEST(COUNT(*), 1) AS v FROM tuni),
+tbi AS (
+  SELECT w1, w2, COUNT(*) AS c2
+  FROM (SELECT tk[i] AS w1, tk[i+1] AS w2
+        FROM tok, UNNEST(range(1, len(tk))) AS t(i) WHERE doc_id % 10 = 0)
+  GROUP BY 1, 2),
+runi AS (
+  SELECT t AS w1, COUNT(*) AS c1
+  FROM (SELECT UNNEST(tk) AS t FROM tok WHERE doc_id % 10 != 0) GROUP BY 1),
+rvocab AS (SELECT GREATEST(COUNT(*), 1) AS v FROM runi),
+rbi AS (
+  SELECT w1, w2, COUNT(*) AS c2
+  FROM (SELECT tk[i] AS w1, tk[i+1] AS w2
+        FROM tok, UNNEST(range(1, len(tk))) AS t(i) WHERE doc_id % 10 != 0)
+  GROUP BY 1, 2),
+sb AS (
+  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, COUNT(*) AS m
+  FROM tok, UNNEST(range(1, len(tk))) AS t(i) WHERE doc_id % 10 != 0
+  GROUP BY 1, 2, 3),
+per AS (
+  SELECT sb.doc_id,
+         SUM(sb.m) AS n_bigrams,
+         SUM(sb.m * (length(bin((COALESCE(tu.c1, 0) + tv.v)
+                                // (COALESCE(tb.c2, 0) + 1))) - 1))
+             AS bits_target,
+         SUM(sb.m * (length(bin((COALESCE(ru.c1, 0) + rv.v)
+                                // (COALESCE(rb.c2, 0) + 1))) - 1))
+             AS bits_raw
+  FROM sb LEFT JOIN tbi tb USING (w1, w2) LEFT JOIN tuni tu USING (w1)
+          LEFT JOIN rbi rb USING (w1, w2) LEFT JOIN runi ru USING (w1)
+  CROSS JOIN tvocab tv CROSS JOIN rvocab rv
+  GROUP BY sb.doc_id),
+scored AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CAST(COALESCE(per.bits_target, 0) AS BIGINT) AS bits_target,
+         CAST(COALESCE(per.bits_raw, 0) AS BIGINT) AS bits_raw,
+         CAST(COALESCE(per.bits_raw, 0) - COALESCE(per.bits_target, 0)
+              AS BIGINT) AS logratio_bits
+  FROM documents d LEFT JOIN per USING (doc_id)
+  WHERE d.doc_id % 10 != 0)
+SELECT * FROM scored ORDER BY logratio_bits DESC, doc_id LIMIT 50
+"""
+
+
+EXTENSION_CHECKS["dsir_select"] = (q_dsir_select, ORACLE_DSIR_SELECT)

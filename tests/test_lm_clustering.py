@@ -10,7 +10,8 @@ from ethereum2_etl_airflow_spark.operators.clustering import (
     cluster_balanced_sample, kmeans_int,
 )
 from ethereum2_etl_airflow_spark.operators.lm import (
-    PROB_SCALE, doc_bigrams, perplexity_scores, train_bigram_lm,
+    PROB_SCALE, doc_bigrams, dsir_logratio_bits, dsir_select,
+    perplexity_scores, train_bigram_lm,
 )
 
 
@@ -78,6 +79,32 @@ def test_oov_bits_dominate_in_distribution_shift(spark, sf_dir):
     rows = {r["doc_id"]: r for r in perplexity_scores(d, train).collect()}
     assert rows[99]["oov_bigrams"] == rows[99]["n_bigrams"]  # all-OOV
     assert rows[99]["ppl_bits"] > rows[98]["ppl_bits"]
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """A raw doc written in the target's idiom must out-rank one written
+    against it — the selection signal DSIR exists for."""
+    target = _docs(spark, [(0, "the cat sat on the mat"),
+                           (2, "the dog sat on the rug")])
+    raw = _docs(spark, [(1, "the cat sat on the rug"),   # target-like
+                        (3, "zq wx qk jv zz yy"),        # alien
+                        (5, "solo")])                    # degenerate
+    scored = {r["doc_id"]: r for r in
+              dsir_logratio_bits(raw, target).collect()}
+    assert set(scored) == {1, 3, 5}
+    assert scored[1]["logratio_bits"] > scored[3]["logratio_bits"]
+    assert (scored[5]["n_bigrams"], scored[5]["bits_target"],
+            scored[5]["bits_raw"], scored[5]["logratio_bits"]) == (0, 0, 0, 0)
+    top1 = dsir_select(raw, target, n=1).collect()
+    assert [r["doc_id"] for r in top1] == [1]
+
+
+def test_dsir_select_orders_deterministically(spark):
+    """Equal-ratio docs tie-break on doc_id ascending."""
+    target = _docs(spark, [(0, "a b a b")])
+    raw = _docs(spark, [(9, "a b"), (7, "a b")])
+    got = [r["doc_id"] for r in dsir_select(raw, target, n=2).collect()]
+    assert got == [7, 9]
 
 
 def test_kmeans_partitions_all_vectors(spark, sf_dir):
