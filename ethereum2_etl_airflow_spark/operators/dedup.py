@@ -607,7 +607,8 @@ def cosine_near_dup_pairs(emb: DataFrame, block_col: str = "label",
 def semantic_dedup(emb: DataFrame, n_cells: int = 8,
                    threshold_millis: int = 950, dim: int = 64,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   assign_via_join: bool | None = None) -> DataFrame:
+                   assign_via_join: bool | None = None,
+                   refine_iters: int = 0) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication",
     arXiv'23): cluster the embedding space coarsely, then prune
@@ -643,10 +644,34 @@ def semantic_dedup(emb: DataFrame, n_cells: int = 8,
     Sizing discipline: ``n_cells ∝ √N`` balances the N·n_cells
     assignment against the N²/n_cells GEMM at N^1.5 total — the FAISS
     IVF rule (measured in ``tools/scale_probe.py --ann``).  The removal
-    is one distinct + one left-anti join on the id.  At real scale swap
-    the md5 anchors for sampled k-means centroids — the plan shape is
-    unchanged (the check keeps the deterministic anchors so the oracle
-    stays exact)."""
+    is one distinct + one left-anti join on the id.
+
+    ``refine_iters > 0`` replaces the raw md5-anchor cells with
+    k-means-REFINED cells (:func:`~.clustering.kmeans_int`, seeded by
+    the same md5 rule then Lloyd's-iterated ``refine_iters`` rounds) —
+    the "sampled k-means centroids at real scale" upgrade, still fully
+    deterministic and oracle-exact because the k-means itself is
+    integer-exact.  Refined cells track density, so fewer true
+    ε-neighbors straddle a cell boundary than with raw anchor cells
+    (SemDeDup's recall knob); costs ``refine_iters`` extra
+    assignment/update rounds plus one join of the (id, cell)
+    assignment back to the vectors."""
+    if refine_iters:
+        from .clustering import kmeans_int
+
+        assigned = (kmeans_int(emb, k=n_cells, n_iter=refine_iters,
+                               id_col=id_col, vec_col=vec_col)
+                    .select(F.col(id_col).alias("vec_id"),
+                            F.col("cluster").alias("__cell")))
+        with_cell = (emb.select(F.col(id_col).alias("vec_id"),
+                                F.col(vec_col).alias("embedding"))
+                     .join(assigned, "vec_id"))
+        pairs = cosine_near_dup_pairs(with_cell, block_col="__cell",
+                                      threshold_millis=threshold_millis)
+        removed = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+        return (with_cell.join(removed, "vec_id", "left_anti")
+                .select(F.col("vec_id").alias(id_col),
+                        F.col("__cell").alias("cell")))
     x = F.col(vec_col)
     maxabs = F.array_max(F.transform(x, lambda e: F.abs(e.cast("double"))))
     q8 = F.transform(

@@ -3513,22 +3513,29 @@ EXTENSION_CHECKS["lm_perplexity"] = (q_lm_perplexity, ORACLE_LM_PERPLEXITY)
 
 # --- X70: k-means clustering + cluster-balanced sampling -------------------
 
-def _kmeans_oracle_sql(k: int, n_iter: int, dim: int,
-                       sampled: int | None = None) -> str:
-    """Unrolled-CTE oracle for :func:`~..operators.clustering.kmeans_int`
-    (the bpe_merges recipe: a fixed iteration count generates one CTE
-    chain per round — quantize, seed by (md5(id), id), then per round
-    an integer-L2 argmin assignment and a truncating-integer-mean
-    centroid update with empty-cluster carry).  ``sampled`` appends the
-    per-cluster (md5(id), id) top-n of cluster_balanced_sample."""
+def _kmeans_cte_chain(k: int, n_iter: int, dim: int,
+                      source: str = "embeddings",
+                      vec_col: str = "embedding") -> str:
+    """CTE chain (no WITH, no tail) for
+    :func:`~..operators.clustering.kmeans_int` — the bpe_merges recipe:
+    a fixed iteration count generates one CTE group per round
+    (quantize, seed by (md5(id), id), then per round an integer-L2
+    argmin assignment and a truncating-integer-mean centroid update
+    with empty-cluster carry).  Ends at ``fin(vec_id, cluster, dist2)``;
+    ``q0`` carries the double-cast vector ``v`` so composing oracles
+    (e.g. the kmeans-cell SemDeDup) can reuse it.  ``source`` /
+    ``vec_col`` let the chain run over a planted-corpus CTE instead of
+    the raw table."""
     parts = [f"""q0 AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
-              ELSE CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / m) AS BIGINT) END) AS q
-  FROM (SELECT vec_id, embedding,
-               list_max(list_transform(embedding,
-                        x -> abs(CAST(x AS DOUBLE)))) AS m
-        FROM embeddings)),
+  SELECT vec_id, v,
+         CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v,
+                     x -> CAST(FLOOR(x * 127.0 / m) AS BIGINT))
+         END AS q
+  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m
+        FROM (SELECT vec_id,
+                     list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+              FROM {source}))),
 qp AS (SELECT vec_id, i - 1 AS pos, q[i] AS v
        FROM q0, UNNEST(range(1, {dim} + 1)) t(i)),
 seeds AS (SELECT vec_id, q FROM q0
@@ -3559,6 +3566,13 @@ fin AS (
   FROM (SELECT vec_id, r, d2, row_number() OVER (
           PARTITION BY vec_id ORDER BY d2, r) AS rn FROM df)
   WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
+def _kmeans_oracle_sql(k: int, n_iter: int, dim: int,
+                       sampled: int | None = None) -> str:
+    """Full oracle for kmeans_clusters / (with ``sampled``)
+    cluster_sample: the chain plus the select tail."""
     if sampled is None:
         tail = "SELECT vec_id, cluster, dist2 FROM fin ORDER BY vec_id"
     else:
@@ -3566,7 +3580,7 @@ fin AS (
   SELECT *, row_number() OVER (PARTITION BY cluster
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn FROM fin)
 WHERE srn <= {sampled} ORDER BY vec_id"""
-    return "WITH " + ",\n".join(parts) + "\n" + tail
+    return "WITH " + _kmeans_cte_chain(k, n_iter, dim) + "\n" + tail
 
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3662,3 +3676,49 @@ SELECT * FROM scored ORDER BY logratio_bits DESC, doc_id LIMIT 50
 
 
 EXTENSION_CHECKS["dsir_select"] = (q_dsir_select, ORACLE_DSIR_SELECT)
+
+
+# --- X61b: SemDeDup with k-means-refined cells ------------------------------
+
+def q_dedup_semantic_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61b: semantic dedup over k-means-REFINED cells (refine_iters=2)
+    — the "sampled k-means centroids at real scale" upgrade of X61,
+    kept oracle-exact because kmeans_int itself is integer-exact.
+    Same planted-copy corpus as dedup_semantic; refined cells are
+    tighter than anchor cells, so the ε-recall over planted copies is
+    near-total but not guaranteed (a 1-ulp quantization flip can cross
+    a near-tie boundary) — the CHECK is exact regardless: the oracle
+    replays the identical cells and prune."""
+    return (D.semantic_dedup(_emb_corpus(spark, sf_dir).drop("label"),
+                             n_cells=8, threshold_millis=950,
+                             refine_iters=2)
+            .orderBy("vec_id"))
+
+
+ORACLE_DEDUP_SEMANTIC_KM = f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01)
+  FROM embeddings),
+{_kmeans_cte_chain(k=8, n_iter=2, dim=64, source="corpus", vec_col="v")},
+n AS (
+  SELECT vec_id, {_NV.format(v='v')} AS nv FROM q0),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a
+  JOIN fin ca ON ca.vec_id = a.vec_id
+  JOIN fin cb ON cb.cluster = ca.cluster AND cb.vec_id > ca.vec_id
+  JOIN n b ON b.vec_id = cb.vec_id
+  WHERE CAST({_DOT_C.format(a='a.nv', b='b.nv')} AS DOUBLE) >= 950 / 1000.0)
+SELECT f.vec_id, f.cluster AS cell
+FROM fin f
+WHERE f.vec_id NOT IN (SELECT id_b FROM pairs)
+ORDER BY f.vec_id
+"""
+
+
+EXTENSION_CHECKS["dedup_semantic_km"] = (q_dedup_semantic_km,
+                                         ORACLE_DEDUP_SEMANTIC_KM)

@@ -139,3 +139,25 @@ def test_cluster_sample_respects_quota(spark, sf_dir):
     full = {(r["vec_id"], r["cluster"])
             for r in kmeans_int(emb, k=4, n_iter=2).collect()}
     assert {(r["vec_id"], r["cluster"]) for r in out.collect()} <= full
+
+
+def test_semantic_dedup_kmeans_cells_prune_planted_copies(spark, sf_dir):
+    """refine_iters>0 swaps md5-anchor cells for kmeans cells.  A
+    1.01-scaled copy quantizes identically to its original UP TO an
+    occasional 1-ulp floor flip, and Lloyd-refined cells are tight
+    enough that such a flip can land copy and original on opposite
+    sides of a near-tie boundary — so the invariant is high recall,
+    not exactness (the correctness gate is the oracle parity; this is
+    the LSH-style recall bar every banded tier here gets)."""
+    from ethereum2_etl_airflow_spark.operators.dedup import semantic_dedup
+    from ethereum2_etl_airflow_spark.plans.checks_extension import (
+        _emb_corpus)
+
+    corpus = _emb_corpus(spark, sf_dir).drop("label")
+    out = semantic_dedup(corpus, n_cells=8, threshold_millis=950,
+                         refine_iters=2)
+    survivors = {r["vec_id"] for r in out.collect()}
+    n_orig = corpus.count() // 2
+    leaked = {s for s in survivors if s >= 1000000}
+    assert len(leaked) <= max(1, int(0.02 * n_orig)), leaked
+    assert len(survivors) <= n_orig + len(leaked)

@@ -155,3 +155,39 @@ def test_streaming_empty_source(spark, tmp_path):
           .trigger(availableNow=True).start())
     q2.awaitTermination()
     assert spark.table(name2).collect() == []
+
+
+def test_lm_ops_empty_and_null(spark, empty_docs, null_docs):
+    from ethereum2_etl_airflow_spark.operators.lm import (
+        dsir_logratio_bits, perplexity_scores)
+
+    # empty corpus scored under an empty LM: no rows, no div-by-zero
+    assert perplexity_scores(empty_docs, empty_docs).collect() == []
+    # NULL/empty/whitespace docs score zero rows-with-zeros, never crash
+    out = {r["doc_id"]: r["n_bigrams"] for r in
+           perplexity_scores(null_docs, null_docs).collect()}
+    assert out[1] == 0 and out[2] == 0 and out[3] == 0 and out[4] > 0
+    assert dsir_logratio_bits(empty_docs, null_docs).collect() == []
+
+
+def test_kmeans_degenerate_inputs(spark):
+    from ethereum2_etl_airflow_spark.operators.clustering import (
+        cluster_balanced_sample, kmeans_int)
+
+    # k larger than the corpus: every vector seeds its own cluster
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    out = kmeans_int(emb, k=5, n_iter=2).collect()
+    assert len(out) == 2
+    assert all(r["dist2"] == 0 for r in out)  # each sits on its seed
+    # zero vectors quantize to all-zero and cluster without error
+    zed = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    zout = kmeans_int(zed, k=2, n_iter=2)
+    assert zout.count() == 3
+    # empty corpus: empty result, no seed-window crash
+    eemb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kmeans_int(eemb, k=3, n_iter=1).collect() == []
+    assert cluster_balanced_sample(eemb, k=3, n_iter=1).collect() == []
