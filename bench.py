@@ -147,6 +147,8 @@ def main() -> None:
              "bpe_merges", "scoring_linear", "span_hits", "repeated_spans",
              "pipeline_pretrain", "stream_cms",
              "dedup_semantic", "dedup_semantic_inc", "sim_pq_index",
+             "dedup_semantic_km", "kmeans_clusters", "cluster_sample",
+             "dsir_select", "lm_perplexity",
              "dedup_clusters_star",
              "dedup_clusters", "sim_ivf", "sim_pq", "stream_join_full",
              "stream_join_outer",

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, functions as F
 from .text import tokens
 
 __all__ = ["doc_bigrams", "train_bigram_lm", "perplexity_scores",
-           "dsir_logratio_bits", "dsir_select"]
+           "dsir_logratio_bits", "dsir_select", "stupid_backoff_bits"]
 
 #: fixed-point scale for the linear-domain probability mass
 PROB_SCALE = 1_000_000
@@ -209,3 +209,59 @@ def dsir_select(raw: DataFrame, target: DataFrame, n: int,
     scored = dsir_logratio_bits(raw, target, text_col, id_col)
     return (scored.orderBy(F.col("logratio_bits").desc(), F.col(id_col))
             .limit(n))
+
+
+def stupid_backoff_bits(corpus: DataFrame, train: DataFrame,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Stupid Backoff scoring (Brants et al., "Large Language Models in
+    Machine Translation", EMNLP'07 — the smoothing that made web-scale
+    distributed LMs practical: no discounting to normalize across
+    shards, just back off to the lower order with a constant penalty):
+
+        S(w2 | w1) = c2/c1            if c2 > 0
+                   = α · S(w2)        otherwise
+
+    Integerized with α = 1/2 — EXACTLY one bit, keeping the whole score
+    in the exact integer-bits domain of :func:`perplexity_scores`:
+
+        bits(w1,w2) = floor(log2(c1 div c2))                  (hit)
+                    = 1 + floor(log2((N+V) div (c1(w2)+1)))   (backoff)
+
+    with N the training token count and the backoff unigram add-one
+    smoothed.  floor(log2(x/y)) == floor(log2(x div y)) for x ≥ y ≥ 1,
+    so the div-then-bin form is the real value, not an approximation.
+
+    Returns (id, n_bigrams, backoff_hits, sb_bits), one row per corpus
+    document.  Scale shape: identical to :func:`perplexity_scores`
+    plus ONE extra vocab-sized join (the backoff unigram on w2); N and
+    V are the only driver scalars."""
+    uni, bi, v = train_bigram_lm(train, text_col, id_col)
+    v = max(int(v), 1)
+    n_row = uni.agg(F.sum("c1").alias("n")).first()["n"]
+    n_tok = max(int(n_row or 0), 1)
+    db = (doc_bigrams(corpus, text_col, id_col)
+          .groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m")))
+    j = (db.join(bi, ["w1", "w2"], "left")
+         .join(uni, "w1", "left")
+         .join(uni.select(F.col("w1").alias("w2"),
+                          F.col("c1").alias("c1_w2")), "w2", "left"))
+    # a seen bigram implies a seen prefix, so c1 is never NULL when c2
+    # isn't — `c1 div c2` is safe on the hit branch
+    bits = F.when(
+        F.col("c2").isNotNull(),
+        F.length(F.bin(F.expr("c1 div c2"))) - 1
+    ).otherwise(
+        1 + (F.length(F.bin(F.expr(
+            f"({n_tok}L + {v}L) div (coalesce(c1_w2, 0) + 1L)"))) - 1))
+    per = (j.groupBy(id_col).agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("c2").isNull(), F.col("m")).otherwise(F.lit(0)))
+        .cast("long").alias("backoff_hits"),
+        F.sum(F.col("m") * bits).cast("long").alias("sb_bits")))
+    return (corpus.select(F.col(id_col)).join(per, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("backoff_hits", F.lit(0))
+                    .alias("backoff_hits"),
+                    F.coalesce("sb_bits", F.lit(0)).alias("sb_bits")))

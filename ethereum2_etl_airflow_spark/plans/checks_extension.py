@@ -3722,3 +3722,63 @@ ORDER BY f.vec_id
 
 EXTENSION_CHECKS["dedup_semantic_km"] = (q_dedup_semantic_km,
                                          ORACLE_DEDUP_SEMANTIC_KM)
+
+
+# --- X72: Stupid Backoff LM scoring -----------------------------------------
+
+def q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72: Stupid Backoff scoring (Brants et al., EMNLP'07) — the
+    web-scale distributed-LM smoothing (constant backoff penalty, no
+    cross-shard normalization), integerized with alpha = 1/2 (exactly
+    one bit); same even/odd train/score split as lm_perplexity."""
+    from ..operators.lm import stupid_backoff_bits
+
+    d = _docs(spark, sf_dir)
+    return (stupid_backoff_bits(d.where("doc_id % 2 = 1"),
+                                d.where("doc_id % 2 = 0"))
+            .orderBy("doc_id"))
+
+
+ORACLE_LM_BACKOFF = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9]+') AS tk
+  FROM documents),
+uni AS (
+  SELECT t AS w1, COUNT(*) AS c1
+  FROM (SELECT UNNEST(tk) AS t FROM tok WHERE doc_id % 2 = 0) GROUP BY 1),
+tot AS (SELECT GREATEST(COUNT(*), 1) AS v,
+               GREATEST(COALESCE(SUM(c1), 0), 1) AS n FROM uni),
+bi AS (
+  SELECT w1, w2, COUNT(*) AS c2
+  FROM (SELECT tk[i] AS w1, tk[i+1] AS w2
+        FROM tok, UNNEST(range(1, len(tk))) AS t(i) WHERE doc_id % 2 = 0)
+  GROUP BY 1, 2),
+sb AS (
+  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, COUNT(*) AS m
+  FROM tok, UNNEST(range(1, len(tk))) AS t(i) WHERE doc_id % 2 = 1
+  GROUP BY 1, 2, 3),
+per AS (
+  SELECT sb.doc_id,
+         SUM(sb.m) AS n_bigrams,
+         SUM(CASE WHEN bi.c2 IS NULL THEN sb.m ELSE 0 END) AS backoff_hits,
+         SUM(sb.m * CASE
+               WHEN bi.c2 IS NOT NULL
+                 THEN length(bin(u1.c1 // bi.c2)) - 1
+               ELSE 1 + (length(bin((t.n + t.v)
+                                    // (COALESCE(u2.c1, 0) + 1))) - 1)
+             END) AS sb_bits
+  FROM sb LEFT JOIN bi USING (w1, w2)
+          LEFT JOIN uni u1 ON u1.w1 = sb.w1
+          LEFT JOIN uni u2 ON u2.w1 = sb.w2
+  CROSS JOIN tot t
+  GROUP BY sb.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(per.backoff_hits, 0) AS BIGINT) AS backoff_hits,
+       CAST(COALESCE(per.sb_bits, 0) AS BIGINT) AS sb_bits
+FROM documents d LEFT JOIN per USING (doc_id)
+WHERE d.doc_id % 2 = 1 ORDER BY doc_id
+"""
+
+
+EXTENSION_CHECKS["lm_backoff"] = (q_lm_backoff, ORACLE_LM_BACKOFF)

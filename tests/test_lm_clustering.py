@@ -161,3 +161,21 @@ def test_semantic_dedup_kmeans_cells_prune_planted_copies(spark, sf_dir):
     leaked = {s for s in survivors if s >= 1000000}
     assert len(leaked) <= max(1, int(0.02 * n_orig)), leaked
     assert len(survivors) <= n_orig + len(leaked)
+
+
+def test_stupid_backoff_hand_corpus(spark):
+    """Hit bits = floor(log2(c1 div c2)); backoff = exactly 1 bit +
+    add-one unigram bits — hand-checked on a 5-token training corpus."""
+    from ethereum2_etl_airflow_spark.operators.lm import stupid_backoff_bits
+
+    # train "a b a b a": c1 a:3 b:2, N=5, V=2; bigrams ab:2 ba:2
+    train = _docs(spark, [(0, "a b a b a")])
+    # score "a b c": (a,b) hit -> floor(log2(3 div 2)) = 0;
+    # (b,c) backoff -> 1 + floor(log2((5+2) div (0+1))) = 1 + 2 = 3
+    out = stupid_backoff_bits(_docs(spark, [(1, "a b c")]), train).collect()
+    r = out[0]
+    assert (r["n_bigrams"], r["backoff_hits"], r["sb_bits"]) == (2, 1, 3)
+    # backoff to a SEEN unigram costs fewer bits: (c, a) unseen bigram,
+    # backoff unigram a: 1 + floor(log2(7 div 4)) = 1
+    out2 = stupid_backoff_bits(_docs(spark, [(2, "c a")]), train).collect()
+    assert (out2[0]["backoff_hits"], out2[0]["sb_bits"]) == (1, 1)
