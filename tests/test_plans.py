@@ -465,3 +465,46 @@ def test_representative_checks_survive_ansi_mode(spark, sf_dir):
                 .format("noop").save()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_lm_scoring_plan_prunes_and_stays_jvm(spark, sf_dir):
+    """X69: the scorer reads only (doc_id, text) from parquet, the model
+    joins resolve as broadcasts at this scale (vocab-sized build
+    sides), and no Python stage appears anywhere in the plan."""
+    from ethereum2_etl_airflow_spark.plans.checks_extension import (
+        q_lm_perplexity)
+
+    q = q_lm_perplexity(spark, sf_dir)
+    cols = set(read_schema_columns(q))
+    assert cols <= {"doc_id", "text"}, cols
+    assert has_broadcast_join(q)
+    plan = plan_string(q, "simple")
+    assert "Python" not in plan and "Arrow" not in plan, plan[:500]
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """X70: the per-round assignment is a broadcast nested-loop against
+    the k-row centroid table collapsed by a partial-aggregating
+    min-of-structs — the corpus is never shuffled for assignment.
+    Probes the assignment fragment directly (kmeans_int's result is
+    checkpoint-materialized, which would collapse the plan to Scan
+    ExistingRDD and make the assertion vacuous)."""
+    from ethereum2_etl_airflow_spark.operators.clustering import _quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _quantized(emb, "vec_id", "embedding")
+    cent = spark.createDataFrame(
+        [(r, [r] * 64) for r in range(4)], "r int, cq array<bigint>")
+    d2 = F.aggregate(
+        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    probe = (qdf.crossJoin(F.broadcast(cent))
+             .groupBy("vec_id")
+             .agg(F.min(F.struct(d2.alias("d"), F.col("r"))).alias("b")))
+    plan = plan_string(probe, "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+    # partial agg collapses the N*k stream map-side before any exchange
+    assert "partial_min" in plan, plan[:800]
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
