@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.layout import ensure_parallelism, finalize_release
 
-__all__ = ["kmeans_int", "cluster_balanced_sample"]
+__all__ = ["kmeans_int", "kmeans_fit", "cluster_balanced_sample"]
 
 
 def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -57,16 +57,36 @@ def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             .select(F.col(id_col), q8.alias("q")))
 
 
-def kmeans_int(emb: DataFrame, k: int = 4, n_iter: int = 3,
-               id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-    """(id, cluster, dist2) — Lloyd's k-means over int8-quantized
-    embeddings: ``n_iter`` rounds of (assign, update) from the
-    deterministic md5 seeds, then one final assignment against the
-    final centroids.  ``dist2`` is the exact integer L2² to the
-    assigned centroid.  A cluster that loses all members keeps its
-    previous centroid (deterministic, no reseeding)."""
-    qdf = ensure_parallelism(_quantized(emb, id_col, vec_col)).cache()
+def _d2():
+    """Integer L2² between the row's ``q`` and a centroid row's ``cq``."""
+    return F.aggregate(
+        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _assign(qdf: DataFrame, centroids: DataFrame,
+            id_col: str) -> DataFrame:
+    """(id, q, cluster, dist2) — broadcast cross join + partial-
+    aggregating min-of-structs: the N·k candidate stream collapses
+    inside each map task, the corpus is never shuffled."""
+    return (qdf.crossJoin(F.broadcast(centroids))
+            .groupBy(F.col(id_col))
+            .agg(F.first("q").alias("q"),
+                 F.min(F.struct(_d2().alias("d"), F.col("r")))
+                 .alias("b"))
+            .select(id_col, "q", F.col("b.r").alias("cluster"),
+                    F.col("b.d").alias("dist2")))
+
+
+def kmeans_fit(qdf: DataFrame, k: int, n_iter: int,
+               id_col: str = "vec_id") -> DataFrame:
+    """Centroids (r, cq) after ``n_iter`` Lloyd's rounds over the
+    quantized corpus ``qdf`` (``(id, q)`` — :func:`_quantized`, which
+    the caller should cache: the fit scans it once per round).  Seeds
+    are the ``k`` rows with the smallest ``(md5(id), id)``; updates are
+    element-wise truncating integer means with empty-cluster carry;
+    centroids are ``localCheckpoint``-ed per round so lineage stays
+    O(1) and the k×dim state never lives on the driver."""
     hx = F.md5(F.col(id_col).cast("string"))
     # k seed rows reach one task via limit(k); the single-partition
     # row_number window then only ever sees k rows — not a corpus sort
@@ -75,24 +95,8 @@ def kmeans_int(emb: DataFrame, k: int = 4, n_iter: int = 3,
                 Window.orderBy(hx, F.col(id_col))) - 1).alias("r"),
                 F.col("q").alias("cq"))
             .localCheckpoint(eager=True))
-
-    d2 = F.aggregate(
-        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-
-    def assign(centroids: DataFrame) -> DataFrame:
-        # broadcast cross join + partial-aggregating min-of-structs:
-        # the N·k candidate stream collapses inside each map task
-        return (qdf.crossJoin(F.broadcast(centroids))
-                .groupBy(F.col(id_col))
-                .agg(F.first("q").alias("q"),
-                     F.min(F.struct(d2.alias("d"), F.col("r")))
-                     .alias("b"))
-                .select(id_col, "q", F.col("b.r").alias("cluster"),
-                        F.col("b.d").alias("dist2")))
-
     for _ in range(n_iter):
-        asg = assign(cent)
+        asg = _assign(qdf, cent, id_col)
         upd = (asg.select("cluster", F.posexplode("q").alias("pos", "v"))
                .groupBy("cluster", "pos")
                .agg(F.expr("sum(v) div count(*)").alias("cv"))
@@ -105,7 +109,21 @@ def kmeans_int(emb: DataFrame, k: int = 4, n_iter: int = 3,
                           "r", "left")
                 .select("r", F.coalesce("cq_new", "cq").alias("cq"))
                 .localCheckpoint(eager=True))
-    final = assign(cent).select(id_col, "cluster", "dist2")
+    return cent
+
+
+def kmeans_int(emb: DataFrame, k: int = 4, n_iter: int = 3,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster, dist2) — Lloyd's k-means over int8-quantized
+    embeddings: ``n_iter`` rounds of (assign, update) from the
+    deterministic md5 seeds, then one final assignment against the
+    final centroids.  ``dist2`` is the exact integer L2² to the
+    assigned centroid.  A cluster that loses all members keeps its
+    previous centroid (deterministic, no reseeding)."""
+    qdf = ensure_parallelism(_quantized(emb, id_col, vec_col)).cache()
+    cent = kmeans_fit(qdf, k, n_iter, id_col)
+    final = _assign(qdf, cent, id_col).select(id_col, "cluster", "dist2")
     return finalize_release(final, qdf)
 
 

@@ -27,6 +27,7 @@ from ..functions.layout import ensure_parallelism, finalize_release
 from ..functions.vectors import dot_compact, with_normalized
 
 __all__ = ["topk_cosine_bruteforce", "partial_topk", "ann_ivf_topk",
+           "ann_ivf_exact_topk",
            "ann_lsh_candidates", "sparse_cosine_pairs", "pq_topk",
            "retrieval_topk", "build_pq_index", "query_pq_index"]
 
@@ -574,3 +575,63 @@ def retrieval_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
            .where(F.col("rank") <= k)
            .select("query_id", "vec_id", "rank", "cosine"))
     return finalize_release(out, nv)
+
+
+def ann_ivf_exact_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+                       n_cells: int = 8, n_probe: int = 2,
+                       n_iter: int = 2, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """IVF top-k with a fully DETERMINISTIC coarse quantizer — the
+    oracle-exact twin of :func:`ann_ivf_topk` (same relationship as
+    ``dedup_minhash_exact`` to the MLlib MinHash tier): cells come from
+    the integer-exact Lloyd's of :func:`~.clustering.kmeans_int` (md5
+    seeds, integer L2, truncating-mean updates), each query probes its
+    ``n_probe`` nearest cells by integer centroid distance (ties →
+    lower cell rank), and only the probed cells pay the exact
+    decimal-accumulated cosine.  Every stage is engine-reproducible, so
+    the whole approximate search — cells, probes, candidates, ranking —
+    unrolls to one SQL oracle; the float-k-means tier stays the
+    rows-only scale path and its recall is asserted against the exact
+    tier in tests.
+
+    Returns (query_id, vec_id, rank, cosine), self-matches excluded.
+
+    Scale shape: fit = ``n_iter`` bounded rounds (broadcast assign +
+    combining update); assignment one broadcast scan; the probe table
+    is |Q|·n_probe rows; candidate generation joins probes to the
+    corpus on the cell key so a query touches ~``n_probe/n_cells`` of
+    the corpus; top-k via the same two-phase partial selection as the
+    exact tier."""
+    from .clustering import _assign, _quantized, kmeans_fit
+
+    qdf = ensure_parallelism(_quantized(emb, id_col, vec_col)).cache()
+    cent = kmeans_fit(qdf, n_cells, n_iter, id_col)
+    assigned = (_assign(qdf, cent, id_col)
+                .select(F.col(id_col).alias("vec_id"), "cluster"))
+    nv = (with_normalized(ensure_parallelism(emb), vec_col, "nv")
+          .select(F.col(id_col).alias("vec_id"), "nv").cache())
+    corpus = nv.join(assigned, "vec_id")
+    ids = [int(x) for x in query_ids]
+    # probe: each query's q8 against the k centroids (both tiny per
+    # query — the crossJoin side is the broadcast k-row centroid table)
+    qq = (qdf.where(F.col(id_col).isin(ids))
+          .select(F.col(id_col).alias("query_id"), "q"))
+    d2 = F.aggregate(
+        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    wq = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("r"))
+    probes = (qq.crossJoin(F.broadcast(cent))
+              .select("query_id", F.col("r"), d2.alias("d"))
+              .withColumn("pr", F.row_number().over(wq))
+              .where(F.col("pr") <= n_probe)
+              .select("query_id", F.col("r").alias("cluster")))
+    qv = nv.where(F.col("vec_id").isin(ids)) \
+           .select(F.col("vec_id").alias("query_id"), F.col("nv").alias("qv"))
+    scored = (F.broadcast(probes.join(qv, "query_id"))
+              .join(corpus, "cluster")
+              .where(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", "vec_id",
+                      dot_compact(F.col("qv"), F.col("nv"))
+                      .cast("decimal(18,9)").cast("double").alias("cosine")))
+    out = _rank_topk(partial_topk(scored, k), k)
+    return finalize_release(out, qdf, nv)

@@ -3782,3 +3782,49 @@ WHERE d.doc_id % 2 = 1 ORDER BY doc_id
 
 
 EXTENSION_CHECKS["lm_backoff"] = (q_lm_backoff, ORACLE_LM_BACKOFF)
+
+
+# --- X73: oracle-exact IVF ANN ----------------------------------------------
+
+def q_sim_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73: IVF top-k with the deterministic integer coarse quantizer
+    (kmeans_int cells, integer-L2 probes, exact decimal rescore) — the
+    oracle-exact twin of the rows-only float-KMeans sim_ivf, same
+    relationship as dedup_minhash_exact to the MLlib MinHash tier."""
+    from ..operators.similarity import ann_ivf_exact_topk
+
+    return ann_ivf_exact_topk(_emb(spark, sf_dir), _QUERY_IDS, k=10,
+                              n_cells=8, n_probe=2, n_iter=2)
+
+
+ORACLE_SIM_IVF_EXACT = f"""
+WITH {_kmeans_cte_chain(k=8, n_iter=2, dim=64)},
+pd AS (
+  SELECT qp.vec_id AS query_id, c.r, SUM((qp.v - c.cv) * (qp.v - c.cv)) AS d
+  FROM qp JOIN c2 c USING (pos)
+  WHERE qp.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2),
+probes AS (
+  SELECT query_id, r AS cluster FROM (
+    SELECT query_id, r, d, row_number() OVER (
+      PARTITION BY query_id ORDER BY d, r) AS pr FROM pd)
+  WHERE pr <= 2),
+nrm AS (SELECT vec_id, {_NV.format(v='v')} AS nv FROM q0),
+scored AS (
+  SELECT p.query_id, f.vec_id,
+         CAST({_DOT_C.format(a='a.nv', b='b.nv')} AS DOUBLE) AS cosine
+  FROM probes p
+  JOIN fin f ON f.cluster = p.cluster AND f.vec_id != p.query_id
+  JOIN nrm a ON a.vec_id = p.query_id
+  JOIN nrm b ON b.vec_id = f.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank, cosine FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+EXTENSION_CHECKS["sim_ivf_exact"] = (q_sim_ivf_exact, ORACLE_SIM_IVF_EXACT)

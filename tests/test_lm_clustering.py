@@ -179,3 +179,26 @@ def test_stupid_backoff_hand_corpus(spark):
     # backoff unigram a: 1 + floor(log2(7 div 4)) = 1
     out2 = stupid_backoff_bits(_docs(spark, [(2, "c a")]), train).collect()
     assert (out2[0]["backoff_hits"], out2[0]["sb_bits"]) == (1, 1)
+
+
+def test_ivf_exact_tracks_bruteforce(spark, sf_dir):
+    """X73: the integer-cell IVF tier's recall vs the exact cosine tier
+    — the same tracking bar the float-KMeans and LSH tiers get."""
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        ann_ivf_exact_topk, topk_cosine_bruteforce)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r["query_id"], r["vec_id"])
+             for r in topk_cosine_bruteforce(emb, qids, k=10).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in ann_ivf_exact_topk(emb, qids, k=10, n_cells=8,
+                                          n_probe=2, n_iter=2).collect()}
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ivf-exact recall {recall:.2f}"
+    # probing MORE cells can only improve recall (monotone contract)
+    wide = {(r["query_id"], r["vec_id"])
+            for r in ann_ivf_exact_topk(emb, qids, k=10, n_cells=8,
+                                        n_probe=8, n_iter=2).collect()}
+    assert wide == exact  # probing all cells IS the exact search
