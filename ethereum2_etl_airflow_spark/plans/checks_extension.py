@@ -786,10 +786,13 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_src = (spark.readStream.schema(spark.read.parquet(src).schema)
                   .option("maxFilesPerTrigger", 1).parquet(src))
     sessions = sessionize_stream(stream_src, gap_s=6 * 3600, watermark="1 hour")
+    from ..streaming import bounded_state
+
     name = f"sess_{uuid.uuid4().hex[:8]}"
-    q = (sessions.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with bounded_state(spark):
+        q = (sessions.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(name)
             .select("user_id",
                     F.col("session_start").cast("timestamp_ntz"),
@@ -824,10 +827,13 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .schema(spark.read.parquet(src).schema).parquet(src))
     surv = dedup_stream(stream_src, ts_col="ts", text_col="text",
                         watermark="1 hour")
+    from ..streaming import bounded_state
+
     name = f"ddst_{uuid.uuid4().hex[:8]}"
-    q = (surv.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with bounded_state(spark):
+        q = (surv.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(name).select("fp").orderBy("fp")
 
 
@@ -2378,10 +2384,13 @@ def _run_complete(df, spark: SparkSession):
     available input (memory sink) and return the final table."""
     import uuid
 
+    from ..streaming import bounded_state
+
     name = f"cm_{uuid.uuid4().hex[:8]}"
-    q = (df.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with bounded_state(spark):
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(name)
 
 

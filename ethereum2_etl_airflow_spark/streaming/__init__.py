@@ -1,1 +1,42 @@
 """Structured Streaming: the always-on analog of the hourly cron DAGs."""
+
+from __future__ import annotations
+
+import contextlib
+
+from pyspark.sql import SparkSession
+
+__all__ = ["bounded_state"]
+
+#: stateful-operator partition count for bounded check/demo streams
+STATE_PARTITIONS = 8
+
+
+@contextlib.contextmanager
+def bounded_state(spark: SparkSession, n: int = STATE_PARTITIONS):
+    """Pin ``spark.sql.shuffle.partitions`` — which a streaming query
+    captures into its checkpoint at START as the stateful-operator
+    partition count — for the duration of a bounded stream run.
+
+    Why: every stateful stage costs one state-store instance per
+    partition per micro-batch (open/commit/fsync each), so a
+    session-default 2×cores (64 on the test box) pays 64 store
+    lifecycles per stage for demo/check streams whose whole input is a
+    few thousand rows — measured at sf0.1 this was most of the
+    stream-check wall.  A REAL deployment sizes this to the live key
+    cardinality and never restarts with a different value (the
+    checkpoint pins it); these availableNow check runs use a fresh
+    checkpoint every time, so a small fixed count is always valid.
+
+    The conf is session-global: a batch query planned concurrently in
+    another thread of the same session would also see the temporary
+    value.  That affects only partition counts, never results (every
+    operator here is layout-invariant by design); the sequential bench
+    and parity gates run one query at a time.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

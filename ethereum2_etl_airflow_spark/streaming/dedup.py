@@ -45,8 +45,11 @@ def run_dedup_available_now(stream_df: DataFrame,
                             spark: SparkSession) -> DataFrame:
     """Run the dedup stream to completion over currently-available input
     (append sink — each surviving row is emitted exactly once)."""
+    from . import bounded_state
+
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    q = (stream_df.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with bounded_state(spark):
+        q = (stream_df.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(name)

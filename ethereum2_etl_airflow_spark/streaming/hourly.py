@@ -58,8 +58,11 @@ def run_available_now(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
     """Execute a streaming aggregate to completion over all currently
     available input (one cron tick's worth of work) and return the result
     as a batch DataFrame via an in-memory sink."""
+    from . import bounded_state
+
     name = f"hourly_{uuid.uuid4().hex[:8]}"
-    q = (stream_df.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with bounded_state(spark):
+        q = (stream_df.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(name)

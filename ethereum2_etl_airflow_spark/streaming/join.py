@@ -87,9 +87,14 @@ def attribution_join_outer(clicks: DataFrame, purchases: DataFrame,
 def run_append_available_now(stream_df: DataFrame,
                              spark: SparkSession) -> DataFrame:
     """Run an append-mode streaming query to completion over available
-    input (memory sink) and return the result as a batch DataFrame."""
+    input (memory sink) and return the result as a batch DataFrame.
+    State partitions are pinned small for the bounded run (see
+    :func:`..streaming.bounded_state`)."""
+    from . import bounded_state
+
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    q = (stream_df.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with bounded_state(spark):
+        q = (stream_df.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(name)
