@@ -51,7 +51,8 @@ from pyspark.sql import DataFrame, functions as F
 from .text import tokens
 
 __all__ = ["doc_bigrams", "train_bigram_lm", "perplexity_scores",
-           "dsir_logratio_bits", "dsir_select", "stupid_backoff_bits"]
+           "dsir_logratio_bits", "dsir_select", "stupid_backoff_bits",
+           "source_unigram_divergence"]
 
 #: fixed-point scale for the linear-domain probability mass
 PROB_SCALE = 1_000_000
@@ -265,3 +266,83 @@ def stupid_backoff_bits(corpus: DataFrame, train: DataFrame,
                     F.coalesce("backoff_hits", F.lit(0))
                     .alias("backoff_hits"),
                     F.coalesce("sb_bits", F.lit(0)).alias("sb_bits")))
+
+
+def source_unigram_divergence(docs: DataFrame, source_col: str = "source",
+                              text_col: str = "text",
+                              max_vocab: int | None = None) -> DataFrame:
+    """Cross-entropy divergence matrix between per-source token
+    distributions — the corpus-planning companion of the MinHash
+    source-overlap matrix: overlap says "these sources share content",
+    divergence says "this source's text is expensive to model with that
+    source's statistics" (domain drift, contamination direction, mixing
+    candidates).
+
+    For each ordered pair (a, b), a ≠ b, with add-one-smoothed unigram
+    models p_s(w) = (c_s(w)+1)/(N_s+V) over the GLOBAL vocabulary V
+    (shared smoothing support keeps pairs comparable):
+
+        ent_bits  = Σ_w c_a(w) · floor(log2((N_a+V) div (c_a(w)+1)))
+        xent_bits = Σ_w c_a(w) · floor(log2((N_b+V) div (c_b(w)+1)))
+        div_bits  = xent_bits − ent_bits     (KL-like, integer; the
+        per-token floors and differing totals can push near-identical
+        distributions slightly negative — rank by it, don't test ≥ 0)
+
+    summed over a's observed tokens — exact integers via the
+    ``length(bin(x))-1`` log2, so the whole matrix is oracle-checkable.
+
+    Returns (source_a, source_b, n_tokens_a, ent_bits, xent_bits,
+    div_bits).
+
+    Scale shape: ONE combining groupBy builds the (source, w, c) table;
+    per-source totals are an |S|-row broadcast; the pair stage is one
+    self-join on the token key — Σ_w deg(w)² rows, ≤ V·|S|².  Corpus
+    planning runs over bounded source counts (hundreds), and
+    ``max_vocab`` caps the joined vocabulary at the global top-K tokens
+    (deterministic (count desc, token) cut) when |S| grows — the
+    standard coarse-model discipline."""
+    counts = (docs.select(F.col(source_col).alias("s"),
+                          F.explode(tokens(text_col)).alias("w"))
+              .groupBy("s", "w").agg(F.count("*").alias("c")))
+    if max_vocab is not None:
+        top = (counts.groupBy("w").agg(F.sum("c").alias("gc"))
+               .orderBy(F.col("gc").desc(), "w").limit(int(max_vocab))
+               .select("w"))
+        counts = counts.join(F.broadcast(top), "w")
+    counts = counts.cache()
+    v = counts.select("w").distinct().count()
+    v = max(int(v), 1)
+    totals = counts.groupBy("s").agg(F.sum("c").cast("long").alias("n"))
+    a = (counts.select(F.col("s").alias("source_a"), "w",
+                       F.col("c").alias("ca"))
+         .join(F.broadcast(totals.select(F.col("s").alias("source_a"),
+                                         F.col("n").alias("na"))),
+               "source_a"))
+    b = counts.select(F.col("s").alias("source_b"), "w",
+                      F.col("c").alias("cb"))
+    # the pair frame is a-counts × the source LIST (broadcast |S| rows),
+    # THEN a left join against b's counts on (source_b, w): a token of
+    # a that b never saw must still contribute its backoff bits to the
+    # (a, b) sum — joining b's counts on w alone would silently drop
+    # tokens absent from every other source
+    pairs = (a.crossJoin(F.broadcast(
+                totals.select(F.col("s").alias("source_b"),
+                              F.col("n").alias("nb"))))
+             .where(F.col("source_a") != F.col("source_b"))
+             .join(b, ["source_b", "w"], "left"))
+    bits_a = F.length(F.bin(F.expr(
+        f"(na + {v}L) div (ca + 1L)"))) - 1
+    bits_b = F.length(F.bin(F.expr(
+        f"(nb + {v}L) div (coalesce(cb, 0) + 1L)"))) - 1
+    out = (pairs.groupBy("source_a", "source_b")
+           .agg(F.sum("ca").cast("long").alias("n_tokens_a"),
+                F.sum(F.col("ca") * bits_a).cast("long").alias("ent_bits"),
+                F.sum(F.col("ca") * bits_b).cast("long")
+                .alias("xent_bits")))
+    from ..functions.layout import finalize_release
+
+    res = out.select("source_a", "source_b", "n_tokens_a", "ent_bits",
+                     "xent_bits",
+                     (F.col("xent_bits") - F.col("ent_bits"))
+                     .alias("div_bits"))
+    return finalize_release(res, counts)

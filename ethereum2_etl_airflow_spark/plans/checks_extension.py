@@ -3837,3 +3837,98 @@ WHERE rank <= 10 ORDER BY query_id, rank
 
 
 EXTENSION_CHECKS["sim_ivf_exact"] = (q_sim_ivf_exact, ORACLE_SIM_IVF_EXACT)
+
+
+# --- X74: source divergence matrix + curation scorecard ----------------------
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74a: per-source-pair unigram cross-entropy matrix (integer
+    bits) — the divergence companion of source_similarity's MinHash
+    overlap: which sources are cheap/expensive to model with which —
+    domain drift and mixing-candidate signals for corpus planning."""
+    from ..operators.lm import source_unigram_divergence
+
+    return (source_unigram_divergence(_docs(spark, sf_dir))
+            .orderBy("source_a", "source_b"))
+
+
+ORACLE_SOURCE_DIVERGENCE = """
+WITH counts AS (
+  SELECT source AS s, t AS w, COUNT(*) AS c
+  FROM (SELECT source, UNNEST(regexp_extract_all(lower(coalesce(text,'')),
+                                                 '[a-z0-9]+')) AS t
+        FROM documents)
+  GROUP BY 1, 2),
+vocab AS (SELECT GREATEST(COUNT(DISTINCT w), 1) AS v FROM counts),
+totals AS (SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY s),
+pairs AS (
+  SELECT a.s AS source_a, tb.s AS source_b, a.w, a.c AS ca,
+         ta.n AS na, tb.n AS nb, b.c AS cb, v.v
+  FROM counts a
+  JOIN totals ta ON ta.s = a.s
+  CROSS JOIN totals tb
+  LEFT JOIN counts b ON b.s = tb.s AND b.w = a.w
+  CROSS JOIN vocab v
+  WHERE a.s != tb.s)
+SELECT source_a, source_b,
+       CAST(SUM(ca) AS BIGINT) AS n_tokens_a,
+       CAST(SUM(ca * (length(bin((na + v) // (ca + 1))) - 1)) AS BIGINT)
+           AS ent_bits,
+       CAST(SUM(ca * (length(bin((nb + v) // (COALESCE(cb, 0) + 1))) - 1))
+           AS BIGINT) AS xent_bits,
+       CAST(SUM(ca * (length(bin((nb + v) // (COALESCE(cb, 0) + 1))) - 1))
+          - SUM(ca * (length(bin((na + v) // (ca + 1))) - 1)) AS BIGINT)
+           AS div_bits
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74b: per-(lang, source) curation scorecard — the one-stop
+    dashboard an engine user pulls before planning a training mix:
+    volume, token mass, and integer quality-score mass per slice,
+    composed from quality_features in one aggregated pass."""
+    d = _docs(spark, sf_dir)
+    qf = X.quality_features(d)
+    j = d.select("doc_id", "lang", "source").join(qf, "doc_id")
+    return (j.groupBy("lang", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars_c").cast("long").alias("total_chars"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.sum("quality_score").cast("long").alias("sum_quality"),
+                 F.sum(F.when(F.col("quality_score") >= 4, 1).otherwise(0))
+                 .cast("long").alias("n_high_quality"))
+            .orderBy("lang", "source"))
+
+
+ORACLE_CORPUS_REPORT = rf"""
+WITH f AS (
+  SELECT doc_id, lang, source,
+         LENGTH(text) AS n_chars_c,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b({_ALL_STOPS})\b'))
+             AS stop_hits
+  FROM documents),
+q AS (
+  SELECT lang, source, n_chars_c, n_tokens,
+         CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 2 ELSE 0 END
+       + CASE WHEN n_punct * 5 <= n_chars_c THEN 1 ELSE 0 END
+       + CASE WHEN stop_hits > 0 THEN 2 ELSE 0 END
+       + CASE WHEN n_chars_c >= 3 * n_tokens AND n_chars_c < 12 * n_tokens
+              THEN 1 ELSE 0 END AS quality_score
+  FROM f)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars_c) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(quality_score) AS BIGINT) AS sum_quality,
+       CAST(SUM(CASE WHEN quality_score >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_high_quality
+FROM q GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+EXTENSION_CHECKS["source_divergence"] = (q_source_divergence,
+                                         ORACLE_SOURCE_DIVERGENCE)
+EXTENSION_CHECKS["corpus_report"] = (q_corpus_report, ORACLE_CORPUS_REPORT)

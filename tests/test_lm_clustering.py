@@ -202,3 +202,37 @@ def test_ivf_exact_tracks_bruteforce(spark, sf_dir):
             for r in ann_ivf_exact_topk(emb, qids, k=10, n_cells=8,
                                         n_probe=8, n_iter=2).collect()}
     assert wide == exact  # probing all cells IS the exact search
+
+
+def test_source_divergence_directional_signal(spark):
+    """A source whose text matches another's idiom diverges less FROM it
+    than an alien source does; self-pairs are excluded; every ordered
+    pair appears."""
+    from ethereum2_etl_airflow_spark.operators.lm import (
+        source_unigram_divergence)
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "a"),
+         (2, "the dog sat on the rug", "b"),
+         (3, "zq wx qk jv zz yy", "c")],
+        "doc_id bigint, text string, source string")
+    rows = {(r["source_a"], r["source_b"]): r
+            for r in source_unigram_divergence(docs).collect()}
+    assert set(rows) == {(x, y) for x in "abc" for y in "abc" if x != y}
+    # a models b's text far better than c does (shared idiom)
+    assert rows[("b", "a")]["xent_bits"] < rows[("b", "c")]["xent_bits"]
+    assert rows[("a", "c")]["div_bits"] > rows[("a", "b")]["div_bits"]
+
+
+def test_source_divergence_max_vocab_caps_join(spark):
+    from ethereum2_etl_airflow_spark.operators.lm import (
+        source_unigram_divergence)
+
+    docs = spark.createDataFrame(
+        [(1, "x x x y", "a"), (2, "x z", "b")],
+        "doc_id bigint, text string, source string")
+    # top-1 vocabulary is {x}; sums must then only cover x occurrences
+    out = {(r["source_a"], r["source_b"]): r["n_tokens_a"]
+           for r in source_unigram_divergence(docs,
+                                              max_vocab=1).collect()}
+    assert out == {("a", "b"): 3, ("b", "a"): 1}
