@@ -41,7 +41,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.layout import ensure_parallelism, finalize_release
 
-__all__ = ["kmeans_int", "kmeans_fit", "cluster_balanced_sample"]
+__all__ = ["kmeans_int", "kmeans_fit", "kmeans_assign",
+           "cluster_balanced_sample"]
 
 
 def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -149,3 +150,23 @@ def cluster_balanced_sample(emb: DataFrame, k: int = 4, n_iter: int = 3,
     return (asg.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= per_cluster)
             .select(id_col, "cluster", "dist2"))
+
+
+def kmeans_assign(batch: DataFrame, history: DataFrame, k: int = 4,
+                  n_iter: int = 3, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Incremental assignment — the arrival-time companion of
+    :func:`kmeans_int` (same contract as the incremental dedup family):
+    centroids are fit on HISTORY ONLY, so cell boundaries never drift
+    as batches arrive, and each arriving vector gets the cluster / L2²
+    it would have received on any other day.  Returns (id, cluster,
+    dist2) for the BATCH rows.
+
+    Scale shape: the fit is the usual bounded rounds over history; the
+    batch side is ONE broadcast-centroid scan — no join against
+    history, no shuffle of either corpus."""
+    hq = ensure_parallelism(_quantized(history, id_col, vec_col)).cache()
+    cent = kmeans_fit(hq, k, n_iter, id_col)
+    bq = _quantized(batch, id_col, vec_col)
+    out = _assign(bq, cent, id_col).select(id_col, "cluster", "dist2")
+    return finalize_release(out, hq)

@@ -3932,3 +3932,58 @@ FROM q GROUP BY 1, 2 ORDER BY 1, 2
 EXTENSION_CHECKS["source_divergence"] = (q_source_divergence,
                                          ORACLE_SOURCE_DIVERGENCE)
 EXTENSION_CHECKS["corpus_report"] = (q_corpus_report, ORACLE_CORPUS_REPORT)
+
+
+# --- X70c: incremental k-means assignment ------------------------------------
+
+def q_kmeans_assign_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70c: arrival-time cluster assignment — centroids fit on HISTORY
+    only (the embeddings table), the arriving batch (cyclically-rotated
+    copies, ids +10^6 — new directions, disjoint ids) is assigned by one
+    broadcast-centroid scan; cells never drift as batches arrive (the
+    incremental contract shared with dedup_semantic_inc)."""
+    from ..operators.clustering import kmeans_assign
+
+    hist = _emb(spark, sf_dir)
+    batch = hist.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(F.slice(F.transform("embedding",
+                                     lambda x: x.cast("double")), 2, 63),
+                 F.slice(F.transform("embedding",
+                                     lambda x: x.cast("double")), 1, 1))
+        .alias("embedding"))
+    return (kmeans_assign(batch, hist, k=4, n_iter=2)
+            .orderBy("vec_id"))
+
+
+ORACLE_KMEANS_ASSIGN_INC = f"""
+WITH {_kmeans_cte_chain(k=4, n_iter=2, dim=64)},
+batch AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_concat(list_transform(embedding[2:64],
+                                    x -> CAST(x AS DOUBLE)),
+                     list_transform(embedding[1:1],
+                                    x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings),
+bq AS (
+  SELECT vec_id,
+         CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v,
+                     x -> CAST(FLOOR(x * 127.0 / m) AS BIGINT))
+         END AS q
+  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m
+        FROM batch)),
+bqp AS (SELECT vec_id, i - 1 AS pos, q[i] AS v
+        FROM bq, UNNEST(range(1, 65)) t(i)),
+bd AS (
+  SELECT bqp.vec_id, c.r, SUM((bqp.v - c.cv) * (bqp.v - c.cv)) AS d2
+  FROM bqp JOIN c2 c USING (pos) GROUP BY bqp.vec_id, c.r)
+SELECT vec_id, CAST(r AS INT) AS cluster, CAST(d2 AS BIGINT) AS dist2
+FROM (SELECT vec_id, r, d2, row_number() OVER (
+        PARTITION BY vec_id ORDER BY d2, r) AS rn FROM bd)
+WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+EXTENSION_CHECKS["kmeans_assign_inc"] = (q_kmeans_assign_inc,
+                                         ORACLE_KMEANS_ASSIGN_INC)

@@ -236,3 +236,22 @@ def test_source_divergence_max_vocab_caps_join(spark):
            for r in source_unigram_divergence(docs,
                                               max_vocab=1).collect()}
     assert out == {("a", "b"): 3, ("b", "a"): 1}
+
+
+def test_kmeans_assign_no_drift(spark, sf_dir):
+    """Incremental contract: a history vector re-assigned as a batch
+    member gets EXACTLY its original cluster and distance (cells come
+    from history only, so re-arrival is a no-op)."""
+    from ethereum2_etl_airflow_spark.operators.clustering import (
+        kmeans_assign, kmeans_int)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = {r["vec_id"]: (r["cluster"], r["dist2"])
+            for r in kmeans_int(emb, k=3, n_iter=2).collect()}
+    # re-present the same vectors as an arriving batch (shifted ids)
+    from pyspark.sql import functions as F2
+    batch = emb.select((F2.col("vec_id") + 5000).alias("vec_id"),
+                       "embedding")
+    got = {r["vec_id"] - 5000: (r["cluster"], r["dist2"])
+           for r in kmeans_assign(batch, emb, k=3, n_iter=2).collect()}
+    assert got == base
