@@ -3987,3 +3987,41 @@ WHERE rn = 1 ORDER BY vec_id
 
 EXTENSION_CHECKS["kmeans_assign_inc"] = (q_kmeans_assign_inc,
                                          ORACLE_KMEANS_ASSIGN_INC)
+
+
+# --- X75: winnowing fingerprints (MOSS) --------------------------------------
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75: winnowing fingerprint selection (Schleimer et al.,
+    SIGMOD'03 — the MOSS plagiarism/near-copy index): min-of-window
+    over 4-token shingle hashes, guaranteed to share a fingerprint with
+    any ≥ w+k-1-token overlap, ~2/(w+1) selection density, pure
+    codegen, portable 32-bit md5 hash."""
+    from ..operators.text import winnow_fingerprints
+
+    return (winnow_fingerprints(_docs(spark, sf_dir), k=4, w=4)
+            .orderBy("doc_id", "fp"))
+
+
+ORACLE_WINNOW = """
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9]+') AS tk
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(tk) - 4 + 1, 0) + 1),
+           i -> ('0x' || substr(md5(array_to_string(tk[i:i+3], ' ')),
+                                1, 8))::BIGINT) AS hs
+  FROM tok),
+fps AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(
+           range(1, greatest(len(hs) - 4 + 1, 0) + 1),
+           j -> list_min(hs[j:j+3])))) AS fp
+  FROM h)
+SELECT DISTINCT doc_id, fp FROM fps ORDER BY doc_id, fp
+"""
+
+
+EXTENSION_CHECKS["winnow"] = (q_winnow, ORACLE_WINNOW)

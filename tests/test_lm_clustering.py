@@ -255,3 +255,30 @@ def test_kmeans_assign_no_drift(spark, sf_dir):
     got = {r["vec_id"] - 5000: (r["cluster"], r["dist2"])
            for r in kmeans_assign(batch, emb, k=3, n_iter=2).collect()}
     assert got == base
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing theorem: two documents sharing a run of >= w+k-1
+    tokens MUST share a fingerprint; short docs yield none; selection
+    is sparse (well under one fp per shingle)."""
+    from ethereum2_etl_airflow_spark.operators.text import (
+        winnow_fingerprints)
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [(1, "one two " + shared + " three four"),
+         (2, "five six seven " + shared + " eight"),
+         (3, "completely different words everywhere here nine ten more"),
+         (4, "tiny doc")],  # < k tokens -> no shingles -> no fps
+        "doc_id bigint, text string")
+    out = winnow_fingerprints(docs, k=4, w=4)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # guarantee: 8 shared tokens >= w+k-1 = 7 -> docs 1 and 2 overlap
+    assert by_doc[1] & by_doc[2]
+    assert 4 not in by_doc
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    # density: #fps <= #windows, and far below #shingles on long text
+    n_tokens = 12
+    assert len(by_doc[1]) <= n_tokens - 4 - 4 + 2

@@ -350,9 +350,20 @@ def lm_probe(args) -> None:
         r_km = best2(lambda: noop(kmeans_int(se, k=8, n_iter=3)))
         r_cs = best2(lambda: noop(
             cluster_balanced_sample(se, k=8, n_iter=3, per_cluster=20)))
+        # divergence: |S| and vocab stay constant under doc copies, so
+        # the pair stage is fixed-size and only the corpus-side
+        # tokenize+count groupBy should grow -> near-flat expected
+        from ethereum2_etl_airflow_spark.operators.lm import (
+            dsir_logratio_bits, source_unigram_divergence)
+
+        r_div = best2(lambda: noop(source_unigram_divergence(sd)))
+        r_dsir = best2(lambda: noop(
+            dsir_logratio_bits(sd.where("doc_id % 10 != 0"),
+                               sd.where("doc_id % 10 = 0"))))
         print(f"SCALE-LM n={n} docs={nd} vecs={ne} "
               f"lm_perplexity={r_ppl} kmeans={r_km} "
-              f"cluster_sample={r_cs}", flush=True)
+              f"cluster_sample={r_cs} source_div={r_div} "
+              f"dsir={r_dsir}", flush=True)
     spark.stop()
 
 
