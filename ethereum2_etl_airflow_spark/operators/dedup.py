@@ -42,6 +42,7 @@ __all__ = [
     "cosine_near_dup_pairs", "incremental_new_docs", "contamination_score",
     "dedup_chunks", "repeated_ngram_spans", "repeated_span_hits",
     "semantic_dedup", "semantic_dedup_incremental",
+    "pair_set_metrics",
 ]
 
 
@@ -983,3 +984,34 @@ def repeated_span_hits(docs: DataFrame, n: int = 5, min_docs: int = 2,
     return hit.select(
         id_col, "n_spans", "n_repeated",
         F.expr("n_repeated * 100 div n_spans").alias("repeated_pct"))
+
+
+def pair_set_metrics(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """Candidate-pair evaluation — the measurement step of every dedup
+    experiment here: compare a PREDICTED pair set (an approximate tier:
+    MinHash bands, SimHash bands, LSH, IVF cells) against a TRUTH pair
+    set (the exact tier) and return ONE row:
+
+        (n_pred, n_truth, n_hit, n_fp, n_fn)
+
+    Precision = n_hit/n_pred and recall = n_hit/n_truth are the
+    consumer's float step (counts stay integer-exact for the oracle).
+    Both inputs are deduplicated on canonical (id_a, id_b) first, so
+    multiplicity differences between tiers don't skew counts.
+
+    Scale shape: one shuffle full-outer join on the high-entropy pair
+    key + one global count aggregate — the same cost class as either
+    pair generator's final exchange."""
+    p = (pred.select("id_a", "id_b").distinct()
+         .withColumn("__p", F.lit(1)))
+    t = (truth.select("id_a", "id_b").distinct()
+         .withColumn("__t", F.lit(1)))
+    j = p.join(t, ["id_a", "id_b"], "full")
+    return (j.agg(
+        F.sum(F.coalesce("__p", F.lit(0))).cast("long").alias("n_pred"),
+        F.sum(F.coalesce("__t", F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(F.coalesce("__p", F.lit(0)) * F.coalesce("__t", F.lit(0)))
+        .cast("long").alias("n_hit"))
+        .select("n_pred", "n_truth", "n_hit",
+                (F.col("n_pred") - F.col("n_hit")).alias("n_fp"),
+                (F.col("n_truth") - F.col("n_hit")).alias("n_fn")))

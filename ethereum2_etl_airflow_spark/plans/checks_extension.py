@@ -4025,3 +4025,40 @@ SELECT DISTINCT doc_id, fp FROM fps ORDER BY doc_id, fp
 
 
 EXTENSION_CHECKS["winnow"] = (q_winnow, ORACLE_WINNOW)
+
+
+# --- X76: dedup-tier evaluation ----------------------------------------------
+
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76: candidate-pair evaluation — the banded MinHash tier's pair
+    set measured against the exact n-gram Jaccard tier on the planted
+    near-dup corpus: one row of integer (n_pred, n_truth, n_hit, n_fp,
+    n_fn); precision/recall are the consumer's float step.  The
+    DataFrame twin of the pytest recall assertions, as a first-class
+    queryable operator."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    pred = D.minhash_exact_pairs(corpus, n_hashes=8, band_rows=2)
+    truth = D.ngram_jaccard_pairs(corpus, threshold_tenths=6)
+    return D.pair_set_metrics(pred, truth)
+
+
+ORACLE_DEDUP_EVAL = f"""
+WITH pred AS (SELECT id_a, id_b FROM ({ORACLE_DEDUP_MINHASH_EXACT})),
+truth AS (SELECT id_a, id_b FROM ({ORACLE_DEDUP_NGRAM})),
+j AS (
+  SELECT COALESCE(p.id_a, t.id_a) AS id_a,
+         COALESCE(p.id_b, t.id_b) AS id_b,
+         CASE WHEN p.id_a IS NULL THEN 0 ELSE 1 END AS np,
+         CASE WHEN t.id_a IS NULL THEN 0 ELSE 1 END AS nt
+  FROM pred p FULL OUTER JOIN truth t
+    ON p.id_a = t.id_a AND p.id_b = t.id_b)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pred,
+       CAST(SUM(nt) AS BIGINT) AS n_truth,
+       CAST(SUM(np * nt) AS BIGINT) AS n_hit,
+       CAST(SUM(np) - SUM(np * nt) AS BIGINT) AS n_fp,
+       CAST(SUM(nt) - SUM(np * nt) AS BIGINT) AS n_fn
+FROM j
+"""
+
+
+EXTENSION_CHECKS["dedup_eval"] = (q_dedup_eval, ORACLE_DEDUP_EVAL)

@@ -282,3 +282,19 @@ def test_winnowing_guarantee_and_density(spark):
     # density: #fps <= #windows, and far below #shingles on long text
     n_tokens = 12
     assert len(by_doc[1]) <= n_tokens - 4 - 4 + 2
+
+
+def test_pair_set_metrics_identities(spark):
+    from ethereum2_etl_airflow_spark.operators.dedup import pair_set_metrics
+
+    mk = lambda rows: spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+    pred = mk([(1, 2), (1, 2), (3, 4), (5, 6)])   # dup row collapses
+    truth = mk([(1, 2), (3, 4), (7, 8)])
+    r = pair_set_metrics(pred, truth).collect()[0]
+    assert (r["n_pred"], r["n_truth"], r["n_hit"],
+            r["n_fp"], r["n_fn"]) == (3, 3, 2, 1, 1)
+    # identical sets: perfect score; empty pred: all misses
+    r2 = pair_set_metrics(truth, truth).collect()[0]
+    assert (r2["n_hit"], r2["n_fp"], r2["n_fn"]) == (3, 0, 0)
+    r3 = pair_set_metrics(mk([]), truth).collect()[0]
+    assert (r3["n_pred"], r3["n_hit"], r3["n_fn"]) == (0, 0, 3)
