@@ -372,3 +372,79 @@ def test_mulaw_expand_matches_table_properties(u):
     assert _mulaw_expand(u ^ 0x80) == -s
     if u in (0x7F, 0xFF):
         assert s == 0
+
+
+@SET
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40),
+                min_size=1, max_size=6),
+       st.lists(st.text(alphabet="ab ", min_size=0, max_size=40),
+                min_size=1, max_size=6))
+def test_lm_bits_match_python_reference(spark, train_texts, score_texts):
+    """The distributed bigram-LM bit-cost equals a trivially-correct
+    pure-Python scorer on arbitrary tiny corpora (add-one smoothing,
+    floor-log2 bits, fixed-point mass)."""
+    import math
+    import re
+    from collections import Counter
+
+    from ethereum2_etl_airflow_spark.operators.lm import (
+        PROB_SCALE, perplexity_scores)
+
+    tok = lambda s: re.findall(r"[a-z0-9]+", (s or "").lower())
+    uni, bi = Counter(), Counter()
+    for t in train_texts:
+        ws = tok(t)
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    v = max(len(uni), 1)
+
+    def ref(text):
+        ws = tok(text)
+        n = oov = bits = fp = 0
+        for a, b in zip(ws, ws[1:]):
+            c2, c1 = bi.get((a, b), 0), uni.get(a, 0)
+            n += 1
+            oov += c2 == 0
+            bits += int(math.log2((c1 + v) // (c2 + 1))) \
+                if (c1 + v) // (c2 + 1) >= 1 else 0
+            fp += ((c2 + 1) * PROB_SCALE) // (c1 + v)
+        return (n, oov, bits, fp)
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(score_texts)],
+        "doc_id long, text string")
+    got = {r["doc_id"] - 100: (r["n_bigrams"], r["oov_bigrams"],
+                               r["ppl_bits"], r["probmass_fp"])
+           for r in perplexity_scores(corpus, train).collect()}
+    want = {i: ref(t) for i, t in enumerate(score_texts)}
+    assert got == want
+
+
+@SET
+@given(st.lists(st.integers(0, 6), min_size=0, max_size=30),
+       st.integers(2, 4), st.integers(2, 4))
+def test_winnowing_matches_python_reference(spark, token_ids, k, w):
+    """Distributed winnowing selects exactly the fingerprints the
+    textbook per-document algorithm selects (min per window over
+    k-gram hashes), for arbitrary k/w and token streams."""
+    import hashlib
+
+    from ethereum2_etl_airflow_spark.operators.text import (
+        winnow_fingerprints)
+
+    words = [f"w{t}" for t in token_ids]
+
+    def h(gram: str) -> int:
+        return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+
+    hs = [h(" ".join(words[i:i + k]))
+          for i in range(len(words) - k + 1)]
+    want = {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    docs = spark.createDataFrame([(1, " ".join(words))],
+                                 "doc_id long, text string")
+    got = {r["fp"] for r in winnow_fingerprints(docs, k=k, w=w).collect()}
+    assert got == want
