@@ -49,6 +49,39 @@ def _release_round_blocks() -> None:
     gc.collect()
 
 
+def _graph_npart(edges: DataFrame, floor: int = 8,
+                 target_bytes: int = 64 << 20) -> int:
+    """Iteration-layout partition count for an edge DataFrame: sized
+    from Catalyst's free plan-time size estimate (``optimizedPlan().
+    stats().sizeInBytes`` — the same quantity file scans size
+    partitions from) at ~``target_bytes`` per partition, clamped to
+    [``floor``, session shuffle width].  At 100 TB the estimate is
+    huge and the width caps at the configured maximum; at test SFs the
+    graph is a few MB and the width drops to the floor.
+
+    Why not just ``spark.sql.shuffle.partitions``: an iterative
+    operator pays EVERY round for over-partitioning (per-task launch +
+    state-store/shuffle-file fixed costs × rounds), and the pinned
+    ``repartition(n, key)`` layout is deliberately AQE-exempt (the
+    coalescing that fixes one-shot queries broke shuffled-hash builds
+    in the round-4 scale probe), so the width must be right at plan
+    time.  Measured at sf0.1: 64 pinned partitions cost 7–13 s for a
+    1.2 M-edge pagerank whose 8-partition run is ~4 s — pure fixed
+    overhead, zero data benefit.  (NOT ``df.rdd.getNumPartitions()``:
+    materializing the RDD of a multi-stage plan triggers real AQE
+    stage execution — measured 2.7 s of silent duplicate work.)"""
+    conf = max(
+        int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                        "200") or 200),
+        edges.sparkSession.sparkContext.defaultParallelism)
+    try:
+        size = int(edges._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:  # pragma: no cover — stats API unavailable
+        return conf
+    return max(min(conf, -(-size // target_bytes)), floor)
+
+
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 30,
                          algorithm: str = "label") -> DataFrame:
@@ -310,7 +343,8 @@ def triangle_counts(edges: DataFrame, src: str = "id_a",
 
 def pagerank_int(edges: DataFrame, n_iter: int = 3,
                  scale: int = 1_000_000, damp_num: int = 85,
-                 damp_den: int = 100) -> DataFrame:
+                 damp_den: int = 100, checkpoint_every: int = 3,
+                 dedup: bool = True) -> DataFrame:
     """Integer-scaled PageRank over a directed edge list (``src``,
     ``dst`` columns) — the iterative-algorithm companion of
     :func:`connected_components`.
@@ -324,34 +358,48 @@ def pagerank_int(edges: DataFrame, n_iter: int = 3,
     drift vs. real PageRank is ≤ n_iter ulps of 1/scale — ranking-
     irrelevant at scale=1e6.
 
-    Scale shape — ONE exchange per round: the out-degree is fused into
-    the cached edge set once (it is loop-invariant; joining it every
-    round was a whole extra join), both the degree-fused edges and the
-    node table are cached HASH-PARTITIONED on their join keys, and the
-    per-round score table inherits hash(node) partitioning through the
-    ``localCheckpoint`` (LogicalRDD preserves outputPartitioning) — so
-    the edges × scores join and the dangling-node left join both plan
-    with zero exchange, and the only shuffle each round is the
-    map-side-combining SUM of contributions on dst.  Dangling nodes
-    (no in-edges) settle at the teleport base.  At 100 TB this is the
-    same per-round cost envelope as label propagation; n_iter is
-    fixed, not convergence-probed, to keep the oracle exact."""
+    Scale shape — ONE exchange per round, ONE per setup table: the
+    setup pipelines entirely behind two pinned ``repartition(npart,
+    key)`` exchanges — dedup (``distinct`` is co-located once the
+    edges are hash(src)-clustered: [src] ⊆ [src, dst]) and the
+    loop-invariant out-degree (a partition-local ``count() OVER
+    (PARTITION BY src)`` window, replacing the former groupBy+join
+    pair and its extra shuffle) both reuse the edge layout, and the
+    node table pays one exchange with its own co-located distinct.
+    The per-round score table keeps hash(node) partitioning through
+    joins and ``localCheckpoint`` (LogicalRDD preserves
+    outputPartitioning) — so the edges × scores join and the
+    dangling-node left join plan with zero exchange, and the only
+    shuffle each round is the map-side-combining SUM of contributions
+    on dst.  Dangling nodes (no in-edges) settle at the teleport base.
+    At 100 TB this is the same per-round cost envelope as label
+    propagation; n_iter is fixed, not convergence-probed, to keep the
+    oracle exact.  ``dedup=False`` skips the edge ``distinct`` when
+    the caller guarantees uniqueness (duplicate edges would double
+    contributions AND out-degrees — NOT a no-op semantically).
+
+    ``checkpoint_every``: rounds between ``localCheckpoint`` lineage
+    cuts.  Checkpointing EVERY round paid a per-round driver
+    job-submission + GC floor that dominated the wall at small data
+    (8.8 s vs a 0.4 s oracle at sf0.1 — round-5 verdict); batching k
+    rounds per materialization keeps lineage bounded at k joins while
+    the k rounds plan and run as ONE Spark job.  The final round is
+    always checkpointed so the returned frame survives the edge/node
+    cache release below."""
     base = scale - damp_num * scale // damp_den
-    npart = max(
-        int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                        "200") or 200),
-        edges.sparkSession.sparkContext.defaultParallelism)
-    e = edges.select("src", "dst").distinct()
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = (e.join(outdeg, "src")
-          .repartition(npart, "src").persist())
+    npart = _graph_npart(edges)
+    e = edges.select("src", "dst").repartition(npart, "src")
+    if dedup:
+        e = e.distinct()  # co-located: hash(src) clusters (src, dst)
+    ed = e.withColumn("deg", F.count("*")
+                      .over(Window.partitionBy("src"))).persist()
     nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node"))).distinct()
-             .repartition(npart, "node").persist())
+             .union(e.select(F.col("dst").alias("node")))
+             .repartition(npart, "node").distinct().persist())
     try:
         scores = nodes.select("node", F.lit(scale).cast("bigint")
-                              .alias("score")).localCheckpoint(eager=True)
-        for _ in range(n_iter):
+                              .alias("score"))
+        for i in range(n_iter):
             contrib = (ed.join(scores, ed["src"] == scores["node"])
                        .select(F.col("dst").alias("node"),
                                F.expr("score div deg").alias("c")))
@@ -361,9 +409,10 @@ def pagerank_int(edges: DataFrame, n_iter: int = 3,
                               (F.lit(base)
                                + F.expr(f"({damp_num} * coalesce(s, 0))"
                                         f" div {damp_den}"))
-                              .cast("bigint").alias("score"))
-                      .localCheckpoint(eager=True))
-            _release_round_blocks()
+                              .cast("bigint").alias("score")))
+            if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+                scores = scores.localCheckpoint(eager=True)
+                _release_round_blocks()
         return scores
     finally:
         ed.unpersist()

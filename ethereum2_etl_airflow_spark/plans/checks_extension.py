@@ -1486,11 +1486,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank_int
 
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = (li.select((F.col("l_suppkey") + F.lit(10_000_000)).alias("s"),
-                       F.col("l_partkey").alias("p")).distinct())
+    pairs = li.select((F.col("l_suppkey") + F.lit(10_000_000)).alias("s"),
+                      F.col("l_partkey").alias("p"))
     edges = (pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
              .union(pairs.select(F.col("p").alias("src"),
                                  F.col("s").alias("dst"))))
+    # no pre-distinct: pagerank_int's own dedup runs CO-LOCATED behind
+    # its hash(src) repartition, so deduping there saves the standalone
+    # distinct's whole shuffle (oracle: DISTINCT pairs → same edge set)
     return (pagerank_int(edges, n_iter=3)
             .orderBy(F.col("score").desc(), "node").limit(50))
 
