@@ -687,6 +687,14 @@ def semantic_dedup(emb: DataFrame, n_cells: int = 8,
                sorted(qdf.orderBy(hx, F.col(id_col)).limit(n_cells)
                       .select(hx.alias("hx"), F.col(id_col), "q").collect(),
                       key=lambda r: (r["hx"], r[id_col]))]
+    if anchors and len(anchors[0]) != dim:
+        # fail fast: the codegen assignment below iterates range(dim),
+        # so a mismatch would silently score only the first dim
+        # components (or NULL structs via element_at past the end)
+        # while the assign_via_join path uses true array lengths
+        raise ValueError(
+            f"semantic_dedup: dim={dim} but '{vec_col}' vectors have "
+            f"{len(anchors[0])} components")
 
     if assign_via_join is None:
         assign_via_join = len(anchors) > 64
@@ -790,6 +798,10 @@ def semantic_dedup_incremental(batch: DataFrame, history: DataFrame,
                       .orderBy(hx, F.col(id_col)).limit(n_cells)
                       .select(hx.alias("hx"), F.col(id_col), "q").collect(),
                       key=lambda r: (r["hx"], r[id_col]))]
+    if anchors and len(anchors[0]) != dim:
+        raise ValueError(  # see semantic_dedup — fail fast on mismatch
+            f"semantic_dedup_incremental: dim={dim} but '{vec_col}' "
+            f"vectors have {len(anchors[0])} components")
 
     def cell_dist_sql(aq: list[int]) -> str:
         ssq = sum(a * a for a in aq)

@@ -34,8 +34,9 @@ from pyspark.sql import types as T
 __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "FRAME_SCHEMA",
            "AUDIO_SCHEMA", "VIDEO_FRAME_SCHEMA", "attach_binary_payload",
            "read_media_dir", "decode_stub", "extract_features",
-           "extract_audio_features", "sample_frames", "make_ppm",
-           "make_wav", "make_y4m", "sample_y4m_frames"]
+           "extract_features_arrow", "extract_audio_features",
+           "sample_frames", "make_ppm", "make_wav", "make_mulaw_wav",
+           "make_y4m", "sample_y4m_frames"]
 
 #: payload + typed metadata layout for a multimodal table
 MEDIA_SCHEMA = T.StructType([

@@ -375,6 +375,11 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     aqs = [list(r["q"]) for r in
            sorted((r for r in bounded if r["role"] == "a"),
                   key=lambda r: (r["hx"], r[id_col]))]
+    if aqs and len(aqs[0]) != dim:
+        raise ValueError(
+            f"pq_topk: dim={dim} but '{vec_col}' vectors have "
+            f"{len(aqs[0])} components — a mismatch would silently "
+            "code against a prefix/NULL tail instead of the real vector")
     qrows = {int(r[id_col]): list(r["q"]) for r in bounded
              if r["role"] == "q"}
 
@@ -424,7 +429,7 @@ def _pq_code_cols(aqs: list[list[int]], d_sub: int, m_sub: int) -> list:
 def _pq_adc_topk(coded: DataFrame, aqs: list[list[int]],
                  qrows: dict[int, list[int]], query_ids: list[int],
                  k: int, *, d_sub: int, m_sub: int,
-                 id_col: str) -> DataFrame:
+                 id_col: str, exclude_self: bool = True) -> DataFrame:
     """ADC scoring + per-query top-k over a (materialized) code table.
 
     Per-query TakeOrderedAndProject instead of the Arrow-backed
@@ -449,12 +454,19 @@ def _pq_adc_topk(coded: DataFrame, aqs: list[list[int]],
             dist = term if dist is None else dist + term
         return dist
 
-    tops = [coded.select(F.lit(int(qid)).cast("long").alias("query_id"),
+    def branch(qid: int) -> DataFrame:
+        b = coded.select(F.lit(int(qid)).cast("long").alias("query_id"),
                          F.col(id_col).alias("vec_id"),
                          q_dist(qrows[int(qid)]).alias("approx_dist"))
-            .where(F.col("vec_id") != int(qid))
-            .orderBy("approx_dist", "vec_id").limit(k)
-            for qid in query_ids]
+        if exclude_self:
+            # in-corpus queries: a row is not its own neighbor.  For
+            # external queries pass exclude_self=False — an id-space
+            # collision between a query and an unrelated corpus row
+            # must NOT silently drop that row from the top-k.
+            b = b.where(F.col("vec_id") != int(qid))
+        return b.orderBy("approx_dist", "vec_id").limit(k)
+
+    tops = [branch(qid) for qid in query_ids]
     allq = tops[0]
     for t in tops[1:]:
         allq = allq.unionByName(t)
@@ -497,6 +509,11 @@ def build_pq_index(emb: DataFrame, path: str, m_sub: int = 4,
                sorted(qdf.orderBy(hx, F.col(id_col)).limit(n_anchors)
                       .select(hx.alias("hx"), F.col(id_col), "q").collect(),
                       key=lambda r: (r["hx"], r[id_col]))]
+    if anchors and len(anchors[0]) != dim:
+        raise ValueError(
+            f"build_pq_index: dim={dim} but '{vec_col}' vectors have "
+            f"{len(anchors[0])} components — a mismatch would silently "
+            "code against a prefix/NULL tail instead of the real vector")
     spark = emb.sparkSession
     spark.createDataFrame(
         [(r, aq) for r, aq in enumerate(anchors)],
@@ -510,7 +527,8 @@ def build_pq_index(emb: DataFrame, path: str, m_sub: int = 4,
 
 def query_pq_index(spark, path: str,
                    queries: dict[int, list[float]], k: int = 10,
-                   m_sub: int = 4, dim: int = 64) -> DataFrame:
+                   m_sub: int = 4, dim: int = 64,
+                   exclude_self: bool = False) -> DataFrame:
     """Serve top-k from a persisted PQ index (:func:`build_pq_index`)
     — query vectors arrive from OUTSIDE the corpus (the serving-time
     reality), are int8 floor-quantized driver-side with the identical
@@ -518,12 +536,28 @@ def query_pq_index(spark, path: str,
     codes match what the corpus pass would produce), and score against
     the stored codes via literal LUTs — the corpus-side cost is one
     columnar scan of the codes table per query batch, never touching
-    raw vectors."""
+    raw vectors.
+
+    ``exclude_self`` defaults to False: external query ids share no id
+    space with the corpus, so a numeric collision must not silently
+    drop a corpus row from that query's top-k.  Pass True only when
+    the query ids ARE corpus row ids (the :func:`pq_topk` situation —
+    e.g. re-serving in-corpus queries from the stored index)."""
     import math
 
     cb = sorted(spark.read.parquet(f"{path}/codebook").collect(),
                 key=lambda r: r["arank"])
     aqs = [list(r["aq"]) for r in cb]
+    if aqs and len(aqs[0]) != dim:
+        raise ValueError(
+            f"query_pq_index: dim={dim} but the stored codebook at "
+            f"{path} has {len(aqs[0])}-component anchors — the index "
+            "was built with a different dim")
+    for qid, v in queries.items():
+        if len(v) != dim:
+            raise ValueError(
+                f"query_pq_index: query {qid} has {len(v)} components, "
+                f"index dim is {dim}")
     coded = spark.read.parquet(f"{path}/codes")
 
     def quant(v: list[float]) -> list[int]:
@@ -535,7 +569,7 @@ def query_pq_index(spark, path: str,
     qrows = {int(qid): quant(v) for qid, v in queries.items()}
     return _pq_adc_topk(coded, aqs, qrows, list(qrows), k,
                         d_sub=dim // m_sub, m_sub=m_sub,
-                        id_col="vec_id")
+                        id_col="vec_id", exclude_self=exclude_self)
 
 
 def retrieval_topk(emb: DataFrame, query_ids: list[int], k: int = 10,

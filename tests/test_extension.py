@@ -1382,7 +1382,9 @@ def test_semantic_dedup_incremental_rules(spark, sf_dir):
 def test_pq_index_roundtrip_matches_in_session(spark, sf_dir, tmp_path):
     """build_pq_index -> query_pq_index returns the identical ranking
     to pq_topk: parquet round-trip + driver-side query quantization
-    lose nothing."""
+    lose nothing.  exclude_self=True because these query ids ARE
+    corpus rows (pq_topk's contract); the external-id default is
+    exercised below."""
     emb = load_table(spark, sf_dir, "embeddings")
     want = [(r["query_id"], r["vec_id"], r["rank"], r["approx_dist"])
             for r in S.pq_topk(emb, [1, 2], k=5)
@@ -1391,9 +1393,38 @@ def test_pq_index_roundtrip_matches_in_session(spark, sf_dir, tmp_path):
     qv = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
           for r in emb.where(F.col("vec_id").isin([1, 2])).collect()}
     got = [(r["query_id"], r["vec_id"], r["rank"], r["approx_dist"])
-           for r in S.query_pq_index(spark, str(tmp_path / "pqidx"), qv, k=5)
+           for r in S.query_pq_index(spark, str(tmp_path / "pqidx"), qv,
+                                     k=5, exclude_self=True)
            .orderBy("query_id", "rank").collect()]
     assert got == want and len(got) == 10
+    # external-query default: an id-space collision must NOT drop the
+    # corpus row — query id 1 here is EXTERNAL, so corpus row 1 is a
+    # legitimate (rank-1: identical vector) neighbor
+    dflt = S.query_pq_index(spark, str(tmp_path / "pqidx"), qv, k=5) \
+        .where(F.col("query_id") == 1).orderBy("rank").collect()
+    # ADC dist is query->anchor, so even the identical vector scores
+    # nonzero — but it shares the query's codes, so it ranks first
+    assert dflt[0]["vec_id"] == 1
+
+
+def test_pq_index_dim_mismatch_fails_fast(spark, sf_dir, tmp_path):
+    """dim mismatches raise instead of silently scoring a prefix."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="dim=32"):
+        S.build_pq_index(emb, str(tmp_path / "pqbad"), dim=32, m_sub=4)
+    S.build_pq_index(emb, str(tmp_path / "pqidx2"))
+    qv = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+          for r in emb.where(F.col("vec_id").isin([1])).collect()}
+    with pytest.raises(ValueError, match="codebook"):
+        S.query_pq_index(spark, str(tmp_path / "pqidx2"), qv,
+                         k=5, dim=32, m_sub=2)
+    with pytest.raises(ValueError, match="components"):
+        S.query_pq_index(spark, str(tmp_path / "pqidx2"),
+                         {7: [1.0, 2.0]}, k=5)
+    with pytest.raises(ValueError, match="dim=32"):
+        D.semantic_dedup(emb, n_cells=4, dim=32)
 
 
 def test_extract_features_on_error_policies(spark):

@@ -405,6 +405,30 @@ def test_pq_code_table_is_narrow_int_codes(spark, sf_dir):
     assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
 
 
+def test_pq_index_serve_plan_is_single_codes_scan(spark, sf_dir, tmp_path):
+    """The PQ SERVE path (query_pq_index) is the shape that matters at
+    100 TB: per query branch one columnar scan of the stored codes
+    table with the LUTs baked as literals — no join, no Python
+    operator, and no exchange before the bounded per-branch top-k
+    (TakeOrderedAndProject)."""
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        build_pq_index, query_pq_index)
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_pq_index(emb, str(tmp_path / "pqsrv"))
+    qv = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+          for r in emb.where(F.col("vec_id").isin([1])).collect()}
+    out = query_pq_index(spark, str(tmp_path / "pqsrv"), qv, k=5)
+    plan = plan_string(out, "simple")
+    assert plan.count("FileScan parquet") == 1          # codes only
+    assert "embedding" not in plan                      # raw vectors untouched
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert marker not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_round4_text_ops_stay_jvm_side(spark, sf_dir):
     """The round-4 corpus operators (BPE pair stats, repeated spans,
     random-projection embed) are pure column algebra: no Python eval
