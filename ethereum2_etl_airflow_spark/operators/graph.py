@@ -67,19 +67,12 @@ def _graph_npart(edges: DataFrame, floor: int = 8,
     in the round-4 scale probe), so the width must be right at plan
     time.  Measured at sf0.1: 64 pinned partitions cost 7–13 s for a
     1.2 M-edge pagerank whose 8-partition run is ~4 s — pure fixed
-    overhead, zero data benefit.  (NOT ``df.rdd.getNumPartitions()``:
-    materializing the RDD of a multi-stage plan triggers real AQE
-    stage execution — measured 2.7 s of silent duplicate work.)"""
-    conf = max(
-        int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                        "200") or 200),
-        edges.sparkSession.sparkContext.defaultParallelism)
-    try:
-        size = int(edges._jdf.queryExecution().optimizedPlan()
-                   .stats().sizeInBytes())
-    except Exception:  # pragma: no cover — stats API unavailable
-        return conf
-    return max(min(conf, -(-size // target_bytes)), floor)
+    overhead, zero data benefit.  Thin wrapper over
+    :func:`..functions.layout.plan_width` (shared with the other
+    bounded iterative loops)."""
+    from ..functions.layout import plan_width
+
+    return plan_width(edges, floor=floor, target_bytes=target_bytes)
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",

@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import contextlib
-import threading
 
 from pyspark.sql import SparkSession
 
@@ -11,14 +10,6 @@ __all__ = ["bounded_state"]
 
 #: stateful-operator partition count for bounded check/demo streams
 STATE_PARTITIONS = 8
-
-#: reentrancy guard for :func:`bounded_state` — holder count + the conf
-#: value saved by the OUTERMOST holder (the session conf is global, so
-#: two overlapping stream runs with naive save/restore could race and
-#: leave the session permanently pinned)
-_pin_lock = threading.Lock()
-_pin_depth = 0
-_pin_saved: str | None = None
 
 
 @contextlib.contextmanager
@@ -42,27 +33,13 @@ def bounded_state(spark: SparkSession, n: int = STATE_PARTITIONS):
     value.  That affects only partition counts, never results (every
     operator here is layout-invariant by design).
 
-    Reentrancy: overlapping holders (bench's concurrent pass runs
-    several stream checks at once) are reference-counted — only the
-    OUTERMOST enter saves the previous value and only the LAST exit
-    restores it, so an interleaved exit can never "restore" another
-    holder's pinned value into the session permanently.  All holders
-    share one pin value per nesting episode: a nested call asking for
-    a DIFFERENT ``n`` keeps the outermost pin (partition count is a
-    performance knob, never a correctness one, for every operator
-    behind this guard).
+    Reentrancy: delegates to the reference-counted
+    :func:`..functions.layout.pinned_shuffle` (shared with the bounded
+    iterative batch loops), so overlapping holders — bench's
+    concurrent pass runs several stream checks at once — can never
+    race the save/restore and leave the session pinned permanently.
     """
-    global _pin_depth, _pin_saved
-    with _pin_lock:
-        if _pin_depth == 0:
-            _pin_saved = spark.conf.get("spark.sql.shuffle.partitions")
-            spark.conf.set("spark.sql.shuffle.partitions", str(n))
-        _pin_depth += 1
-    try:
+    from ..functions.layout import pinned_shuffle
+
+    with pinned_shuffle(spark, n):
         yield
-    finally:
-        with _pin_lock:
-            _pin_depth -= 1
-            if _pin_depth == 0 and _pin_saved is not None:
-                spark.conf.set("spark.sql.shuffle.partitions", _pin_saved)
-                _pin_saved = None
