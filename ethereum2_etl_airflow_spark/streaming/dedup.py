@@ -21,7 +21,6 @@ on, so no skew by construction.
 
 from __future__ import annotations
 
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -44,12 +43,9 @@ def dedup_stream(docs: DataFrame, ts_col: str = "ts",
 def run_dedup_available_now(stream_df: DataFrame,
                             spark: SparkSession) -> DataFrame:
     """Run the dedup stream to completion over currently-available input
-    (append sink — each surviving row is emitted exactly once)."""
-    from . import bounded_state
+    (append sink — each surviving row is emitted exactly once).
+    Delegates to the shared bounded harness (pinned state partitions +
+    tmpfs throwaway checkpoint, see :func:`..streaming.run_bounded`)."""
+    from . import run_bounded
 
-    name = f"dedup_{uuid.uuid4().hex[:8]}"
-    with bounded_state(spark):
-        q = (stream_df.writeStream.format("memory").queryName(name)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
-    return spark.table(name)
+    return run_bounded(stream_df, spark, mode="append", prefix="dedup")

@@ -15,7 +15,6 @@ one logical join, two execution modes.
 
 from __future__ import annotations
 
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -88,13 +87,8 @@ def run_append_available_now(stream_df: DataFrame,
                              spark: SparkSession) -> DataFrame:
     """Run an append-mode streaming query to completion over available
     input (memory sink) and return the result as a batch DataFrame.
-    State partitions are pinned small for the bounded run (see
-    :func:`..streaming.bounded_state`)."""
-    from . import bounded_state
+    Delegates to the shared bounded harness (pinned state partitions +
+    tmpfs throwaway checkpoint, see :func:`..streaming.run_bounded`)."""
+    from . import run_bounded
 
-    name = f"ssj_{uuid.uuid4().hex[:8]}"
-    with bounded_state(spark):
-        q = (stream_df.writeStream.format("memory").queryName(name)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
-    return spark.table(name)
+    return run_bounded(stream_df, spark, mode="append", prefix="ssj")

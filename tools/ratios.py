@@ -68,24 +68,28 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{args.sf_dir}/{t}.parquet')")
 
-    def spark_time(name: str) -> float:
-        def run() -> None:
+    def spark_time(name: str, runs: int = 1) -> float:
+        def run() -> float:
+            t0 = time.time()
             qs[name](spark, args.sf_dir).write.mode("overwrite") \
                 .format("noop").save()
+            return time.time() - t0
         run()  # warm: codegen, broadcasts
-        t0 = time.time()
-        run()
-        return time.time() - t0
+        times = sorted(run() for _ in range(runs))
+        return times[len(times) // 2]
 
-    def oracle_time(sql: str) -> float:
+    def oracle_time(sql: str, runs: int = 1) -> float:
         # single cold run when spark times come from bench (bench's
         # numbers are single cold runs too — like-for-like); warm+timed
         # otherwise
         if not bench_times:
             con.execute(sql).fetchall()
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        return time.time() - t0
+        times = []
+        for _ in range(runs):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            times.append(time.time() - t0)
+        return sorted(times)[len(times) // 2]
 
     rows = []
     for name in sorted(qs):
@@ -107,6 +111,17 @@ def main() -> int:
                   flush=True)
             continue
         ratio = st / ot if ot > 0 else float("inf")
+        # bar-adjacent verdicts must not ride on one-shot walls: this
+        # box drifts ±10-25% run-to-run (round-5 verdict: the SAME
+        # triangle_count oracle measured 2.12s by one party and 3.92s
+        # by another, flipping the ≥2× verdict).  Re-time BOTH sides
+        # median-of-3 when the single-shot ratio lands near the bar.
+        if 1.5 <= ratio < 3.0 and max(st, ot) >= args.min_sec:
+            if not bench_times:
+                st = spark_time(name, runs=3)
+            ot = oracle_time(sql, runs=3)
+            ratio = st / ot if ot > 0 else float("inf")
+            print(f"  (near-bar: re-timed median-of-3)", flush=True)
         rows.append((name, st, ot, ratio))
         print(f"RATIO {name}: spark={st:.2f}s oracle={ot:.2f}s "
               f"ratio={ratio:.2f}x", flush=True)
@@ -123,6 +138,10 @@ def main() -> int:
         "same parquet.",
         f"Queries where BOTH sides run under {args.min_sec}s are "
         "omitted (noise).",
+        "Protocol: any query whose single-shot ratio lands in "
+        "[1.5×, 3×) is re-timed median-of-3 on BOTH sides before its "
+        "verdict is recorded — this box drifts ±10-25% run-to-run, so "
+        "one-shot walls cannot adjudicate the 2× bar.",
         "Sorted worst-first; the suite-level BASELINE target is the "
         "aggregate wall, this table is the per-query debt audit.",
         "",
