@@ -87,29 +87,46 @@ def kmeans_fit(qdf: DataFrame, k: int, n_iter: int,
     are the ``k`` rows with the smallest ``(md5(id), id)``; updates are
     element-wise truncating integer means with empty-cluster carry;
     centroids are ``localCheckpoint``-ed per round so lineage stays
-    O(1) and the k×dim state never lives on the driver."""
+    O(1) and the k×dim state never lives on the driver.
+
+    The whole fit runs under a small pinned shuffle width: every
+    shuffle inside the loop is bounded by k×dim partial-aggregate rows
+    per map task — the corpus-sized assignment is a narrow broadcast
+    scan whose parallelism comes from ``qdf``'s own partitions, not
+    the shuffle conf — so a wide session width (2×cores) only buys
+    per-partition fixed costs × rounds.  This holds at ANY corpus
+    scale: it is the reduce side of a map-side-combined aggregation
+    over a bounded key space.  AQE is pinned off for the same reason
+    (nothing left to re-plan; its per-stage materialize→re-optimize
+    adds latency × rounds)."""
+    from ..functions.layout import pinned_shuffle
+
     hx = F.md5(F.col(id_col).cast("string"))
-    # k seed rows reach one task via limit(k); the single-partition
-    # row_number window then only ever sees k rows — not a corpus sort
-    cent = (qdf.orderBy(hx, F.col(id_col)).limit(k)
-            .select((F.row_number().over(
-                Window.orderBy(hx, F.col(id_col))) - 1).alias("r"),
-                F.col("q").alias("cq"))
-            .localCheckpoint(eager=True))
-    for _ in range(n_iter):
-        asg = _assign(qdf, cent, id_col)
-        upd = (asg.select("cluster", F.posexplode("q").alias("pos", "v"))
-               .groupBy("cluster", "pos")
-               .agg(F.expr("sum(v) div count(*)").alias("cv"))
-               .groupBy("cluster")
-               .agg(F.transform(
-                   F.sort_array(F.collect_list(
-                       F.struct(F.col("pos"), F.col("cv")))),
-                   lambda s: s["cv"]).alias("cq_new")))
-        cent = (cent.join(upd.withColumnRenamed("cluster", "r"),
-                          "r", "left")
-                .select("r", F.coalesce("cq_new", "cq").alias("cq"))
+    with pinned_shuffle(qdf.sparkSession, max(1, min(8, k)),
+                        adaptive=False):
+        # k seed rows reach one task via limit(k); the single-partition
+        # row_number window then only ever sees k rows — not a corpus
+        # sort
+        cent = (qdf.orderBy(hx, F.col(id_col)).limit(k)
+                .select((F.row_number().over(
+                    Window.orderBy(hx, F.col(id_col))) - 1).alias("r"),
+                    F.col("q").alias("cq"))
                 .localCheckpoint(eager=True))
+        for _ in range(n_iter):
+            asg = _assign(qdf, cent, id_col)
+            upd = (asg.select("cluster",
+                              F.posexplode("q").alias("pos", "v"))
+                   .groupBy("cluster", "pos")
+                   .agg(F.expr("sum(v) div count(*)").alias("cv"))
+                   .groupBy("cluster")
+                   .agg(F.transform(
+                       F.sort_array(F.collect_list(
+                           F.struct(F.col("pos"), F.col("cv")))),
+                       lambda s: s["cv"]).alias("cq_new")))
+            cent = (cent.join(upd.withColumnRenamed("cluster", "r"),
+                              "r", "left")
+                    .select("r", F.coalesce("cq_new", "cq").alias("cq"))
+                    .localCheckpoint(eager=True))
     return cent
 
 
