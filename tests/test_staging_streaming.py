@@ -533,3 +533,47 @@ def test_sessionize_tws_matches_batch(spark, tmp_path):
         assert got <= expected
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_pinned_shuffle_reentrant_and_threadsafe(spark):
+    """The shared conf pin (bounded_state / iterative-loop widths) is
+    reference-counted: overlapping holders never leave the session
+    pinned after the last exit, nested holders keep the outermost pin,
+    and an inner exit does not restore early."""
+    import threading
+
+    from ethereum2_etl_airflow_spark.functions.layout import pinned_shuffle
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with pinned_shuffle(spark, 3):
+        assert spark.conf.get(key) == "3"
+        with pinned_shuffle(spark, 5):        # nested: outermost wins
+            assert spark.conf.get(key) == "3"
+        assert spark.conf.get(key) == "3"     # inner exit didn't restore
+    assert spark.conf.get(key) == before
+
+    # concurrent holders: whatever the interleaving, the value during
+    # overlap is a pin (some holder's), and after ALL exit it restores
+    n_threads, inside = 8, []
+    barrier = threading.Barrier(n_threads)
+
+    def worker():
+        barrier.wait()
+        with pinned_shuffle(spark, 7):
+            inside.append(spark.conf.get(key))
+
+    ts = [threading.Thread(target=worker) for _ in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert all(v == "7" for v in inside)
+    assert spark.conf.get(key) == before
+
+    # adaptive pin restores too
+    akey = "spark.sql.adaptive.enabled"
+    abefore = spark.conf.get(akey)
+    with pinned_shuffle(spark, 2, adaptive=False):
+        assert spark.conf.get(akey) == "false"
+    assert spark.conf.get(akey) == abefore

@@ -141,7 +141,9 @@ def main() -> int:
         "Protocol: any query whose single-shot ratio lands in "
         "[1.5×, 3×) is re-timed median-of-3 on BOTH sides before its "
         "verdict is recorded — this box drifts ±10-25% run-to-run, so "
-        "one-shot walls cannot adjudicate the 2× bar.",
+        "one-shot walls cannot adjudicate the 2× bar.  (With "
+        "--bench-json only the oracle side re-times; the spark wall "
+        "is bench's own single cold run by design.)",
         "Sorted worst-first; the suite-level BASELINE target is the "
         "aggregate wall, this table is the per-query debt audit.",
         "",
