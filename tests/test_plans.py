@@ -532,3 +532,23 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     assert "partial_min" in plan, plan[:800]
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan
+
+
+def test_plan_width_scales_with_stats_and_clamps(spark, sf_dir):
+    """plan_width sizes iteration layouts from Catalyst's plan-time
+    estimate: tiny tables hit the floor, the session width is the cap,
+    and the estimate survives a localCheckpoint (LogicalRDD preserves
+    stats) — the property pagerank/kmeans/bpe loop widths rely on."""
+    from ethereum2_etl_airflow_spark.functions.layout import plan_width
+
+    conf = max(int(spark.conf.get("spark.sql.shuffle.partitions")),
+               spark.sparkContext.defaultParallelism)
+    small = spark.range(100).selectExpr("id AS a", "id AS b")
+    assert plan_width(small, floor=3) == 3                 # floor
+    assert plan_width(small, floor=1, target_bytes=128) \
+        <= conf                                            # cap
+    ck = small.localCheckpoint(eager=True)
+    assert plan_width(ck, floor=3) == 3                    # stats survive
+    # a deliberately tiny per-partition target forces the cap
+    assert plan_width(spark.range(1_000_000), floor=1,
+                      target_bytes=64) == conf
