@@ -27,13 +27,16 @@ from pyspark.sql import DataFrame
 __all__ = ["ensure_parallelism", "finalize_release", "zorder_key",
            "zorder_by", "pinned_shuffle", "plan_width"]
 
-#: reentrancy guard for :func:`pinned_shuffle` — holder count + the
-#: conf value saved by the OUTERMOST holder (the session conf is
-#: global, so two overlapping holders with naive save/restore could
-#: race and leave the session pinned permanently)
+#: reentrancy guard for :func:`pinned_shuffle` — PER-SESSION holder
+#: counts + the conf values saved by the first holder of each knob
+#: (``spark.conf`` is per-SparkSession, so the state must be keyed by
+#: the session: a module-global scalar would silently skip pinning a
+#: second session and then restore the FIRST session's saved conf into
+#: it — exactly the leak the guard exists to prevent).  Entries are
+#: deleted on the last exit, so ``id()`` reuse after a session is
+#: garbage-collected can never alias stale state.
 _pin_lock = threading.Lock()
-_pin_depth = 0
-_pin_saved: dict | None = None
+_pin_state: dict[int, dict] = {}
 
 
 @contextlib.contextmanager
@@ -55,35 +58,58 @@ def pinned_shuffle(spark, n: int, adaptive: bool | None = None):
     k-means assignments — each round's shuffle pays per-partition
     fixed costs × rounds).  Both size ``n`` to the data, not the box.
 
-    Reentrancy: overlapping holders are reference-counted — only the
-    OUTERMOST enter saves the previous value and only the LAST exit
-    restores it, so an interleaved exit can never "restore" another
-    holder's pinned value into the session permanently.  All holders
-    share the outermost pin value for the nesting episode (partition
-    count is a performance knob, never a correctness one, for every
-    operator behind this guard)."""
-    global _pin_depth, _pin_saved
+    Reentrancy (per session): overlapping holders of the SAME session
+    are reference-counted per knob —
+
+    - width: only the OUTERMOST enter saves the previous value and
+      only the LAST exit restores it; all holders share the outermost
+      pin value for the nesting episode (partition count is a
+      performance knob, never a correctness one, for every operator
+      behind this guard).
+    - adaptive: the FIRST holder that passes a non-``None`` value
+      saves/sets the flag and the LAST such holder restores it — so an
+      inner ``adaptive=False`` request is honored even when the outer
+      pin left AQE untouched (e.g. a BPE/k-means loop running while a
+      ``bounded_state`` stream pin is held).  Conflicting nested
+      non-``None`` values: the first wins (no operator here mixes
+      them; both only ever request ``False``).
+
+    Holders of DIFFERENT sessions are fully independent — each
+    session's conf is saved/pinned/restored on its own."""
+    key = id(spark)
+    holds_adaptive = adaptive is not None
     with _pin_lock:
-        if _pin_depth == 0:
-            saved = {"spark.sql.shuffle.partitions":
-                     spark.conf.get("spark.sql.shuffle.partitions")}
+        st = _pin_state.get(key)
+        if st is None:
+            st = _pin_state[key] = {"depth": 0, "saved_part": None,
+                                    "adep": 0, "saved_adaptive": None}
+        if st["depth"] == 0:
+            st["saved_part"] = spark.conf.get("spark.sql.shuffle.partitions")
             spark.conf.set("spark.sql.shuffle.partitions", str(n))
-            if adaptive is not None:
-                saved["spark.sql.adaptive.enabled"] = \
+        st["depth"] += 1
+        if holds_adaptive:
+            if st["adep"] == 0:
+                st["saved_adaptive"] = \
                     spark.conf.get("spark.sql.adaptive.enabled")
                 spark.conf.set("spark.sql.adaptive.enabled",
                                str(adaptive).lower())
-            _pin_saved = saved
-        _pin_depth += 1
+            st["adep"] += 1
     try:
         yield
     finally:
         with _pin_lock:
-            _pin_depth -= 1
-            if _pin_depth == 0 and _pin_saved is not None:
-                for k, v in _pin_saved.items():
-                    spark.conf.set(k, v)
-                _pin_saved = None
+            st = _pin_state[key]
+            if holds_adaptive:
+                st["adep"] -= 1
+                if st["adep"] == 0:
+                    spark.conf.set("spark.sql.adaptive.enabled",
+                                   st["saved_adaptive"])
+                    st["saved_adaptive"] = None
+            st["depth"] -= 1
+            if st["depth"] == 0:
+                spark.conf.set("spark.sql.shuffle.partitions",
+                               st["saved_part"])
+                del _pin_state[key]
 
 
 def plan_width(df: DataFrame, floor: int = 8,
@@ -91,9 +117,13 @@ def plan_width(df: DataFrame, floor: int = 8,
     """Partition count sized from Catalyst's free plan-time estimate
     (``optimizedPlan().stats().sizeInBytes`` — the same quantity file
     scans size partitions from) at ~``target_bytes`` per partition,
-    clamped to [``floor``, session shuffle width].  At 100 TB the
-    estimate is huge and the width caps at the configured maximum; at
-    test SFs the table is a few MB and the width drops to the floor.
+    clamped to [``floor``, session shuffle width] — and the session
+    cap WINS over the floor (a caller's floor=8 on a session
+    configured for 4 partitions returns 4, not 8: the floor guards
+    against under-estimation, never over-partitions a small cluster).
+    At 100 TB the estimate is huge and the width caps at the
+    configured maximum; at test SFs the table is a few MB and the
+    width drops to the floor.
     (NOT ``df.rdd.getNumPartitions()``: materializing the RDD of a
     multi-stage plan triggers real AQE stage execution — measured
     2.7 s of silent duplicate work.)"""
@@ -106,7 +136,7 @@ def plan_width(df: DataFrame, floor: int = 8,
                    .stats().sizeInBytes())
     except Exception:  # pragma: no cover — stats API unavailable
         return conf
-    return max(min(conf, -(-size // target_bytes)), floor)
+    return min(conf, max(-(-size // target_bytes), floor))
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

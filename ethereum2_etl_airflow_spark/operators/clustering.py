@@ -89,20 +89,23 @@ def kmeans_fit(qdf: DataFrame, k: int, n_iter: int,
     centroids are ``localCheckpoint``-ed per round so lineage stays
     O(1) and the k×dim state never lives on the driver.
 
-    The whole fit runs under a small pinned shuffle width: every
-    shuffle inside the loop is bounded by k×dim partial-aggregate rows
-    per map task — the corpus-sized assignment is a narrow broadcast
-    scan whose parallelism comes from ``qdf``'s own partitions, not
-    the shuffle conf — so a wide session width (2×cores) only buys
-    per-partition fixed costs × rounds.  This holds at ANY corpus
-    scale: it is the reduce side of a map-side-combined aggregation
-    over a bounded key space.  AQE is pinned off for the same reason
-    (nothing left to re-plan; its per-stage materialize→re-optimize
-    adds latency × rounds)."""
-    from ..functions.layout import pinned_shuffle
+    The whole fit runs under a pinned shuffle width sized from
+    ``qdf``'s own plan stats (same discipline as the pagerank and BPE
+    loops): the update-side shuffles are bounded by k×dim
+    partial-aggregate rows per map task, but ``_assign``'s
+    ``groupBy(id)`` reduce is CORPUS-sized (one row per vector
+    survives map-side combine), so the width must track the corpus —
+    a test-scale fit keeps the small floor ``min(8, k)`` while a
+    large corpus keeps the session width, and neither pays
+    over-partitioning fixed costs × rounds nor squeezes a big
+    assignment reduce into 8 tasks.  AQE is pinned off (the width is
+    already right; its per-stage materialize→re-optimize adds latency
+    × rounds)."""
+    from ..functions.layout import pinned_shuffle, plan_width
 
     hx = F.md5(F.col(id_col).cast("string"))
-    with pinned_shuffle(qdf.sparkSession, max(1, min(8, k)),
+    with pinned_shuffle(qdf.sparkSession,
+                        plan_width(qdf, floor=max(1, min(8, k))),
                         adaptive=False):
         # k seed rows reach one task via limit(k); the single-partition
         # row_number window then only ever sees k rows — not a corpus

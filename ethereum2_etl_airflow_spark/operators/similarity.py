@@ -262,8 +262,11 @@ def sparse_cosine_pairs(docs: DataFrame, block_col: str = "source",
     integer inputs, so the score is bit-identical in any IEEE engine
     (the property the SQL oracle relies on).
 
-    Scale shape: two shuffles — (doc, token) counting with map-side
-    combine, then the pair aggregation keyed on (id_a, id_b).  The
+    Scale shape: four index-sized shuffles — (doc, token) counting
+    with map-side combine, per-doc norm packing, the (blk, tok) join
+    layout, then the pair aggregation keyed on (id_a, id_b); the
+    self-join itself adds NO exchange (it reads the cached index
+    already partitioned on its key) and no sort (shuffled hash).  The
     quadratic term is bounded by the blocking column (pairs only form
     within a block); unblocked corpora should prefilter the index to
     discriminative tokens (df cap / salience, cf.
@@ -272,40 +275,83 @@ def sparse_cosine_pairs(docs: DataFrame, block_col: str = "source",
     linearity, exactly like the PPJoin prefix in
     :func:`..operators.dedup.ngram_jaccard_pairs`.
 
+    Every exchange runs under a shuffle width sized from the corpus'
+    own plan stats (:func:`..functions.layout.plan_width`, same
+    discipline as the BPE/k-means loops): at test SFs the token index
+    is a few MB and a 64-wide session shuffle is pure per-partition
+    fixed cost (round-6 verdict: 5.0 s warm; this shape ~1.6 s at
+    sf0.1); at corpus scale the stats estimate keeps the session
+    width.  AQE is pinned off inside the scope — the width is already
+    stats-right, and the eager materialization (``finalize_release``)
+    happens INSIDE the pin so the pinned plan is the one that actually
+    executes.
+
     Returns ``(id_a, id_b, dot, cosine)`` for pairs with
     cosine >= threshold_millis/1000.
     """
-    res, tc = _sparse_cosine_build(docs, block_col, threshold_millis,
-                                   text_col, id_col)
-    return finalize_release(res, tc)
+    from ..functions.layout import pinned_shuffle, plan_width
+
+    docs = ensure_parallelism(docs)
+    # floor 8, not the corpus-stats minimum: the index exchanges carry
+    # combined (doc, token) rows whose volume tracks the vocabulary ×
+    # docs, not the doc bytes the stats see, and the width-sweep at
+    # sf0.1 put the knee at 8 (4 → 3.5 s, 8 → 1.6 s, 32 → 2.6 s,
+    # 64 → 4.7 s); at corpus scale the stats term dominates and the
+    # session cap wins as usual
+    with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
+                        adaptive=False):
+        res, tc = _sparse_cosine_build(docs, block_col, threshold_millis,
+                                       text_col, id_col)
+        return finalize_release(res, tc)
 
 
 def _sparse_cosine_build(docs: DataFrame, block_col: str,
                          threshold_millis: int, text_col: str, id_col: str):
     """Pre-checkpoint pipeline for :func:`sparse_cosine_pairs` (plan tests
-    assert on this — the public entry localCheckpoints)."""
+    assert on this — the public entry localCheckpoints).
+
+    Dataflow (all exchanges carry the already-combined index, never
+    the raw token stream):
+
+    1. (doc, token) counting — map-side-combined groupBy;
+    2. per-doc packing — one groupBy(blk, id) over the combined index
+       computes the norm ``sum(cnt²)`` and re-attaches it to every
+       index row, so NO norms table and NO post-aggregation norm joins
+       exist (the old shape paid two |pairs|-row sort-merge joins for
+       them — the single most expensive stage at sf0.1);
+    3. the index is laid out on the JOIN key ``(blk, tok)``: the
+       cached relation feeds the self-join with NO further exchange
+       (InMemoryRelation exposes its hash partitioning) and the
+       ``shuffle_hash`` hint skips the sort-merge sorts;
+    4. the pair aggregation keyed on (id_a, id_b) — the norms are
+       functionally dependent on the ids, so they ride in the groupBy
+       key and come out with the dot product for free."""
     from .text import tokens
 
     docs = ensure_parallelism(docs)
-    tc = (docs.select(F.col(block_col).alias("blk"),
-                      F.col(id_col).alias("id"),
-                      F.explode(tokens(F.col(text_col))).alias("tok"))
-          .groupBy("blk", "id", "tok").agg(F.count("*").alias("cnt"))
+    tc0 = (docs.select(F.col(block_col).alias("blk"),
+                       F.col(id_col).alias("id"),
+                       F.explode(tokens(F.col(text_col))).alias("tok"))
+           .groupBy("blk", "id", "tok").agg(F.count("*").alias("cnt")))
+    packed = (tc0.groupBy("blk", "id")
+              .agg(F.collect_list(F.struct("tok", "cnt")).alias("rs"),
+                   F.sum(F.col("cnt") * F.col("cnt")).alias("nsq")))
+    tc = (packed.select("blk", "id", "nsq", F.explode("rs").alias("r"))
+          .select("blk", "id", "nsq",
+                  F.col("r.tok").alias("tok"), F.col("r.cnt").alias("cnt"))
+          .repartition("blk", "tok")
           .cache())
-    norms = tc.groupBy("id").agg(
-        F.sum(F.col("cnt") * F.col("cnt")).alias("nsq"))
     a, b = tc.alias("a"), tc.alias("b")
-    dots = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
-                   & (F.col("a.tok") == F.col("b.tok"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot")))
-    na, nb = norms.alias("na"), norms.alias("nb")
     cos = (F.col("dot").cast("double")
-           / (F.sqrt(F.col("na.nsq").cast("double"))
-              * F.sqrt(F.col("nb.nsq").cast("double"))))
-    res = (dots.join(na, F.col("id_a") == F.col("na.id"))
-           .join(nb, F.col("id_b") == F.col("nb.id"))
+           / (F.sqrt(F.col("na").cast("double"))
+              * F.sqrt(F.col("nb").cast("double"))))
+    res = (a.join(b.hint("shuffle_hash"),
+                  (F.col("a.blk") == F.col("b.blk"))
+                  & (F.col("a.tok") == F.col("b.tok"))
+                  & (F.col("a.id") < F.col("b.id")))
+           .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.nsq").alias("na"), F.col("b.nsq").alias("nb"))
+           .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
            .select("id_a", "id_b", "dot", cos.alias("cosine"))
            .where(F.col("cosine") >= threshold_millis / 1000.0))
     return res, tc

@@ -328,6 +328,34 @@ def test_portable_hash_dedup_stays_jvm_side(spark, sf_dir):
         assert "partial_" in plan.lower() or "HashAggregate" in plan
 
 
+def test_sparse_cosine_pinned_width_and_join_shape(spark, sf_dir):
+    """sparse_cosine's exchanges all run at the pinned stats width
+    (round-6 verdict item: unpinned session-width exchanges on a
+    few-MB index were the largest remaining batch gap), and the
+    self-join is a sort-free shuffled-hash probe of the cached index
+    already partitioned on the join key — no sort-merge, no
+    join-added exchange."""
+    import re
+
+    from ethereum2_etl_airflow_spark.functions.layout import pinned_shuffle
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        _sparse_cosine_build)
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pinned_shuffle(spark, 7, adaptive=False):
+        res, tc = _sparse_cosine_build(docs, "source", 650,
+                                       "text", "doc_id")
+        plan = plan_string(res, "simple")
+    widths = {int(n) for n in
+              re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan)}
+    assert widths == {7}, plan[:1500]
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    tc.unpersist()
+
+
 def test_cohort_retention_plan_shape(spark, sf_dir):
     """Cohort retention: pure JVM, and the tiny cohort-size side joins
     without a shuffle of the big side beyond the matrix agg (broadcast
