@@ -98,12 +98,16 @@ def _merge_expr(a: str, b: str, src: str = "syms") -> str:
                  ELSE concat(st.acc, array(st.pend)) END)"""
 
 
-def _safe_merge_batch(rows, full: bool, cap: int) -> list:
+def _safe_merge_batch(rows, full: bool, cap: int,
+                      prior: frozenset = frozenset()) -> list:
     """The maximal PREFIX of ``rows`` (pair counts sorted by
     ``(cnt DESC, a, b)``) that provably equals sequential BPE's next
     merges — so batching changes the round count, never the merge
     list (the oracle and the pure-Python property test stay valid
-    verbatim).
+    verbatim).  ``prior`` is the set of concat strings of every merge
+    from EARLIER rounds — the exact vocabulary of multi-char symbols
+    (the initial alphabet is single characters, so a string of length
+    ≥ 2 is a live symbol iff some past merge created it).
 
     Soundness argument (why sequential's argmax at sub-step j is
     exactly ``accepted[j]``):
@@ -118,14 +122,31 @@ def _safe_merge_batch(rows, full: bool, cap: int) -> list:
       disjointness — so its pre-count is ≤ ``bound`` (the count at the
       first conflicting row, or the B-th row's count when all B
       scanned rows are clean and deeper pairs are unseen);
-    - a NEW pair created by merge (a,b) occurs only where a pre-pair
-      overlapping {a, b} occurred (``(x, ab)`` needs ``(x, a)``), so
-      each accepted merge adds at most ``bound`` occurrences to any
-      pair — post-counts are ≤ (m+1)·bound for m accepted merges;
-    - therefore every accepted[j] with count STRICTLY above
-      (m+1)·bound beats all changed/new pairs, and beats unchanged
-      lower-ranked pairs by the original (cnt, a, b) order (ties
-      included).  The truncation below enforces exactly that.
+    - FRESH case (every accepted concat ``a+b`` is pairwise distinct
+      and ∉ ``prior``, i.e. the symbol does not yet exist): a pair
+      containing the new symbol ``ab`` had pre-count 0, and every
+      post-occurrence of ``(x, ab)`` / ``(ab, y)`` / ``(ab, cd)`` is
+      the image of exactly ONE pre-pair — ``(x, a)`` / ``(b, y)`` /
+      ``(b, c)`` — always a pair SHARING A SYMBOL with the creating
+      merge; pairs without a new symbol can only lose occurrences
+      (and conflicting rows all rank below every accepted row, so a
+      decreasing pair never overtakes by tie-break).  The gain cap of
+      merge i is therefore ``cap_i`` = the largest count among
+      scanned rows sharing a symbol with accepted[i] (its only gain
+      channels), or the scan horizon when no channel was scanned —
+      usually FAR below the first-conflict count, which is what lets
+      near-tied but symbol-disjoint pairs batch.  accepted[j] is safe
+      iff its count strictly exceeds ``max(cap_0..cap_{j-1})``;
+    - otherwise (an accepted concat re-creates an existing symbol, or
+      two accepted concats collide): each accepted merge adds at most
+      ``bound`` occurrences to any pair, so post-counts are ≤
+      (m+1)·bound for m accepted merges and the conservative
+      ``cnt > (m+1)·bound`` margin applies (on tie-heavy counts this
+      degenerates to 1 merge/round — correct: batching ties without a
+      proven margin is unsound);
+    - unchanged lower-ranked pairs lose by the original (cnt, a, b)
+      order, ties included.  The truncation below enforces exactly
+      that.
     """
     accepted = [rows[0]]
     syms = {rows[0]["a"], rows[0]["b"]}
@@ -146,12 +167,31 @@ def _safe_merge_batch(rows, full: bool, cap: int) -> list:
         # exist only if the limit was actually filled
         bound = rows[-1]["cnt"] if full else 0
     m = len(accepted)
+    all_fresh = (len(concats) == m  # pairwise distinct concats
+                 and not (concats & prior))
     keep = accepted[:1]
-    for r in accepted[1:]:
-        if r["cnt"] > (m + 1) * bound:
-            keep.append(r)
-        else:
-            break
+    if all_fresh:
+        horizon = rows[-1]["cnt"] if full else 0
+        gain_caps = []
+        for acc in accepted:
+            ch = {acc["a"], acc["b"]}
+            gain_caps.append(max(
+                [r["cnt"] for r in rows
+                 if r is not acc and (r["a"] in ch or r["b"] in ch)]
+                + [horizon]))
+        thr = 0
+        for j in range(1, m):
+            thr = max(thr, gain_caps[j - 1])
+            if accepted[j]["cnt"] > thr:
+                keep.append(accepted[j])
+            else:
+                break
+    else:
+        for r in accepted[1:]:
+            if r["cnt"] > (m + 1) * bound:
+                keep.append(r)
+            else:
+                break
     return keep[:cap]
 
 
@@ -165,12 +205,19 @@ def bpe_train(docs: DataFrame, n_merges: int = 20,
     reference).
 
     Each round is one combining pair-count aggregate, ONE bounded
-    collect of the top-``batch`` pairs, and one rewrite projection
-    applying every provably-safe merge of the batch
-    (:func:`_safe_merge_batch` — symbol-disjoint prefix with a strict
-    count margin over anything the earlier merges of the batch could
-    create; on tie-heavy natural-text counts this usually degenerates
-    to 1, which is correct: batching ties is unsound).  The wall at
+    collect of the top-``3·batch`` pairs (TakeOrderedAndProject), and
+    one rewrite projection applying every provably-safe merge of the
+    batch (:func:`_safe_merge_batch` — symbol-disjoint prefix with a
+    strict count margin over anything the earlier merges of the batch
+    could create).  Scanning 3× past the wanted batch matters on
+    tie-heavy natural-text counts: the safety margin ``bound`` is the
+    count at the first conflict OR at the scan horizon, so a deeper
+    scan both finds more clean rows and PROVES a lower bound for the
+    unseen tail — round-6 measured the 12-merge check paying ~10
+    driver round-trips because a batch-sized scan degenerated to 1
+    merge/round (correctly: batching ties without margin is unsound).
+    The deeper scan costs nothing extra — the collect is the same
+    TakeOrdered job, just 3·batch rows instead of batch.  The wall at
     moderate vocab sizes is driver round-trips and per-partition
     shuffle fixed costs, not counting work, so the loop (a) runs under
     a :func:`..functions.layout.pinned_shuffle` width sized from the
@@ -193,14 +240,17 @@ def bpe_train(docs: DataFrame, n_merges: int = 20,
     with pinned_shuffle(docs.sparkSession, width, adaptive=False):
         syms = base.localCheckpoint(eager=True)
         pending = 0  # rewrites since the last lineage cut
+        scan = 3 * max(batch, 1)  # tie margin — see docstring
         while len(merges) < n_merges:
             rows = (bpe_pair_counts(syms)
                     .orderBy(F.col("cnt").desc(), "a", "b")
-                    .limit(max(batch, 1)).collect())
+                    .limit(scan).collect())
             if not rows or rows[0]["cnt"] < 2:
                 break
-            take = _safe_merge_batch(rows, full=len(rows) == max(batch, 1),
-                                     cap=n_merges - len(merges))
+            take = _safe_merge_batch(
+                rows, full=len(rows) == scan,
+                cap=n_merges - len(merges),
+                prior=frozenset(a + b for a, b in merges))
             merges.extend((r["a"], r["b"]) for r in take)
             expr = "syms"
             for r in take:  # nest the batch IN ORDER — one projection

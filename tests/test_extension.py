@@ -1073,6 +1073,34 @@ def test_bpe_train_matches_reference_exactly(spark):
     assert len(got) >= 5          # the corpus supports several merges
 
 
+def test_bpe_train_batch_invariant_on_tie_heavy_counts(spark):
+    """The fresh-concat gain-cap batching (round-7) must stay
+    BIT-IDENTICAL to the sequential trainer on adversarially tied
+    counts — equal-count symbol-disjoint pairs, equal-count
+    symbol-sharing pairs, and pairs whose counts tie exactly with a
+    later merge's gain channel — for every batch size (batch=1 is the
+    no-batching control)."""
+    from ethereum2_etl_airflow_spark.operators.tokenizer import (
+        bpe_train, word_freqs)
+
+    texts = [
+        # exact ties across disjoint pairs: er/in/st all tie at 6
+        "erx erx erx inx inx inx stx stx stx " * 2,
+        # symbol-sharing ties: ab vs ba chains
+        "abab abab baba baba aabb bbaa",
+        # gain-channel tie: 'x e r' occurrences make (x, er) reach the
+        # count of the next disjoint candidate after (e, r) merges
+        "xer xer xer xer qi qi qi qi",
+        "lower newer wider " * 3,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    wf = {r["word"]: r["freq"] for r in word_freqs(docs).collect()}
+    want = _reference_bpe(wf, 12)
+    for batch in (1, 3, 12):
+        assert bpe_train(docs, n_merges=12, batch=batch) == want, batch
+
+
 def test_bpe_encode_applies_merges_and_roundtrips(spark):
     from ethereum2_etl_airflow_spark.operators.tokenizer import (
         bpe_encode, bpe_train)
