@@ -1183,23 +1183,46 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem.  Each recursion level is one planned join — Catalyst
     unrolls the fixpoint; the iterative label-propagation operator in
     operators/graph.py remains the scale path for deep/unbounded
-    closures, this check covers the declarative surface."""
+    closures, this check covers the declarative surface.
+
+    Round-7 remedy for the 23×-vs-oracle RATIOS gap (3.4-4.0 s →
+    ~1.1-1.4 s at sf0.1):
+
+    - the frontier side of each recursion level carries a BROADCAST
+      hint — the level join used to SHUFFLE the 1.2 M-row edge list
+      at session width PER LEVEL while the frontier is 1 → ~60 →
+      ~1.5 k rows; broadcasting the frontier leaves the edge side a
+      narrow column-pruned scan (the right plan at any scale while
+      the frontier is hop-bounded; unbounded closures stay on the
+      iterative operators/graph.py path);
+    - no DISTINCT on the edge projection: the final GROUP BY node
+      collapses path multiplicity anyway, and dropping it removes
+      two full-width exchanges (supplier-part duplication in
+      lineitem is ~1×, so the level fan-out is unchanged);
+    - the whole query runs under a stats-pinned shuffle width with
+      AQE off and is eagerly materialized INSIDE the pin (the
+      pagerank remedy — Catalyst stages every recursion level, so an
+      unpinned run pays session width × levels in fixed costs)."""
+    from ..functions.layout import pinned_shuffle, plan_width
+
     li = _t(spark, sf_dir, "lineitem")
-    (li.select((F.col("l_suppkey") + 10_000_000).alias("src"),
-               F.col("l_partkey").alias("dst")).distinct()
-     .unionByName(
-         li.select(F.col("l_partkey").alias("src"),
-                   (F.col("l_suppkey") + 10_000_000).alias("dst")).distinct())
-     .createOrReplaceTempView("rc_edges_v"))
-    return spark.sql("""
-        WITH RECURSIVE reach(node, depth) AS (
-          SELECT CAST(10000001 AS BIGINT) AS node, 0 AS depth
-          UNION ALL
-          SELECT e.dst, r.depth + 1
-          FROM reach r JOIN rc_edges_v e ON e.src = r.node
-          WHERE r.depth < 2)
-        SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
-        FROM reach GROUP BY node ORDER BY node""")
+    edges = (li.select((F.col("l_suppkey") + 10_000_000).alias("src"),
+                       F.col("l_partkey").alias("dst"))
+             .unionByName(
+                 li.select(F.col("l_partkey").alias("src"),
+                           (F.col("l_suppkey") + 10_000_000).alias("dst"))))
+    edges.createOrReplaceTempView("rc_edges_v")
+    with pinned_shuffle(spark, plan_width(edges, floor=8), adaptive=False):
+        return spark.sql("""
+            WITH RECURSIVE reach(node, depth) AS (
+              SELECT CAST(10000001 AS BIGINT) AS node, 0 AS depth
+              UNION ALL
+              SELECT /*+ BROADCAST(r) */ e.dst, r.depth + 1
+              FROM reach r JOIN rc_edges_v e ON e.src = r.node
+              WHERE r.depth < 2)
+            SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
+            FROM reach GROUP BY node ORDER BY node""").localCheckpoint(
+                eager=True)
 
 
 ORACLE_RECURSIVE_CTE = """
