@@ -483,23 +483,43 @@ def kcore_peel(edges: DataFrame, k: int = 3, n_rounds: int = 4,
     Returns (node, degree) of survivors with their within-subgraph
     degree.  Each round is one symmetric-edge semi-join against the
     surviving low-degree-filtered node set + a map-side-combining degree
-    count — no driver state, lineage cut per round."""
-    sym = (edges.select(F.col(src).cast("long").alias("u"),
-                        F.col(dst).cast("long").alias("v"))
-           .union(edges.select(F.col(dst).cast("long").alias("u"),
-                               F.col(src).cast("long").alias("v")))
-           .where(F.col("u") != F.col("v")).distinct()
-           .localCheckpoint(eager=True))
-    e = sym
-    for _ in range(n_rounds):
-        deg = e.groupBy("u").agg(F.count("*").alias("d"))
-        keep = deg.where(F.col("d") >= k).select("u")
-        e = (e.join(keep, "u", "left_semi")
-             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+    count — no driver state.
+
+    Memory discipline (round-7, after the 64× scale probe found the
+    peel memory-bound at 76.5 M edges): the whole peel runs at the
+    stats-sized ``_graph_npart`` width (AQE off — nothing to re-plan
+    once the width is right, and fewer shuffle files per round);
+    lineage is cut every ``checkpoint_every`` peels instead of every
+    peel, halving both live checkpoint blocks and checkpoint-write
+    volume (between cuts the duplicated e-subtree references dedupe
+    through ReuseExchange, so the extra compute is bounded); and the
+    symmetric edge list is NOT held by name across the loop — after
+    the first cut its blocks are collectable, where the old shape kept
+    a 2|E|-row checkpoint resident for the entire run."""
+    from ..functions.layout import pinned_shuffle
+
+    npart = _graph_npart(edges)
+    with pinned_shuffle(edges.sparkSession, npart, adaptive=False):
+        e = (edges.select(F.col(src).cast("long").alias("u"),
+                          F.col(dst).cast("long").alias("v"))
+             .union(edges.select(F.col(dst).cast("long").alias("u"),
+                                 F.col(src).cast("long").alias("v")))
+             .where(F.col("u") != F.col("v")).distinct()
              .localCheckpoint(eager=True))
-        _release_round_blocks()
-    return (e.groupBy("u").agg(F.count("*").alias("degree"))
-            .select(F.col("u").alias("node"), "degree"))
+        checkpoint_every = 2
+        pending = 0
+        for i in range(n_rounds):
+            deg = e.groupBy("u").agg(F.count("*").alias("d"))
+            keep = deg.where(F.col("d") >= k).select("u")
+            e = (e.join(keep, "u", "left_semi")
+                 .join(keep.withColumnRenamed("u", "v"), "v", "left_semi"))
+            pending += 1
+            if pending >= checkpoint_every or i == n_rounds - 1:
+                e = e.localCheckpoint(eager=True)
+                pending = 0
+                _release_round_blocks()
+        return (e.groupBy("u").agg(F.count("*").alias("degree"))
+                .select(F.col("u").alias("node"), "degree"))
 
 
 def random_walks(edges: DataFrame, walk_len: int = 4,

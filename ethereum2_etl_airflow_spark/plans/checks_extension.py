@@ -1868,23 +1868,46 @@ ORDER BY query_id, rank
 EXTENSION_CHECKS["sim_pq"] = (q_sim_pq, ORACLE_SIM_PQ)
 
 
+#: bump when build_pq_index's quantization/layout changes — part of the
+#: cache key below, so a code change can never serve a stale index
+_PQ_BUILDER_VERSION = 1
+#: build parameters baked into the cached index (must mirror the
+#: build_pq_index call below — they are part of the cache key)
+_PQ_BUILD_PARAMS = {"m_sub": 4, "n_anchors": 8, "dim": 64}
+
+
 def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the PQ index for ``sf_dir`` once (idempotent — the
     production cadence: an index is BUILT on corpus change and SERVED
     many times).  The path is fingerprinted with the embeddings
-    parquet's (mtime, size) so regenerated testdata invalidates the
-    cache instead of serving a stale index."""
+    parquet's (mtime, size), the build parameters AND a builder
+    version, so regenerated testdata, a parameter change, or a
+    quantization change all invalidate the cache instead of serving a
+    stale index.  Concurrent-builder safe: the build writes into a
+    pid-unique temp dir and publishes with an atomic rename — a loser
+    of the race discards its copy (the winner's index is bit-identical
+    by construction: the build is deterministic)."""
     import hashlib
     import os
+    import shutil
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
+    params = "|".join(f"{k}={v}" for k, v
+                      in sorted(_PQ_BUILD_PARAMS.items()))
     key = hashlib.md5(
         f"{os.path.normpath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|v{_PQ_BUILDER_VERSION}|{params}"
         .encode()).hexdigest()[:12]
     path = f"/tmp/spark_graft_pq_index_{key}"
     if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
-        S.build_pq_index(_emb(spark, sf_dir), path)
+        tmp = f"{path}.build.{os.getpid()}"
+        S.build_pq_index(_emb(spark, sf_dir), tmp, **_PQ_BUILD_PARAMS)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # another process published first; its index is identical
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 
