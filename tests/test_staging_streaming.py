@@ -577,3 +577,35 @@ def test_pinned_shuffle_reentrant_and_threadsafe(spark):
     with pinned_shuffle(spark, 2, adaptive=False):
         assert spark.conf.get(akey) == "false"
     assert spark.conf.get(akey) == abefore
+
+    # an inner adaptive=False request under a width-only outer pin is
+    # honored and restored when the inner (last adaptive) holder exits
+    # — round-6 advice: it used to be silently dropped
+    with pinned_shuffle(spark, 3):
+        with pinned_shuffle(spark, 5, adaptive=False):
+            assert spark.conf.get(akey) == "false"
+            assert spark.conf.get(key) == "3"   # width: outermost wins
+        assert spark.conf.get(akey) == abefore  # adaptive restored early
+        assert spark.conf.get(key) == "3"
+    assert spark.conf.get(key) == before
+
+
+def test_pinned_shuffle_state_is_per_session(spark):
+    """Two SparkSessions have independent SQLConf — the pin state must
+    be keyed per session (round-6 advice: a module-global refcount
+    silently skipped pinning the second session and restored the first
+    session's saved conf into it)."""
+    from ethereum2_etl_airflow_spark.functions.layout import pinned_shuffle
+
+    key = "spark.sql.shuffle.partitions"
+    other = spark.newSession()
+    before_a, before_b = spark.conf.get(key), other.conf.get(key)
+    with pinned_shuffle(spark, 3):
+        with pinned_shuffle(other, 5):
+            # each session pinned to ITS OWN value, not the outer's
+            assert spark.conf.get(key) == "3"
+            assert other.conf.get(key) == "5"
+        assert other.conf.get(key) == before_b
+        assert spark.conf.get(key) == "3"
+    assert spark.conf.get(key) == before_a
+    assert other.conf.get(key) == before_b
