@@ -485,41 +485,63 @@ def kcore_peel(edges: DataFrame, k: int = 3, n_rounds: int = 4,
     surviving low-degree-filtered node set + a map-side-combining degree
     count — no driver state.
 
-    Memory discipline (round-7, after the 64× scale probe found the
-    peel memory-bound at 76.5 M edges): the whole peel runs at the
-    stats-sized ``_graph_npart`` width (AQE off — nothing to re-plan
-    once the width is right, and fewer shuffle files per round);
-    lineage is cut every ``checkpoint_every`` peels instead of every
-    peel, halving both live checkpoint blocks and checkpoint-write
-    volume (between cuts the duplicated e-subtree references dedupe
-    through ReuseExchange, so the extra compute is bounded); and the
-    symmetric edge list is NOT held by name across the loop — after
-    the first cut its blocks are collectable, where the old shape kept
-    a 2|E|-row checkpoint resident for the entire run."""
+    Memory/shuffle discipline (round-7, after the 64× scale probe found
+    the peel shuffle-bound at 76.5 M edges): the structural insight is
+    that the EDGE set is the big side and the survivor NODE set is tiny
+    (16 B/node — ~25 MB even at the 64× probe's 3.2 M nodes), so the
+    two per-round semi-joins should broadcast the node set, never
+    reshuffle the edges.  The peel therefore runs with AQE ON and the
+    broadcast-join threshold raised (scoped) to 128 MB: at probe scale
+    both semi-joins plan/convert to BroadcastHashJoin(LeftSemi) and the
+    only per-round shuffle left is the degree count's own exchange —
+    measured 127 s vs 399 s for the shuffle-semi-join shape at 64×.
+    Scale safety at 100 TB: a billion-node survivor set exceeds 128 MB
+    both in Catalyst's compile-time estimate (which scales with the
+    child edge stats) and in AQE's runtime measurement, so the joins
+    fall back to shuffle semi-joins exactly when broadcast would OOM —
+    the threshold raise only widens the broadcast window, it never
+    forces one.  Lineage is cut every ``checkpoint_every`` peels
+    (between cuts the duplicated e-subtree references dedupe through
+    ReuseExchange), and the symmetric edge list is NOT held by name
+    across the loop — after the first cut its blocks are collectable."""
     from ..functions.layout import pinned_shuffle
 
-    npart = _graph_npart(edges)
-    with pinned_shuffle(edges.sparkSession, npart, adaptive=False):
-        e = (edges.select(F.col(src).cast("long").alias("u"),
-                          F.col(dst).cast("long").alias("v"))
-             .union(edges.select(F.col(dst).cast("long").alias("u"),
-                                 F.col(src).cast("long").alias("v")))
-             .where(F.col("u") != F.col("v")).distinct()
-             .localCheckpoint(eager=True))
-        checkpoint_every = 2
-        pending = 0
-        for i in range(n_rounds):
-            deg = e.groupBy("u").agg(F.count("*").alias("d"))
-            keep = deg.where(F.col("d") >= k).select("u")
-            e = (e.join(keep, "u", "left_semi")
-                 .join(keep.withColumnRenamed("u", "v"), "v", "left_semi"))
-            pending += 1
-            if pending >= checkpoint_every or i == n_rounds - 1:
-                e = e.localCheckpoint(eager=True)
-                pending = 0
-                _release_round_blocks()
-        return (e.groupBy("u").agg(F.count("*").alias("degree"))
-                .select(F.col("u").alias("node"), "degree"))
+    # 8 MB/partition, not the 64 MB scan default: the peel SYMMETRIZES
+    # the input (2×) and every round's degree count groups the whole
+    # working set, so per-task footprint — not scan bytes — is the
+    # binding constraint (at the 64× probe point the 64 MB sizing
+    # yielded 10 partitions of ~15 M rows each on 32 cores:
+    # under-parallel and spill-bound); small graphs still hit the
+    # floor, huge ones still cap at the session width
+    spark = edges.sparkSession
+    npart = _graph_npart(edges, target_bytes=8 << 20)
+    saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "128m")
+    try:
+        with pinned_shuffle(spark, npart):
+            e = (edges.select(F.col(src).cast("long").alias("u"),
+                              F.col(dst).cast("long").alias("v"))
+                 .union(edges.select(F.col(dst).cast("long").alias("u"),
+                                     F.col(src).cast("long").alias("v")))
+                 .where(F.col("u") != F.col("v")).distinct()
+                 .localCheckpoint(eager=True))
+            checkpoint_every = 2
+            pending = 0
+            for i in range(n_rounds):
+                deg = e.groupBy("u").agg(F.count("*").alias("d"))
+                keep = deg.where(F.col("d") >= k).select("u")
+                e = (e.join(keep, "u", "left_semi")
+                     .join(keep.withColumnRenamed("u", "v"), "v",
+                           "left_semi"))
+                pending += 1
+                if pending >= checkpoint_every or i == n_rounds - 1:
+                    e = e.localCheckpoint(eager=True)
+                    pending = 0
+                    _release_round_blocks()
+            return (e.groupBy("u").agg(F.count("*").alias("degree"))
+                    .select(F.col("u").alias("node"), "degree"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
 
 
 def random_walks(edges: DataFrame, walk_len: int = 4,
