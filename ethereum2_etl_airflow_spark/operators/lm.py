@@ -300,7 +300,31 @@ def source_unigram_divergence(docs: DataFrame, source_col: str = "source",
     planning runs over bounded source counts (hundreds), and
     ``max_vocab`` caps the joined vocabulary at the global top-K tokens
     (deterministic (count desc, token) cut) when |S| grows — the
-    standard coarse-model discipline."""
+    standard coarse-model discipline.
+
+    Every exchange runs under a shuffle width sized from the corpus'
+    own plan stats (:func:`..functions.layout.plan_width`, the
+    sparse-cosine discipline): the (source, token) index is a few MB
+    at test SFs and a session-wide shuffle is pure per-partition fixed
+    cost × the pipeline's four exchanges; at corpus scale the stats
+    estimate keeps the session width.  AQE is pinned off inside the
+    scope and the eager materialization (``finalize_release``) happens
+    INSIDE the pin so the pinned plan is the one that executes."""
+    from ..functions.layout import (finalize_release, pinned_shuffle,
+                                    plan_width)
+
+    with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
+                        adaptive=False):
+        res, counts = _source_divergence_build(docs, source_col,
+                                               text_col, max_vocab)
+        return finalize_release(res, counts)
+
+
+def _source_divergence_build(docs: DataFrame, source_col: str,
+                             text_col: str, max_vocab: int | None):
+    """Pre-checkpoint pipeline for :func:`source_unigram_divergence`
+    (plan tests assert on this — the public entry localCheckpoints
+    inside its pinned scope).  Returns ``(result, cached_counts)``."""
     counts = (docs.select(F.col(source_col).alias("s"),
                           F.explode(tokens(text_col)).alias("w"))
               .groupBy("s", "w").agg(F.count("*").alias("c")))
@@ -339,10 +363,8 @@ def source_unigram_divergence(docs: DataFrame, source_col: str = "source",
                 F.sum(F.col("ca") * bits_a).cast("long").alias("ent_bits"),
                 F.sum(F.col("ca") * bits_b).cast("long")
                 .alias("xent_bits")))
-    from ..functions.layout import finalize_release
-
     res = out.select("source_a", "source_b", "n_tokens_a", "ent_bits",
                      "xent_bits",
                      (F.col("xent_bits") - F.col("ent_bits"))
                      .alias("div_bits"))
-    return finalize_release(res, counts)
+    return res, counts

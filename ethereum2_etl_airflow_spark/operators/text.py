@@ -356,7 +356,29 @@ def inverted_postings(docs, k: int = 8, text_col: str = "text",
 
     Determinism: the cap order key packs (-tf, doc) into one BIGINT
     (docs < 10^12, tf < 10^6 by contract), so ranking is total and the
-    serialized postings hash-match a SQL oracle."""
+    serialized postings hash-match a SQL oracle.
+
+    Every exchange runs under a shuffle width sized from the corpus'
+    own plan stats (:func:`..functions.layout.plan_width`, the
+    sparse-cosine discipline): the tf index is a few MB at test SFs
+    and a session-wide shuffle is pure per-partition fixed cost × the
+    pipeline's five exchanges; at corpus scale the stats estimate
+    keeps the session width.  AQE is pinned off inside the scope and
+    the eager materialization (``finalize_release``) happens INSIDE
+    the pin so the pinned plan is the one that executes."""
+    from ..functions.layout import (finalize_release, pinned_shuffle,
+                                    plan_width)
+
+    with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
+                        adaptive=False):
+        out, tf = _inverted_postings_build(docs, k, text_col, id_col)
+        return finalize_release(out, tf)
+
+
+def _inverted_postings_build(docs, k: int, text_col: str, id_col: str):
+    """Pre-checkpoint pipeline for :func:`inverted_postings` (plan
+    tests assert on this — the public entry localCheckpoints inside
+    its pinned scope).  Returns ``(result, cached_tf)``."""
     from .curation import cap_per_key  # local import: avoid cycle
     from pyspark.sql import DataFrame as _DF  # noqa: F401
 
@@ -378,11 +400,10 @@ def inverted_postings(docs, k: int = 8, text_col: str = "text",
                             ":", s["doc"].cast("string"),
                             s["tf"].cast("string"))), ",")
                     .alias("postings")))
-    from ..functions.layout import finalize_release
     out = (stats.join(postings, "term")
            .select("term", "df", F.col("tf_total").cast("long")
                    .alias("tf_total"), "postings"))
-    return finalize_release(out, tf)
+    return out, tf
 
 
 def skipgram_counts(docs, window: int = 2, text_col: str = "text",

@@ -580,3 +580,49 @@ def test_plan_width_scales_with_stats_and_clamps(spark, sf_dir):
     # a deliberately tiny per-partition target forces the cap
     assert plan_width(spark.range(1_000_000), floor=1,
                       target_bytes=64) == conf
+
+
+def test_source_divergence_pinned_width(spark, sf_dir):
+    """source_unigram_divergence's exchanges all run at the pinned
+    stats width (round-7: same unpinned-session-width disease
+    sparse_cosine had — a few-MB (source, token) index paying
+    session-wide per-partition fixed costs × four exchanges)."""
+    import re
+
+    from ethereum2_etl_airflow_spark.functions.layout import pinned_shuffle
+    from ethereum2_etl_airflow_spark.operators.lm import (
+        _source_divergence_build)
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pinned_shuffle(spark, 7, adaptive=False):
+        res, counts = _source_divergence_build(docs, "source", "text",
+                                               None)
+        plan = plan_string(res, "simple")
+    widths = {int(n) for n in
+              re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan)}
+    assert widths == {7}, plan[:1500]
+    counts.unpersist()
+
+
+def test_inverted_postings_pinned_width(spark, sf_dir):
+    """inverted_postings' exchanges all run at the pinned stats width
+    (round-7, same discipline), and the top-k cap stays a narrow
+    Arrow stage + bounded window — no corpus-wide sort appears."""
+    import re
+
+    from ethereum2_etl_airflow_spark.functions.layout import pinned_shuffle
+    from ethereum2_etl_airflow_spark.operators.text import (
+        _inverted_postings_build)
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pinned_shuffle(spark, 7, adaptive=False):
+        res, tf = _inverted_postings_build(docs, 8, "text", "doc_id")
+        plan = plan_string(res, "simple")
+    widths = {int(n) for n in
+              re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan)}
+    assert widths == {7}, plan[:1500]
+    tf.unpersist()
