@@ -316,16 +316,22 @@ def test_portable_hash_dedup_stays_jvm_side(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     # pre-checkpoint builders: the public entries localCheckpoint, which
     # would collapse the plan to Scan ExistingRDD and make this vacuous
+    sc_res, sc_tc = _sparse_cosine_build(docs, "source", 650,
+                                         "text", "doc_id")
     for df in (minhash_exact_pairs(docs),
                _simhash_exact_build(docs, 32, 3, "text", "doc_id")[0],
-               _sparse_cosine_build(docs, "source", 650,
-                                    "text", "doc_id")[0]):
+               sc_res):
         plan = plan_string(df, "simple")
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                        "FlatMapGroupsInPandas"):
             assert marker not in plan
         # the groupBys run partial-then-final (map-side combine)
         assert "partial_" in plan.lower() or "HashAggregate" in plan
+    # drop the build's cached index: it was planned at SESSION width,
+    # and a later pinned-width test rebuilding the same pipeline would
+    # silently reuse it (CacheManager matches by plan) and see the
+    # stale layout
+    sc_tc.unpersist()
 
 
 def test_sparse_cosine_pinned_width_and_join_shape(spark, sf_dir):
