@@ -141,11 +141,23 @@ def kmeans_int(emb: DataFrame, k: int = 4, n_iter: int = 3,
     deterministic md5 seeds, then one final assignment against the
     final centroids.  ``dist2`` is the exact integer L2² to the
     assigned centroid.  A cluster that loses all members keeps its
-    previous centroid (deterministic, no reseeding)."""
+    previous centroid (deterministic, no reseeding).
+
+    The FINAL assignment runs under the same stats-sized pinned width
+    as the fit loop (round-7: it previously executed at session width
+    outside the fit's pin — one corpus-sized exchange paying
+    session-wide fixed costs at test SFs; the shared outer pin means
+    the fit's nested pin simply joins this one)."""
+    from ..functions.layout import pinned_shuffle, plan_width
+
     qdf = ensure_parallelism(_quantized(emb, id_col, vec_col)).cache()
-    cent = kmeans_fit(qdf, k, n_iter, id_col)
-    final = _assign(qdf, cent, id_col).select(id_col, "cluster", "dist2")
-    return finalize_release(final, qdf)
+    with pinned_shuffle(qdf.sparkSession,
+                        plan_width(qdf, floor=max(1, min(8, k))),
+                        adaptive=False):
+        cent = kmeans_fit(qdf, k, n_iter, id_col)
+        final = _assign(qdf, cent, id_col).select(id_col, "cluster",
+                                                  "dist2")
+        return finalize_release(final, qdf)
 
 
 def cluster_balanced_sample(emb: DataFrame, k: int = 4, n_iter: int = 3,
@@ -185,8 +197,17 @@ def kmeans_assign(batch: DataFrame, history: DataFrame, k: int = 4,
     Scale shape: the fit is the usual bounded rounds over history; the
     batch side is ONE broadcast-centroid scan — no join against
     history, no shuffle of either corpus."""
+    from ..functions.layout import pinned_shuffle, plan_width
+
     hq = ensure_parallelism(_quantized(history, id_col, vec_col)).cache()
     cent = kmeans_fit(hq, k, n_iter, id_col)
     bq = _quantized(batch, id_col, vec_col)
-    out = _assign(bq, cent, id_col).select(id_col, "cluster", "dist2")
-    return finalize_release(out, hq)
+    # the batch assignment's exchange is BATCH-sized, not
+    # history-sized — pin it to the batch's own stats width (round-7,
+    # same discipline as kmeans_int's final assignment)
+    with pinned_shuffle(bq.sparkSession,
+                        plan_width(bq, floor=max(1, min(8, k))),
+                        adaptive=False):
+        out = _assign(bq, cent, id_col).select(id_col, "cluster",
+                                               "dist2")
+        return finalize_release(out, hq)
