@@ -563,7 +563,26 @@ def cosine_near_dup_pairs(emb: DataFrame, block_col: str = "label",
     memory contract: |block|·d doubles must fit an executor task); for
     unblocked corpora use the LSH path in :mod:`.similarity`.
     Input: (vec_id, embedding array<float|double>, <block_col>).
+
+    Every exchange (the GEMM's block grouping, the two rescore joins,
+    the final filter) runs under a shuffle width sized from the
+    corpus' own plan stats (round-7, the sparse-cosine discipline) —
+    at test SFs a session-wide shuffle is pure fixed cost on a few-MB
+    vector table; at corpus scale the stats estimate keeps the
+    session width and the pin is width-neutral.
     """
+    from pyspark.sql import types as T
+
+    from ..functions.layout import pinned_shuffle, plan_width
+    from ..functions.vectors import dot_compact, with_normalized
+
+    with pinned_shuffle(emb.sparkSession, plan_width(emb, floor=8),
+                        adaptive=False):
+        return _cosine_near_dup_build(emb, block_col, threshold_millis)
+
+
+def _cosine_near_dup_build(emb: DataFrame, block_col: str,
+                           threshold_millis: int) -> DataFrame:
     from pyspark.sql import types as T
 
     from ..functions.vectors import dot_compact, with_normalized
@@ -656,7 +675,25 @@ def semantic_dedup(emb: DataFrame, n_cells: int = 8,
     ε-neighbors straddle a cell boundary than with raw anchor cells
     (SemDeDup's recall knob); costs ``refine_iters`` extra
     assignment/update rounds plus one join of the (id, cell)
-    assignment back to the vectors."""
+    assignment back to the vectors.
+
+    The whole pipeline (cell assignment, GEMM, rescore, anti-join)
+    runs under a stats-sized pinned width (round-7; the nested
+    cosine/k-means pins share this outer one) — width-neutral at
+    corpus scale, session-fixed-cost-free at test SFs."""
+    from ..functions.layout import pinned_shuffle, plan_width
+
+    with pinned_shuffle(emb.sparkSession, plan_width(emb, floor=8),
+                        adaptive=False):
+        return _semantic_dedup_build(emb, n_cells, threshold_millis,
+                                     dim, id_col, vec_col,
+                                     assign_via_join, refine_iters)
+
+
+def _semantic_dedup_build(emb: DataFrame, n_cells: int,
+                          threshold_millis: int, dim: int, id_col: str,
+                          vec_col: str, assign_via_join: bool | None,
+                          refine_iters: int) -> DataFrame:
     if refine_iters:
         from .clustering import kmeans_int
 
@@ -775,7 +812,13 @@ def semantic_dedup_incremental(batch: DataFrame, history: DataFrame,
     blocked GEMM → one distinct + one anti join) with the GEMM run
     once over the unioned corpus per cell; history rows add to cell
     size, so the same n_cells ∝ √N discipline applies to history
-    growth."""
+    growth.
+
+    Runs under the same stats-sized pinned width as
+    :func:`semantic_dedup` (round-7), sized from the unioned
+    batch+history corpus."""
+    from ..functions.layout import pinned_shuffle, plan_width
+
     both = (ensure_parallelism(history)
             .select(F.col(id_col), F.col(vec_col),
                     F.lit(True).alias("__hist"))
@@ -783,6 +826,17 @@ def semantic_dedup_incremental(batch: DataFrame, history: DataFrame,
                 ensure_parallelism(batch)
                 .select(F.col(id_col), F.col(vec_col),
                         F.lit(False).alias("__hist"))))
+    with pinned_shuffle(both.sparkSession, plan_width(both, floor=8),
+                        adaptive=False):
+        return _semantic_dedup_inc_build(both, n_cells, threshold_millis,
+                                         dim, id_col, vec_col,
+                                         intra_batch)
+
+
+def _semantic_dedup_inc_build(both: DataFrame, n_cells: int,
+                              threshold_millis: int, dim: int,
+                              id_col: str, vec_col: str,
+                              intra_batch: bool) -> DataFrame:
     x = F.col(vec_col)
     maxabs = F.array_max(F.transform(x, lambda e: F.abs(e.cast("double"))))
     q8 = F.transform(
