@@ -46,6 +46,29 @@ __all__ = [
 ]
 
 
+def _pinned_by_stats(fn):
+    """Run ``fn`` under a shuffle width sized from its FIRST argument's
+    plan stats (round-7, the sparse-cosine discipline): these operators
+    shuffle combined token/signature/vector tables a few MB big at test
+    SFs — a session-wide exchange there is pure per-partition fixed
+    cost × the pipeline's exchanges — while at corpus scale
+    ``plan_width`` reaches the session cap and the pin is
+    width-neutral.  Only valid for operators that MATERIALIZE inside
+    (``finalize_release``/eager checkpoint): a lazily-returned plan
+    would execute after the pin exits and silently revert to session
+    width."""
+    import functools
+
+    from ..functions.layout import pinned_shuffle, plan_width
+
+    @functools.wraps(fn)
+    def wrapper(df, *args, **kwargs):
+        with pinned_shuffle(df.sparkSession, plan_width(df, floor=8),
+                            adaptive=False):
+            return fn(df, *args, **kwargs)
+    return wrapper
+
+
 def incremental_new_docs(batch: DataFrame, history: DataFrame,
                          text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
@@ -120,6 +143,7 @@ def hashed_shingles(col, n: int = 3):
     return bind(F.transform(tokens(col), lambda t: F.xxhash64(t)), body)
 
 
+@_pinned_by_stats
 def ngram_jaccard_pairs(docs: DataFrame, threshold_tenths: int = 6,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3) -> DataFrame:
@@ -271,6 +295,7 @@ def contamination_score(train: DataFrame, bench: DataFrame, n: int = 3,
                     F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit")))
 
 
+@_pinned_by_stats
 def minhash_near_dups(docs: DataFrame, jaccard_distance: float = 0.4,
                       text_col: str = "text", id_col: str = "doc_id",
                       num_hash_tables: int = 5, seed: int = 42) -> DataFrame:
@@ -368,6 +393,7 @@ def simhash_signature(docs: DataFrame, text_col: str = "text",
     return hashed.select("id", pack_sig("hs").alias("simhash"))
 
 
+@_pinned_by_stats
 def simhash_candidates(sigs: DataFrame) -> DataFrame:
     """Near-dup candidate pairs from equal 16-bit SimHash bands (4 bands —
     any pair with Hamming distance ≤ 3 shares at least one band).  Banding
@@ -454,6 +480,7 @@ def minhash_exact_pairs(docs: DataFrame, n_hashes: int = 8,
 _HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
+@_pinned_by_stats
 def simhash_exact_pairs(docs: DataFrame, n_bits: int = 32,
                         max_hamming: int = 3, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
@@ -940,6 +967,7 @@ def dedup_chunks(docs: DataFrame, text_col: str = "text",
             .join(per_doc_total, id_col))
 
 
+@_pinned_by_stats
 def source_minhash_similarity(docs: DataFrame, n_hashes: int = 16,
                               group_col: str = "source",
                               text_col: str = "text",
