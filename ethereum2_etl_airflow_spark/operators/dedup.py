@@ -1032,8 +1032,23 @@ def repeated_ngram_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
     rows per doc, no self-join); the stats are ONE groupBy with
     map-side combining plus Spark's distinct-count expansion for
     n_docs.  No candidate-pair stage at all — span identity IS the
-    join key, so the quadratic trap of pairwise dedup never appears."""
-    grams = docs.select(
+    join key, so the quadratic trap of pairwise dedup never appears.
+    Runs (and materializes) under a stats-sized pinned width (round-7,
+    the `_pinned_by_stats` discipline — applied by hand here because
+    the plan tests assert on the lazy ``_repeated_spans_build``)."""
+    from ..functions.layout import pinned_shuffle, plan_width
+
+    with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
+                        adaptive=False):
+        return finalize_release(
+            _repeated_spans_build(docs, n, min_docs, text_col, id_col))
+
+
+def _span_grams(docs: DataFrame, n: int, text_col: str,
+                id_col: str) -> DataFrame:
+    """(id, span) stream — the shared narrow fan-out of the two
+    repeated-span operators."""
+    return docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__ts")).select(
         F.col(id_col),
         F.explode(F.expr(
@@ -1041,7 +1056,14 @@ def repeated_ngram_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
             f"transform(sequence(0, size(__ts) - {n}), "
             f"i -> concat_ws(' ', slice(__ts, i + 1, {n}))) END"))
         .alias("span"))
-    return (grams.groupBy("span")
+
+
+def _repeated_spans_build(docs: DataFrame, n: int, min_docs: int,
+                          text_col: str, id_col: str) -> DataFrame:
+    """Pre-checkpoint pipeline for :func:`repeated_ngram_spans` (plan
+    tests assert on this — the public entry localCheckpoints inside
+    its pinned scope)."""
+    return (_span_grams(docs, n, text_col, id_col).groupBy("span")
             .agg(F.countDistinct(id_col).cast("long").alias("n_docs"),
                  F.count("*").cast("long").alias("n_occurrences"))
             .where(F.col("n_docs") >= min_docs))
@@ -1057,27 +1079,27 @@ def repeated_span_hits(docs: DataFrame, n: int = 5, min_docs: int = 2,
     The repeated-span set joins back via a plain equi-join on the span
     string; at corpus scale substitute a Bloom/semi-join build of the
     span set (functions.bloom) — the shape stays one combining groupBy
-    per doc."""
+    per doc.  Runs (and materializes) under a stats-sized pinned width
+    (round-7); the span-set input arrives already materialized from
+    :func:`repeated_ngram_spans`' own pinned scope."""
+    from ..functions.layout import pinned_shuffle, plan_width
+
     spans = repeated_ngram_spans(docs, n, min_docs, text_col, id_col) \
         .select("span")
-    grams = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__ts")).select(
-        F.col(id_col),
-        F.explode(F.expr(
-            f"CASE WHEN size(__ts) < {n} THEN array() ELSE "
-            f"transform(sequence(0, size(__ts) - {n}), "
-            f"i -> concat_ws(' ', slice(__ts, i + 1, {n}))) END"))
-        .alias("span"))
-    hit = (grams.join(spans.withColumn("__hit", F.lit(1)), "span", "left")
-           .groupBy(id_col)
-           .agg(F.count("*").cast("long").alias("n_spans"),
-                F.sum(F.coalesce("__hit", F.lit(0))).cast("long")
-                .alias("n_repeated")))
-    # integer division (div), not double-divide-then-cast: engines
-    # disagree on double->int casts (truncate vs round)
-    return hit.select(
-        id_col, "n_spans", "n_repeated",
-        F.expr("n_repeated * 100 div n_spans").alias("repeated_pct"))
+    with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
+                        adaptive=False):
+        grams = _span_grams(docs, n, text_col, id_col)
+        hit = (grams.join(spans.withColumn("__hit", F.lit(1)),
+                          "span", "left")
+               .groupBy(id_col)
+               .agg(F.count("*").cast("long").alias("n_spans"),
+                    F.sum(F.coalesce("__hit", F.lit(0))).cast("long")
+                    .alias("n_repeated")))
+        # integer division (div), not double-divide-then-cast: engines
+        # disagree on double->int casts (truncate vs round)
+        return finalize_release(hit.select(
+            id_col, "n_spans", "n_repeated",
+            F.expr("n_repeated * 100 div n_spans").alias("repeated_pct")))
 
 
 def pair_set_metrics(pred: DataFrame, truth: DataFrame) -> DataFrame:

@@ -469,7 +469,7 @@ def test_round4_text_ops_stay_jvm_side(spark, sf_dir):
     operator anywhere in their plans — the 100 TB hot path stays inside
     codegen."""
     from ethereum2_etl_airflow_spark.operators.dedup import (
-        repeated_ngram_spans)
+        _repeated_spans_build)
     from ethereum2_etl_airflow_spark.operators.scoring import (
         random_projection_embed)
     from ethereum2_etl_airflow_spark.operators.tokenizer import (
@@ -479,7 +479,7 @@ def test_round4_text_ops_stay_jvm_side(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     for df in (bpe_pair_counts(docs),
-               repeated_ngram_spans(docs),
+               _repeated_spans_build(docs, 5, 2, "text", "doc_id"),
                random_projection_embed(docs, dims=4)):
         plan = plan_string(df, "simple")
         for marker in ("BatchEvalPython", "ArrowEvalPython"):
@@ -491,12 +491,13 @@ def test_repeated_spans_single_aggregation_no_join(spark, sf_dir):
     its plan carries zero join operators — span identity is the
     aggregation key."""
     from ethereum2_etl_airflow_spark.operators.dedup import (
-        repeated_ngram_spans)
+        _repeated_spans_build)
     from ethereum2_etl_airflow_spark.plans.explain import plan_string
     from ethereum2_etl_airflow_spark.sources.testdata import load_table
 
     plan = plan_string(
-        repeated_ngram_spans(load_table(spark, sf_dir, "documents")),
+        _repeated_spans_build(load_table(spark, sf_dir, "documents"),
+                              5, 2, "text", "doc_id"),
         "simple")
     assert "Join" not in plan
 
