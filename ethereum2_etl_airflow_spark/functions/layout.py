@@ -40,7 +40,8 @@ _pin_state: dict[int, dict] = {}
 
 
 @contextlib.contextmanager
-def pinned_shuffle(spark, n: int, adaptive: bool | None = None):
+def pinned_shuffle(spark, n: int, adaptive: bool | None = None,
+                   broadcast_threshold: str | None = None):
     """Pin ``spark.sql.shuffle.partitions`` (and optionally
     ``spark.sql.adaptive.enabled``) for a bounded scope.
 
@@ -73,16 +74,23 @@ def pinned_shuffle(spark, n: int, adaptive: bool | None = None):
       ``bounded_state`` stream pin is held).  Conflicting nested
       non-``None`` values: the first wins (no operator here mixes
       them; both only ever request ``False``).
+    - broadcast_threshold: same first-saves / last-restores protocol as
+      adaptive — kcore's scoped ``autoBroadcastJoinThreshold`` raise
+      goes through here so two concurrent peels (or a peel nested with
+      any other holder) can never interleave a naive save/restore and
+      leave the session permanently at the raised value.
 
     Holders of DIFFERENT sessions are fully independent — each
     session's conf is saved/pinned/restored on its own."""
     key = id(spark)
     holds_adaptive = adaptive is not None
+    holds_thresh = broadcast_threshold is not None
     with _pin_lock:
         st = _pin_state.get(key)
         if st is None:
             st = _pin_state[key] = {"depth": 0, "saved_part": None,
-                                    "adep": 0, "saved_adaptive": None}
+                                    "adep": 0, "saved_adaptive": None,
+                                    "tdep": 0, "saved_thresh": None}
         if st["depth"] == 0:
             st["saved_part"] = spark.conf.get("spark.sql.shuffle.partitions")
             spark.conf.set("spark.sql.shuffle.partitions", str(n))
@@ -94,6 +102,13 @@ def pinned_shuffle(spark, n: int, adaptive: bool | None = None):
                 spark.conf.set("spark.sql.adaptive.enabled",
                                str(adaptive).lower())
             st["adep"] += 1
+        if holds_thresh:
+            if st["tdep"] == 0:
+                st["saved_thresh"] = spark.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold")
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                               broadcast_threshold)
+            st["tdep"] += 1
     try:
         yield
     finally:
@@ -105,6 +120,12 @@ def pinned_shuffle(spark, n: int, adaptive: bool | None = None):
                     spark.conf.set("spark.sql.adaptive.enabled",
                                    st["saved_adaptive"])
                     st["saved_adaptive"] = None
+            if holds_thresh:
+                st["tdep"] -= 1
+                if st["tdep"] == 0:
+                    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                                   st["saved_thresh"])
+                    st["saved_thresh"] = None
             st["depth"] -= 1
             if st["depth"] == 0:
                 spark.conf.set("spark.sql.shuffle.partitions",

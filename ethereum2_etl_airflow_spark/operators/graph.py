@@ -515,33 +515,31 @@ def kcore_peel(edges: DataFrame, k: int = 3, n_rounds: int = 4,
     # floor, huge ones still cap at the session width
     spark = edges.sparkSession
     npart = _graph_npart(edges, target_bytes=8 << 20)
-    saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "128m")
-    try:
-        with pinned_shuffle(spark, npart):
-            e = (edges.select(F.col(src).cast("long").alias("u"),
-                              F.col(dst).cast("long").alias("v"))
-                 .union(edges.select(F.col(dst).cast("long").alias("u"),
-                                     F.col(src).cast("long").alias("v")))
-                 .where(F.col("u") != F.col("v")).distinct()
-                 .localCheckpoint(eager=True))
-            checkpoint_every = 2
-            pending = 0
-            for i in range(n_rounds):
-                deg = e.groupBy("u").agg(F.count("*").alias("d"))
-                keep = deg.where(F.col("d") >= k).select("u")
-                e = (e.join(keep, "u", "left_semi")
-                     .join(keep.withColumnRenamed("u", "v"), "v",
-                           "left_semi"))
-                pending += 1
-                if pending >= checkpoint_every or i == n_rounds - 1:
-                    e = e.localCheckpoint(eager=True)
-                    pending = 0
-                    _release_round_blocks()
-            return (e.groupBy("u").agg(F.count("*").alias("degree"))
-                    .select(F.col("u").alias("node"), "degree"))
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
+    # threshold raise goes through pinned_shuffle's refcounted
+    # per-session state (NOT a naive save/restore): concurrent peels or
+    # nesting with any other holder restore exactly once, last-out
+    with pinned_shuffle(spark, npart, broadcast_threshold="128m"):
+        e = (edges.select(F.col(src).cast("long").alias("u"),
+                          F.col(dst).cast("long").alias("v"))
+             .union(edges.select(F.col(dst).cast("long").alias("u"),
+                                 F.col(src).cast("long").alias("v")))
+             .where(F.col("u") != F.col("v")).distinct()
+             .localCheckpoint(eager=True))
+        checkpoint_every = 2
+        pending = 0
+        for i in range(n_rounds):
+            deg = e.groupBy("u").agg(F.count("*").alias("d"))
+            keep = deg.where(F.col("d") >= k).select("u")
+            e = (e.join(keep, "u", "left_semi")
+                 .join(keep.withColumnRenamed("u", "v"), "v",
+                       "left_semi"))
+            pending += 1
+            if pending >= checkpoint_every or i == n_rounds - 1:
+                e = e.localCheckpoint(eager=True)
+                pending = 0
+                _release_round_blocks()
+        return (e.groupBy("u").agg(F.count("*").alias("degree"))
+                .select(F.col("u").alias("node"), "degree"))
 
 
 def random_walks(edges: DataFrame, walk_len: int = 4,

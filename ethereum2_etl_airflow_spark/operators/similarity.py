@@ -286,6 +286,18 @@ def sparse_cosine_pairs(docs: DataFrame, block_col: str = "source",
     happens INSIDE the pin so the pinned plan is the one that actually
     executes.
 
+    Norm contract: norms are computed per ``(block, id)`` group (the
+    packing stage), not per global id.  When every id carries exactly
+    one block value — the documents-table shape, where ``source`` is a
+    column OF the row — the two are identical.  If a caller ever feeds
+    a corpus where one doc_id appears under MULTIPLE block values
+    (e.g. an exploded multi-label blocking), each block sees only its
+    own slice's norm, i.e. scores become within-block cosine.  That is
+    the intended blocking semantics (a block is an independent
+    comparison universe), but it differs from global-norm cosine —
+    pre-aggregate to one block per id upstream if global norms are
+    wanted.
+
     Returns ``(id_a, id_b, dot, cosine)`` for pairs with
     cosine >= threshold_millis/1000.
     """

@@ -175,10 +175,16 @@ def _safe_merge_batch(rows, full: bool, cap: int,
         gain_caps = []
         for acc in accepted:
             ch = {acc["a"], acc["b"]}
+            # A self-merge (a == b) is its OWN gain channel: rewriting
+            # a run like 'aaaa' under merge (a,a) creates (aa,aa)
+            # occurrences whose post-count is bounded by the merge's
+            # own pre-count — the `r is not acc` exclusion below must
+            # not hide that channel, so seed the cap with acc's count.
+            own = [acc["cnt"]] if acc["a"] == acc["b"] else []
             gain_caps.append(max(
                 [r["cnt"] for r in rows
                  if r is not acc and (r["a"] in ch or r["b"] in ch)]
-                + [horizon]))
+                + [horizon] + own))
         thr = 0
         for j in range(1, m):
             thr = max(thr, gain_caps[j - 1])

@@ -1900,14 +1900,40 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
         f"|v{_PQ_BUILDER_VERSION}|{params}"
         .encode()).hexdigest()[:12]
     path = f"/tmp/spark_graft_pq_index_{key}"
-    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+    marker = os.path.join(path, "codes", "_SUCCESS")
+    if not os.path.exists(marker):
+        # opportunistic GC: crashed builders orphan pid-unique tmp
+        # dirs — reap only those whose pid is no longer alive (a live
+        # concurrent builder's tmp must not be pulled out from under it)
+        base = os.path.dirname(path) or "."
+        prefix = os.path.basename(path) + ".build."
+        for stale in os.listdir(base):
+            if not stale.startswith(prefix):
+                continue
+            try:
+                pid = int(stale[len(prefix):])
+                os.kill(pid, 0)       # raises if the pid is gone
+            except (ValueError, ProcessLookupError):
+                shutil.rmtree(os.path.join(base, stale),
+                              ignore_errors=True)
+            except PermissionError:
+                pass                  # pid alive under another user
         tmp = f"{path}.build.{os.getpid()}"
         S.build_pq_index(_emb(spark, sf_dir), tmp, **_PQ_BUILD_PARAMS)
         try:
             os.rename(tmp, path)
         except OSError:
-            # another process published first; its index is identical
             shutil.rmtree(tmp, ignore_errors=True)
+            # OSError is only "another builder won" when the winner's
+            # COMPLETE index is actually there — any other cause
+            # (stale partial dir at `path`, permissions, cross-fs tmp)
+            # must surface, not silently return a broken path
+            if not os.path.exists(marker):
+                raise RuntimeError(
+                    f"PQ index publish failed and no complete index "
+                    f"exists at {path} (expected marker {marker}); "
+                    f"remove any stale partial directory and retry"
+                ) from None
     return path
 
 

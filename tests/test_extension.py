@@ -1101,6 +1101,28 @@ def test_bpe_train_batch_invariant_on_tie_heavy_counts(spark):
         assert bpe_train(docs, n_merges=12, batch=batch) == want, batch
 
 
+def test_bpe_train_batch_invariant_on_self_merge_runs(spark):
+    """A self-merge (a,a) is its OWN gain channel: merging (a,a) over
+    runs like 'aaaa' creates (aa,aa) pairs with post-count up to the
+    merge's own count, so a batch accepting [(a,a), (b,c)] with the
+    round-7 cap (which excluded acc's own row) could diverge from the
+    sequential trainer whose next argmax is (aa,aa).  The adversarial
+    corpus: 'aaaa'×10 makes (a,a) count 30 and post-merge (aa,aa)
+    count 10, while 'bc'×5 gives the disjoint (b,c) count 5 < 10 —
+    the sequential order is (a,a), (aa,aa), (b,c)."""
+    from ethereum2_etl_airflow_spark.operators.tokenizer import (
+        bpe_train, word_freqs)
+
+    texts = ["aaaa " * 10, "bc " * 5, "aaaa aaaa bc"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    wf = {r["word"]: r["freq"] for r in word_freqs(docs).collect()}
+    want = _reference_bpe(wf, 8)
+    assert ("aa", "aa") in want or ("a", "a") in want  # corpus is adversarial
+    for batch in (1, 2, 4, 8):
+        assert bpe_train(docs, n_merges=8, batch=batch) == want, batch
+
+
 def test_bpe_encode_applies_merges_and_roundtrips(spark):
     from ethereum2_etl_airflow_spark.operators.tokenizer import (
         bpe_encode, bpe_train)

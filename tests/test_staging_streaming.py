@@ -589,6 +589,38 @@ def test_pinned_shuffle_reentrant_and_threadsafe(spark):
         assert spark.conf.get(key) == "3"
     assert spark.conf.get(key) == before
 
+    # broadcast-threshold knob (round-7 advice: kcore's naive
+    # save/restore raced concurrent holders): first non-None holder
+    # saves, last restores; nested raise under a width-only pin works
+    tkey = "spark.sql.autoBroadcastJoinThreshold"
+    tbefore = spark.conf.get(tkey)
+    with pinned_shuffle(spark, 3):
+        with pinned_shuffle(spark, 5, broadcast_threshold="128m"):
+            assert spark.conf.get(tkey) == "128m"
+            with pinned_shuffle(spark, 7, broadcast_threshold="256m"):
+                # conflicting nested values: the first holder wins
+                assert spark.conf.get(tkey) == "128m"
+            assert spark.conf.get(tkey) == "128m"
+        assert spark.conf.get(tkey) == tbefore  # restored by last holder
+    assert spark.conf.get(tkey) == tbefore
+
+    # concurrent threshold holders restore exactly once
+    inside2 = []
+    barrier2 = threading.Barrier(n_threads)
+
+    def worker2():
+        barrier2.wait()
+        with pinned_shuffle(spark, 7, broadcast_threshold="64m"):
+            inside2.append(spark.conf.get(tkey))
+
+    ts = [threading.Thread(target=worker2) for _ in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert all(v == "64m" for v in inside2)
+    assert spark.conf.get(tkey) == tbefore
+
 
 def test_pinned_shuffle_state_is_per_session(spark):
     """Two SparkSessions have independent SQLConf — the pin state must
