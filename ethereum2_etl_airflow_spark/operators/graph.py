@@ -379,37 +379,51 @@ def pagerank_int(edges: DataFrame, n_iter: int = 3,
     the k rounds plan and run as ONE Spark job.  The final round is
     always checkpointed so the returned frame survives the edge/node
     cache release below."""
+    from ..functions.layout import pinned_shuffle
+
     base = scale - damp_num * scale // damp_den
     npart = _graph_npart(edges)
-    e = edges.select("src", "dst").repartition(npart, "src")
-    if dedup:
-        e = e.distinct()  # co-located: hash(src) clusters (src, dst)
-    ed = e.withColumn("deg", F.count("*")
-                      .over(Window.partitionBy("src"))).persist()
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node")))
-             .repartition(npart, "node").distinct().persist())
-    try:
-        scores = nodes.select("node", F.lit(scale).cast("bigint")
-                              .alias("score"))
-        for i in range(n_iter):
-            contrib = (ed.join(scores, ed["src"] == scores["node"])
-                       .select(F.col("dst").alias("node"),
-                               F.expr("score div deg").alias("c")))
-            agg = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-            scores = (nodes.join(agg, "node", "left")
-                      .select("node",
-                              (F.lit(base)
-                               + F.expr(f"({damp_num} * coalesce(s, 0))"
-                                        f" div {damp_den}"))
-                              .cast("bigint").alias("score")))
-            if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
-                scores = scores.localCheckpoint(eager=True)
-                _release_round_blocks()
-        return scores
-    finally:
-        ed.unpersist()
-        nodes.unpersist()
+    spark = edges.sparkSession
+    # the whole build runs under the stats-sized width (same discipline
+    # as the BPE/kcore loops): without the pin the per-round
+    # groupBy("node") plans at the SESSION width while nodes/ed sit at
+    # npart — a width mismatch that re-exchanges the score table every
+    # round (measured at sf0.1: ~2.7 s unpinned vs ~1.95 s pinned on a
+    # 32-wide bench session; the round-7 RATIOS regression was this
+    # mismatch, not the plan shape)
+    with pinned_shuffle(spark, npart):
+        e = edges.select("src", "dst").repartition(npart, "src")
+        if dedup:
+            e = e.distinct()  # co-located: hash(src) clusters (src, dst)
+        ed = e.withColumn("deg", F.count("*")
+                          .over(Window.partitionBy("src"))).persist()
+        # nodes derive from the PERSISTED ed, not e — deriving from e
+        # re-ran the whole scan+repartition+distinct pipeline a second
+        # time just to list the node ids
+        nodes = (ed.select(F.col("src").alias("node"))
+                 .union(ed.select(F.col("dst").alias("node")))
+                 .repartition(npart, "node").distinct().persist())
+        try:
+            scores = nodes.select("node", F.lit(scale).cast("bigint")
+                                  .alias("score"))
+            for i in range(n_iter):
+                contrib = (ed.join(scores, ed["src"] == scores["node"])
+                           .select(F.col("dst").alias("node"),
+                                   F.expr("score div deg").alias("c")))
+                agg = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+                scores = (nodes.join(agg, "node", "left")
+                          .select("node",
+                                  (F.lit(base)
+                                   + F.expr(f"({damp_num} * coalesce(s, 0))"
+                                            f" div {damp_den}"))
+                                  .cast("bigint").alias("score")))
+                if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+                    scores = scores.localCheckpoint(eager=True)
+                    _release_round_blocks()
+            return scores
+        finally:
+            ed.unpersist()
+            nodes.unpersist()
 
 
 def cluster_survivors(docs: DataFrame, pairs: DataFrame,
