@@ -262,11 +262,12 @@ def sparse_cosine_pairs(docs: DataFrame, block_col: str = "source",
     integer inputs, so the score is bit-identical in any IEEE engine
     (the property the SQL oracle relies on).
 
-    Scale shape: four index-sized shuffles — (doc, token) counting
-    with map-side combine, per-doc norm packing, the (blk, tok) join
-    layout, then the pair aggregation keyed on (id_a, id_b); the
-    self-join itself adds NO exchange (it reads the cached index
-    already partitioned on its key) and no sort (shuffled hash).  The
+    Scale shape: three shuffles — the (blk, id) clustering of the raw
+    token stream (which makes counting AND the norm partition-local),
+    the (blk, tok) join layout, then the pair aggregation keyed on
+    (id_a, id_b); the self-join itself adds NO exchange (it reads the
+    cached index already partitioned on its key) and no sort
+    (shuffled hash).  The
     quadratic term is bounded by the blocking column (pairs only form
     within a block); unblocked corpora should prefilter the index to
     discriminative tokens (df cap / salience, cf.
@@ -305,11 +306,13 @@ def sparse_cosine_pairs(docs: DataFrame, block_col: str = "source",
 
     docs = ensure_parallelism(docs)
     # floor 8, not the corpus-stats minimum: the index exchanges carry
-    # combined (doc, token) rows whose volume tracks the vocabulary ×
-    # docs, not the doc bytes the stats see, and the width-sweep at
-    # sf0.1 put the knee at 8 (4 → 3.5 s, 8 → 1.6 s, 32 → 2.6 s,
-    # 64 → 4.7 s); at corpus scale the stats term dominates and the
-    # session cap wins as usual
+    # (doc, token) rows whose volume tracks the vocabulary × docs, not
+    # the doc bytes the stats see.  Round-8 sweep on THIS shape at
+    # sf0.1 (join-layout width, median-of-3): 8 → 1.76 s, 16 → 1.81 s,
+    # 32 → 1.82 s, 64 → 1.97 s — the pair stage is volume-bound, not
+    # parallelism-bound (11.2 M intermediate rows from 620 (blk, tok)
+    # keys), so the smallest fixed-cost width wins; at corpus scale
+    # the stats term dominates and the session cap wins as usual
     with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
                         adaptive=False):
         res, tc = _sparse_cosine_build(docs, block_col, threshold_millis,
@@ -322,35 +325,47 @@ def _sparse_cosine_build(docs: DataFrame, block_col: str,
     """Pre-checkpoint pipeline for :func:`sparse_cosine_pairs` (plan tests
     assert on this — the public entry localCheckpoints).
 
-    Dataflow (all exchanges carry the already-combined index, never
-    the raw token stream):
+    Dataflow — TWO exchanges end-to-end before the pair aggregation
+    (round-8: the previous three-exchange shape — combined-count
+    groupBy, per-doc pack groupBy, join-layout repartition — paid a
+    full extra stage barrier to avoid shuffling raw tokens; measured
+    at sf0.1 the raw-token exchange is cheaper than the extra stage:
+    1.75 s → 1.55 s median-of-5):
 
-    1. (doc, token) counting — map-side-combined groupBy;
-    2. per-doc packing — one groupBy(blk, id) over the combined index
-       computes the norm ``sum(cnt²)`` and re-attaches it to every
-       index row, so NO norms table and NO post-aggregation norm joins
-       exist (the old shape paid two |pairs|-row sort-merge joins for
-       them — the single most expensive stage at sf0.1);
-    3. the index is laid out on the JOIN key ``(blk, tok)``: the
+    1. the raw (blk, id, tok) stream is hash-clustered on
+       ``(blk, id)`` — a doc's whole vector lands in one partition, so
+       BOTH the (doc, token) count and the norm are then partition-
+       local: the groupBy(blk, id, tok) needs no exchange
+       (hash(blk, id) ⊆ the grouping keys) and the norm ``sum(cnt²)``
+       is a window over (blk, id) — same clustering, zero exchange,
+       one partition-local sort.  No norms table, no pack/re-explode,
+       no post-aggregation norm joins;
+    2. the index is laid out on the JOIN key ``(blk, tok)``: the
        cached relation feeds the self-join with NO further exchange
        (InMemoryRelation exposes its hash partitioning) and the
        ``shuffle_hash`` hint skips the sort-merge sorts;
-    4. the pair aggregation keyed on (id_a, id_b) — the norms are
+    3. the pair aggregation keyed on (id_a, id_b) — the norms are
        functionally dependent on the ids, so they ride in the groupBy
-       key and come out with the dot product for free."""
+       key and come out with the dot product for free (measured: keys
+       beat max()-aggregates for them, 1.55 vs 1.63 s).
+
+    Scale note on exchange 1: it carries token OCCURRENCES (no
+    map-side combine), typically 1.5–3× the combined index's rows for
+    natural text — bytes traded for a whole stage + the collect_list
+    pack buffers of the old shape.  Both alternatives are linear in
+    corpus size; at 100 TB the choice shifts shuffle bytes by a small
+    constant factor and removes one barrier per corpus pass."""
     from .text import tokens
 
     docs = ensure_parallelism(docs)
     tc0 = (docs.select(F.col(block_col).alias("blk"),
                        F.col(id_col).alias("id"),
                        F.explode(tokens(F.col(text_col))).alias("tok"))
+           .repartition("blk", "id")
            .groupBy("blk", "id", "tok").agg(F.count("*").alias("cnt")))
-    packed = (tc0.groupBy("blk", "id")
-              .agg(F.collect_list(F.struct("tok", "cnt")).alias("rs"),
-                   F.sum(F.col("cnt") * F.col("cnt")).alias("nsq")))
-    tc = (packed.select("blk", "id", "nsq", F.explode("rs").alias("r"))
-          .select("blk", "id", "nsq",
-                  F.col("r.tok").alias("tok"), F.col("r.cnt").alias("cnt"))
+    tc = (tc0.withColumn("nsq",
+                         F.sum(F.col("cnt") * F.col("cnt"))
+                         .over(Window.partitionBy("blk", "id")))
           .repartition("blk", "tok")
           .cache())
     a, b = tc.alias("a"), tc.alias("b")
