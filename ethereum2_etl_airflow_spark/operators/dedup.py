@@ -985,17 +985,29 @@ def source_minhash_similarity(docs: DataFrame, n_hashes: int = 16,
     n_hashes``; with n_hashes a power of two the division is exact in
     binary floating point.
 
-    Scale shape: one explode to (group, shingle) distinct [shuffle keyed
-    by group+shingle — uniform], K min-aggregates per group with
-    map-side combine [one more exchange on |groups| keys], then a
-    pair join over the |groups|-row signature table.  The pair join is
-    quadratic in |groups| — the contract is a bounded catalog of
-    sources (dumps, crawls), thousands at most, NOT per-document
-    grouping; for per-document near-dup use the banded
-    :func:`minhash_exact_pairs`."""
+    Scale shape: one explode to (group, shingle-hash) distinct
+    [shuffle keyed by group+hash — uniform], K min-aggregates per
+    group with map-side combine [one more exchange on |groups| keys],
+    then a pair join over the |groups|-row signature table.  The
+    distinct is keyed on a FIXED-WIDTH 16-hex-char md5 prefix of the
+    shingle, not the shingle string itself (round-8: the exchange
+    carried ~40 B shingle strings where 16 B keys suffice — same md5
+    family as :func:`minhash_exact_pairs`, so the DuckDB oracle stays
+    bit-identical), and the signature hashes chain off that prefix —
+    min-hashing a uniformly-hashed image of the shingle set estimates
+    the same Jaccard.  The pair join is quadratic in |groups| — the
+    contract is a bounded catalog of sources (dumps, crawls),
+    thousands at most, NOT per-document grouping; for per-document
+    near-dup use the banded :func:`minhash_exact_pairs`."""
+    # the md5 + explode + partial-distinct map stage is the CPU of the
+    # whole operator and its parallelism comes from the SOURCE layout
+    # (round-8: a single-row-group parquet ran it on one core — most
+    # of the 2.8 s wall; 0.96 s once spread across the session)
+    docs = ensure_parallelism(docs)
     sh = (docs.select(F.col(group_col).alias("g"),
                       F.explode(F.array_distinct(
-                          shingles(F.col(text_col), n))).alias("sh"))
+                          shingles(F.col(text_col), n))).alias("sh0"))
+          .select("g", F.substring(F.md5(F.col("sh0")), 1, 16).alias("sh"))
           .distinct())
     sigs = sh.groupBy("g").agg(*[
         F.min(F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("sh"))))

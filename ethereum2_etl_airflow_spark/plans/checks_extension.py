@@ -1973,13 +1973,14 @@ ORACLE_SOURCE_SIMILARITY = """
 WITH tk AS (SELECT source AS g, doc_id,
                    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
             FROM documents),
-sh AS (
-  SELECT DISTINCT g, UNNEST(
+sh0 AS (
+  SELECT g, UNNEST(
     CASE WHEN len(t) >= 3 THEN
       list_transform(range(1, len(t) - 1),
                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-    ELSE [] END) AS sh
+    ELSE [] END) AS s0
   FROM tk),
+sh AS (SELECT DISTINCT g, substr(md5(s0), 1, 16) AS sh FROM sh0),
 sigs AS (
   SELECT g, {mins}
   FROM sh GROUP BY g),
