@@ -255,6 +255,13 @@ def main() -> None:
             json.dump({"pass": "concurrent", "nthreads": nthreads,
                        "wall_sec": conc_wall,
                        "queries": r2(conc_times)}, fh)
+    # Sequential sidecar (round-7 verdict item 6): the driver keeps only
+    # the TAIL of stdout, so the stdout per-query line can truncate —
+    # the sidecar carries the full round-over-round comparable map.
+    if seq_times:
+        with open(os.path.join(REPO, "bench_sequential.json"), "w") as fh:
+            json.dump({"pass": "sequential", "wall_sec": seq_wall,
+                       "queries": r2(seq_times)}, fh)
     # Per-query sequential map on its own EARLIER line (kept when the
     # capture buffer is big enough), then the compact headline as the
     # FINAL stdout line — the driver keeps the tail, and nothing prints
