@@ -397,6 +397,16 @@ def pagerank_int(edges: DataFrame, n_iter: int = 3,
             e = e.distinct()  # co-located: hash(src) clusters (src, dst)
         ed = e.withColumn("deg", F.count("*")
                           .over(Window.partitionBy("src"))).persist()
+        # Materialize ed BEFORE the union below references it twice: a
+        # lazy persist means the union's two branches are scheduled as
+        # parallel stages that RACE to compute the identical
+        # scan→repartition→distinct→window pipeline (both miss the
+        # cache, both compute, BlockManager logs "already exists" —
+        # the operator's heaviest stage ran 2× every call, ~60 % of
+        # its executor time at sf0.1).  One cheap count() job builds
+        # the cache once; the branches and the per-round joins then
+        # all read it.
+        ed.count()
         # nodes derive from the PERSISTED ed, not e — deriving from e
         # re-ran the whole scan+repartition+distinct pipeline a second
         # time just to list the node ids
