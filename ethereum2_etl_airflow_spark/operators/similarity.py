@@ -313,15 +313,16 @@ def sparse_cosine_pairs(docs: DataFrame, block_col: str = "source",
     # parallelism-bound (11.2 M intermediate rows from 620 (blk, tok)
     # keys), so the smallest fixed-cost width wins; at corpus scale
     # the stats term dominates and the session cap wins as usual
-    with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
-                        adaptive=False):
+    w = plan_width(docs, floor=8)
+    with pinned_shuffle(docs.sparkSession, w, adaptive=False):
         res, tc = _sparse_cosine_build(docs, block_col, threshold_millis,
-                                       text_col, id_col)
+                                       text_col, id_col, width=w)
         return finalize_release(res, tc)
 
 
 def _sparse_cosine_build(docs: DataFrame, block_col: str,
-                         threshold_millis: int, text_col: str, id_col: str):
+                         threshold_millis: int, text_col: str, id_col: str,
+                         width: int | None = None):
     """Pre-checkpoint pipeline for :func:`sparse_cosine_pairs` (plan tests
     assert on this — the public entry localCheckpoints).
 
@@ -363,10 +364,22 @@ def _sparse_cosine_build(docs: DataFrame, block_col: str,
                        F.explode(tokens(F.col(text_col))).alias("tok"))
            .repartition("blk", "id")
            .groupBy("blk", "id", "tok").agg(F.count("*").alias("cnt")))
+    # the join layout gets 2× the pinned width: the self-join's output
+    # is quadratic per join key (Σ n_k² pair rows from linear index
+    # rows), so the one stage consuming this layout does several times
+    # the work per input byte of every other stage — doubling its
+    # partitions halves its per-task wall while the narrow pin keeps
+    # fixed costs down everywhere else.  Round-8 SELECTIVE sweep at
+    # sf0.1 (pin 8, join layout varied, median-of-3): 8 → 1.81 s,
+    # 16 → 1.60 s, 32 → 1.63 s, 64 → 1.70 s — vs the global sweep
+    # (docstring above) where widening EVERYTHING was a wash.  At
+    # corpus scale the pin is the session cap and 2× it is still a
+    # sane task count for the heaviest stage.
+    jw_parts = [2 * width] if width else []
     tc = (tc0.withColumn("nsq",
                          F.sum(F.col("cnt") * F.col("cnt"))
                          .over(Window.partitionBy("blk", "id")))
-          .repartition("blk", "tok")
+          .repartition(*jw_parts, "blk", "tok")
           .cache())
     a, b = tc.alias("a"), tc.alias("b")
     cos = (F.col("dot").cast("double")

@@ -352,11 +352,14 @@ def test_sparse_cosine_pinned_width_and_join_shape(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pinned_shuffle(spark, 7, adaptive=False):
         res, tc = _sparse_cosine_build(docs, "source", 650,
-                                       "text", "doc_id")
+                                       "text", "doc_id", width=7)
         plan = plan_string(res, "simple")
     widths = {int(n) for n in
               re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan)}
-    assert widths == {7}, plan[:1500]
+    # pin width everywhere except the (blk, tok) join layout, which
+    # runs at 2× the pin (the quadratic-output stage — see
+    # _sparse_cosine_build's selective-sweep comment)
+    assert widths == {7, 14}, plan[:1500]
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
     tc.unpersist()
