@@ -55,7 +55,8 @@ def bounded_state(spark: SparkSession, n: int = STATE_PARTITIONS):
 
 
 def run_bounded(df, spark: SparkSession, mode: str = "append",
-                n: int = STATE_PARTITIONS, prefix: str = "st"):
+                n: int = STATE_PARTITIONS, prefix: str = "st",
+                progress_out: list | None = None):
     """Run a streaming DataFrame to completion over available input
     (``availableNow`` + memory sink) and return the result as a batch
     DataFrame — the shared harness behind every bounded check/demo
@@ -80,6 +81,11 @@ def run_bounded(df, spark: SparkSession, mode: str = "append",
                  .option("checkpointLocation", ck)
                  .outputMode(mode).trigger(availableNow=True).start())
             q.awaitTermination()
+            if progress_out is not None:
+                # per-micro-batch progress dicts — the state-store rows/
+                # bytes readings the scale probe records against the
+                # watermark/active-key bounds claimed in docs/SCALE.md
+                progress_out.extend(p for p in q.recentProgress if p)
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name)

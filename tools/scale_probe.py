@@ -41,7 +41,14 @@ def main() -> None:
                     help="probe the curation/tokenizer batch instead")
     ap.add_argument("--lm", action="store_true",
                     help="probe the LM-scoring/clustering batch instead")
+    ap.add_argument("--stream", action="store_true",
+                    help="probe the streaming family instead (wall + "
+                         "state-store rows per factor)")
     args = ap.parse_args()
+
+    if args.stream:
+        stream_probe(args)
+        return
 
     if args.graph:
         graph_probe(args)
@@ -364,6 +371,143 @@ def lm_probe(args) -> None:
               f"lm_perplexity={r_ppl} kmeans={r_km} "
               f"cluster_sample={r_cs} source_div={r_div} "
               f"dsir={r_dsir}", flush=True)
+    spark.stop()
+
+
+def stream_probe(args) -> None:
+    """Measured scale rows for the streaming family — the walls AND the
+    state-store row counts behind docs/SCALE.md's watermark/active-key
+    bound claims, on two axes:
+
+    - **Key-volume axis** (same time range, key cardinality ×N):
+      ``sessionize_stream`` over events with per-copy-shifted user ids —
+      the claim is one open session per ACTIVE KEY, so state rows must
+      track N; ``cms_build`` in complete mode over docs ×N — the claim
+      is a CONSTANT d·w counter table however large the input.  Both
+      stream as 8 files / maxFilesPerTrigger 2, so the micro-batch
+      count is constant and the wall isolates per-batch data growth.
+    - **History axis** (same per-epoch content, N disjoint time epochs
+      arriving in event-time order): ``dedup_stream``'s
+      dropDuplicatesWithinWatermark — the claim is state bounded by the
+      WATERMARK HORIZON, not history, so the max state rows across the
+      run must stay ~one epoch's fingerprints while total input grows
+      ×N.  One file per epoch, maxFilesPerTrigger=1 (the file source
+      processes in mtime order), so the watermark advances epoch by
+      epoch and expires the previous epoch's state.
+
+    State readings come from the engine's own progress stream
+    (``stateOperators[].numRowsTotal`` — run_bounded's progress_out)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ethereum2_etl_airflow_spark.operators.quality import cms_build
+    from ethereum2_etl_airflow_spark.session import build_session
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+    from ethereum2_etl_airflow_spark.streaming import run_bounded
+    from ethereum2_etl_airflow_spark.streaming.dedup import dedup_stream
+    from ethereum2_etl_airflow_spark.streaming.sessionize import (
+        sessionize_stream)
+
+    spark = build_session(app_name="scale-probe-stream")
+    events = load_table(spark, args.sf_dir, "events").cache()
+    events.count()
+    docs = load_table(spark, args.sf_dir, "documents").cache()
+    docs.count()
+    root = tempfile.mkdtemp(prefix="e2etl_sprobe_")
+
+    def state_rows(progress: list) -> tuple[int, int]:
+        """(max, final) total state rows across micro-batches."""
+        per_batch = [sum(op.get("numRowsTotal", 0)
+                         for op in p.get("stateOperators", []))
+                     for p in progress]
+        per_batch = [n for n in per_batch if n] or [0]
+        return max(per_batch), per_batch[-1]
+
+    def file_stream(path: str, mfpt: int):
+        return (spark.readStream
+                .schema(spark.read.parquet(path).schema)
+                .option("maxFilesPerTrigger", mfpt).parquet(path))
+
+    for n in [int(x) for x in args.factors.split(",")]:
+        import gc
+
+        gc.collect()
+
+        # -- key-volume axis: events with user ids disjoint per copy --
+        ev = None
+        for i in range(n):
+            d = (events.select(
+                (F.col("user_id") + F.lit(i * 50_000_000)).alias("user_id"),
+                "ts", "value"))
+            ev = d if ev is None else ev.unionByName(d)
+        ev_path = os.path.join(root, f"ev{n}")
+        ev.repartition(8).write.mode("overwrite").parquet(ev_path)
+        n_ev = spark.read.parquet(ev_path).count()
+
+        prog: list = []
+        t0 = time.time()
+        sess = sessionize_stream(file_stream(ev_path, 2),
+                                 gap_s=6 * 3600, watermark="1 hour")
+        out = run_bounded(sess, spark, mode="append", prefix="sps",
+                          progress_out=prog)
+        n_sess = out.count()
+        w_sess = round(time.time() - t0, 2)
+        sess_max, sess_fin = state_rows(prog)
+
+        # -- key-volume axis: CMS complete-mode agg over docs ×N --
+        dc = None
+        for i in range(n):
+            d = docs.select(
+                (F.col("doc_id") + F.lit(i * 50_000_000)).alias("doc_id"),
+                "text")
+            dc = d if dc is None else dc.unionByName(d)
+        dc_path = os.path.join(root, f"dc{n}")
+        dc.repartition(8).write.mode("overwrite").parquet(dc_path)
+
+        prog = []
+        t0 = time.time()
+        cms = cms_build(file_stream(dc_path, 2))
+        out = run_bounded(cms, spark, mode="complete", prefix="spc",
+                          progress_out=prog)
+        n_cms = out.count()
+        w_cms = round(time.time() - t0, 2)
+        cms_max, cms_fin = state_rows(prog)
+
+        # -- history axis: N time epochs, one file each, mtime order --
+        ep_path = os.path.join(root, f"ep{n}")
+        os.makedirs(ep_path, exist_ok=True)
+        base = 1_704_067_200
+        for i in range(n):
+            epoch = docs.select(
+                (F.col("doc_id") + F.lit(i * 50_000_000)).alias("doc_id"),
+                F.concat("text", F.lit(f" #ep{i}")).alias("text"),
+                F.timestamp_seconds(
+                    F.lit(base + i * 86_400)
+                    + F.col("doc_id") % 600).alias("ts"))
+            epoch.coalesce(1).write.mode("append").parquet(ep_path)
+
+        prog = []
+        t0 = time.time()
+        surv = dedup_stream(file_stream(ep_path, 1), ts_col="ts",
+                            text_col="text", watermark="1 hour")
+        out = run_bounded(surv, spark, mode="append", prefix="spd",
+                          progress_out=prog)
+        n_fp = out.count()
+        w_dd = round(time.time() - t0, 2)
+        dd_max, dd_fin = state_rows(prog)
+
+        print(f"SCALE-STREAM n={n} events={n_ev} "
+              f"sessionize={w_sess} sessions={n_sess} "
+              f"sess_state_max={sess_max} "
+              f"cms={w_cms} cms_rows={n_cms} cms_state_max={cms_max} "
+              f"dedup={w_dd} fps={n_fp} dd_state_max={dd_max} "
+              f"dd_state_final={dd_fin}", flush=True)
+        shutil.rmtree(ev_path, ignore_errors=True)
+        shutil.rmtree(dc_path, ignore_errors=True)
+        shutil.rmtree(ep_path, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
     spark.stop()
 
 
