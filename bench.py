@@ -127,11 +127,35 @@ def main() -> None:
         print(f"# bench warm-up fixture error: {str(ex).splitlines()[0][:120]}",
               file=sys.stderr)
 
-    def make_runner(times: dict[str, float]):
+    def make_runner(times: dict[str, float], per_thread_session=False):
+        # Concurrent pass: one CHILD SESSION per pool thread
+        # (spark.newSession() — same SparkContext/executors, own SQLConf).
+        # The pinned_shuffle family (width / adaptive / broadcast-
+        # threshold pins on the iterative + streaming operators) sets
+        # SESSION-scoped conf, so on a shared session one thread's
+        # adaptive=False or width-4 stream pin re-plans every OTHER
+        # in-flight query under it — nondeterministic cross-talk that
+        # made the concurrent wall swing 35-62 s across rounds 5-7.
+        # Child sessions inherit the builder-level tuning (they read the
+        # shared SparkConf) and isolate the pins, which is also the
+        # honest cluster shape: a verification fleet runs one session
+        # per submitted job.
+        import threading
+
+        tl = threading.local()
+
+        def get_session():
+            if not per_thread_session:
+                return spark
+            s = getattr(tl, "spark", None)
+            if s is None:
+                s = tl.spark = spark.newSession()
+            return s
+
         def run_one(name: str) -> None:
             t0 = time.time()
             try:
-                df = qs[name](spark, sf_dir)
+                df = qs[name](get_session(), sf_dir)
                 df.write.mode("overwrite").format("noop").save()
                 times[name] = round(time.time() - t0, 3)
             except Exception as ex:  # a failing query must not hide the rest
@@ -178,7 +202,7 @@ def main() -> None:
 
     def run_concurrent() -> tuple[dict[str, float], float]:
         times: dict[str, float] = {}
-        run_one = make_runner(times)
+        run_one = make_runner(times, per_thread_session=True)
         from concurrent.futures import ThreadPoolExecutor
 
         t0 = time.time()

@@ -1070,6 +1070,23 @@ def _span_grams(docs: DataFrame, n: int, text_col: str,
         .alias("span"))
 
 
+def _span_gram_hashes(docs: DataFrame, n: int, text_col: str,
+                      id_col: str) -> DataFrame:
+    """(id, h) stream — :func:`_span_grams` with the span collapsed to
+    the md5 family's 60-bit bigint key inside the same codegen
+    expression (the span string exists only transiently inside the
+    transform lambda, never in a shuffled row)."""
+    return docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__ts")).select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"CASE WHEN size(__ts) < {n} THEN array() ELSE "
+            f"transform(sequence(0, size(__ts) - {n}), "
+            f"i -> cast(conv(substr(md5(concat_ws(' ', slice(__ts, i + 1, "
+            f"{n}))), 1, 15), 16, 10) AS bigint)) END"))
+        .alias("h"))
+
+
 def _repeated_spans_build(docs: DataFrame, n: int, min_docs: int,
                           text_col: str, id_col: str) -> DataFrame:
     """Pre-checkpoint pipeline for :func:`repeated_ngram_spans` (plan
@@ -1088,21 +1105,42 @@ def repeated_span_hits(docs: DataFrame, n: int = 5, min_docs: int = 2,
     how much of each document is corpus-repeated boilerplate —
     (id, n_spans, n_repeated, repeated_pct as integer percent).
 
-    The repeated-span set joins back via a plain equi-join on the span
-    string; at corpus scale substitute a Bloom/semi-join build of the
-    span set (functions.bloom) — the shape stays one combining groupBy
-    per doc.  Runs (and materializes) under a stats-sized pinned width
-    (round-7); the span-set input arrives already materialized from
-    :func:`repeated_ngram_spans`' own pinned scope."""
+    Round-8 shape — ONE fan-out, hashed keys, co-located stats + probe:
+    the previous version called :func:`repeated_ngram_spans` for the
+    repeated set and re-ran the whole tokenize+n-gram fan-out a second
+    time for the per-doc probe, then equi-joined on ~30-byte span
+    STRINGS.  Here the (id, span-hash) stream is built once — spans
+    never materialize as strings past the hash expression; the key is
+    the md5 family's 60-bit bigint (``conv(substr(md5(span),1,15),
+    16,10)`` — same idiom as ``minhash_exact_pairs``/
+    ``source_similarity``, so the DuckDB oracle computes the IDENTICAL
+    keys and the check stays bit-exact even in the astronomically
+    unlikely collision case) — then hash-clustered and cached, so the
+    repeated-set aggregation AND the join-back probe both read the one
+    exchange with no further shuffle (groupBy key ⊇ layout key; both
+    join sides cluster on ``h``).  Net vs the old shape at sf0.1: the
+    fan-out CPU once instead of twice, ~40 MB exchanged instead of
+    ~110 MB, 8-byte join keys instead of strings.  The final per-doc
+    groupBy is the only remaining exchange (combining, doc-count-sized
+    output).  At 100 TB the cache is corpus-fan-out-sized —
+    MEMORY_AND_DISK spills it; the alternative (recompute, the old
+    shape) pays the tokenize twice instead."""
     from ..functions.layout import pinned_shuffle, plan_width
 
-    spans = repeated_ngram_spans(docs, n, min_docs, text_col, id_col) \
-        .select("span")
     with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
                         adaptive=False):
-        grams = _span_grams(docs, n, text_col, id_col)
-        hit = (grams.join(spans.withColumn("__hit", F.lit(1)),
-                          "span", "left")
+        grams = (_span_gram_hashes(docs, n, text_col, id_col)
+                 .repartition("h").cache())
+        # build the cache with one cheap job BEFORE the probe job sees
+        # grams on both sides of its DAG (the pagerank_int nodes-union
+        # lesson: two stages racing a cold cache compute the pipeline
+        # twice)
+        grams.count()
+        rep = (grams.groupBy("h")
+               .agg(F.countDistinct(id_col).alias("nd"))
+               .where(F.col("nd") >= min_docs)
+               .select("h", F.lit(1).alias("__hit")))
+        hit = (grams.join(rep, "h", "left")
                .groupBy(id_col)
                .agg(F.count("*").cast("long").alias("n_spans"),
                     F.sum(F.coalesce("__hit", F.lit(0))).cast("long")
@@ -1111,7 +1149,8 @@ def repeated_span_hits(docs: DataFrame, n: int = 5, min_docs: int = 2,
         # disagree on double->int casts (truncate vs round)
         return finalize_release(hit.select(
             id_col, "n_spans", "n_repeated",
-            F.expr("n_repeated * 100 div n_spans").alias("repeated_pct")))
+            F.expr("n_repeated * 100 div n_spans").alias("repeated_pct")),
+            grams)
 
 
 def pair_set_metrics(pred: DataFrame, truth: DataFrame) -> DataFrame:

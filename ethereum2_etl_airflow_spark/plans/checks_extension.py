@@ -3142,7 +3142,10 @@ EXTENSION_CHECKS["repeated_spans"] = (q_repeated_spans,
 def q_span_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X66b: per-document boilerplate fraction — what share of each
     document's 5-token spans are corpus-repeated.  The curation
-    decision signal derived from q_repeated_spans."""
+    decision signal derived from q_repeated_spans.  Span identity is
+    the md5-family 60-bit key on BOTH sides (operator and oracle
+    compute identical keys — the portable-hash contract), so the
+    per-doc counts compare bit-exactly."""
     from ..operators.dedup import repeated_span_hits
 
     return (repeated_span_hits(_docs(spark, sf_dir), n=5, min_docs=2)
@@ -3156,15 +3159,17 @@ WITH tk AS (
   FROM documents),
 g AS (
   SELECT doc_id,
-         array_to_string(list_slice(ts, i.i, i.i + 4), ' ') AS span
+         ('0x' || substr(md5(
+            array_to_string(list_slice(ts, i.i, i.i + 4), ' ')),
+          1, 15))::BIGINT AS h
   FROM tk, UNNEST(range(1, len(ts) - 3)) AS i(i)
   WHERE len(ts) >= 5),
 rep AS (
-  SELECT span FROM g GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+  SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
 hit AS (
   SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
-         CAST(count_if(r.span IS NOT NULL) AS BIGINT) AS n_repeated
-  FROM g LEFT JOIN rep r ON g.span = r.span
+         CAST(count_if(r.h IS NOT NULL) AS BIGINT) AS n_repeated
+  FROM g LEFT JOIN rep r ON g.h = r.h
   GROUP BY g.doc_id)
 SELECT doc_id, n_spans, n_repeated,
        CAST(n_repeated * 100 // n_spans AS BIGINT) AS repeated_pct
