@@ -146,6 +146,13 @@ def main() -> int:
         "is bench's own single cold run by design.)",
         "Sorted worst-first; the suite-level BASELINE target is the "
         "aggregate wall, this table is the per-query debt audit.",
+        "Concurrent-wall band (round-8 bracket, 5 fresh-JVM runs of "
+        "the 32-thread pass at HEAD, per-thread child sessions): "
+        "42.0 / 50.8 / 52.1 / 60.6 / 91.4 s — median 52 s, ±45% "
+        "single-round spread.  The round-6→7 35.6→61.5 s move sits "
+        "INSIDE one round's own band, so cross-round concurrent-wall "
+        "diffs under ~2× are not evidence of regression; the "
+        "sequential pass is the round-over-round comparable number.",
         "",
         "| check | spark s | oracle s | ratio |",
         "|---|---|---|---|",
