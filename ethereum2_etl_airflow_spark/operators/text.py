@@ -25,7 +25,7 @@ __all__ = [
     "ngram_novelty",
     "compression_ratio",
     "gopher_filter", "inverted_postings", "skipgram_counts",
-    "winnow_fingerprints",
+    "winnow_fingerprints", "bm25_topk",
 ]
 
 # word tokens: runs of alphanumerics (RE2- and Java-regex-identical)
@@ -473,3 +473,105 @@ def winnow_fingerprints(docs, k: int = 4, w: int = 4,
             .withColumn("__h", F.expr(kg_h))
             .select(F.col(id_col), F.explode(F.expr(mins)).alias("fp"))
             .distinct())
+
+
+def bm25_topk(docs, queries: dict[int, list[str]], k: int = 10,
+              k1_milli: int = 1200, b_milli: int = 750,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """Integer-exact BM25 top-k lexical retrieval (Robertson & Zaragoza,
+    "The Probabilistic Relevance Framework: BM25 and Beyond", FnTIR'09)
+    — the sparse counterpart of the embedding ANN stack: score every
+    document against each query's term bag through the corpus term
+    statistics, return the ``k`` best per query.
+
+    Exact-integer variant so the whole ranking is SQL-oracle-checkable
+    (float BM25 needs ln(), which is not correctly-rounded across
+    engines — the same reason lm.py integerizes perplexity):
+
+    - idf in QUARTER-bits, with ratio a/b = (2(N−df)+1)/(2df+1):
+      exponent e = floor(log2(a div b)) via the exact ``length(bin(x))
+      − 1`` trick (equal to floor(log2(a/b)) for a ≥ b), plus two
+      fractional bits from the integer-normalized mantissa m = (4a)
+      div (b·2^e) ∈ [4, 8): idf_q = max(0, 4e + m − 4) — the
+      linear-within-octave refinement (the HLL-rho family's trick)
+      that keeps moderately-rare terms (1 < a/b < 2) from quantizing
+      to zero, clamped at 0 when df > N/2 (the BM25+ stopword floor);
+      every operand stays ≤ 8N+4, so the math is bigint-safe at any
+      corpus size;
+    - length normalization in exact millis: norm = 1000 − b +
+      (b·dl·N) div T  (dl/avgdl as the integer ratio dl·N/T);
+    - per-term contribution (millis) =
+      (idf_bits · tf · (k1+1000) · 1000) div (tf·1000 + (k1·norm) div
+      1000); score = Σ over the query's terms.
+
+    Domain bounds (documented, not checked): doc ids < 10^12 and
+    score < 9·10^6 millis so the top-k order key packs into one BIGINT
+    (the inverted_postings contract); N·dl·b_milli < 2^63, i.e. up to
+    ~10^10 docs at ~10^5 avg tokens — beyond that, lift the norm term
+    to DECIMAL(38,0).
+
+    Scale shape: dl is computed in the scan projection (size of the
+    token array, BEFORE the explode), so the term filter prunes the
+    fan-out to query terms only and no full-corpus (doc, term) table
+    ever shuffles; the surviving stream is one map-side-combining
+    groupBy(doc, dl, term) (dl rides in the key — functionally
+    dependent on doc, the sparse-cosine trick); df aggregates over
+    ≤ |query terms| groups; N/T is a 1-row aggregate crossJoined back
+    (broadcast, the TPC-H scalar-subquery shape); the (qid, term)
+    probe is a literal-table broadcast join; and the per-query top-k
+    is the two-phase :func:`..operators.curation.cap_per_key` — the
+    hot query hitting |corpus| docs never sorts in one task.
+
+    Returns (query_id, doc_id, rank, score_milli), rank 1-based by
+    (score desc, doc asc)."""
+    from pyspark.sql import Window
+
+    from .curation import cap_per_key  # local import: avoid cycle
+
+    spark = docs.sparkSession
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    sel = docs.select(F.col(id_col).alias("doc"),
+                      tokens(F.col(text_col)).alias("__tk")) \
+        .withColumn("dl", F.size("__tk").cast("long"))
+    nt = sel.agg(F.count("*").alias("n_docs"),
+                 F.sum("dl").alias("n_tokens"))
+    tfq = (sel.select("doc", "dl", F.explode("__tk").alias("term"))
+           .where(F.col("term").isin(all_terms))
+           .groupBy("doc", "dl", "term")
+           .agg(F.count("*").alias("tf")))
+    df_t = tfq.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
+        "query_id long, term string")
+    scored = (tfq.join(F.broadcast(df_t), "term")
+              .join(F.broadcast(qt), "term")
+              .crossJoin(F.broadcast(nt)))
+    idf = F.expr(
+        "greatest(0, 4 * (length(bin((2 * (n_docs - df) + 1) "
+        "div (2 * df + 1))) - 1) "
+        "+ (4 * (2 * (n_docs - df) + 1)) "
+        "div ((2 * df + 1) * shiftleft(cast(1 as bigint), "
+        "length(bin((2 * (n_docs - df) + 1) div (2 * df + 1))) - 1)) "
+        "- 4)")
+    norm = (F.lit(1000 - b_milli)
+            + F.expr(f"({b_milli} * dl * n_docs) div n_tokens"))
+    den = (F.col("tf") * 1000
+           + F.expr(f"({k1_milli} * __norm) div 1000"))
+    contrib = F.expr(
+        f"(__idf * tf * {k1_milli + 1000} * 1000) div __den")
+    per_term = (scored.withColumn("__idf", idf.cast("long"))
+                .withColumn("__norm", norm.cast("long"))
+                .withColumn("__den", den.cast("long"))
+                .withColumn("__c", contrib.cast("long")))
+    score = (per_term.groupBy("query_id", "doc")
+             .agg(F.sum("__c").alias("score_milli"))
+             .where(F.col("score_milli") > 0))
+    ordered = score.withColumn(
+        "ord", -F.col("score_milli") * F.lit(1_000_000_000_000)
+        + F.col("doc"))
+    top = cap_per_key(ordered, "query_id", "ord", k)
+    w = Window.partitionBy("query_id").orderBy("ord")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("query_id", F.col("doc").alias("doc_id"),
+                    F.col("rank").cast("long").alias("rank"),
+                    "score_milli"))

@@ -2272,6 +2272,80 @@ EXTENSION_CHECKS["inverted_index"] = (
     q_inverted_index, ORACLE_INVERTED_INDEX)
 
 
+# --- BM25 top-k lexical retrieval (integer-exact) --------------------------
+
+_BM25_QUERIES = {1: ["dup", "hash"],
+                 2: ["dup", "vector", "scan"],
+                 3: ["dup", "customer"]}
+# term choice: the synthetic corpus speaks a 31-word vocabulary where
+# every word but "dup" appears in ~78% of documents (df > N/2 → idf
+# floors to 0 — correct BM25+ behavior for stopwords); "dup" (df ≈ 5%)
+# carries the idf signal, the common terms exercise the tf/dl
+# normalization path on the docs that also match "dup".
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75: integer-exact BM25 top-k over the corpus inverted stats —
+    the sparse-retrieval counterpart of retrieval_topk (see
+    operators.text.bm25_topk for the exact-integer scoring contract
+    that makes a ranking with idf SQL-oracle-checkable)."""
+    return (X.bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
+            .orderBy("query_id", "rank"))
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(f"({qid}, '{t}')"
+                     for qid, ts in sorted(_BM25_QUERIES.items())
+                     for t in ts)
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+dlt AS (
+  SELECT doc_id AS doc,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS BIGINT) AS dl,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(dl) AS BIGINT) AS n_tokens FROM dlt),
+tfq AS (
+  SELECT doc, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc, dl, UNNEST(ts) AS term FROM dlt)
+  WHERE term IN (SELECT term FROM q)
+  GROUP BY doc, dl, term),
+dft AS (SELECT term, CAST(COUNT(DISTINCT doc) AS BIGINT) AS df
+        FROM tfq GROUP BY term),
+sc AS (
+  SELECT q.query_id, tfq.doc,
+         CAST(SUM(
+           (GREATEST(0,
+              4 * (length(bin((2 * (n_docs - df) + 1)
+                              // (2 * df + 1))) - 1)
+              + (4 * (2 * (n_docs - df) + 1))
+                // ((2 * df + 1)
+                    * (CAST(1 AS BIGINT)
+                       << (length(bin((2 * (n_docs - df) + 1)
+                                      // (2 * df + 1))) - 1)))
+              - 4)
+            * tf * 2200 * 1000)
+           // (tf * 1000
+               + (1200 * (250 + (750 * dl * n_docs) // n_tokens))
+                 // 1000)) AS BIGINT) AS score_milli
+  FROM tfq JOIN dft USING (term) JOIN q USING (term), nt
+  GROUP BY q.query_id, tfq.doc)
+SELECT query_id, doc AS doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score_milli DESC, doc)
+            AS BIGINT) AS rank,
+       score_milli
+FROM sc WHERE score_milli > 0
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+EXTENSION_CHECKS["bm25_topk"] = (q_bm25, _bm25_oracle())
+
+
 # --- skip-gram co-occurrence counts ---------------------------------------
 
 def q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1178,6 +1178,42 @@ def test_repeated_spans_find_planted_boilerplate(spark):
     assert all(0 <= hits[i]["repeated_pct"] <= 100 for i in range(7))
 
 
+def test_bm25_planted_relevance(spark):
+    """BM25 ranks a planted corpus the way the model says it must:
+    rarer terms dominate (idf), more mentions beat fewer (tf,
+    saturating), and at equal tf the shorter document wins (length
+    normalization).  Also pins the stopword floor (df > N/2 → idf 0 →
+    no score) and the deterministic (score desc, id asc) tiebreak."""
+    from ethereum2_etl_airflow_spark.operators.text import bm25_topk
+
+    filler = "the quick brown fox jumps over the lazy dog again"
+    texts = {
+        0: "zebra " + filler,                       # rare term, long doc
+        1: "zebra zebra zebra " + filler,           # rare term x3
+        2: "zebra",                                 # rare term, tiny doc
+        3: filler + " " + filler,                   # no rare term
+        4: "zebra " + filler,                       # tie with doc 0
+    }
+    # pad the corpus so 'zebra' stays rare (df=4 of 12 < N/2) and the
+    # filler words stay stopword-frequent (df > N/2)
+    for i in range(5, 12):
+        texts[i] = filler
+    docs = spark.createDataFrame(sorted(texts.items()),
+                                 "doc_id long, text string")
+    out = bm25_topk(docs, {7: ["zebra", "the"]}, k=10)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    ranked = [r["doc_id"] for r in rows]
+    # only zebra docs score ('the' has df 12/12 -> idf 0)
+    assert set(ranked) == {0, 1, 2, 4}
+    # tf=3 beats tf=1 at same length; tiny doc beats long at same tf;
+    # the 0-vs-4 tie breaks by doc id
+    assert ranked[0] in (1, 2)  # both dominate the tf=1 long docs
+    assert ranked[2:] == [0, 4]
+    s = {r["doc_id"]: r["score_milli"] for r in rows}
+    assert s[1] > s[0] and s[2] > s[0] and s[0] == s[4]
+    assert all(r["score_milli"] > 0 for r in rows)
+
+
 def test_mdq_sketch_mergeable_and_accurate(spark, sf_dir):
     """The md5-reservoir quantile sketch merges associatively (sketch of
     a union == re-sketch of the union of shard sketches) and its
