@@ -29,7 +29,8 @@ from ..functions.vectors import dot_compact, with_normalized
 __all__ = ["topk_cosine_bruteforce", "partial_topk", "ann_ivf_topk",
            "ann_ivf_exact_topk",
            "ann_lsh_candidates", "sparse_cosine_pairs", "pq_topk",
-           "retrieval_topk", "build_pq_index", "query_pq_index"]
+           "retrieval_topk", "build_pq_index", "query_pq_index",
+           "rrf_fuse"]
 
 
 def partial_topk(scored: DataFrame, k: int,
@@ -755,3 +756,40 @@ def ann_ivf_exact_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                       .cast("decimal(18,9)").cast("double").alias("cosine")))
     out = _rank_topk(partial_topk(scored, k), k)
     return finalize_release(out, qdf, nv)
+
+
+def rrf_fuse(rankings: list[DataFrame], k_const: int = 60, k: int = 10,
+             query_col: str = "query_id", id_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09) —
+    the standard hybrid-retrieval combiner: merge N per-query ranked
+    lists (e.g. the dense :func:`topk_cosine_bruteforce` arm and the
+    sparse :func:`..operators.text.bm25_topk` arm) by
+
+        rrf(d) = Σ over arms ranking d of 1 / (k_const + rank_arm(d))
+
+    integerized in MICROS (``1_000_000 div (k_const + rank)``) so the
+    fused ranking is exact-integer and SQL-oracle-checkable — scores
+    from incomparable scales (cosine vs BM25 millis) never mix, only
+    ranks do, which is the point of RRF.
+
+    Scale shape: the inputs are already top-k lists (≤ k rows per query
+    per arm — the arms did the heavy lifting under their own scale
+    disciplines), so this is a bounded union + one combining groupBy +
+    one per-query window over ≤ N·k survivors; no cap machinery needed.
+    Ties break (score desc, id asc) — deterministic.
+
+    Returns (query_col, id_col, rrf_micro, rank), rank 1-based ≤ k."""
+    arms = [r.select(F.col(query_col), F.col(id_col),
+                     F.col(rank_col).cast("long").alias("__r"))
+            for r in rankings]
+    u = arms[0]
+    for a in arms[1:]:
+        u = u.unionByName(a)
+    fused = (u.withColumn("__c", F.expr(f"1000000 div ({k_const} + __r)"))
+             .groupBy(query_col, id_col)
+             .agg(F.sum("__c").alias("rrf_micro")))
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_micro").desc(), F.col(id_col))
+    return (fused.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k))

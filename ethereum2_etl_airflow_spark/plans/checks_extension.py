@@ -2293,12 +2293,14 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
-def _bm25_oracle() -> str:
+def _bm25_ctes() -> str:
+    """The BM25 scoring pipeline as a reusable CTE chain (q → dlt → nt
+    → tfq → dft → sc) — shared by the standalone oracle and the hybrid
+    RRF oracle, which fuses the same ranked list."""
     vals = ", ".join(f"({qid}, '{t}')"
                      for qid, ts in sorted(_BM25_QUERIES.items())
                      for t in ts)
-    return f"""
-WITH q(query_id, term) AS (VALUES {vals}),
+    return f"""q(query_id, term) AS (VALUES {vals}),
 dlt AS (
   SELECT doc_id AS doc,
          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
@@ -2331,7 +2333,11 @@ sc AS (
                + (1200 * (250 + (750 * dl * n_docs) // n_tokens))
                  // 1000)) AS BIGINT) AS score_milli
   FROM tfq JOIN dft USING (term) JOIN q USING (term), nt
-  GROUP BY q.query_id, tfq.doc)
+  GROUP BY q.query_id, tfq.doc)"""
+
+
+def _bm25_oracle() -> str:
+    return "WITH " + _bm25_ctes() + """
 SELECT query_id, doc AS doc_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY score_milli DESC, doc)
@@ -2344,6 +2350,69 @@ ORDER BY query_id, rank
 
 
 EXTENSION_CHECKS["bm25_topk"] = (q_bm25, _bm25_oracle())
+
+
+# --- hybrid retrieval: dense cosine + sparse BM25 fused by RRF -------------
+
+def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78: reciprocal-rank fusion of the exact dense arm
+    (topk_cosine_bruteforce over embeddings — vec ids double as doc
+    ids, the aligned-id testdata contract) and the sparse arm
+    (bm25_topk over documents), query ids shared across arms.  Both
+    arms are oracle-exact rankings and RRF is exact-integer micros, so
+    the FUSED ranking is oracle-exact end-to-end."""
+    from ..operators.similarity import rrf_fuse
+    from ..operators.text import bm25_topk
+
+    qids = sorted(_BM25_QUERIES)
+    dense = (S.topk_cosine_bruteforce(_emb(spark, sf_dir), qids, k=10)
+             .select("query_id", F.col("vec_id").alias("doc_id"), "rank"))
+    sparse = (bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
+              .select("query_id", "doc_id", "rank"))
+    return (rrf_fuse([dense, sparse], k_const=60, k=10)
+            .orderBy("query_id", "rank"))
+
+
+def _retrieval_hybrid_oracle() -> str:
+    qids = ", ".join(str(q) for q in sorted(_BM25_QUERIES))
+    return "WITH " + _bm25_ctes() + f""",
+sr AS (
+  SELECT query_id, doc AS doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_milli DESC, doc) AS rank
+  FROM sc WHERE score_milli > 0
+  QUALIFY rank <= 10),
+de AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+dn AS (SELECT vec_id, {_NV.format(v='v')} AS nv FROM de),
+dsc AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS doc_id,
+         CAST({_DOT_C.format(a='qq.nv', b='c.nv')} AS DOUBLE) AS cosine
+  FROM dn qq JOIN dn c
+    ON qq.vec_id IN ({qids}) AND qq.vec_id != c.vec_id),
+dr AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id) AS rank
+  FROM dsc QUALIFY rank <= 10),
+arms AS (SELECT query_id, doc_id, rank FROM dr
+         UNION ALL SELECT query_id, doc_id, rank FROM sr),
+fused AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro
+  FROM arms GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, rrf_micro,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, doc_id)
+            AS BIGINT) AS rank
+FROM fused QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+EXTENSION_CHECKS["retrieval_hybrid"] = (q_retrieval_hybrid,
+                                        _retrieval_hybrid_oracle())
 
 
 # --- skip-gram co-occurrence counts ---------------------------------------

@@ -1214,6 +1214,29 @@ def test_bm25_planted_relevance(spark):
     assert all(r["score_milli"] > 0 for r in rows)
 
 
+def test_rrf_fuse_semantics(spark):
+    """RRF on two hand-built lists: consensus docs (ranked by both
+    arms) beat single-arm docs, the integer micros match the
+    closed-form sum, and ties break by doc id."""
+    from ethereum2_etl_airflow_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)],
+        "query_id long, doc_id long, rank long")
+    rows = {r["doc_id"]: r for r in rrf_fuse([a, b], k_const=60).collect()}
+    micro = lambda *ranks: sum(1_000_000 // (60 + r) for r in ranks)
+    assert rows[10]["rrf_micro"] == micro(1, 3)
+    assert rows[11]["rrf_micro"] == micro(2, 1)
+    assert rows[12]["rrf_micro"] == micro(3)
+    assert rows[13]["rrf_micro"] == micro(2)
+    # consensus (both arms) outranks single-arm regardless of raw rank
+    order = sorted(rows.values(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in order] == [11, 10, 13, 12]
+
+
 def test_mdq_sketch_mergeable_and_accurate(spark, sf_dir):
     """The md5-reservoir quantile sketch merges associatively (sketch of
     a union == re-sketch of the union of shard sketches) and its
