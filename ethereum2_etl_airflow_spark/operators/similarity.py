@@ -30,7 +30,7 @@ __all__ = ["topk_cosine_bruteforce", "partial_topk", "ann_ivf_topk",
            "ann_ivf_exact_topk",
            "ann_lsh_candidates", "sparse_cosine_pairs", "pq_topk",
            "retrieval_topk", "build_pq_index", "query_pq_index",
-           "rrf_fuse"]
+           "rrf_fuse", "mmr_topk"]
 
 
 def partial_topk(scored: DataFrame, k: int,
@@ -793,3 +793,110 @@ def rrf_fuse(rankings: list[DataFrame], k_const: int = 60, k: int = 10,
         F.col("rrf_micro").desc(), F.col(id_col))
     return (fused.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k))
+
+
+def mmr_topk(emb: DataFrame, query_ids: list[int], k: int = 8,
+             lambda_milli: int = 700, shortlist: int = 16,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98) — the rerank step after retrieval: greedily
+    pick, per query, the candidate maximizing
+
+        mmr(d) = λ·sim(q, d) − (1−λ)·max_{s ∈ picked} sim(d, s)
+
+    so the result set trades raw relevance for coverage (near-dup
+    results are punished by their similarity to what's already picked).
+
+    Exactness contract (the whole greedy selection unrolls to a SQL
+    oracle): similarities are cosines over the int8 floor-quantized
+    vectors (``quantize_embeddings``' exact math inlined as codegen:
+    q[i] = FLOOR(x·127/max|x|), every engine identical) — integer dot
+    and norms, one correctly-rounded double division; the MMR
+    combination ``(λm/1000)·cos − (1 − λm/1000)·maxsim`` is two IEEE
+    multiplies and a subtract on those exact doubles, so scores — and
+    therefore picks and tiebreaks (mmr desc, id asc) — are
+    bit-identical in any IEEE engine, including the Python driver loop
+    below.  Zero vectors score 0 (guarded division).
+
+    Scale shape: the per-query SHORTLIST (top-``shortlist`` by exact
+    quantized cosine) is the distributed heavy pass — broadcast
+    queries, narrow codegen scoring over the corpus, two-phase
+    selection (the X3 machinery), never a per-query global sort.  The
+    greedy itself runs on a BOUNDED driver artifact: |Q|·s shortlist
+    rows + |Q|·s² pair cosines (s=16 default → ≤ 256 pairs/query —
+    the codebook-sized collect this repo sanctions), because MMR's
+    sequential argmax is inherently k serial steps; running them on
+    collected floats costs k·s compares instead of k Spark jobs.
+    Returns (query_id, vec_id, rank) — rank 1..k in pick order."""
+    lam = lambda_milli / 1000.0
+    qz = F.expr(
+        f"transform({vec_col}, x -> CASE WHEN __m = 0D THEN 0L ELSE "
+        f"cast(floor(cast(x as double) * 127D / __m) as bigint) END)")
+    maxabs = F.array_max(F.transform(
+        F.col(vec_col), lambda e: F.abs(e.cast("double"))))
+    z = (ensure_parallelism(emb)
+         .withColumn("__m", maxabs)
+         .select(F.col(id_col), qz.alias("qv"))
+         .withColumn("nsq", F.expr(
+             "aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+         .cache())
+    q = (z.where(F.col(id_col).isin([int(x) for x in query_ids]))
+         .select(F.col(id_col).alias("query_id"),
+                 F.col("qv").alias("qqv"), F.col("nsq").alias("qn")))
+    dot = F.expr("aggregate(zip_with(qqv, qv, (a, b) -> a * b), 0L, "
+                 "(acc, x) -> acc + x)")
+    cos = F.when((F.col("qn") == 0) | (F.col("nsq") == 0),
+                 F.lit(0.0)).otherwise(
+        dot.cast("double") / (F.sqrt(F.col("qn").cast("double"))
+                              * F.sqrt(F.col("nsq").cast("double"))))
+    scored = (F.broadcast(q).crossJoin(z)
+              .where(F.col("query_id") != F.col(id_col))
+              .select("query_id", F.col(id_col).alias("vec_id"),
+                      cos.alias("cosine")))
+    # two-phase exact top-s on the quantized cosine (X3 machinery);
+    # materialized once — the relevance collect AND the pair stage
+    # below both read it
+    sl = _rank_topk(partial_topk(scored, shortlist), shortlist) \
+        .drop("rank").localCheckpoint(eager=True)
+    # pair cosines within each query's shortlist — ≤ s² rows per query
+    zc = z.select(F.col(id_col).alias("__zid"), "qv", "nsq")
+    slv = sl.join(zc, sl["vec_id"] == zc["__zid"]) \
+        .select("query_id", "vec_id", "qv", "nsq", "cosine")
+    a, b = slv.alias("a"), slv.alias("b")
+    pcos = F.when((F.col("a.nsq") == 0) | (F.col("b.nsq") == 0),
+                  F.lit(0.0)).otherwise(
+        F.expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, "
+               "(acc, x) -> acc + x)").cast("double")
+        / (F.sqrt(F.col("a.nsq").cast("double"))
+           * F.sqrt(F.col("b.nsq").cast("double"))))
+    pairs = (a.join(b, (F.col("a.query_id") == F.col("b.query_id"))
+                    & (F.col("a.vec_id") != F.col("b.vec_id")))
+             .select(F.col("a.query_id").alias("query_id"),
+                     F.col("a.vec_id").alias("da"),
+                     F.col("b.vec_id").alias("db"),
+                     pcos.alias("pc")))
+    # bounded artifacts: |Q|·s relevance rows, |Q|·s² pair rows
+    rel_rows = sl.collect()
+    pair_rows = pairs.collect()
+    z.unpersist()
+    rel: dict[int, dict[int, float]] = {}
+    for r in rel_rows:
+        rel.setdefault(r["query_id"], {})[r["vec_id"]] = r["cosine"]
+    pc: dict[tuple[int, int, int], float] = {
+        (r["query_id"], r["da"], r["db"]): r["pc"] for r in pair_rows}
+    out = []
+    for qid, cands in sorted(rel.items()):
+        picked: list[int] = []
+        remaining = dict(cands)
+        while remaining and len(picked) < k:
+            best = None
+            for d in sorted(remaining):
+                ms = max((pc[(qid, d, s)] for s in picked), default=0.0)
+                score = lam * remaining[d] - (1.0 - lam) * ms
+                if best is None or score > best[0]:
+                    best = (score, d)
+            picked.append(best[1])
+            del remaining[best[1]]
+            out.append((qid, best[1], len(picked)))
+    return emb.sparkSession.createDataFrame(
+        out, "query_id long, vec_id long, rank long")

@@ -2415,6 +2415,99 @@ EXTENSION_CHECKS["retrieval_hybrid"] = (q_retrieval_hybrid,
                                         _retrieval_hybrid_oracle())
 
 
+# --- MMR diversified rerank (greedy unrolled to SQL, X79) -------------------
+
+def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79: maximal-marginal-relevance rerank over the int8-quantized
+    cosine — the greedy pick sequence is bit-deterministic (exact
+    integer dots, correctly-rounded double division, IEEE-identical
+    MMR combination), so all 8 sequential selections unroll to chained
+    SQL CTEs (the bpe_merges oracle technique)."""
+    from ..operators.similarity import mmr_topk
+
+    return (mmr_topk(_emb(spark, sf_dir), [1, 2, 3], k=8,
+                     lambda_milli=700, shortlist=16)
+            .orderBy("query_id", "rank"))
+
+
+def _mmr_oracle(k: int = 8, s: int = 16, lam_num: int = 700,
+                qids=(1, 2, 3)) -> str:
+    lam = f"({lam_num} / 1000.0)"
+    q_in = ", ".join(str(q) for q in qids)
+    idot = ("list_reduce(list_transform(range(1, len({a}) + 1), "
+            "i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+    parts = [f"""qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / m) AS BIGINT)
+           END) AS qv
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS m
+        FROM embeddings)),
+zn AS (
+  SELECT vec_id, qv,
+         list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)
+           AS nsq
+  FROM qz),
+sc AS (
+  SELECT qq.vec_id AS query_id, c.vec_id,
+         CASE WHEN qq.nsq = 0 OR c.nsq = 0 THEN 0.0
+              ELSE CAST({idot.format(a='qq.qv', b='c.qv')} AS DOUBLE)
+                   / (sqrt(CAST(qq.nsq AS DOUBLE))
+                      * sqrt(CAST(c.nsq AS DOUBLE))) END AS cosine
+  FROM zn qq JOIN zn c
+    ON qq.vec_id IN ({q_in}) AND qq.vec_id != c.vec_id),
+sl AS MATERIALIZED (
+  SELECT query_id, vec_id, cosine FROM sc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, vec_id) <= {s}),
+pr AS MATERIALIZED (
+  SELECT a.query_id, a.vec_id AS da, b.vec_id AS db,
+         CASE WHEN za.nsq = 0 OR zb.nsq = 0 THEN 0.0
+              ELSE CAST({idot.format(a='za.qv', b='zb.qv')} AS DOUBLE)
+                   / (sqrt(CAST(za.nsq AS DOUBLE))
+                      * sqrt(CAST(zb.nsq AS DOUBLE))) END AS pc
+  FROM sl a JOIN sl b
+    ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+  JOIN zn za ON za.vec_id = a.vec_id
+  JOIN zn zb ON zb.vec_id = b.vec_id)"""]
+    parts.append(f"""s1 AS MATERIALIZED (
+  SELECT query_id, vec_id, 1 AS rank FROM (
+    SELECT query_id, vec_id,
+           {lam} * cosine - (1 - {lam}) * 0 AS mmr FROM sl)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY mmr DESC, vec_id) = 1)""")
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM s{j}" for j in range(1, i))
+        parts.append(f"""u{i - 1} AS MATERIALIZED ({prev}),
+s{i} AS MATERIALIZED (
+  SELECT query_id, vec_id, {i} AS rank FROM (
+    SELECT c.query_id, c.vec_id,
+           {lam} * c.cosine - (1 - {lam}) * COALESCE(m.ms, 0) AS mmr
+    FROM sl c
+    LEFT JOIN (SELECT p.query_id, p.da AS vec_id, MAX(p.pc) AS ms
+               FROM pr p JOIN u{i - 1} uu
+                 ON p.query_id = uu.query_id AND p.db = uu.vec_id
+               GROUP BY p.query_id, p.da) m
+      ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM u{i - 1} uu
+                      WHERE uu.query_id = c.query_id
+                        AND uu.vec_id = c.vec_id))
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY mmr DESC, vec_id) = 1)""")
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}"
+                               for i in range(1, k + 1))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank "
+              f"FROM ({union}) ORDER BY query_id, rank")
+
+
+EXTENSION_CHECKS["retrieval_mmr"] = (q_retrieval_mmr, _mmr_oracle())
+
+
 # --- skip-gram co-occurrence counts ---------------------------------------
 
 def q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:

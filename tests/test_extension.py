@@ -1237,6 +1237,29 @@ def test_rrf_fuse_semantics(spark):
     assert [r["doc_id"] for r in order] == [11, 10, 13, 12]
 
 
+def test_mmr_demotes_near_duplicate(spark):
+    """MMR on a planted geometry: the two most relevant candidates are
+    near-duplicates of each other, so after picking the first, MMR
+    (λ=0.3) promotes the diverse-but-less-relevant candidate over the
+    duplicate — the diversification pure relevance ranking cannot do."""
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        mmr_topk, topk_cosine_bruteforce)
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),    # the query vector
+            (1, [1.0, 0.01, 0.0, 0.0]),   # most relevant
+            (2, [1.0, 0.02, 0.0, 0.0]),   # near-dup of 1
+            (3, [0.6, 0.8, 0.0, 0.0])]    # diverse, moderately relevant
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [r["vec_id"] for r in
+           mmr_topk(emb, [0], k=3, lambda_milli=300, shortlist=8)
+           .orderBy("rank").collect()]
+    assert got == [1, 3, 2]
+    # contrast: pure relevance ranks the duplicate second
+    rel = [r["vec_id"] for r in
+           topk_cosine_bruteforce(emb, [0], k=3).orderBy("rank").collect()]
+    assert rel == [1, 2, 3]
+
+
 def test_mdq_sketch_mergeable_and_accurate(spark, sf_dir):
     """The md5-reservoir quantile sketch merges associatively (sketch of
     a union == re-sketch of the union of shard sketches) and its
