@@ -30,7 +30,7 @@ __all__ = ["topk_cosine_bruteforce", "partial_topk", "ann_ivf_topk",
            "ann_ivf_exact_topk",
            "ann_lsh_candidates", "sparse_cosine_pairs", "pq_topk",
            "retrieval_topk", "build_pq_index", "query_pq_index",
-           "rrf_fuse", "mmr_topk"]
+           "rrf_fuse", "mmr_topk", "ranking_eval"]
 
 
 def partial_topk(scored: DataFrame, k: int,
@@ -900,3 +900,64 @@ def mmr_topk(emb: DataFrame, query_ids: list[int], k: int = 8,
             out.append((qid, best[1], len(picked)))
     return emb.sparkSession.createDataFrame(
         out, "query_id long, vec_id long, rank long")
+
+
+def ranking_eval(pred: DataFrame, truth: DataFrame, k: int = 10,
+                 query_col: str = "query_id", id_col: str = "doc_id",
+                 rank_col: str = "rank") -> DataFrame:
+    """Order-aware retrieval evaluation — recall@k, MRR@k and NDCG@k of
+    a PREDICTED ranking against a TRUTH set, per query: the measurement
+    step of every retrieval experiment here (the ranking analogue of
+    :func:`..operators.dedup.pair_set_metrics`'s set metrics).
+
+    Exact-integer contract: recall and MRR are integer-rational micros
+    (``hits·10⁶ div n_truth``, ``10⁶ div first_relevant_rank``); the
+    NDCG log2 discounts — the one genuinely irrational ingredient — are
+    DRIVER-computed integer literals ``disc[i] = floor(10⁶ / log2(i+1))``
+    baked identically into this plan and the SQL oracle, so no engine
+    ever evaluates a transcendental: DCG sums literal integers selected
+    by rank, IDCG is the literal prefix-sum at ``least(k, n_truth)``,
+    and NDCG is one integer division.  Metrics are therefore
+    bit-identical everywhere.
+
+    Scale shape: one inner join of the (≤ k per query) prediction list
+    against the truth set on (query, id), one combining per-query
+    aggregate, one tiny join back to the per-query truth counts —
+    bounded by the ranking lists, never by the corpus.
+
+    Returns (query_col, n_truth, hits, recall_micro, mrr_micro,
+    ndcg_micro) — one row per query with a non-empty truth set."""
+    import math
+
+    disc = [0] + [int(1_000_000 / math.log2(i + 1))
+                  for i in range(1, k + 1)]
+    pdisc = [0]
+    for i in range(1, k + 1):
+        pdisc.append(pdisc[-1] + disc[i])
+    disc_arr = "array(" + ", ".join(f"{d}L" for d in disc[1:]) + ")"
+    pdisc_arr = "array(" + ", ".join(f"{d}L" for d in pdisc[1:]) + ")"
+
+    p = (pred.where(F.col(rank_col) <= k)
+         .select(F.col(query_col), F.col(id_col),
+                 F.col(rank_col).cast("int").alias("__r")))
+    t = truth.select(F.col(query_col), F.col(id_col)).distinct()
+    nt = t.groupBy(query_col).agg(F.count("*").alias("n_truth"))
+    hit = (p.join(t, [query_col, id_col])
+           .groupBy(query_col)
+           .agg(F.count("*").alias("hits"),
+                F.min("__r").alias("__first"),
+                F.sum(F.expr(f"element_at({disc_arr}, __r)"))
+                .alias("__dcg")))
+    out = (nt.join(hit, query_col, "left")
+           .select(
+               query_col, "n_truth",
+               F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+               F.expr("coalesce(hits, 0) * 1000000 div n_truth")
+               .cast("long").alias("recall_micro"),
+               F.coalesce(F.expr("1000000 div __first"), F.lit(0))
+               .cast("long").alias("mrr_micro"),
+               F.coalesce(
+                   F.expr(f"__dcg * 1000000 div element_at({pdisc_arr}, "
+                          f"cast(least({k}, n_truth) as int))"),
+                   F.lit(0)).cast("long").alias("ndcg_micro")))
+    return out

@@ -25,7 +25,7 @@ __all__ = [
     "ngram_novelty",
     "compression_ratio",
     "gopher_filter", "inverted_postings", "skipgram_counts",
-    "winnow_fingerprints", "bm25_topk",
+    "winnow_fingerprints", "bm25_topk", "impact_postings",
 ]
 
 # word tokens: runs of alphanumerics (RE2- and Java-regex-identical)
@@ -575,3 +575,74 @@ def bm25_topk(docs, queries: dict[int, list[str]], k: int = 10,
             .select("query_id", F.col("doc").alias("doc_id"),
                     F.col("rank").cast("long").alias("rank"),
                     "score_milli"))
+
+
+def impact_postings(docs, k: int = 8, k1_milli: int = 1200,
+                    b_milli: int = 750, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Impact-ordered inverted index (Anh & Moffat, SIGIR'06): per term,
+    the top-``k`` postings ranked by each document's PRECOMPUTED BM25
+    contribution ("impact") instead of raw tf — the index-time artifact
+    that lets a query processor score documents by summing stored
+    impacts and terminate early, never touching low-impact postings.
+
+    The impact is :func:`bm25_topk`'s exact-integer per-term
+    contribution (quarter-bit idf, milli-scaled length normalization —
+    same math, same engine-portability argument), evaluated for EVERY
+    (term, doc) of the corpus rather than a query subset.  Returns
+    (term, df, postings) with postings serialized ``"doc:impact,..."``
+    ordered by (impact desc, doc asc) — the X49 serialization with
+    impact in place of tf.
+
+    Scale shape: one map-side-combining groupBy(doc, dl, term) builds
+    the tf table (dl from the scan projection, riding the key); corpus
+    N/T is a broadcast 1-row aggregate; df is a combining per-term
+    aggregate joined back ON TERM — the same exchange the per-term cap
+    needs anyway; the top-k cap is the two-phase
+    :func:`..operators.curation.cap_per_key`, so a stopword with
+    |corpus| postings never sorts in one task."""
+    from .curation import cap_per_key  # local import: avoid cycle
+
+    sel = docs.select(F.col(id_col).alias("doc"),
+                      tokens(F.col(text_col)).alias("__tk")) \
+        .withColumn("dl", F.size("__tk").cast("long"))
+    nt = sel.agg(F.count("*").alias("n_docs"),
+                 F.sum("dl").alias("n_tokens"))
+    tf = (sel.select("doc", "dl", F.explode("__tk").alias("term"))
+          .groupBy("doc", "dl", "term")
+          .agg(F.count("*").alias("tf")))
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    base = tf.join(df_t, "term").crossJoin(F.broadcast(nt))
+    idf = F.expr(
+        "greatest(0, 4 * (length(bin((2 * (n_docs - df) + 1) "
+        "div (2 * df + 1))) - 1) "
+        "+ (4 * (2 * (n_docs - df) + 1)) "
+        "div ((2 * df + 1) * shiftleft(cast(1 as bigint), "
+        "length(bin((2 * (n_docs - df) + 1) div (2 * df + 1))) - 1)) "
+        "- 4)")
+    norm = (F.lit(1000 - b_milli)
+            + F.expr(f"({b_milli} * dl * n_docs) div n_tokens"))
+    den = (F.col("tf") * 1000
+           + F.expr(f"({k1_milli} * __norm) div 1000"))
+    imp = (base.withColumn("__idf", idf.cast("long"))
+           .withColumn("__norm", norm.cast("long"))
+           .withColumn("__den", den.cast("long"))
+           .withColumn("impact", F.expr(
+               f"(__idf * tf * {k1_milli + 1000} * 1000) div __den")
+               .cast("long"))
+           .select("term", "doc", "df", "impact"))
+    # pack (-impact, doc) into one BIGINT for a total cap order (the
+    # X49 trick; impact < 9e6 millis, doc < 10^12 by contract)
+    ordered = imp.withColumn(
+        "ord", -F.col("impact") * F.lit(1_000_000_000_000) + F.col("doc"))
+    top = cap_per_key(ordered, "term", "ord", k)
+    postings = (top.groupBy("term", "df")
+                .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("ord", "doc", "impact"))),
+                        lambda s: F.concat_ws(
+                            ":", s["doc"].cast("string"),
+                            s["impact"].cast("string"))), ",")
+                    .alias("postings")))
+    return postings.select("term", "df", "postings")

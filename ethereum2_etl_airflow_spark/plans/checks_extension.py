@@ -2508,6 +2508,137 @@ s{i} AS MATERIALIZED (
 EXTENSION_CHECKS["retrieval_mmr"] = (q_retrieval_mmr, _mmr_oracle())
 
 
+# --- impact-ordered inverted index (X80) ------------------------------------
+
+def q_impact_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80: per-term top-k postings ranked by precomputed exact-integer
+    BM25 impact (Anh & Moffat) — the early-termination index artifact;
+    X49's serialization with impact in place of tf."""
+    from ..operators.text import impact_postings
+
+    return impact_postings(_docs(spark, sf_dir), k=8).orderBy("term")
+
+
+_IDF_SQL = """GREATEST(0,
+  4 * (length(bin((2 * (n_docs - df) + 1) // (2 * df + 1))) - 1)
+  + (4 * (2 * (n_docs - df) + 1))
+    // ((2 * df + 1)
+        * (CAST(1 AS BIGINT)
+           << (length(bin((2 * (n_docs - df) + 1) // (2 * df + 1))) - 1)))
+  - 4)"""
+
+
+ORACLE_IMPACT_INDEX = f"""
+WITH dlt AS (
+  SELECT doc_id AS doc,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS BIGINT) AS dl,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(dl) AS BIGINT) AS n_tokens FROM dlt),
+tf AS (
+  SELECT doc, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc, dl, UNNEST(ts) AS term FROM dlt)
+  GROUP BY doc, dl, term),
+dft AS (SELECT term, CAST(COUNT(DISTINCT doc) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+imp AS (
+  SELECT term, df, doc,
+         CAST(({_IDF_SQL} * tf * 2200 * 1000)
+              // (tf * 1000
+                  + (1200 * (250 + (750 * dl * n_docs) // n_tokens))
+                    // 1000) AS BIGINT) AS impact
+  FROM tf JOIN dft USING (term), nt),
+top AS (
+  SELECT term, df, doc, impact FROM imp
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY term
+                             ORDER BY impact DESC, doc) <= 8)
+SELECT term, df,
+       string_agg(CAST(doc AS VARCHAR) || ':' || CAST(impact AS VARCHAR),
+                  ',' ORDER BY impact DESC, doc) AS postings
+FROM top GROUP BY term, df ORDER BY term
+"""
+
+
+EXTENSION_CHECKS["impact_index"] = (q_impact_index, ORACLE_IMPACT_INDEX)
+
+
+# --- order-aware retrieval evaluation (X81) ---------------------------------
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81: recall@10 / MRR@10 / NDCG@10 of the sparse BM25 arm against
+    the exact dense ranking as truth — how well lexical retrieval
+    recovers the embedding neighbors, per query, in exact-integer
+    micros (the NDCG log2 discounts are driver-computed literals baked
+    into plan AND oracle, so no engine evaluates a transcendental)."""
+    from ..operators.similarity import ranking_eval
+    from ..operators.text import bm25_topk
+
+    qids = sorted(_BM25_QUERIES)
+    pred = (bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
+            .select("query_id", "doc_id", "rank"))
+    truth = (S.topk_cosine_bruteforce(_emb(spark, sf_dir), qids, k=10)
+             .select("query_id", F.col("vec_id").alias("doc_id")))
+    return ranking_eval(pred, truth, k=10).orderBy("query_id")
+
+
+def _retrieval_eval_oracle(k: int = 10) -> str:
+    import math
+
+    disc = [int(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+    pdisc = []
+    acc = 0
+    for d in disc:
+        acc += d
+        pdisc.append(acc)
+    disc_lit = "[" + ", ".join(str(d) for d in disc) + "]"
+    pdisc_lit = "[" + ", ".join(str(d) for d in pdisc) + "]"
+    qids = ", ".join(str(q) for q in sorted(_BM25_QUERIES))
+    return "WITH " + _bm25_ctes() + f""",
+sr AS (
+  SELECT query_id, doc AS doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_milli DESC, doc) AS rank
+  FROM sc WHERE score_milli > 0
+  QUALIFY rank <= {k}),
+de AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+dn AS (SELECT vec_id, {_NV.format(v='v')} AS nv FROM de),
+dsc AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS doc_id,
+         CAST({_DOT_C.format(a='qq.nv', b='c.nv')} AS DOUBLE) AS cosine
+  FROM dn qq JOIN dn c
+    ON qq.vec_id IN ({qids}) AND qq.vec_id != c.vec_id),
+dr AS (
+  SELECT query_id, doc_id FROM dsc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, doc_id) <= {k}),
+ntq AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+        FROM dr GROUP BY query_id),
+j AS (SELECT sr.query_id, sr.rank FROM sr
+      JOIN dr ON sr.query_id = dr.query_id AND sr.doc_id = dr.doc_id),
+h AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS hits,
+             MIN(rank) AS first_r,
+             CAST(SUM(({disc_lit})[rank]) AS BIGINT) AS dcg
+      FROM j GROUP BY query_id)
+SELECT ntq.query_id, n_truth,
+       CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(hits, 0) * 1000000 // n_truth AS BIGINT)
+         AS recall_micro,
+       CAST(COALESCE(1000000 // first_r, 0) AS BIGINT) AS mrr_micro,
+       CAST(COALESCE(dcg * 1000000
+                     // ({pdisc_lit})[LEAST({k}, n_truth)], 0) AS BIGINT)
+         AS ndcg_micro
+FROM ntq LEFT JOIN h USING (query_id) ORDER BY ntq.query_id
+"""
+
+
+EXTENSION_CHECKS["retrieval_eval"] = (q_retrieval_eval,
+                                      _retrieval_eval_oracle())
+
+
 # --- skip-gram co-occurrence counts ---------------------------------------
 
 def q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:

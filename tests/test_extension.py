@@ -1260,6 +1260,62 @@ def test_mmr_demotes_near_duplicate(spark):
     assert rel == [1, 2, 3]
 
 
+def test_ranking_eval_closed_form(spark):
+    """ranking_eval on hand-built lists matches the closed-form metric
+    values: perfect prediction → all metrics 10⁶; a prediction whose
+    first relevant hit is at rank 2 with 1 of 2 truths found → recall
+    500000, MRR 500000, NDCG = disc[2]·10⁶ // (disc[1]+disc[2]); a
+    query with no hits → zeros (but still one output row)."""
+    import math
+
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        ranking_eval)
+
+    disc = [int(1_000_000 / math.log2(i + 1)) for i in range(1, 11)]
+    pred = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2),          # q1: perfect (both truths)
+         (2, 99, 1), (2, 20, 2),          # q2: hit at rank 2, 1 of 2
+         (3, 98, 1), (3, 97, 2)],         # q3: no hits
+        "query_id long, doc_id long, rank long")
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "query_id long, doc_id long")
+    rows = {r["query_id"]: r for r in ranking_eval(pred, truth).collect()}
+    assert rows[1]["recall_micro"] == 1_000_000
+    assert rows[1]["mrr_micro"] == 1_000_000
+    assert rows[1]["ndcg_micro"] == (disc[0] + disc[1]) * 1_000_000 \
+        // (disc[0] + disc[1])
+    assert rows[2]["recall_micro"] == 500_000
+    assert rows[2]["mrr_micro"] == 500_000
+    assert rows[2]["ndcg_micro"] == disc[1] * 1_000_000 \
+        // (disc[0] + disc[1])
+    assert (rows[3]["hits"], rows[3]["recall_micro"],
+            rows[3]["mrr_micro"], rows[3]["ndcg_micro"]) == (0, 0, 0, 0)
+
+
+def test_impact_postings_order_and_math(spark):
+    """Impact postings rank a term's postings by the BM25 contribution:
+    with equal tf, the SHORTER document carries the higher impact
+    (length normalization), and stopword-frequent terms (df > N/2)
+    carry zero impact."""
+    from ethereum2_etl_airflow_spark.operators.text import impact_postings
+
+    filler = "common words everywhere " * 3
+    docs = spark.createDataFrame(
+        [(0, "zebra " + filler),           # long doc, tf=1
+         (1, "zebra"),                     # short doc, tf=1
+         (2, filler), (3, filler), (4, filler)],
+        "doc_id long, text string")
+    out = {r["term"]: r for r in impact_postings(docs, k=8).collect()}
+    z = out["zebra"]
+    assert z["df"] == 2
+    ids = [p.split(":")[0] for p in z["postings"].split(",")]
+    imps = [int(p.split(":")[1]) for p in z["postings"].split(",")]
+    assert ids == ["1", "0"] and imps[0] > imps[1] > 0
+    assert all(int(p.split(":")[1]) == 0
+               for p in out["common"]["postings"].split(","))
+
+
 def test_mdq_sketch_mergeable_and_accurate(spark, sf_dir):
     """The md5-reservoir quantile sketch merges associatively (sketch of
     a union == re-sketch of the union of shard sketches) and its
