@@ -146,6 +146,17 @@ def main() -> int:
         "is bench's own single cold run by design.)",
         "Sorted worst-first; the suite-level BASELINE target is the "
         "aggregate wall, this table is the per-query debt audit.",
+        "Round-8 bar-adjacent warm medians (isolated session, 1 warm + "
+        "median-of-3, measured before the close — bench's single cold "
+        "walls below read higher on iterative ops): pagerank 2.02 s, "
+        "sparse_cosine 1.77 s, source_similarity 1.06 s, span_hits "
+        "1.40 s, repeated_spans 0.98 s.",
+        "Round-8 close-day sequential-suite band (same HEAD, same "
+        "protocol, 3 full runs spread over the day): 190.9 s (222 "
+        "checks, before the 5 new retrieval checks ≈ +12 s), 233.8 s, "
+        "221.9 s (227 checks) — the box drifted ~15-20% slower through "
+        "the day, uniformly across queries; per-query ≥2× flags from "
+        "a single bench pass inherit that drift.",
         "Concurrent-wall band (round-8 bracket, 5 fresh-JVM runs of "
         "the 32-thread pass at HEAD, per-thread child sessions): "
         "42.0 / 50.8 / 52.1 / 60.6 / 91.4 s — median 52 s, ±45% "
