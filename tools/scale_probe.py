@@ -44,10 +44,15 @@ def main() -> None:
     ap.add_argument("--stream", action="store_true",
                     help="probe the streaming family instead (wall + "
                          "state-store rows per factor)")
+    ap.add_argument("--retrieval", action="store_true",
+                    help="probe the lexical-retrieval family instead")
     args = ap.parse_args()
 
     if args.stream:
         stream_probe(args)
+        return
+    if args.retrieval:
+        retrieval_probe(args)
         return
 
     if args.graph:
@@ -371,6 +376,84 @@ def lm_probe(args) -> None:
               f"lm_perplexity={r_ppl} kmeans={r_km} "
               f"cluster_sample={r_cs} source_div={r_div} "
               f"dsir={r_dsir}", flush=True)
+    spark.stop()
+
+
+def retrieval_probe(args) -> None:
+    """Scale the documents corpus as N disjoint-id copies (per-copy text
+    suffix so the vocabulary grows mildly and dl shifts slightly — pure
+    identical copies would leave every per-doc stat bit-identical) and
+    time the round-8 lexical-retrieval family.  Expected shapes:
+
+    - ``bm25_topk``: the dl projection + query-term-filtered fan-out +
+      one combining groupBy are all linear in corpus rows; the corpus
+      N/T aggregate is a second linear scan — slope ~2 scans, no
+      quadratic stage (the scored stream is bounded by docs matching a
+      query term).
+    - ``impact_postings``: the full (doc, term) tf table + per-term cap
+      — linear in token occurrences; the two-phase cap keeps stopword
+      terms from sorting in one task, so no skew wall.
+    - ``mmr_topk``: shortlist pass linear; the greedy is a bounded
+      driver artifact — expected FLAT in corpus size beyond the scan.
+    """
+    from pyspark.sql import functions as F
+
+    from ethereum2_etl_airflow_spark.operators.similarity import mmr_topk
+    from ethereum2_etl_airflow_spark.operators.text import (
+        bm25_topk, impact_postings)
+    from ethereum2_etl_airflow_spark.session import build_session
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    spark = build_session(app_name="scale-probe-retrieval")
+    docs = load_table(spark, args.sf_dir, "documents").cache()
+    docs.count()
+    emb = load_table(spark, args.sf_dir, "embeddings").cache()
+    emb.count()
+    queries = {1: ["dup", "hash"], 2: ["dup", "vector", "scan"],
+               3: ["dup", "customer"]}
+
+    def best2(fn) -> float:
+        fn()
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return round(min(times), 2)
+
+    def noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    for n in [int(x) for x in args.factors.split(",")]:
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+        docs.cache().count()
+        sd = None
+        for i in range(n):
+            d = (docs.withColumn("doc_id",
+                                 F.col("doc_id") + F.lit(i * 50_000_000))
+                 .withColumn("text", F.concat("text", F.lit(f" copy{i}"))))
+            sd = d if sd is None else sd.unionByName(d)
+        sd = sd.localCheckpoint(eager=True)
+        se = None
+        for i in range(n):
+            rot = (F.concat(F.slice("embedding", i + 1, 64 - i),
+                            F.slice("embedding", 1, i))
+                   if i else F.col("embedding"))
+            d = emb.select((F.col("vec_id") + F.lit(i * 50_000_000))
+                           .alias("vec_id"), rot.alias("embedding"))
+            se = d if se is None else se.unionByName(d)
+        se = se.localCheckpoint(eager=True)
+        nd = sd.count()
+        r_bm = best2(lambda: noop(bm25_topk(sd, queries, k=10)))
+        r_ii = best2(lambda: noop(impact_postings(sd, k=8)))
+        r_mm = best2(lambda: noop(mmr_topk(se, [1, 2, 3], k=8,
+                                           shortlist=16)))
+        print(f"SCALE-RETRIEVAL n={n} docs={nd} bm25={r_bm} "
+              f"impact_index={r_ii} mmr={r_mm}", flush=True)
     spark.stop()
 
 
