@@ -365,6 +365,59 @@ def test_sparse_cosine_pinned_width_and_join_shape(spark, sf_dir):
     tc.unpersist()
 
 
+def test_bm25_plan_shape(spark, sf_dir):
+    """BM25's plan stays JVM-side up to the sanctioned two-phase cap:
+    the query-term filter applies BEFORE any exchange (pruning the
+    fan-out), the corpus stats ride a broadcast, and no row-at-a-time
+    Python evaluator appears anywhere (the only Python is the cap's
+    Arrow mapInPandas local-cap pass)."""
+    from ethereum2_etl_airflow_spark.operators.text import bm25_topk
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = bm25_topk(docs, {1: ["dup", "hash"]}, k=5)
+    plan = plan_string(df, "simple")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    # the isin(query terms) filter sits below the tf aggregation —
+    # i.e. the full-corpus (doc, term) table never forms
+    assert "dup" in plan and "hash" in plan
+
+
+def test_impact_postings_plan_no_python_scoring(spark, sf_dir):
+    """The impact computation (idf/norm/contribution) is pure codegen:
+    no Python evaluator outside the sanctioned Arrow cap pass, and the
+    corpus N/T aggregate broadcasts rather than shuffling the corpus."""
+    from ethereum2_etl_airflow_spark.operators.text import impact_postings
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    df = impact_postings(load_table(spark, sf_dir, "documents"), k=4)
+    plan = plan_string(df, "simple")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_rrf_and_ranking_eval_pure_jvm(spark):
+    """The fusion and evaluation combiners are pure JVM plans — no
+    Python workers at all (their inputs are bounded ranked lists)."""
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        ranking_eval, rrf_fuse)
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+
+    a = spark.createDataFrame([(1, 10, 1), (1, 11, 2)],
+                              "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame([(1, 11, 1), (1, 12, 2)],
+                              "query_id long, doc_id long, rank long")
+    for df in (rrf_fuse([a, b]), ranking_eval(a, b.select("query_id",
+                                                          "doc_id"))):
+        plan = plan_string(df, "simple")
+        for marker in ("BatchEvalPython", "ArrowEvalPython",
+                       "MapInPandas"):
+            assert marker not in plan
+
+
 def test_cohort_retention_plan_shape(spark, sf_dir):
     """Cohort retention: pure JVM, and the tiny cohort-size side joins
     without a shuffle of the big side beyond the matrix agg (broadcast
