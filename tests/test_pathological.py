@@ -191,3 +191,47 @@ def test_kmeans_degenerate_inputs(spark):
     eemb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert kmeans_int(eemb, k=3, n_iter=1).collect() == []
     assert cluster_balanced_sample(eemb, k=3, n_iter=1).collect() == []
+
+
+def test_retrieval_ops_degenerate(spark, empty_docs, null_docs):
+    """The round-8 retrieval family on degenerate inputs: absent query
+    terms, empty corpora, all-NULL text, k larger than candidates, and
+    single-arm / empty-arm fusion — empty or truncated results, never
+    a crash."""
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        mmr_topk, ranking_eval, rrf_fuse)
+    from ethereum2_etl_airflow_spark.operators.text import (
+        bm25_topk, impact_postings)
+
+    # query terms absent from the corpus -> no scored rows
+    assert bm25_topk(null_docs, {1: ["zzzabsent"]}).collect() == []
+    # empty corpus -> empty ranking and empty index
+    assert bm25_topk(empty_docs, {1: ["a"]}).collect() == []
+    assert impact_postings(empty_docs).collect() == []
+    # NULL/blank text tokenizes empty and is simply absent
+    ii = impact_postings(null_docs, k=4)
+    assert {r["term"] for r in ii.collect()} == {"one", "real", "doc",
+                                                 "here"}
+    # k larger than the candidate pool -> all candidates, ranks dense
+    out = bm25_topk(null_docs, {1: ["real", "doc"]}, k=50).collect()
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] \
+        == list(range(1, len(out) + 1))
+    # MMR: fewer candidates than k, and a query id missing from the
+    # corpus -> whatever exists is ranked, nothing crashes
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1])],
+        "vec_id long, embedding array<float>")
+    got = mmr_topk(emb, [0, 99], k=5, shortlist=4).collect()
+    assert {r["vec_id"] for r in got} == {1}
+    # RRF with one empty arm == ranking of the non-empty arm
+    a = spark.createDataFrame([(1, 10, 1)],
+                              "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame([], "query_id long, doc_id long, rank long")
+    fused = rrf_fuse([a, b]).collect()
+    assert len(fused) == 1 and fused[0]["doc_id"] == 10
+    # ranking_eval: empty prediction still yields one zero-metric row
+    # per truth query; empty truth yields nothing
+    t = spark.createDataFrame([(1, 10)], "query_id long, doc_id long")
+    ev = ranking_eval(b, t).collect()
+    assert len(ev) == 1 and ev[0]["recall_micro"] == 0
+    assert ranking_eval(a, b.select("query_id", "doc_id")).collect() == []
