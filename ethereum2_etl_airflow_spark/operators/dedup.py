@@ -1072,19 +1072,33 @@ def _span_grams(docs: DataFrame, n: int, text_col: str,
 
 def _span_gram_hashes(docs: DataFrame, n: int, text_col: str,
                       id_col: str) -> DataFrame:
-    """(id, h) stream — :func:`_span_grams` with the span collapsed to
-    the md5 family's 60-bit bigint key inside the same codegen
-    expression (the span string exists only transiently inside the
-    transform lambda, never in a shuffled row)."""
+    """(id, h1, h2) stream — :func:`_span_grams` with the span
+    collapsed to TWO 60-bit bigint keys from DISJOINT md5 halves
+    (hex digits 1-15 and 17-31) inside the same codegen stage (the
+    span string and the md5 hex exist only transiently before the
+    first exchange, never in a shuffled row).
+
+    Why two halves (round-9 advice): a single 60-bit key is
+    collision-safe at test scale but at the 100 TB corpus this targets
+    (>> 2^30 distinct spans) birthday collisions become routine and
+    would silently mark colliding singleton spans as repeated.  The
+    combined 120-bit key pushes the expected first collision past
+    2^60 spans; cost is +8 bytes per shuffled row.  Both halves are
+    plain substrings of one md5, so the DuckDB oracle computes the
+    IDENTICAL keys and the check stays bit-exact."""
     return docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__ts")).select(
         F.col(id_col),
         F.explode(F.expr(
             f"CASE WHEN size(__ts) < {n} THEN array() ELSE "
             f"transform(sequence(0, size(__ts) - {n}), "
-            f"i -> cast(conv(substr(md5(concat_ws(' ', slice(__ts, i + 1, "
-            f"{n}))), 1, 15), 16, 10) AS bigint)) END"))
-        .alias("h"))
+            f"i -> md5(concat_ws(' ', slice(__ts, i + 1, {n})))) END"))
+        .alias("__m")).select(
+        F.col(id_col),
+        F.expr("cast(conv(substr(__m, 1, 15), 16, 10) AS bigint)")
+        .alias("h1"),
+        F.expr("cast(conv(substr(__m, 17, 15), 16, 10) AS bigint)")
+        .alias("h2"))
 
 
 def _repeated_spans_build(docs: DataFrame, n: int, min_docs: int,
@@ -1111,11 +1125,12 @@ def repeated_span_hits(docs: DataFrame, n: int = 5, min_docs: int = 2,
     time for the per-doc probe, then equi-joined on ~30-byte span
     STRINGS.  Here the (id, span-hash) stream is built once — spans
     never materialize as strings past the hash expression; the key is
-    the md5 family's 60-bit bigint (``conv(substr(md5(span),1,15),
-    16,10)`` — same idiom as ``minhash_exact_pairs``/
+    TWO 60-bit bigints from disjoint md5 halves (120 bits — see
+    :func:`_span_gram_hashes` for the corpus-scale collision argument;
+    the md5-prefix idiom itself is the same as ``minhash_exact_pairs``/
     ``source_similarity``, so the DuckDB oracle computes the IDENTICAL
-    keys and the check stays bit-exact even in the astronomically
-    unlikely collision case) — then hash-clustered and cached, so the
+    keys and the check stays bit-exact) — then hash-clustered and
+    cached, so the
     repeated-set aggregation AND the join-back probe both read the one
     exchange with no further shuffle (groupBy key ⊇ layout key; both
     join sides cluster on ``h``).  Net vs the old shape at sf0.1: the
@@ -1130,17 +1145,17 @@ def repeated_span_hits(docs: DataFrame, n: int = 5, min_docs: int = 2,
     with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
                         adaptive=False):
         grams = (_span_gram_hashes(docs, n, text_col, id_col)
-                 .repartition("h").cache())
+                 .repartition("h1", "h2").cache())
         # build the cache with one cheap job BEFORE the probe job sees
         # grams on both sides of its DAG (the pagerank_int nodes-union
         # lesson: two stages racing a cold cache compute the pipeline
         # twice)
         grams.count()
-        rep = (grams.groupBy("h")
+        rep = (grams.groupBy("h1", "h2")
                .agg(F.countDistinct(id_col).alias("nd"))
                .where(F.col("nd") >= min_docs)
-               .select("h", F.lit(1).alias("__hit")))
-        hit = (grams.join(rep, "h", "left")
+               .select("h1", "h2", F.lit(1).alias("__hit")))
+        hit = (grams.join(rep, ["h1", "h2"], "left")
                .groupBy(id_col)
                .agg(F.count("*").cast("long").alias("n_spans"),
                     F.sum(F.coalesce("__hit", F.lit(0))).cast("long")

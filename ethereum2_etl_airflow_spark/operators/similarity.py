@@ -920,6 +920,13 @@ def ranking_eval(pred: DataFrame, truth: DataFrame, k: int = 10,
     and NDCG is one integer division.  Metrics are therefore
     bit-identical everywhere.
 
+    Input contract: TRUTH is deduplicated here; the PREDICTION is also
+    deduplicated on (query, id) keeping the MINIMUM rank (round-9
+    advice — duplicate predicted pairs would otherwise double-count
+    hits and DCG, pushing recall/ndcg past 10⁶).  A well-formed ranking
+    is already unique per (query, id), in which case the dedup is a
+    no-op combining aggregate over ≤ k rows per query.
+
     Scale shape: one inner join of the (≤ k per query) prediction list
     against the truth set on (query, id), one combining per-query
     aggregate, one tiny join back to the per-query truth counts —
@@ -939,7 +946,9 @@ def ranking_eval(pred: DataFrame, truth: DataFrame, k: int = 10,
 
     p = (pred.where(F.col(rank_col) <= k)
          .select(F.col(query_col), F.col(id_col),
-                 F.col(rank_col).cast("int").alias("__r")))
+                 F.col(rank_col).cast("int").alias("__r"))
+         .groupBy(query_col, id_col)
+         .agg(F.min("__r").alias("__r")))
     t = truth.select(F.col(query_col), F.col(id_col)).distinct()
     nt = t.groupBy(query_col).agg(F.count("*").alias("n_truth"))
     hit = (p.join(t, [query_col, id_col])

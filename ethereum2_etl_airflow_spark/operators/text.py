@@ -475,6 +475,26 @@ def winnow_fingerprints(docs, k: int = 4, w: int = 4,
             .distinct())
 
 
+def _packed_ord(score_col: str, doc_col: str, op_name: str):
+    """The (-score, doc) → one-BIGINT order-key pack shared by
+    :func:`bm25_topk` and :func:`impact_postings` (the X49 trick), with
+    the domain bounds ENFORCED in-plan (round-9 advice): a query with
+    many high-idf terms or out-of-range doc ids would otherwise
+    silently overflow int64 and corrupt the top-k order.  The guard is
+    two comparisons of already-materialized columns folded into the
+    pack expression itself (so Catalyst cannot prune it), costing one
+    codegen branch per row; violations ``raise_error`` with the
+    operator name."""
+    return F.expr(
+        f"CASE WHEN {score_col} >= 9000000 OR {doc_col} < 0 "
+        f"OR {doc_col} >= 1000000000000 THEN "
+        f"raise_error(concat('{op_name}: order-key pack overflow — "
+        f"score_milli/impact must be < 9e6 and doc id in [0, 1e12), "
+        f"got score=', cast({score_col} as string), ' doc=', "
+        f"cast({doc_col} as string))) "
+        f"ELSE -{score_col} * 1000000000000 + {doc_col} END")
+
+
 def bm25_topk(docs, queries: dict[int, list[str]], k: int = 10,
               k1_milli: int = 1200, b_milli: int = 750,
               text_col: str = "text", id_col: str = "doc_id"):
@@ -504,11 +524,13 @@ def bm25_topk(docs, queries: dict[int, list[str]], k: int = 10,
       (idf_bits · tf · (k1+1000) · 1000) div (tf·1000 + (k1·norm) div
       1000); score = Σ over the query's terms.
 
-    Domain bounds (documented, not checked): doc ids < 10^12 and
-    score < 9·10^6 millis so the top-k order key packs into one BIGINT
-    (the inverted_postings contract); N·dl·b_milli < 2^63, i.e. up to
-    ~10^10 docs at ~10^5 avg tokens — beyond that, lift the norm term
-    to DECIMAL(38,0).
+    Domain bounds (CHECKED in-plan, round-9): doc ids in [0, 10^12)
+    and score < 9·10^6 millis so the top-k order key packs into one
+    BIGINT (the inverted_postings contract) — rows outside the bounds
+    ``raise_error`` instead of silently overflowing the pack (see
+    :func:`_packed_ord`).  N·dl·b_milli < 2^63, i.e. up to ~10^10 docs
+    at ~10^5 avg tokens — beyond that, lift the norm term to
+    DECIMAL(38,0).
 
     Scale shape: dl is computed in the scan projection (size of the
     token array, BEFORE the explode), so the term filter prunes the
@@ -567,8 +589,7 @@ def bm25_topk(docs, queries: dict[int, list[str]], k: int = 10,
              .agg(F.sum("__c").alias("score_milli"))
              .where(F.col("score_milli") > 0))
     ordered = score.withColumn(
-        "ord", -F.col("score_milli") * F.lit(1_000_000_000_000)
-        + F.col("doc"))
+        "ord", _packed_ord("score_milli", "doc", "bm25_topk"))
     top = cap_per_key(ordered, "query_id", "ord", k)
     w = Window.partitionBy("query_id").orderBy("ord")
     return (top.withColumn("rank", F.row_number().over(w))
@@ -632,9 +653,10 @@ def impact_postings(docs, k: int = 8, k1_milli: int = 1200,
                .cast("long"))
            .select("term", "doc", "df", "impact"))
     # pack (-impact, doc) into one BIGINT for a total cap order (the
-    # X49 trick; impact < 9e6 millis, doc < 10^12 by contract)
+    # X49 trick; impact < 9e6 millis, doc in [0, 10^12) — ENFORCED by
+    # the shared in-plan guard, not just documented)
     ordered = imp.withColumn(
-        "ord", -F.col("impact") * F.lit(1_000_000_000_000) + F.col("doc"))
+        "ord", _packed_ord("impact", "doc", "impact_postings"))
     top = cap_per_key(ordered, "term", "ord", k)
     postings = (top.groupBy("term", "df")
                 .agg(F.array_join(

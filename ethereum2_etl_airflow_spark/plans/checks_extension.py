@@ -3510,7 +3510,8 @@ def q_span_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X66b: per-document boilerplate fraction — what share of each
     document's 5-token spans are corpus-repeated.  The curation
     decision signal derived from q_repeated_spans.  Span identity is
-    the md5-family 60-bit key on BOTH sides (operator and oracle
+    the md5-family 120-bit key (two disjoint 60-bit halves — the
+    corpus-scale collision fix) on BOTH sides (operator and oracle
     compute identical keys — the portable-hash contract), so the
     per-doc counts compare bit-exactly."""
     from ..operators.dedup import repeated_span_hits
@@ -3524,19 +3525,22 @@ ORACLE_SPAN_HITS = """
 WITH tk AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
   FROM documents),
-g AS (
+gm AS (
   SELECT doc_id,
-         ('0x' || substr(md5(
-            array_to_string(list_slice(ts, i.i, i.i + 4), ' ')),
-          1, 15))::BIGINT AS h
+         md5(array_to_string(list_slice(ts, i.i, i.i + 4), ' ')) AS m
   FROM tk, UNNEST(range(1, len(ts) - 3)) AS i(i)
   WHERE len(ts) >= 5),
+g AS (
+  SELECT doc_id, ('0x' || substr(m, 1, 15))::BIGINT AS h1,
+         ('0x' || substr(m, 17, 15))::BIGINT AS h2
+  FROM gm),
 rep AS (
-  SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+  SELECT h1, h2 FROM g GROUP BY h1, h2
+  HAVING COUNT(DISTINCT doc_id) >= 2),
 hit AS (
   SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
-         CAST(count_if(r.h IS NOT NULL) AS BIGINT) AS n_repeated
-  FROM g LEFT JOIN rep r ON g.h = r.h
+         CAST(count_if(r.h1 IS NOT NULL) AS BIGINT) AS n_repeated
+  FROM g LEFT JOIN rep r ON g.h1 = r.h1 AND g.h2 = r.h2
   GROUP BY g.doc_id)
 SELECT doc_id, n_spans, n_repeated,
        CAST(n_repeated * 100 // n_spans AS BIGINT) AS repeated_pct

@@ -622,11 +622,32 @@ ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
 
 
 def q_agg_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: HyperLogLog++ approximate distinct — the scale path for
-    A3 when exactness isn't required (sketches merge map-side; no expand).
-    Sketch values are engine-specific, so no value oracle."""
+    """HyperLogLog++ approximate distinct — the scale path for A3 when
+    exactness isn't required (sketches merge map-side; no expand).
+
+    Oracle-checkable form (round-9): the HLL++ ESTIMATE is
+    engine-specific, so instead of exporting it the check returns the
+    EXACT distinct count alongside an in-plan boolean asserting the
+    estimate landed within tolerance of it (rsd 0.02 → assert relative
+    error ≤ 0.10, a 5σ band; HLL++ is deterministic for fixed data, so
+    the boolean is stable).  The oracle returns the same exact count
+    and literal ``true`` — both columns hash-comparable.  The HLL
+    sketch still executes in the Spark plan (same partial-merge path as
+    before); only its value is consumed in-plan rather than exported."""
     ev = _t(spark, sf_dir, "events")
-    return ev.agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    exact = F.countDistinct("user_id").cast("long")
+    approx = F.approx_count_distinct("user_id", 0.02).cast("double")
+    return ev.agg(
+        exact.alias("exact_users"),
+        (F.abs(approx / exact.cast("double") - F.lit(1.0)) <= 0.10)
+        .alias("approx_within_tol"))
+
+
+ORACLE_AGG_COUNT_DISTINCT_APPROX = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS approx_within_tol
+FROM events
+"""
 
 
 # --- full outer join ------------------------------------------------------
@@ -1020,7 +1041,8 @@ RELATIONAL_CHECKS: dict[str, tuple] = {
     "join_range": (q_join_range, ORACLE_JOIN_RANGE),
     "agg_pivot": (q_agg_pivot, ORACLE_AGG_PIVOT),
     "agg_grouping_sets": (q_agg_grouping_sets, ORACLE_AGG_GROUPING_SETS),
-    "agg_count_distinct_approx": (q_agg_count_distinct_approx, None),
+    "agg_count_distinct_approx": (q_agg_count_distinct_approx,
+                                  ORACLE_AGG_COUNT_DISTINCT_APPROX),
     "q1_pricing": (q_q1_pricing, ORACLE_Q1),
     "join_inner": (q_join_inner, ORACLE_JOIN_INNER),
     "join_left": (q_join_left, ORACLE_JOIN_LEFT),

@@ -1293,6 +1293,42 @@ def test_ranking_eval_closed_form(spark):
             rows[3]["mrr_micro"], rows[3]["ndcg_micro"]) == (0, 0, 0, 0)
 
 
+def test_ranking_eval_dedups_prediction(spark):
+    """Duplicate (query, doc) prediction rows must not double-count hits
+    and DCG (round-9 advice): the operator dedups the prediction keeping
+    the MIN rank, so a triplicated perfect hit still scores exactly 10⁶
+    across all metrics instead of recall 1.5·10⁶."""
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        ranking_eval)
+
+    pred = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 2), (1, 10, 3), (1, 11, 2)],
+        "query_id long, doc_id long, rank long")
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11)], "query_id long, doc_id long")
+    r = ranking_eval(pred, truth, k=10).collect()[0]
+    assert r["hits"] == 2
+    assert r["recall_micro"] == 1_000_000
+    assert r["mrr_micro"] == 1_000_000
+    assert r["ndcg_micro"] == 1_000_000
+
+
+def test_bm25_ord_pack_overflow_guard(spark):
+    """Doc ids outside the packed-order-key contract ([0, 10^12)) raise
+    in-plan instead of silently overflowing int64 and corrupting the
+    top-k order (round-9 advice; same guard covers impact_postings via
+    the shared _packed_ord helper)."""
+    import pytest
+
+    from ethereum2_etl_airflow_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(10**12, "zebra"), (1, "filler stuff"), (2, "filler stuff")],
+        "doc_id long, text string")
+    with pytest.raises(Exception, match="pack overflow"):
+        bm25_topk(docs, {1: ["zebra"]}, k=2).collect()
+
+
 def test_impact_postings_order_and_math(spark):
     """Impact postings rank a term's postings by the BM25 contribution:
     with equal tf, the SHORTER document carries the higher impact
