@@ -26,6 +26,7 @@ __all__ = [
     "compression_ratio",
     "gopher_filter", "inverted_postings", "skipgram_counts",
     "winnow_fingerprints", "bm25_topk", "impact_postings",
+    "bm25_topk_from_index",
 ]
 
 # word tokens: runs of alphanumerics (RE2- and Java-regex-identical)
@@ -544,8 +545,32 @@ def bm25_topk(docs, queries: dict[int, list[str]], k: int = 10,
     is the two-phase :func:`..operators.curation.cap_per_key` — the
     hot query hitting |corpus| docs never sorts in one task.
 
+    Runs under a stats-sized pinned shuffle width with AQE off inside
+    the scope and materializes inside the pin (round-9: the
+    ``pinned_shuffle``/``plan_width`` discipline every other
+    multi-exchange family uses — at test SFs the suite-session width
+    is pure per-partition fixed cost across this plan's 3 exchanges;
+    at corpus scale the stats estimate keeps the session width).  Plan
+    tests assert on the lazy :func:`_bm25_build`.
+
     Returns (query_id, doc_id, rank, score_milli), rank 1-based by
     (score desc, doc asc)."""
+    from ..functions.layout import (finalize_release, pinned_shuffle,
+                                    plan_width)
+
+    with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
+                        adaptive=False):
+        return finalize_release(
+            _bm25_build(docs, queries, k, k1_milli, b_milli,
+                        text_col, id_col))
+
+
+def _bm25_build(docs, queries: dict[int, list[str]], k: int,
+                k1_milli: int, b_milli: int,
+                text_col: str, id_col: str):
+    """Pre-checkpoint pipeline for :func:`bm25_topk` (plan tests assert
+    on this — the public entry localCheckpoints inside its pinned
+    scope)."""
     from pyspark.sql import Window
 
     from .curation import cap_per_key  # local import: avoid cycle
@@ -621,7 +646,23 @@ def impact_postings(docs, k: int = 8, k1_milli: int = 1200,
     aggregate joined back ON TERM — the same exchange the per-term cap
     needs anyway; the top-k cap is the two-phase
     :func:`..operators.curation.cap_per_key`, so a stopword with
-    |corpus| postings never sorts in one task."""
+    |corpus| postings never sorts in one task.
+
+    Runs pinned + materialized like :func:`bm25_topk` (round-9); plan
+    tests assert on the lazy :func:`_impact_build`."""
+    from ..functions.layout import (finalize_release, pinned_shuffle,
+                                    plan_width)
+
+    with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
+                        adaptive=False):
+        return finalize_release(
+            _impact_build(docs, k, k1_milli, b_milli, text_col, id_col))
+
+
+def _impact_build(docs, k: int, k1_milli: int, b_milli: int,
+                  text_col: str, id_col: str):
+    """Pre-checkpoint pipeline for :func:`impact_postings` (plan tests
+    assert on this)."""
     from .curation import cap_per_key  # local import: avoid cycle
 
     sel = docs.select(F.col(id_col).alias("doc"),
@@ -668,3 +709,77 @@ def impact_postings(docs, k: int = 8, k1_milli: int = 1200,
                             s["impact"].cast("string"))), ",")
                     .alias("postings")))
     return postings.select("term", "df", "postings")
+
+
+def bm25_topk_from_index(index, queries: dict[int, list[str]],
+                         k: int = 10):
+    """Query-SERVING path over the impact-ordered index — the
+    consumption half of :func:`impact_postings` (Anh & Moffat's point:
+    build the index once, answer queries by summing STORED impacts,
+    never re-touching the corpus).  Mirrors the PQ pair
+    ``build_pq_index``/``query_pq_index`` for the lexical arm; the
+    reference analog is load-once/query-many BigQuery tables
+    (/root/reference/dags/ethereum2etl_airflow/build_load_dag.py:94-96).
+
+    ``index`` is :func:`impact_postings` output — read back from its
+    published parquet in the serving deployment — with postings
+    serialized ``"doc:impact,..."``.  score(q, d) = Σ over q's terms of
+    the stored impact of (term, d); documents truncated out of a term's
+    top-``cap`` postings contribute 0 for that term — the
+    early-termination approximation, EXACT whenever every query term's
+    full postings list survived the index cap (the agreement pytest
+    pins this: with cap ≥ |corpus| the served ranking equals
+    :func:`bm25_topk` bit-for-bit, since both sum the identical
+    exact-integer contributions).
+
+    Scale shape: the term ``isin`` filter reaches the index scan
+    (pushed-down predicate on a vocabulary-keyed artifact — a serving
+    query reads |query terms| rows, not the index); the postings
+    explode fans out ≤ cap rows per term; the (query, term) probe is a
+    literal-table broadcast join; scoring is one map-side-combining
+    groupBy; and the per-query top-k is the two-phase
+    :func:`..operators.curation.cap_per_key` under the same packed
+    order key (overflow-guarded) as the builder.
+
+    Returns (query_id, doc_id, rank, score_milli) — same schema and
+    ordering contract as :func:`bm25_topk`.  Pinned + materialized like
+    the builder (the serving plan's two exchanges are bounded by
+    |query terms|·cap rows, so the width floor always wins)."""
+    from ..functions.layout import (finalize_release, pinned_shuffle,
+                                    plan_width)
+
+    with pinned_shuffle(index.sparkSession, plan_width(index, floor=8),
+                        adaptive=False):
+        return finalize_release(_bm25_from_index_build(index, queries, k))
+
+
+def _bm25_from_index_build(index, queries: dict[int, list[str]], k: int):
+    """Pre-checkpoint pipeline for :func:`bm25_topk_from_index` (plan
+    tests assert on this)."""
+    from pyspark.sql import Window
+
+    from .curation import cap_per_key  # local import: avoid cycle
+
+    spark = index.sparkSession
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
+        "query_id long, term string")
+    post = (index.where(F.col("term").isin(all_terms))
+            .select("term",
+                    F.explode(F.split("postings", ",")).alias("__p"))
+            .select("term",
+                    F.split("__p", ":")[0].cast("long").alias("doc"),
+                    F.split("__p", ":")[1].cast("long").alias("impact")))
+    scored = (post.join(F.broadcast(qt), "term")
+              .groupBy("query_id", "doc")
+              .agg(F.sum("impact").alias("score_milli"))
+              .where(F.col("score_milli") > 0))
+    ordered = scored.withColumn(
+        "ord", _packed_ord("score_milli", "doc", "bm25_topk_from_index"))
+    top = cap_per_key(ordered, "query_id", "ord", k)
+    w = Window.partitionBy("query_id").orderBy("ord")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("query_id", F.col("doc").alias("doc_id"),
+                    F.col("rank").cast("long").alias("rank"),
+                    "score_milli"))

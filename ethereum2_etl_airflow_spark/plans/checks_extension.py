@@ -2528,8 +2528,11 @@ _IDF_SQL = """GREATEST(0,
   - 4)"""
 
 
-ORACLE_IMPACT_INDEX = f"""
-WITH dlt AS (
+def _impact_ctes(cap: int = 8) -> str:
+    """The impact-index build as a reusable CTE chain (dlt → nt → tf →
+    dft → imp → top) — shared by the index-build oracle and the
+    serve-from-index oracle, which consumes the same capped postings."""
+    return f"""dlt AS (
   SELECT doc_id AS doc,
          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
               AS BIGINT) AS dl,
@@ -2553,7 +2556,10 @@ imp AS (
 top AS (
   SELECT term, df, doc, impact FROM imp
   QUALIFY ROW_NUMBER() OVER (PARTITION BY term
-                             ORDER BY impact DESC, doc) <= 8)
+                             ORDER BY impact DESC, doc) <= {cap})"""
+
+
+ORACLE_IMPACT_INDEX = "WITH " + _impact_ctes(8) + """
 SELECT term, df,
        string_agg(CAST(doc AS VARCHAR) || ':' || CAST(impact AS VARCHAR),
                   ',' ORDER BY impact DESC, doc) AS postings
@@ -2562,6 +2568,47 @@ FROM top GROUP BY term, df ORDER BY term
 
 
 EXTENSION_CHECKS["impact_index"] = (q_impact_index, ORACLE_IMPACT_INDEX)
+
+
+# --- serve BM25 queries FROM the impact index (X82) --------------------------
+
+def q_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82: the serving half of X80 — answer the BM25 query set by
+    summing STORED impacts out of the capped impact index (Anh &
+    Moffat's consumption path; the lexical mirror of the PQ
+    build/query pair).  Build (cap 8, exercising real truncation) and
+    serve composed in one plan here; the pytest additionally pins the
+    parquet round-trip and the cap-free agreement with bm25_topk."""
+    from ..operators.text import bm25_topk_from_index, impact_postings
+
+    idx = impact_postings(_docs(spark, sf_dir), k=8)
+    return (bm25_topk_from_index(idx, _BM25_QUERIES, k=10)
+            .orderBy("query_id", "rank"))
+
+
+def _bm25_from_index_oracle() -> str:
+    vals = ", ".join(f"({qid}, '{t}')"
+                     for qid, ts in sorted(_BM25_QUERIES.items())
+                     for t in ts)
+    return "WITH " + _impact_ctes(8) + f""",
+q(query_id, term) AS (VALUES {vals}),
+sc AS (
+  SELECT q.query_id, top.doc,
+         CAST(SUM(top.impact) AS BIGINT) AS score_milli
+  FROM top JOIN q USING (term)
+  GROUP BY q.query_id, top.doc
+  HAVING SUM(top.impact) > 0)
+SELECT query_id, doc AS doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score_milli DESC, doc)
+            AS BIGINT) AS rank,
+       score_milli
+FROM sc QUALIFY rank <= 10 ORDER BY query_id, rank
+"""
+
+
+EXTENSION_CHECKS["bm25_from_index"] = (q_bm25_from_index,
+                                       _bm25_from_index_oracle())
 
 
 # --- order-aware retrieval evaluation (X81) ---------------------------------

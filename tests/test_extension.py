@@ -1352,6 +1352,29 @@ def test_impact_postings_order_and_math(spark):
                for p in out["common"]["postings"].split(","))
 
 
+def test_bm25_from_index_agrees_with_direct(spark, sf_dir, tmp_path):
+    """Serving from the impact index reproduces the direct BM25 ranking
+    BIT-FOR-BIT when every query term's postings survive the per-term
+    cap (cap ≥ |corpus| → no truncation; both paths sum the identical
+    exact-integer contributions).  The index round-trips through
+    parquet first — the build-once/serve-many artifact contract."""
+    from ethereum2_etl_airflow_spark.operators.text import (
+        bm25_topk, bm25_topk_from_index, impact_postings)
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    queries = {1: ["dup", "document"], 2: ["dup"], 3: ["text", "sample"]}
+    path = str(tmp_path / "impact_idx")
+    impact_postings(docs, k=n_docs).write.mode("overwrite").parquet(path)
+    idx = spark.read.parquet(path)
+    served = sorted(
+        tuple(r) for r in
+        bm25_topk_from_index(idx, queries, k=10).collect())
+    direct = sorted(
+        tuple(r) for r in bm25_topk(docs, queries, k=10).collect())
+    assert served == direct and len(direct) > 0
+
+
 def test_mdq_sketch_mergeable_and_accurate(spark, sf_dir):
     """The md5-reservoir quantile sketch merges associatively (sketch of
     a union == re-sketch of the union of shard sketches) and its

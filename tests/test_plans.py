@@ -371,13 +371,23 @@ def test_bm25_plan_shape(spark, sf_dir):
     fan-out), the corpus stats ride a broadcast, and no row-at-a-time
     Python evaluator appears anywhere (the only Python is the cap's
     Arrow mapInPandas local-cap pass)."""
-    from ethereum2_etl_airflow_spark.operators.text import bm25_topk
+    from ethereum2_etl_airflow_spark.functions.layout import (
+        pinned_shuffle, plan_width)
+    from ethereum2_etl_airflow_spark.operators.text import _bm25_build
     from ethereum2_etl_airflow_spark.plans.explain import plan_string
     from ethereum2_etl_airflow_spark.sources.testdata import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    df = bm25_topk(docs, {1: ["dup", "hash"]}, k=5)
-    plan = plan_string(df, "simple")
+    w = plan_width(docs, floor=8)
+    with pinned_shuffle(spark, w, adaptive=False):
+        df = _bm25_build(docs, {1: ["dup", "hash"]}, 5, 1200, 750,
+                         "text", "doc_id")
+        plan = plan_string(df, "simple")
+        # round-9: every exchange runs at the stats-sized pinned width
+        import re
+        widths = {int(m) for m in
+                  re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan)}
+        assert widths <= {w}, (w, widths, plan[:1500])
     assert "BatchEvalPython" not in plan
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
     # the isin(query terms) filter sits below the tf aggregation —
@@ -389,12 +399,21 @@ def test_impact_postings_plan_no_python_scoring(spark, sf_dir):
     """The impact computation (idf/norm/contribution) is pure codegen:
     no Python evaluator outside the sanctioned Arrow cap pass, and the
     corpus N/T aggregate broadcasts rather than shuffling the corpus."""
-    from ethereum2_etl_airflow_spark.operators.text import impact_postings
+    from ethereum2_etl_airflow_spark.functions.layout import (
+        pinned_shuffle, plan_width)
+    from ethereum2_etl_airflow_spark.operators.text import _impact_build
     from ethereum2_etl_airflow_spark.plans.explain import plan_string
     from ethereum2_etl_airflow_spark.sources.testdata import load_table
 
-    df = impact_postings(load_table(spark, sf_dir, "documents"), k=4)
-    plan = plan_string(df, "simple")
+    docs = load_table(spark, sf_dir, "documents")
+    w = plan_width(docs, floor=8)
+    with pinned_shuffle(spark, w, adaptive=False):
+        df = _impact_build(docs, 4, 1200, 750, "text", "doc_id")
+        plan = plan_string(df, "simple")
+        import re
+        widths = {int(m) for m in
+                  re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan)}
+        assert widths <= {w}, (w, widths, plan[:1500])
     assert "BatchEvalPython" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
 
