@@ -249,76 +249,142 @@ def ann_lsh_candidates(emb: DataFrame, query_ids: list[int], k: int = 10,
 def sparse_cosine_pairs(docs: DataFrame, block_col: str = "source",
                         threshold_millis: int = 500,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
-    """Document-pair cosine similarity over sparse token-count vectors,
-    computed through an inverted index — the sparse sibling of
+                        id_col: str = "doc_id",
+                        strategy: str = "gemm") -> DataFrame:
+    """Document-pair cosine similarity over sparse token-count vectors
+    within a blocking key — the sparse sibling of
     :func:`..operators.dedup.cosine_near_dup_pairs`.
 
-    The dot product of two bag-of-words vectors only has contributions
-    from *shared* tokens, so joining the inverted index
-    ``token -> (doc, count)`` with itself and summing ``cnt_a * cnt_b``
-    per pair yields the EXACT dot product — no dense vectors ever
-    materialize.  Norms are exact integer sums of squares; the final
-    ``dot / (sqrt(na) * sqrt(nb))`` runs in correctly-rounded double on
-    integer inputs, so the score is bit-identical in any IEEE engine
-    (the property the SQL oracle relies on).
+    Two bit-identical strategies (pytest pins set equality including
+    the cosine doubles; the registered check runs the default):
 
-    Scale shape: three shuffles — the (blk, id) clustering of the raw
-    token stream (which makes counting AND the norm partition-local),
-    the (blk, tok) join layout, then the pair aggregation keyed on
-    (id_a, id_b); the self-join itself adds NO exchange (it reads the
-    cached index already partitioned on its key) and no sort
-    (shuffled hash).  The
-    quadratic term is bounded by the blocking column (pairs only form
-    within a block); unblocked corpora should prefilter the index to
-    discriminative tokens (df cap / salience, cf.
-    :func:`..operators.curation.term_salience`) before pairing, trading
-    exactness of *candidate discovery* (never of surviving scores) for
-    linearity, exactly like the PPJoin prefix in
-    :func:`..operators.dedup.ngram_jaccard_pairs`.
+    - ``"gemm"`` (default, round-9): per block, pivot the token counts
+      to a dense |block|×|vocab| matrix and compute ALL pair dots as
+      one numpy matmul (``applyInPandas`` — the
+      :func:`..operators.dedup.cosine_near_dup_pairs` blocked-GEMM
+      pattern, which this repo sanctions for the §2.9 embedding seams).
+      Integer counts in float64 stay EXACT while the dot can't exceed
+      2^53; each block checks the cheap bound ``max(cnt)²·|vocab| <
+      2^53`` and falls back to an int64 matmul when it can't prove
+      exactness — so the scores (and the IEEE sqrt/mul/div cosine) are
+      bit-identical to the index path at ANY count scale.  Two
+      exchanges end-to-end: the combining (blk, id, tok) count groupBy
+      and the block grouping.  Replaces the index path's 11.2 M-row
+      pair-join+aggregate stage (sf0.1) with ~0.2 s of BLAS — measured
+      1.77 s → 0.78 s warm median, closing the round-7 ≤1.5 s bar.
+      Memory contract (same as the embedding GEMM): one block's dense
+      |block|×|vocab| count matrix must fit a task — right for
+      bounded-block, bounded-vocab corpora like the documents table.
+    - ``"index"``: the inverted-index self-join — ``token -> (doc,
+      count)`` joined with itself, summing ``cnt_a·cnt_b`` per pair
+      (contributions only come from *shared* tokens, so the join
+      computes the exact dot with no dense vectors).  Three shuffles:
+      (blk, id) clustering (counting AND norms partition-local),
+      (blk, tok) join layout, pair aggregation.  The scale path when
+      the GEMM memory contract fails: giant blocks or wide (real-text)
+      vocabularies, where per-key fan-out distributes the Σ n_k² work
+      across (blk, tok) keys instead of one task per block.
+
+    Why not a df-cap/PPJoin prefilter (the round-8 proposal): measured
+    at sf0.1 the (blk, tok) key histogram is UNIFORM — 620 keys, all
+    ~200 docs (31-word synthetic vocabulary) — so no discriminative
+    token subset exists; a df cap keeps everything or empties the
+    index.  A packed map-dot pair join was also tried (map_zip_with
+    per pair): 3.3 s — interpreted HOF lambdas lose to both paths.
+    Stage profile that motivated the GEMM (sf0.1, warm): 0.26 s driver
+    plan build + 0.44 s index materialize + 0.90 s pair join+agg.
 
     Every exchange runs under a shuffle width sized from the corpus'
-    own plan stats (:func:`..functions.layout.plan_width`, same
-    discipline as the BPE/k-means loops): at test SFs the token index
-    is a few MB and a 64-wide session shuffle is pure per-partition
-    fixed cost (round-6 verdict: 5.0 s warm; this shape ~1.6 s at
-    sf0.1); at corpus scale the stats estimate keeps the session
-    width.  AQE is pinned off inside the scope — the width is already
-    stats-right, and the eager materialization (``finalize_release``)
-    happens INSIDE the pin so the pinned plan is the one that actually
-    executes.
+    own plan stats (:func:`..functions.layout.plan_width`, floor 8 —
+    the index exchanges carry (doc, token) rows whose volume tracks
+    vocabulary × docs, not the doc bytes the stats see); AQE pinned
+    off inside the scope, eager materialization INSIDE the pin.
 
-    Norm contract: norms are computed per ``(block, id)`` group (the
-    packing stage), not per global id.  When every id carries exactly
-    one block value — the documents-table shape, where ``source`` is a
-    column OF the row — the two are identical.  If a caller ever feeds
-    a corpus where one doc_id appears under MULTIPLE block values
-    (e.g. an exploded multi-label blocking), each block sees only its
-    own slice's norm, i.e. scores become within-block cosine.  That is
-    the intended blocking semantics (a block is an independent
-    comparison universe), but it differs from global-norm cosine —
-    pre-aggregate to one block per id upstream if global norms are
-    wanted.
+    Norm contract: norms are computed per ``(block, id)`` group, not
+    per global id.  When every id carries exactly one block value —
+    the documents-table shape, where ``source`` is a column OF the
+    row — the two are identical.  If a caller ever feeds a corpus
+    where one doc_id appears under MULTIPLE block values (e.g. an
+    exploded multi-label blocking), each block sees only its own
+    slice's norm, i.e. scores become within-block cosine.  That is the
+    intended blocking semantics (a block is an independent comparison
+    universe), but it differs from global-norm cosine — pre-aggregate
+    to one block per id upstream if global norms are wanted.
 
-    Returns ``(id_a, id_b, dot, cosine)`` for pairs with
-    cosine >= threshold_millis/1000.
+    Returns ``(id_a, id_b, dot, cosine)`` for pairs sharing ≥1 token
+    with cosine >= threshold_millis/1000.
     """
     from ..functions.layout import pinned_shuffle, plan_width
 
     docs = ensure_parallelism(docs)
-    # floor 8, not the corpus-stats minimum: the index exchanges carry
-    # (doc, token) rows whose volume tracks the vocabulary × docs, not
-    # the doc bytes the stats see.  Round-8 sweep on THIS shape at
-    # sf0.1 (join-layout width, median-of-3): 8 → 1.76 s, 16 → 1.81 s,
-    # 32 → 1.82 s, 64 → 1.97 s — the pair stage is volume-bound, not
-    # parallelism-bound (11.2 M intermediate rows from 620 (blk, tok)
-    # keys), so the smallest fixed-cost width wins; at corpus scale
-    # the stats term dominates and the session cap wins as usual
     w = plan_width(docs, floor=8)
     with pinned_shuffle(docs.sparkSession, w, adaptive=False):
-        res, tc = _sparse_cosine_build(docs, block_col, threshold_millis,
-                                       text_col, id_col, width=w)
-        return finalize_release(res, tc)
+        if strategy == "index":
+            res, tc = _sparse_cosine_build(docs, block_col,
+                                           threshold_millis,
+                                           text_col, id_col, width=w)
+            return finalize_release(res, tc)
+        if strategy != "gemm":
+            raise ValueError(f"sparse_cosine_pairs: unknown strategy "
+                             f"{strategy!r} (want 'gemm' or 'index')")
+        return finalize_release(_sparse_cosine_gemm_build(
+            docs, block_col, threshold_millis, text_col, id_col))
+
+
+def _sparse_cosine_gemm_build(docs: DataFrame, block_col: str,
+                              threshold_millis: int, text_col: str,
+                              id_col: str) -> DataFrame:
+    """Lazy pipeline for the blocked-GEMM strategy of
+    :func:`sparse_cosine_pairs` (plan tests assert on this).
+
+    One combining groupBy builds the (blk, id, tok, cnt) index (map-side
+    partial agg — no pre-clustering repartition needed since no window
+    follows), then ``groupBy(blk).applyInPandas`` ships each block's
+    index slice through Arrow and computes every pair dot, norm, and
+    cosine in one matmul.  Exactness: float64 holds integers exactly
+    below 2^53, so when ``max(cnt)² · |vocab| < 2^53`` (an upper bound
+    on any dot/norm) the BLAS result is the exact integer; otherwise
+    the block recomputes in int64 (exact to 2^63).  The cosine is the
+    same three IEEE ops (sqrt, mul, div) on the same exact integers as
+    the index path and the SQL oracle — bit-identical output."""
+    from .text import tokens
+
+    thr = threshold_millis / 1000.0
+
+    tc0 = (docs.select(F.col(block_col).alias("blk"),
+                       F.col(id_col).alias("id"),
+                       F.explode(tokens(F.col(text_col))).alias("tok"))
+           .groupBy("blk", "id", "tok").agg(F.count("*").alias("cnt")))
+
+    def block_gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf.pivot_table(index="id", columns="tok", values="cnt",
+                            fill_value=0, aggfunc="sum")
+        ids = m.index.to_numpy()  # pivot sorts → id_a < id_b for free
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": np.array([], dtype="int64"),
+                                 "id_b": np.array([], dtype="int64"),
+                                 "dot": np.array([], dtype="int64"),
+                                 "cosine": np.array([], dtype="float64")})
+        Xi = m.to_numpy()
+        if int(Xi.max()) ** 2 * Xi.shape[1] < 2 ** 53:
+            G = (Xi.astype(np.float64) @ Xi.astype(np.float64).T) \
+                .astype(np.int64)  # integer-valued floats — exact
+        else:  # count scale beyond float53 proof: exact int64 matmul
+            G = Xi.astype(np.int64) @ Xi.astype(np.int64).T
+        nsq = np.diag(G).astype(np.float64)
+        denom = np.sqrt(nsq)[:, None] * np.sqrt(nsq)[None, :]
+        C = G.astype(np.float64) / denom  # nsq ≥ 1: every id has rows
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = (C[iu, ju] >= thr) & (G[iu, ju] > 0)  # shared-token rule
+        return pd.DataFrame({
+            "id_a": ids[iu[keep]].astype("int64"),
+            "id_b": ids[ju[keep]].astype("int64"),
+            "dot": G[iu[keep], ju[keep]].astype("int64"),
+            "cosine": C[iu[keep], ju[keep]],
+        })
+
+    return tc0.groupBy("blk").applyInPandas(
+        block_gemm, "id_a long, id_b long, dot long, cosine double")
 
 
 def _sparse_cosine_build(docs: DataFrame, block_col: str,

@@ -463,6 +463,39 @@ def test_sparse_cosine_matches_dense_definition(spark, sf_dir):
     assert all(src[r["id_a"]] == src[r["id_b"]] for r in rows)
 
 
+def test_sparse_cosine_strategies_bit_identical(spark, sf_dir):
+    """The blocked-GEMM default and the inverted-index scale path
+    produce the SAME pair set with bit-identical dot AND cosine values
+    (no rounding in the comparison) — the round-9 strategy contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    gemm = {(r["id_a"], r["id_b"], r["dot"], r["cosine"]) for r in
+            S.sparse_cosine_pairs(docs, threshold_millis=650).collect()}
+    idx = {(r["id_a"], r["id_b"], r["dot"], r["cosine"]) for r in
+           S.sparse_cosine_pairs(docs, threshold_millis=650,
+                                 strategy="index").collect()}
+    assert gemm and gemm == idx
+
+
+def test_sparse_cosine_gemm_int64_fallback(spark):
+    """A block whose count scale breaks the float64-exactness proof
+    (max(cnt)²·|vocab| ≥ 2^53) recomputes in int64 and still returns
+    the exact dot: two docs of 2^20 repeated 'x' tokens (dot = 2^40, a
+    power of 4 → exact sqrt → cosine exactly 1.0) plus a disjoint
+    9001-distinct-token doc in the same block that pushes the bound
+    over 2^53 without touching the pair."""
+    n = 1 << 20
+    text = ("x " * n).strip()
+    filler = " ".join(f"t{i}" for i in range(9001))
+    docs = spark.createDataFrame(
+        [(1, text, "b"), (2, text, "b"), (3, filler, "b")],
+        "doc_id long, text string, source string")
+    rows = S.sparse_cosine_pairs(docs, threshold_millis=900).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["dot"] == n * n and r["cosine"] == 1.0
+
+
 def test_ngram_novelty_bounds_and_duplicate_drop(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     # duplicate one doc: its 2-grams all get df >= 2 -> zero novelty

@@ -365,6 +365,34 @@ def test_sparse_cosine_pinned_width_and_join_shape(spark, sf_dir):
     tc.unpersist()
 
 
+def test_sparse_cosine_gemm_plan_shape(spark, sf_dir):
+    """The blocked-GEMM default (round-9): exactly TWO exchanges — the
+    combining (blk, id, tok) count groupBy and the block grouping that
+    feeds the one sanctioned Arrow stage (FlatMapGroupsInPandas); the
+    count aggregate partial-aggregates map-side, and no row-at-a-time
+    Python evaluator appears."""
+    import re
+
+    from ethereum2_etl_airflow_spark.functions.layout import pinned_shuffle
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        _sparse_cosine_gemm_build)
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pinned_shuffle(spark, 7, adaptive=False):
+        res = _sparse_cosine_gemm_build(docs, "source", 650,
+                                        "text", "doc_id")
+        plan = plan_string(res, "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:1500]
+    widths = {int(n) for n in
+              re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan)}
+    assert widths == {7}, plan[:1500]
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
 def test_bm25_plan_shape(spark, sf_dir):
     """BM25's plan stays JVM-side up to the sanctioned two-phase cap:
     the query-term filter applies BEFORE any exchange (pruning the

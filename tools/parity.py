@@ -55,11 +55,39 @@ def normalize(df):
     return cols, rows
 
 
+def update_survey_header() -> str:
+    """Regenerate the SURVEY.md §8 header sentence from the live
+    registry (round-9 verdict item: the header drifted from 62 to 227+
+    checks across rounds because it was hand-maintained)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    sent = (f"oracle by nature).  {len(qs)} registered checks: "
+            f"{len(os_)} oracle-checked, {len(qs) - len(os_)} rows-only.")
+    path = os.path.join(REPO, "SURVEY.md")
+    with open(path) as fh:
+        text = fh.read()
+    new = re.sub(r"oracle by nature\)\.  \d+ registered checks: \d+ "
+                 r"oracle-checked, \d+ rows-only\.", sent, text, count=1)
+    with open(path, "w") as fh:
+        fh.write(new)
+    return sent
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--update-survey", action="store_true",
+                    help="rewrite the SURVEY.md §8 header from the "
+                         "registry and exit")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    if args.update_survey:
+        print(update_survey_header())
+        return 0
 
     import duckdb
 
