@@ -235,3 +235,22 @@ def test_retrieval_ops_degenerate(spark, empty_docs, null_docs):
     ev = ranking_eval(b, t).collect()
     assert len(ev) == 1 and ev[0]["recall_micro"] == 0
     assert ranking_eval(a, b.select("query_id", "doc_id")).collect() == []
+
+
+def test_bm25_from_index_degenerate(spark, empty_docs, null_docs):
+    """The round-9 serving path on degenerate inputs: empty index,
+    query terms absent from the index, k larger than the served pool —
+    empty or truncated rankings, never a crash; ranks stay dense."""
+    from ethereum2_etl_airflow_spark.operators.text import (
+        bm25_topk_from_index, impact_postings)
+
+    # empty corpus -> empty index -> empty ranking
+    idx0 = impact_postings(empty_docs)
+    assert bm25_topk_from_index(idx0, {1: ["a"]}).collect() == []
+    # terms absent from a non-empty index -> no rows for that query
+    idx = impact_postings(null_docs, k=4)
+    assert bm25_topk_from_index(idx, {1: ["zzzabsent"]}).collect() == []
+    # k beyond the pool -> every scored doc, dense 1..n ranks
+    out = bm25_topk_from_index(idx, {1: ["real", "doc"]}, k=50).collect()
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] \
+        == list(range(1, len(out) + 1))
