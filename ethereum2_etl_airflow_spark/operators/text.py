@@ -26,7 +26,7 @@ __all__ = [
     "compression_ratio",
     "gopher_filter", "inverted_postings", "skipgram_counts",
     "winnow_fingerprints", "bm25_topk", "impact_postings",
-    "bm25_topk_from_index",
+    "bm25_topk_from_index", "best_passages", "expand_queries",
 ]
 
 # word tokens: runs of alphanumerics (RE2- and Java-regex-identical)
@@ -476,6 +476,18 @@ def winnow_fingerprints(docs, k: int = 4, w: int = 4,
             .distinct())
 
 
+#: the quarter-bit integer idf over columns (n_docs, df) — shared by
+#: bm25_topk, impact_postings and expand_queries (see bm25_topk's
+#: docstring for the derivation and the bigint-safety argument)
+_IDF_QBITS = (
+    "greatest(0, 4 * (length(bin((2 * (n_docs - df) + 1) "
+    "div (2 * df + 1))) - 1) "
+    "+ (4 * (2 * (n_docs - df) + 1)) "
+    "div ((2 * df + 1) * shiftleft(cast(1 as bigint), "
+    "length(bin((2 * (n_docs - df) + 1) div (2 * df + 1))) - 1)) "
+    "- 4)")
+
+
 def _packed_ord(score_col: str, doc_col: str, op_name: str):
     """The (-score, doc) → one-BIGINT order-key pack shared by
     :func:`bm25_topk` and :func:`impact_postings` (the X49 trick), with
@@ -593,13 +605,7 @@ def _bm25_build(docs, queries: dict[int, list[str]], k: int,
     scored = (tfq.join(F.broadcast(df_t), "term")
               .join(F.broadcast(qt), "term")
               .crossJoin(F.broadcast(nt)))
-    idf = F.expr(
-        "greatest(0, 4 * (length(bin((2 * (n_docs - df) + 1) "
-        "div (2 * df + 1))) - 1) "
-        "+ (4 * (2 * (n_docs - df) + 1)) "
-        "div ((2 * df + 1) * shiftleft(cast(1 as bigint), "
-        "length(bin((2 * (n_docs - df) + 1) div (2 * df + 1))) - 1)) "
-        "- 4)")
+    idf = F.expr(_IDF_QBITS)
     norm = (F.lit(1000 - b_milli)
             + F.expr(f"({b_milli} * dl * n_docs) div n_tokens"))
     den = (F.col("tf") * 1000
@@ -675,13 +681,7 @@ def _impact_build(docs, k: int, k1_milli: int, b_milli: int,
           .agg(F.count("*").alias("tf")))
     df_t = tf.groupBy("term").agg(F.countDistinct("doc").alias("df"))
     base = tf.join(df_t, "term").crossJoin(F.broadcast(nt))
-    idf = F.expr(
-        "greatest(0, 4 * (length(bin((2 * (n_docs - df) + 1) "
-        "div (2 * df + 1))) - 1) "
-        "+ (4 * (2 * (n_docs - df) + 1)) "
-        "div ((2 * df + 1) * shiftleft(cast(1 as bigint), "
-        "length(bin((2 * (n_docs - df) + 1) div (2 * df + 1))) - 1)) "
-        "- 4)")
+    idf = F.expr(_IDF_QBITS)
     norm = (F.lit(1000 - b_milli)
             + F.expr(f"({b_milli} * dl * n_docs) div n_tokens"))
     den = (F.col("tf") * 1000
@@ -783,3 +783,143 @@ def _bm25_from_index_build(index, queries: dict[int, list[str]], k: int):
             .select("query_id", F.col("doc").alias("doc_id"),
                     F.col("rank").cast("long").alias("rank"),
                     "score_milli"))
+
+
+def best_passages(docs, ranking, queries: dict[int, list[str]],
+                  w: int = 16, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Best-passage (snippet) extraction for a retrieved ranking — the
+    step after retrieval in a RAG / training-data pipeline: for every
+    (query, doc) pair of ``ranking``, find the ``w``-token window of
+    the document with the most query-term occurrences (ties → the
+    EARLIEST window) and return it with its offset and hit count.
+
+    Deterministic and SQL-oracle-checkable by construction: window
+    score is an integer occurrence count, the argmax tie-breaks to the
+    first position (``array_position`` returns the FIRST index of the
+    max — both engines), and the passage text is a join of the
+    already-lowercased tokens, so every output column is
+    engine-portable.
+
+    Scale shape: ``ranking`` is a retrieved top-k list (|Q|·k rows) —
+    it joins the corpus as a BROADCAST probe (with the per-query term
+    arrays attached), so the pass is one corpus scan with a narrow
+    codegen map: per surviving row the match mask is O(tokens), the
+    window scores are O(tokens·w) integer adds inside one expression
+    (no explode — the window stream never exists as rows), and there
+    is NO shuffle at all.  At 100 TB this is scan-bound, exactly like
+    the text-stats family.
+
+    Returns (query_id, doc_id, offset [1-based token index], n_hits,
+    passage) — one row per ranking row whose document exists."""
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(
+        [(qid, sorted(set(ts))) for qid, ts in sorted(queries.items())],
+        "query_id long, qterms array<string>")
+    probe = (ranking.select("query_id", F.col("doc_id").alias("__rdoc"))
+             .join(qt, "query_id"))
+    sel = docs.select(F.col(id_col).alias("doc_id"),
+                      tokens(F.col(text_col)).alias("__tk"))
+    j = sel.join(F.broadcast(probe), sel["doc_id"] == probe["__rdoc"])
+    mt = ("transform(__tk, t -> CASE WHEN array_contains(qterms, t) "
+          "THEN 1L ELSE 0L END)")
+    nw = f"greatest(size(__tk) - {w} + 1, 1)"
+    scores = (f"transform(sequence(1, {nw}), j -> "
+              f"aggregate(slice(__mt, j, {w}), 0L, (a, x) -> a + x))")
+    return (j.withColumn("__mt", F.expr(mt))
+            .withColumn("__sc", F.expr(scores))
+            .withColumn("offset", F.expr(
+                "cast(array_position(__sc, array_max(__sc)) as bigint)"))
+            .select("query_id", "doc_id", "offset",
+                    F.expr("element_at(__sc, cast(offset as int))")
+                    .cast("long").alias("n_hits"),
+                    F.expr(f"concat_ws(' ', slice(__tk, "
+                           f"cast(offset as int), {w}))").alias("passage")))
+
+
+def expand_queries(docs, queries: dict[int, list[str]], k_fb: int = 5,
+                   m_exp: int = 3, k: int = 10, k1_milli: int = 1200,
+                   b_milli: int = 750, text_col: str = "text",
+                   id_col: str = "doc_id", return_terms: bool = False):
+    """Pseudo-relevance-feedback query expansion (the RM3/Rocchio
+    family, integerized): run a first BM25 pass, take each query's top
+    ``k_fb`` documents as implicit relevance feedback, pick the
+    ``m_exp`` strongest NEW terms from them, and re-run BM25 with the
+    expanded term set — the classic recall lever when the original
+    query undersamples the topic's vocabulary.
+
+    Integer-exact selection so the whole two-pass pipeline is
+    SQL-oracle-checkable: an expansion term's weight is
+    ``Σ over feedback docs of tf(doc, term) × idf_qbits(term)`` (the
+    same quarter-bit idf as the scoring pass — all bigint), original
+    query terms are excluded, zero-weight (stopword-floored) terms
+    drop, and the top ``m_exp`` tie-break (weight desc, term asc).
+
+    Scale shape: the first pass is :func:`bm25_topk`'s plan at
+    ``k=k_fb``; the feedback tf table is the corpus (doc, term) count
+    pruned EARLY by a broadcast join against the |Q|·k_fb feedback
+    pairs; the corpus df for candidate idf is one combining per-term
+    aggregate over the cached count table (the only corpus-sized
+    exchange, shared by both consumers); the winning terms are a
+    BOUNDED |Q|·m_exp driver collect (the mmr/codebook class) because
+    the second pass takes its query set as a plan literal; the second
+    pass is again the bm25 plan.  Everything runs under one
+    stats-sized pinned width and materializes inside the pin.
+
+    Returns the expanded ranking (query_id, doc_id, rank, score_milli)
+    — :func:`bm25_topk`'s contract; with ``return_terms=True`` returns
+    instead the expansion table (query_id, term, weight, rank) for
+    inspection/checks."""
+    from pyspark.sql import Window
+
+    from ..functions.layout import (finalize_release, pinned_shuffle,
+                                    plan_width)
+
+    spark = docs.sparkSession
+    with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
+                        adaptive=False):
+        fb = _bm25_build(docs, queries, k_fb, k1_milli, b_milli,
+                         text_col, id_col).select("query_id", "doc_id")
+        sel = docs.select(F.col(id_col).alias("doc"),
+                          tokens(F.col(text_col)).alias("__tk"))
+        tf_all = (sel.select("doc", F.explode("__tk").alias("term"))
+                  .groupBy("doc", "term").agg(F.count("*").alias("tf"))
+                  .cache())
+        nt = sel.agg(F.count("*").alias("n_docs"))
+        df_t = tf_all.groupBy("term").agg(
+            F.countDistinct("doc").alias("df"))
+        orig = spark.createDataFrame(
+            [(qid, t) for qid, ts in sorted(queries.items())
+             for t in sorted(set(ts))], "query_id long, term string")
+        cand = (tf_all.join(F.broadcast(fb),
+                            tf_all["doc"] == fb["doc_id"])
+                .groupBy("query_id", "term")
+                .agg(F.sum("tf").alias("tfsum"))
+                .join(df_t, "term")
+                .crossJoin(F.broadcast(nt))
+                .withColumn("weight",
+                            (F.expr(_IDF_QBITS).cast("long")
+                             * F.col("tfsum")).cast("long"))
+                .where(F.col("weight") > 0)
+                .join(F.broadcast(orig), ["query_id", "term"],
+                      "left_anti"))
+        wnd = Window.partitionBy("query_id").orderBy(
+            F.col("weight").desc(), F.col("term"))
+        top = (cand.withColumn("rank",
+                               F.row_number().over(wnd).cast("long"))
+               .where(F.col("rank") <= m_exp)
+               .select("query_id", "term", "weight", "rank"))
+        if return_terms:
+            return finalize_release(top, tf_all)
+        # bounded |Q|·m_exp collect: the second pass takes its query
+        # set as a plan literal (the bm25 contract)
+        rows = top.select("query_id", "term").collect()
+        merged = {qid: sorted(set(ts)) for qid, ts in queries.items()}
+        for r in rows:
+            merged.setdefault(int(r["query_id"]), [])
+            if r["term"] not in merged[r["query_id"]]:
+                merged[r["query_id"]].append(r["term"])
+        merged = {qid: sorted(set(ts)) for qid, ts in merged.items()}
+        out = _bm25_build(docs, merged, k, k1_milli, b_milli,
+                          text_col, id_col)
+        return finalize_release(out, tf_all)

@@ -2293,19 +2293,20 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
-def _bm25_ctes() -> str:
+def _bm25_ctes(text_sql: str = "lower(text)") -> str:
     """The BM25 scoring pipeline as a reusable CTE chain (q → dlt → nt
-    → tfq → dft → sc) — shared by the standalone oracle and the hybrid
-    RRF oracle, which fuses the same ranked list."""
+    → tfq → dft → sc) — shared by the standalone oracle, the hybrid
+    RRF oracle, the passage oracle and (with a marked ``text_sql``)
+    the PRF-expansion oracles."""
     vals = ", ".join(f"({qid}, '{t}')"
                      for qid, ts in sorted(_BM25_QUERIES.items())
                      for t in ts)
     return f"""q(query_id, term) AS (VALUES {vals}),
 dlt AS (
   SELECT doc_id AS doc,
-         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+         CAST(len(regexp_extract_all({text_sql}, '[a-z0-9]+'))
               AS BIGINT) AS dl,
-         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+         regexp_extract_all({text_sql}, '[a-z0-9]+') AS ts
   FROM documents),
 nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
               CAST(SUM(dl) AS BIGINT) AS n_tokens FROM dlt),
@@ -2609,6 +2610,178 @@ FROM sc QUALIFY rank <= 10 ORDER BY query_id, rank
 
 EXTENSION_CHECKS["bm25_from_index"] = (q_bm25_from_index,
                                        _bm25_from_index_oracle())
+
+
+# --- best-passage (snippet) extraction for a retrieved ranking (X83) --------
+
+def q_passage_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83: per retrieved (query, doc) pair, the w=16-token window with
+    the most query-term occurrences (earliest window on ties) — the
+    snippet/context-extraction step after retrieval.  Composes the
+    BM25 top-10 ranking with best_passages; occurrence counts, first-
+    position argmax and lowercased-token join make every column
+    engine-portable."""
+    from ..operators.text import best_passages, bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    ranking = bm25_topk(docs, _BM25_QUERIES, k=10)
+    return (best_passages(docs, ranking, _BM25_QUERIES, w=16)
+            .orderBy("query_id", "doc_id"))
+
+
+def _passage_oracle(w: int = 16) -> str:
+    return "WITH " + _bm25_ctes() + f""",
+sr AS (
+  SELECT query_id, doc AS doc_id FROM sc WHERE score_milli > 0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score_milli DESC, doc) <= 10),
+qa AS (SELECT query_id, list(DISTINCT term ORDER BY term) AS qterms
+       FROM q GROUP BY query_id),
+pe AS (
+  SELECT sr.query_id, sr.doc_id, dlt.ts,
+         list_transform(dlt.ts, t -> CASE WHEN list_contains(qa.qterms, t)
+                                          THEN 1 ELSE 0 END) AS mt,
+         greatest(len(dlt.ts) - {w} + 1, 1) AS nw
+  FROM sr JOIN dlt ON sr.doc_id = dlt.doc
+          JOIN qa ON qa.query_id = sr.query_id),
+sc3 AS (
+  SELECT query_id, doc_id, ts,
+         list_transform(range(1, nw + 1), j ->
+           COALESCE(list_aggregate(list_slice(mt, j, j + {w} - 1),
+                                   'sum'), 0)) AS scores
+  FROM pe),
+bo AS (
+  SELECT query_id, doc_id, ts, scores,
+         list_position(scores, list_max(scores)) AS off
+  FROM sc3)
+SELECT query_id, doc_id, CAST(off AS BIGINT) AS "offset",
+       CAST(scores[off] AS BIGINT) AS n_hits,
+       array_to_string(list_slice(ts, off, off + {w} - 1), ' ')
+         AS passage
+FROM bo ORDER BY query_id, doc_id
+"""
+
+
+EXTENSION_CHECKS["passage_extract"] = (q_passage_extract,
+                                       _passage_oracle())
+
+
+# --- pseudo-relevance-feedback query expansion (X84) ------------------------
+
+# The synthetic corpus' one rare term is "dup" (every other word has
+# df > N/2 → idf floors to 0), so raw-corpus expansion is structurally
+# EMPTY: no candidate term can carry positive weight.  The checks run
+# over a deterministically MARKED corpus instead — every document
+# containing the standalone token "dup" gets " prfsyn" appended, a
+# synthetic synonym with df ≈ 5% and perfect feedback co-occurrence —
+# so the expansion machinery is exercised end-to-end (the oracle marks
+# identically; the raw-corpus empty case is pinned by the pathological
+# pytest).
+_PRF_TEXT_SQL = (r"CASE WHEN regexp_matches(lower(text), '\bdup\b') "
+                 r"THEN lower(text) || ' prfsyn' ELSE lower(text) END")
+
+
+def _prf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.withColumn(
+        "text",
+        F.when(F.regexp_like(F.lower("text"), F.lit(r"\bdup\b")),
+               F.concat("text", F.lit(" prfsyn")))
+        .otherwise(F.col("text")))
+
+
+def _expansion_ctes(k_fb: int = 5, m_exp: int = 3) -> str:
+    """First-pass feedback + integer expansion-term selection as a CTE
+    chain on top of _bm25_ctes over the marked corpus (sr → tfa → dfa
+    → cand → wgt → topx) — shared by the term-table oracle and the
+    expanded-ranking oracle."""
+    return _bm25_ctes(_PRF_TEXT_SQL) + f""",
+sr AS (
+  SELECT query_id, doc AS doc_id FROM sc WHERE score_milli > 0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score_milli DESC, doc) <= {k_fb}),
+tfa AS (
+  SELECT doc, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc, dl, UNNEST(ts) AS term FROM dlt)
+  GROUP BY doc, dl, term),
+dfa AS (SELECT term, CAST(COUNT(DISTINCT doc) AS BIGINT) AS df
+        FROM tfa GROUP BY term),
+cand AS (
+  SELECT sr.query_id, tfa.term, CAST(SUM(tfa.tf) AS BIGINT) AS tfsum
+  FROM tfa JOIN sr ON tfa.doc = sr.doc_id
+  GROUP BY sr.query_id, tfa.term),
+wgt AS (
+  SELECT query_id, term, CAST(({_IDF_SQL}) * tfsum AS BIGINT) AS weight
+  FROM cand JOIN dfa USING (term), nt),
+topx AS (
+  SELECT query_id, term, weight,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY weight DESC, term)
+              AS BIGINT) AS rank
+  FROM wgt
+  WHERE weight > 0
+    AND NOT EXISTS (SELECT 1 FROM q
+                    WHERE q.query_id = wgt.query_id
+                      AND q.term = wgt.term))"""
+
+
+def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84a: the expansion-term table of the RM3-style feedback loop —
+    top-3 new terms per query by Σ feedback-tf × quarter-bit idf, all
+    bigint, ties (weight desc, term asc)."""
+    from ..operators.text import expand_queries
+
+    return (expand_queries(_prf_docs(spark, sf_dir), _BM25_QUERIES,
+                           k_fb=5, m_exp=3, return_terms=True)
+            .orderBy("query_id", "rank"))
+
+
+ORACLE_QUERY_EXPANSION = ("WITH " + _expansion_ctes() + """
+SELECT query_id, term, weight, rank
+FROM topx WHERE rank <= 3 ORDER BY query_id, rank
+""")
+
+
+EXTENSION_CHECKS["query_expansion"] = (q_query_expansion,
+                                       ORACLE_QUERY_EXPANSION)
+
+
+def q_bm25_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84b: the full two-pass expanded retrieval — feedback pass,
+    integer term selection, then BM25 over the expanded term sets; the
+    end-to-end recall lever, oracle-exact because every stage is."""
+    from ..operators.text import expand_queries
+
+    return (expand_queries(_prf_docs(spark, sf_dir), _BM25_QUERIES,
+                           k_fb=5, m_exp=3, k=10)
+            .orderBy("query_id", "rank"))
+
+
+ORACLE_BM25_EXPANDED = ("WITH " + _expansion_ctes() + f""",
+q2 AS (SELECT query_id, term FROM q
+       UNION SELECT query_id, term FROM topx WHERE rank <= 3),
+sc2 AS (
+  SELECT q2.query_id, tfa.doc,
+         CAST(SUM(
+           (({_IDF_SQL}) * tfa.tf * 2200 * 1000)
+           // (tfa.tf * 1000
+               + (1200 * (250 + (750 * tfa.dl * n_docs) // n_tokens))
+                 // 1000)) AS BIGINT) AS score_milli
+  FROM tfa JOIN dfa USING (term) JOIN q2 USING (term), nt
+  GROUP BY q2.query_id, tfa.doc)
+SELECT query_id, doc AS doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score_milli DESC, doc)
+            AS BIGINT) AS rank,
+       score_milli
+FROM sc2 WHERE score_milli > 0
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+""")
+
+
+EXTENSION_CHECKS["bm25_expanded"] = (q_bm25_expanded,
+                                     ORACLE_BM25_EXPANDED)
 
 
 # --- order-aware retrieval evaluation (X81) ---------------------------------

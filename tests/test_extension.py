@@ -1408,6 +1408,61 @@ def test_bm25_from_index_agrees_with_direct(spark, sf_dir, tmp_path):
     assert served == direct and len(direct) > 0
 
 
+def test_best_passages_closed_form(spark):
+    """Window selection is exact and ties break to the EARLIEST window:
+    a doc with query hits clustered at a known offset yields that
+    offset and hit count; a doc shorter than the window yields offset 1
+    over whatever exists."""
+    from ethereum2_etl_airflow_spark.operators.text import best_passages
+
+    # tokens 1..12; query terms at positions 6,7,9 -> best w=4 window
+    # starts at 6 (covers 6,7,9 -> 3 hits); window 7 covers 7,9 -> 2
+    docs = spark.createDataFrame(
+        [(1, "a b c d e q1 q2 f q3 g h i"),
+         (2, "q1 q2")],                      # shorter than the window
+        "doc_id long, text string")
+    ranking = spark.createDataFrame(
+        [(7, 1), (7, 2)], "query_id long, doc_id long")
+    out = {r["doc_id"]: r for r in
+           best_passages(docs, ranking, {7: ["q1", "q2", "q3"]},
+                         w=4).collect()}
+    assert out[1]["offset"] == 6 and out[1]["n_hits"] == 3
+    assert out[1]["passage"] == "q1 q2 f q3"
+    assert out[2]["offset"] == 1 and out[2]["n_hits"] == 2
+    assert out[2]["passage"] == "q1 q2"
+    # all-tie (no hits anywhere) -> earliest window (offset 1)
+    out0 = best_passages(docs, ranking, {7: ["zzz"]}, w=4).collect()
+    assert all(r["offset"] == 1 and r["n_hits"] == 0 for r in out0)
+
+
+def test_expand_queries_recovers_synonym(spark):
+    """The PRF loop's recall claim: docs about the query term co-mention
+    a synonym; a relevant doc using ONLY the synonym is invisible to
+    the original query but retrieved after expansion — and the synonym
+    is the top expansion term."""
+    from ethereum2_etl_airflow_spark.operators.text import (
+        bm25_topk, expand_queries)
+
+    filler = "lorem ipsum dolor sit amet consectetur"
+    docs = spark.createDataFrame(
+        [(1, "blockchain ledger " + filler),
+         (2, "blockchain ledger " + filler),
+         (3, "blockchain ledger " + filler),
+         (4, "ledger only here " + filler),          # synonym-only doc
+         (5, filler), (6, filler), (7, filler), (8, filler),
+         (9, filler), (10, filler)],  # 10 docs: ledger df=4 < N/2 so
+        "doc_id long, text string")   # its idf stays positive
+    q = {1: ["blockchain"]}
+    base_docs = {r["doc_id"] for r in bm25_topk(docs, q, k=10).collect()}
+    assert 4 not in base_docs
+    terms = expand_queries(docs, q, k_fb=3, m_exp=1,
+                           return_terms=True).collect()
+    assert [r["term"] for r in terms] == ["ledger"]
+    exp_docs = {r["doc_id"] for r in
+                expand_queries(docs, q, k_fb=3, m_exp=1, k=10).collect()}
+    assert 4 in exp_docs and base_docs <= exp_docs
+
+
 def test_mdq_sketch_mergeable_and_accurate(spark, sf_dir):
     """The md5-reservoir quantile sketch merges associatively (sketch of
     a union == re-sketch of the union of shard sketches) and its

@@ -237,6 +237,27 @@ def test_retrieval_ops_degenerate(spark, empty_docs, null_docs):
     assert ranking_eval(a, b.select("query_id", "doc_id")).collect() == []
 
 
+def test_passage_and_expansion_degenerate(spark, empty_docs, null_docs):
+    """X83/X84 on degenerate inputs: empty ranking, empty corpus,
+    queries with no feedback hits — empty results or the original
+    ranking, never a crash."""
+    from ethereum2_etl_airflow_spark.operators.text import (
+        best_passages, expand_queries)
+
+    empty_rank = spark.createDataFrame(
+        [], "query_id long, doc_id long, rank long, score_milli long")
+    assert best_passages(null_docs, empty_rank,
+                         {1: ["real"]}).collect() == []
+    assert best_passages(empty_docs, empty_rank,
+                         {1: ["a"]}).collect() == []
+    # no feedback docs (absent terms) -> no expansion terms, and the
+    # expanded ranking degrades to the original query's (empty) one
+    assert expand_queries(null_docs, {1: ["zzzabsent"]},
+                          return_terms=True).collect() == []
+    assert expand_queries(null_docs, {1: ["zzzabsent"]}).collect() == []
+    assert expand_queries(empty_docs, {1: ["a"]}).collect() == []
+
+
 def test_bm25_from_index_degenerate(spark, empty_docs, null_docs):
     """The round-9 serving path on degenerate inputs: empty index,
     query terms absent from the index, k larger than the served pool —
