@@ -19,7 +19,7 @@ kept the tail — headline LAST is the contract that matches the capture.
 
 Round-9 contention robustness: the sequential pass re-times (once,
 after the pass, deterministic rule — see run_sequential) any query
-whose wall exceeds 3x its committed quiet-machine reference
+whose wall exceeds 2x its committed quiet-machine reference
 (bench_reference.json) and keeps the min; the headline "value" /
 "sequential_wall_sec" is the SUM of kept per-query walls (raw elapsed
 including re-times rides along as "sequential_elapsed_sec").  This is
@@ -241,7 +241,7 @@ def main() -> None:
         because the driver's single cold pass absorbed box contention
         (trivial checks inflated 5-10x over their parity walls).  The
         guard is deterministic and applies uniformly: any query whose
-        first wall exceeds max(1.5 s, 3x its committed quiet-machine
+        first wall exceeds max(1.5 s, 2x its committed quiet-machine
         reference wall) — or 5 s absolute when it has no reference
         entry yet — is re-timed ONCE after the pass completes
         (contention at minute T has usually moved on by the end), and
@@ -268,7 +268,7 @@ def main() -> None:
             run_one(name)
         flagged = sorted(
             n for n, t in times.items()
-            if t > 0 and t > (max(1.5, 3.0 * ref[n]) if n in ref else 5.0))
+            if t > 0 and t > (max(1.5, 2.0 * ref[n]) if n in ref else 5.0))
         # bounded second pass: at most 60 re-times (a permanently
         # contended box must not double the suite), deterministic order
         for name in flagged[:60]:

@@ -143,7 +143,10 @@ def main() -> int:
         "verdict is recorded — this box drifts ±10-25% run-to-run, so "
         "one-shot walls cannot adjudicate the 2× bar.  (With "
         "--bench-json only the oracle side re-times; the spark wall "
-        "is bench's own single cold run by design.)",
+        "comes from the supplied map — round-9 regen feeds the "
+        "committed bench_reference.json quiet floor, i.e. min across "
+        "the close-day runs, so per-query debt is judged on a quiet "
+        "machine on both sides.)",
         "Sorted worst-first; the suite-level BASELINE target is the "
         "aggregate wall, this table is the per-query debt audit.",
         "Round-8 bar-adjacent warm medians (isolated session, 1 warm + "
@@ -151,12 +154,34 @@ def main() -> int:
         "walls below read higher on iterative ops): pagerank 2.02 s, "
         "sparse_cosine 1.77 s, source_similarity 1.06 s, span_hits "
         "1.40 s, repeated_spans 0.98 s.",
-        "Round-8 close-day sequential-suite band (same HEAD, same "
-        "protocol, 3 full runs spread over the day): 190.9 s (222 "
-        "checks, before the 5 new retrieval checks ≈ +12 s), 233.8 s, "
-        "221.9 s (227 checks) — the box drifted ~15-20% slower through "
-        "the day, uniformly across queries; per-query ≥2× flags from "
-        "a single bench pass inherit that drift.",
+        "Round-9 sparse_cosine closure (the carried ≤1.5 s bar): the "
+        "default strategy is now the blocked-GEMM shape (per-block "
+        "pivot + one matmul, replacing the 11.2 M-row pair-join+agg "
+        "stage) — **0.73 s** warm median-of-3 (0.99/0.73/0.71; index "
+        "path kept as the wide-vocab/giant-block scale strategy: "
+        "1.82 s).  Stage profile that adjudicated the levers (sf0.1, "
+        "warm): 0.26 s driver plan build + 0.44 s index materialize + "
+        "0.90 s pair join+agg; the round-8 df-cap proposal is "
+        "INAPPLICABLE on this corpus (620 (blk,tok) keys, all ~200 "
+        "docs — uniform histogram, no discriminative subset to keep), "
+        "and a packed map-dot pair join measured 3.3 s (interpreted "
+        "HOF).  Both strategies bit-identical incl. cosine doubles "
+        "(pytest-pinned).",
+        "Round-9 contention guard + band: bench's sequential pass "
+        "re-times (once, after the pass) any query whose wall exceeds "
+        "3× its committed bench_reference.json wall (5 s absolute "
+        "without a reference) and keeps the min; the headline is the "
+        "SUM of kept walls, raw elapsed rides along as "
+        "sequential_elapsed_sec.  Round-9 close-day band (3 full "
+        "sequential runs at 231 checks, one query at a time, spread "
+        "over the day): **255.7 / 308.7 / 316.4 s** kept-sum (elapsed "
+        "263/354/440 s) — the box again drifted ~20% slower through "
+        "the day (the round-8 pattern); the min-merged per-query "
+        "quiet floor (bench_reference.json, committed) totals "
+        "~245 s.  The guard absorbs transient spikes (min-of-2), not "
+        "sustained host-side slow phases — cross-round comparisons "
+        "should use the kept-sum against this band, per-query debt "
+        "against the reference floor.",
         "Concurrent-wall band (round-8 bracket, 5 fresh-JVM runs of "
         "the 32-thread pass at HEAD, per-thread child sessions): "
         "42.0 / 50.8 / 52.1 / 60.6 / 91.4 s — median 52 s, ±45% "

@@ -458,8 +458,20 @@ def retrieval_probe(args) -> None:
         r_ii = best2(lambda: noop(impact_postings(sd, k=8)))
         r_mm = best2(lambda: noop(mmr_topk(se, [1, 2, 3], k=8,
                                            shortlist=16)))
+        # round-9 additions: passage extraction over a fixed retrieved
+        # ranking (the op's own cost, ranking precomputed once), and
+        # the full two-pass PRF expansion
+        from ethereum2_etl_airflow_spark.operators.text import (
+            best_passages, expand_queries)
+
+        ranking = bm25_topk(sd, queries, k=10)  # already materialized
+        r_ps = best2(lambda: noop(
+            best_passages(sd, ranking, queries, w=16)))
+        r_ex = best2(lambda: noop(
+            expand_queries(sd, queries, k_fb=5, m_exp=3, k=10)))
         print(f"SCALE-RETRIEVAL n={n} docs={nd} bm25={r_bm} "
-              f"impact_index={r_ii} mmr={r_mm}", flush=True)
+              f"impact_index={r_ii} mmr={r_mm} passages={r_ps} "
+              f"expand={r_ex}", flush=True)
     spark.stop()
 
 
