@@ -169,7 +169,7 @@ def main() -> int:
         "(pytest-pinned).",
         "Round-9 contention guard + band: bench's sequential pass "
         "re-times (once, after the pass) any query whose wall exceeds "
-        "3× its committed bench_reference.json wall (5 s absolute "
+        "2× its committed bench_reference.json wall (5 s absolute "
         "without a reference) and keeps the min; the headline is the "
         "SUM of kept walls, raw elapsed rides along as "
         "sequential_elapsed_sec.  Round-9 close-day band (3 full "
@@ -178,10 +178,12 @@ def main() -> int:
         "263/354/440 s) — the box again drifted ~20% slower through "
         "the day (the round-8 pattern); the min-merged per-query "
         "quiet floor (bench_reference.json, committed) totals "
-        "~245 s.  The guard absorbs transient spikes (min-of-2), not "
-        "sustained host-side slow phases — cross-round comparisons "
-        "should use the kept-sum against this band, per-query debt "
-        "against the reference floor.",
+        "~246 s.  A close-day full driver-path run (both passes, no "
+        "env flags) read kept-sum 265.7 s / concurrent 94.1 s / 0 "
+        "errors — inside the band.  The guard absorbs transient "
+        "spikes (min-of-2), not sustained host-side slow phases — "
+        "cross-round comparisons should use the kept-sum against "
+        "this band, per-query debt against the reference floor.",
         "Concurrent-wall band (round-8 bracket, 5 fresh-JVM runs of "
         "the 32-thread pass at HEAD, per-thread child sessions): "
         "42.0 / 50.8 / 52.1 / 60.6 / 91.4 s — median 52 s, ±45% "
