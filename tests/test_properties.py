@@ -448,3 +448,27 @@ def test_winnowing_matches_python_reference(spark, token_ids, k, w):
                                  "doc_id long, text string")
     got = {r["fp"] for r in winnow_fingerprints(docs, k=k, w=w).collect()}
     assert got == want
+
+
+@SET
+@given(st.lists(st.tuples(st.text(alphabet="ab ", min_size=0, max_size=30),
+                          st.integers(0, 2)),
+                min_size=2, max_size=8))
+def test_sparse_cosine_strategies_equal_on_arbitrary_corpora(spark, rows):
+    """The round-9 strategy contract beyond the fixture check: the
+    blocked-GEMM default and the inverted-index path return the
+    IDENTICAL pair set with bit-identical integer dot AND double cosine
+    on arbitrary corpora — including empty texts, single-token docs,
+    duplicate texts and single-doc blocks."""
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        sparse_cosine_pairs)
+
+    docs = spark.createDataFrame(
+        [(i, t, f"b{b}") for i, (t, b) in enumerate(rows)],
+        "doc_id long, text string, source string")
+    gemm = {(r["id_a"], r["id_b"], r["dot"], r["cosine"]) for r in
+            sparse_cosine_pairs(docs, threshold_millis=200).collect()}
+    idx = {(r["id_a"], r["id_b"], r["dot"], r["cosine"]) for r in
+           sparse_cosine_pairs(docs, threshold_millis=200,
+                               strategy="index").collect()}
+    assert gemm == idx
