@@ -472,3 +472,35 @@ def test_sparse_cosine_strategies_equal_on_arbitrary_corpora(spark, rows):
            sparse_cosine_pairs(docs, threshold_millis=200,
                                strategy="index").collect()}
     assert gemm == idx
+
+
+@SET
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40),
+                min_size=1, max_size=6),
+       st.integers(2, 5))
+def test_best_passages_matches_bruteforce(spark, texts, w):
+    """best_passages must agree with a trivial driver-side scan of every
+    window on arbitrary texts and window sizes: same earliest-max
+    offset, same hit count, same joined passage."""
+    import re
+
+    from ethereum2_etl_airflow_spark.operators.text import best_passages
+
+    qterms = ["a", "ab"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    ranking = spark.createDataFrame(
+        [(1, i) for i in range(len(texts))], "query_id long, doc_id long")
+    got = {r["doc_id"]: (r["offset"], r["n_hits"], r["passage"])
+           for r in best_passages(docs, ranking, {1: qterms},
+                                  w=w).collect()}
+
+    for i, t in enumerate(texts):
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        nw = max(len(toks) - w + 1, 1)
+        scores = [sum(1 for x in toks[j:j + w] if x in qterms)
+                  for j in range(nw)]
+        best = max(scores)
+        off = scores.index(best) + 1
+        exp = (off, best, " ".join(toks[off - 1:off - 1 + w]))
+        assert got[i] == exp, (t, w, got[i], exp)
