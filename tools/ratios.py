@@ -190,7 +190,10 @@ def main() -> int:
         "single-round spread.  The round-6→7 35.6→61.5 s move sits "
         "INSIDE one round's own band, so cross-round concurrent-wall "
         "diffs under ~2× are not evidence of regression; the "
-        "sequential pass is the round-over-round comparable number.",
+        "sequential pass is the round-over-round comparable number.  "
+        "Round-9 bracket at close HEAD (231 checks): 85.6 / 52.0 / "
+        "50.8 s plus 94.1 s inside the full driver-path run — same "
+        "band, same spread.",
         "",
         "| check | spark s | oracle s | ratio |",
         "|---|---|---|---|",
