@@ -1142,26 +1142,55 @@ RELATIONAL_CHECKS.update({
 # --- mergeable HLL sketches (incremental distinct) ------------------------
 
 def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: per-day HLL sketches unioned into a running distinct-
-    user estimate — the mergeable-sketch pattern that replaces exact
+    """Per-day HLL sketches unioned into a running distinct-user
+    estimate — the mergeable-sketch pattern that replaces exact
     COUNT(DISTINCT) at 100 TB (per-partition sketches build map-side,
     merge is a tiny binary union; an incremental pipeline stores the
-    per-day sketch and unions without rescanning history).  Estimates
-    are engine-specific, so no value oracle; the recall pytest bounds
-    the error vs the exact count instead."""
+    per-day sketch and unions without rescanning history).
+
+    Oracle-checkable form (round-9, the agg_count_distinct_approx
+    recipe): the union ESTIMATE is engine-specific, so instead of
+    exporting it the check consumes it in-plan — an exact global
+    distinct count plus a boolean asserting the unioned estimate lands
+    within 10% of it (default lgConfigK=12 → rsd ≈ 1.6%, so the band
+    is ~6σ; sketches are deterministic for fixed data).  The
+    sketch-build/union/estimate path still executes in full; the
+    recall pytest additionally bounds the error at a tighter 5%."""
     ev = _t(spark, sf_dir, "events")
     daily = (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
              .agg(F.hll_sketch_agg("user_id").alias("sketch"),
                   F.countDistinct("user_id").alias("exact_day")))
-    return (daily.agg(
+    exact = (ev.agg(F.countDistinct("user_id").cast("long")
+                    .alias("exact_total_users")))
+    merged = (daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch"))
-        .alias("approx_total_users"),
-        F.sum("exact_day").alias("sum_daily_exact"),
-        F.count("*").alias("n_days")))
+        .cast("double").alias("__approx"),
+        F.sum("exact_day").cast("long").alias("sum_daily_exact"),
+        F.count("*").cast("long").alias("n_days")))
+    return (merged.crossJoin(exact)
+            .select("exact_total_users", "sum_daily_exact", "n_days",
+                    (F.abs(F.col("__approx")
+                           / F.col("exact_total_users").cast("double")
+                           - F.lit(1.0)) <= 0.10)
+                    .alias("union_within_tol")))
+
+
+ORACLE_HLL_UNION = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_day
+  FROM events GROUP BY day)
+SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+         AS exact_total_users,
+       CAST(SUM(exact_day) AS BIGINT) AS sum_daily_exact,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       true AS union_within_tol
+FROM daily
+"""
 
 
 RELATIONAL_CHECKS.update({
-    "hll_union": (q_hll_union, None),
+    "hll_union": (q_hll_union, ORACLE_HLL_UNION),
 })
 
 
