@@ -307,7 +307,12 @@ def main() -> None:
         seq_times, seq_wall, seq_elapsed = run_sequential()
         if os.environ.get("SPARK_GRAFT_BENCH_WRITE_REF"):
             # regenerate the quiet-machine reference: min-merge with any
-            # existing file so repeated runs tighten the thresholds
+            # existing file so repeated runs tighten the thresholds.
+            # Re-baseline rule: when a query's plan legitimately gets
+            # HEAVIER (shape change), delete its entry from
+            # bench_reference.json before regenerating — min-merge
+            # would otherwise pin an unachievable floor and the guard
+            # would re-time that query every pass (round-9: hll_union)
             ref_path = os.path.join(REPO, "bench_reference.json")
             prev = {}
             try:

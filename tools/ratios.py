@@ -172,10 +172,10 @@ def main() -> int:
         "2× its committed bench_reference.json wall (5 s absolute "
         "without a reference) and keeps the min; the headline is the "
         "SUM of kept walls, raw elapsed rides along as "
-        "sequential_elapsed_sec.  Round-9 close-day band (4 full "
+        "sequential_elapsed_sec.  Round-9 close-day band (5 full "
         "sequential runs at 231 checks, one query at a time, spread "
-        "over the day): **236.6 / 255.7 / 308.7 / 316.4 s** kept-sum "
-        "(elapsed 237/263/354/440 s; the 236.6 s run re-timed "
+        "over the day): **236.6 / 255.7 / 298.6 / 308.7 / 316.4 s** kept-sum "
+        "(elapsed 237/263/349/354/440 s; the 236.6 s run re-timed "
         "NOTHING — zero guard overhead on a quiet box) — the box "
         "drifted ~20% slower through "
         "the day (the round-8 pattern); the min-merged per-query "
