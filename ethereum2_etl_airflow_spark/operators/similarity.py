@@ -346,14 +346,22 @@ def _sparse_cosine_gemm_build(docs: DataFrame, block_col: str,
     on any dot/norm) the BLAS result is the exact integer; otherwise
     the block recomputes in int64 (exact to 2^63).  The cosine is the
     same three IEEE ops (sqrt, mul, div) on the same exact integers as
-    the index path and the SQL oracle — bit-identical output."""
+    the index path and the SQL oracle — bit-identical output.
+
+    NULL block values are dropped up front: the index path's
+    ``a.blk == b.blk`` self-join never matches NULL (SQL join
+    semantics), so without the filter ``groupBy('blk')`` would group
+    the null-block rows together and emit pairs among them — silently
+    diverging from the other strategy.  A NULL block means "no
+    comparison universe", consistently on both paths."""
     from .text import tokens
 
     thr = threshold_millis / 1000.0
 
-    tc0 = (docs.select(F.col(block_col).alias("blk"),
-                       F.col(id_col).alias("id"),
-                       F.explode(tokens(F.col(text_col))).alias("tok"))
+    tc0 = (docs.where(F.col(block_col).isNotNull())
+           .select(F.col(block_col).alias("blk"),
+                   F.col(id_col).alias("id"),
+                   F.explode(tokens(F.col(text_col))).alias("tok"))
            .groupBy("blk", "id", "tok").agg(F.count("*").alias("cnt")))
 
     def block_gemm(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -787,7 +787,7 @@ def _bm25_from_index_build(index, queries: dict[int, list[str]], k: int):
 
 def best_passages(docs, ranking, queries: dict[int, list[str]],
                   w: int = 16, text_col: str = "text",
-                  id_col: str = "doc_id"):
+                  id_col: str = "doc_id", strategy: str = "auto"):
     """Best-passage (snippet) extraction for a retrieved ranking — the
     step after retrieval in a RAG / training-data pipeline: for every
     (query, doc) pair of ``ranking``, find the ``w``-token window of
@@ -796,22 +796,44 @@ def best_passages(docs, ranking, queries: dict[int, list[str]],
 
     Deterministic and SQL-oracle-checkable by construction: window
     score is an integer occurrence count, the argmax tie-breaks to the
-    first position (``array_position`` returns the FIRST index of the
-    max — both engines), and the passage text is a join of the
+    first position, and the passage text is a join of the
     already-lowercased tokens, so every output column is
     engine-portable.
 
     Scale shape: ``ranking`` is a retrieved top-k list (|Q|·k rows) —
     it joins the corpus as a BROADCAST probe (with the per-query term
     arrays attached), so the pass is one corpus scan with a narrow
-    codegen map: per surviving row the match mask is O(tokens), the
-    window scores are O(tokens·w) integer adds inside one expression
-    (no explode — the window stream never exists as rows), and there
-    is NO shuffle at all.  At 100 TB this is scan-bound, exactly like
-    the text-stats family.
+    codegen map and NO shuffle at all.  At 100 TB this is scan-bound,
+    exactly like the text-stats family.
+
+    COST MODEL (per surviving row, inside one codegen expression):
+
+    - ``strategy='scan'`` — the match mask is O(tokens·|qterms|), then
+      every window start is scored by an O(w) slice-sum:
+      **O(tokens·w)** integer adds.  Right for snippet-sized windows
+      (w ≤ ~64); at RAG-typical w = 256+ the expression cost grows
+      linearly with w.
+    - ``strategy='hits'`` — extract the hit POSITIONS (O(tokens·
+      |qterms|)), then score only hit-anchored windows and recover the
+      earliest argmax from the position array: **O(tokens + hits²)**,
+      independent of w (hits = query-term occurrences in the doc,
+      normally ≪ tokens).  Bit-identical output (pytest-pinned): any
+      window's hits are a consecutive run in the position array, so the
+      anchored maximum is the global maximum, and the earliest start
+      for a c-hit run ending at position p is max(1, p − w + 1).
+    - ``strategy='auto'`` (default) — 'scan' for w ≤ 64, 'hits' above.
 
     Returns (query_id, doc_id, offset [1-based token index], n_hits,
-    passage) — one row per ranking row whose document exists."""
+    passage) — one row per ranking row whose document exists.  A NULL
+    document text behaves exactly like an empty document (offset=1,
+    n_hits=0, passage='') rather than propagating NULLs — reachable
+    only via caller-supplied rankings, since bm25_topk never ranks a
+    token-less doc."""
+    if strategy == "auto":
+        strategy = "scan" if w <= 64 else "hits"
+    if strategy not in ("scan", "hits"):
+        raise ValueError(f"best_passages: unknown strategy {strategy!r} "
+                         f"(want 'scan', 'hits' or 'auto')")
     spark = docs.sparkSession
     qt = spark.createDataFrame(
         [(qid, sorted(set(ts))) for qid, ts in sorted(queries.items())],
@@ -821,18 +843,51 @@ def best_passages(docs, ranking, queries: dict[int, list[str]],
     sel = docs.select(F.col(id_col).alias("doc_id"),
                       tokens(F.col(text_col)).alias("__tk"))
     j = sel.join(F.broadcast(probe), sel["doc_id"] == probe["__rdoc"])
-    mt = ("transform(__tk, t -> CASE WHEN array_contains(qterms, t) "
-          "THEN 1L ELSE 0L END)")
-    nw = f"greatest(size(__tk) - {w} + 1, 1)"
-    scores = (f"transform(sequence(1, {nw}), j -> "
-              f"aggregate(slice(__mt, j, {w}), 0L, (a, x) -> a + x))")
-    return (j.withColumn("__mt", F.expr(mt))
-            .withColumn("__sc", F.expr(scores))
-            .withColumn("offset", F.expr(
-                "cast(array_position(__sc, array_max(__sc)) as bigint)"))
+    if strategy == "scan":
+        mt = ("transform(__tk, t -> CASE WHEN array_contains(qterms, t) "
+              "THEN 1L ELSE 0L END)")
+        nw = f"greatest(size(__tk) - {w} + 1, 1)"
+        scores = (f"transform(sequence(1, {nw}), j -> "
+                  f"aggregate(slice(__mt, j, {w}), 0L, (a, x) -> a + x))")
+        return (j.withColumn("__mt", F.expr(mt))
+                .withColumn("__sc", F.expr(scores))
+                .withColumn("offset", F.expr(
+                    "cast(array_position(__sc, array_max(__sc)) "
+                    "as bigint)"))
+                .select("query_id", "doc_id", "offset",
+                        F.expr("element_at(__sc, cast(offset as int))")
+                        .cast("long").alias("n_hits"),
+                        F.expr(f"concat_ws(' ', slice(__tk, "
+                               f"cast(offset as int), {w}))")
+                        .alias("passage")))
+    # 'hits': positions of query-term occurrences; score only windows
+    # anchored at a hit (the anchored max IS the global max: shifting a
+    # window right to start at its first hit keeps all its hits).
+    # CASE guard: sequence(1, 0) DESCENDS to [1, 0] in Spark, so an
+    # empty token array would probe element_at(__tk, 0) and throw
+    hp = ("CASE WHEN size(__tk) = 0 THEN cast(array() as array<bigint>) "
+          "ELSE filter(sequence(1, size(__tk)), i -> "
+          "array_contains(qterms, element_at(__tk, i))) END")
+    # score of the window anchored at hit i: hits within w tokens
+    c = (f"array_max(transform(sequence(1, size(__hp)), i -> "
+         f"size(filter(__hp, x -> x >= element_at(__hp, i) AND "
+         f"x <= element_at(__hp, i) + {w} - 1))))")
+    # earliest start achieving the max c: the first consecutive c-run
+    # that fits in a w-window (H increasing → first fitting run has the
+    # smallest ending position), started as early as the run allows
+    i0 = (f"element_at(filter(sequence(1, size(__hp) - __c + 1), i -> "
+          f"element_at(__hp, i + __c - 1) - element_at(__hp, i) "
+          f"<= {w} - 1), 1)")
+    off = (f"CASE WHEN size(__hp) = 0 THEN 1L ELSE "
+           f"greatest(1L, cast(element_at(__hp, cast({i0} as int) "
+           f"+ __c - 1) - {w} + 1 as bigint)) END")
+    return (j.withColumn("__hp", F.expr(hp))
+            .withColumn("__c", F.expr(
+                f"CASE WHEN size(__hp) = 0 THEN 0 ELSE cast({c} as int) "
+                f"END"))
+            .withColumn("offset", F.expr(off))
             .select("query_id", "doc_id", "offset",
-                    F.expr("element_at(__sc, cast(offset as int))")
-                    .cast("long").alias("n_hits"),
+                    F.col("__c").cast("long").alias("n_hits"),
                     F.expr(f"concat_ws(' ', slice(__tk, "
                            f"cast(offset as int), {w}))").alias("passage")))
 
@@ -885,6 +940,10 @@ def expand_queries(docs, queries: dict[int, list[str]], k_fb: int = 5,
         tf_all = (sel.select("doc", F.explode("__tk").alias("term"))
                   .groupBy("doc", "term").agg(F.count("*").alias("tf"))
                   .cache())
+        # eager build: two plan branches (cand and df_t) read this
+        # cache — racing a cold cache would tokenize the corpus twice
+        # (same guard as repeated_span_hits)
+        tf_all.count()
         nt = sel.agg(F.count("*").alias("n_docs"))
         df_t = tf_all.groupBy("term").agg(
             F.countDistinct("doc").alias("df"))

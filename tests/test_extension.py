@@ -484,6 +484,25 @@ def test_sparse_cosine_strategies_bit_identical(spark, sf_dir):
     assert gemm and gemm == idx
 
 
+def test_sparse_cosine_null_block_dropped_on_both_strategies(spark):
+    """NULL blocking keys mean "no comparison universe" on BOTH
+    strategies (round-10): the index path's a.blk == b.blk join never
+    matches NULL, and the GEMM path now filters them up front instead
+    of grouping all null-block rows together — two identical docs with
+    a NULL source must NOT pair, while the non-null block still does."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", None),
+         (2, "alpha beta gamma", None),
+         (3, "delta epsilon", "s"),
+         (4, "delta epsilon", "s")],
+        "doc_id long, text string, source string")
+    for strat in ("gemm", "index"):
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 S.sparse_cosine_pairs(docs, threshold_millis=650,
+                                       strategy=strat).collect()}
+        assert pairs == {(3, 4)}, (strat, pairs)
+
+
 def test_sparse_cosine_gemm_int64_fallback(spark):
     """A block whose count scale breaks the float64-exactness proof
     (max(cnt)²·|vocab| ≥ 2^53) recomputes in int64 and still returns
@@ -1441,6 +1460,38 @@ def test_best_passages_closed_form(spark):
     # all-tie (no hits anywhere) -> earliest window (offset 1)
     out0 = best_passages(docs, ranking, {7: ["zzz"]}, w=4).collect()
     assert all(r["offset"] == 1 and r["n_hits"] == 0 for r in out0)
+
+
+def test_best_passages_strategies_bit_identical(spark):
+    """The O(tokens·w) scan and the O(tokens + hits²) hit-positions
+    strategies are bit-identical (round-10 large-w escape hatch),
+    including the edge shapes: empty doc, NULL text (behaves as empty
+    — offset 1, 0 hits, '' passage, never NULL columns), doc shorter
+    than the window, dense all-hit docs, and w far beyond doc length.
+    'auto' picks scan at w ≤ 64 and hits above."""
+    from ethereum2_etl_airflow_spark.operators.text import best_passages
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e q1 q2 f q3 g h i"),
+         (2, "q1 q2"), (3, None), (4, ""),
+         (5, " ".join(["x"] * 200 + ["q1"] + ["y"] * 50 + ["q1", "q3"])),
+         (6, "q1 " * 300)],
+        "doc_id long, text string")
+    ranking = spark.createDataFrame(
+        [(7, d) for d in (1, 2, 3, 4, 5, 6)], "query_id long, doc_id long")
+    qs = {7: ["q1", "q2", "q3"]}
+    for w in (1, 4, 16, 128, 512):
+        scan = sorted(map(tuple, best_passages(
+            docs, ranking, qs, w=w, strategy="scan").collect()))
+        hits = sorted(map(tuple, best_passages(
+            docs, ranking, qs, w=w, strategy="hits").collect()))
+        assert scan == hits, (w, scan, hits)
+    # NULL text behaves exactly like the empty doc on the default path
+    null_row = {r["doc_id"]: r for r in best_passages(
+        docs, ranking, qs, w=16).collect()}
+    for d in (3, 4):
+        assert (null_row[d]["offset"], null_row[d]["n_hits"],
+                null_row[d]["passage"]) == (1, 0, "")
 
 
 def test_expand_queries_recovers_synonym(spark):

@@ -46,6 +46,10 @@ def main() -> None:
                          "state-store rows per factor)")
     ap.add_argument("--retrieval", action="store_true",
                     help="probe the lexical-retrieval family instead")
+    ap.add_argument("--parts", default="",
+                    help="comma list of state-partition counts for "
+                         "--stream-parts (default 4,8,16,32 — the "
+                         "documented sweep incl. the 32-point row)")
     ap.add_argument("--stream-parts", action="store_true",
                     help="probe the stateful-partition-count axis of the "
                          "streaming family at one key-volume factor")
@@ -526,7 +530,9 @@ def stream_parts_probe(args) -> None:
                 .schema(spark.read.parquet(path).schema)
                 .option("maxFilesPerTrigger", mfpt).parquet(path))
 
-    for parts in (4, 8, 16):
+    parts_list = (tuple(int(p) for p in args.parts.split(","))
+                  if getattr(args, "parts", "") else (4, 8, 16, 32))
+    for parts in parts_list:
         import gc
 
         gc.collect()
