@@ -24,14 +24,22 @@ recipe as :func:`~.dedup.semantic_dedup` / :func:`~.similarity.pq_topk`
 
 Scale shape (100 TB corpus, N vectors × dim):
 
-- each round is ONE broadcast cross join of the corpus against the
-  k×dim centroid table collapsed by a partial-aggregating
-  min-of-structs (no corpus shuffle — the N·k candidate stream dies
-  map-side), plus ONE map-side-combining groupBy of N·dim (cluster,
-  pos) rows for the update;
-- centroids are the only iterative state: k×dim integers, kept as a
-  ``localCheckpoint``-ed DataFrame per round (lineage stays O(1)), never
-  collected to the driver;
+- centroids are the only iterative state, and they are CODEBOOK-sized
+  (k×dim small integers — the PQ/MMR driver-artifact class), so each
+  round collects them to the driver and the next round consumes them
+  as plan constants — no per-round ``localCheckpoint`` barrier, no
+  centroid join, no corpus shuffle (round-10: the old per-round eager
+  checkpoint+join paid ~0.5–1 s of micro-job fixed cost per Lloyd
+  round that dwarfed the data at test SFs);
+- each fit round is ONE single-stage job: a narrow Arrow pass
+  (``mapInPandas`` — the ``partial_topk`` per-partition-kernel
+  precedent) assigns each vector by an integer-exact float64 BLAS
+  distance matmul and emits ≤ k partial (cluster, count, Σq) rows per
+  partition, merged driver-side;
+- the FINAL assignment (the operator's output) is a pure JVM narrow
+  map — the centroid matrix folded to one array literal, argmin via
+  ``array_min(transform(C, …))`` (:func:`_best_struct_sql`) — zero
+  exchange, zero Python in the returned plan;
 - the corpus is quantized once and cached; released on finalize.
 """
 
@@ -41,8 +49,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.layout import ensure_parallelism, finalize_release
 
-__all__ = ["kmeans_int", "kmeans_fit", "kmeans_assign",
-           "cluster_balanced_sample"]
+__all__ = ["kmeans_int", "kmeans_fit", "kmeans_fit_centroids",
+           "kmeans_assign", "cluster_balanced_sample"]
 
 
 def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -79,58 +87,184 @@ def _assign(qdf: DataFrame, centroids: DataFrame,
                     F.col("b.d").alias("dist2")))
 
 
-def kmeans_fit(qdf: DataFrame, k: int, n_iter: int,
-               id_col: str = "vec_id") -> DataFrame:
-    """Centroids (r, cq) after ``n_iter`` Lloyd's rounds over the
-    quantized corpus ``qdf`` (``(id, q)`` — :func:`_quantized`, which
-    the caller should cache: the fit scans it once per round).  Seeds
-    are the ``k`` rows with the smallest ``(md5(id), id)``; updates are
-    element-wise truncating integer means with empty-cluster carry;
-    centroids are ``localCheckpoint``-ed per round so lineage stays
-    O(1) and the k×dim state never lives on the driver.
+def _cent_array_sql(cents: list[list[int]]) -> str:
+    """``array(array(…), …)`` SQL literal of the centroid matrix —
+    constant-folds to ONE Literal(ArrayData) reference object, so the
+    surrounding plan's generated code is byte-stable across rounds
+    (no per-round Janino recompile) and the matrix is materialized
+    once, not per evaluation."""
+    return "array(" + ",".join(
+        "array(" + ",".join(f"{c}L" for c in cq) + ")"
+        for cq in cents) + ")"
 
-    The whole fit runs under a pinned shuffle width sized from
-    ``qdf``'s own plan stats (same discipline as the pagerank and BPE
-    loops): the update-side shuffles are bounded by k×dim
-    partial-aggregate rows per map task, but ``_assign``'s
-    ``groupBy(id)`` reduce is CORPUS-sized (one row per vector
-    survives map-side combine), so the width must track the corpus —
-    a test-scale fit keeps the small floor ``min(8, k)`` while a
-    large corpus keeps the session width, and neither pays
-    over-partitioning fixed costs × rounds nor squeezes a big
-    assignment reduce into 8 tasks.  AQE is pinned off (the width is
-    already right; its per-stage materialize→re-optimize adds latency
-    × rounds)."""
+
+def _best_struct_sql(cents: list[list[int]]) -> str:
+    """SQL for the argmin struct over literal centroids:
+    ``array_min(transform(C, (cq, r) -> struct(d: Σ(qᵢ−cᵢ)², r)))`` —
+    ``.r`` is the assigned cluster (struct ordering ties → lower rank,
+    exactly ``min(struct(d, r))``) and ``.d`` the exact integer L2².
+
+    The centroid matrix is the TRANSFORM'S INPUT, not a lambda-body
+    subtree: inside the lambda ConstantFolding can't reach it, and the
+    k×dim CreateArray would be re-built per evaluation.  As the input
+    it folds to one reference object; the per-row cost is k×dim
+    interpreted-HOF integer ops — bounded by the codebook size, scan
+    stays narrow and JVM-side.
+
+    (Rejected round-10 alternatives, measured at sf0.1: fully unrolled
+    ``least(named_struct(…element_at(q,i)*c…))`` codegen — fastest per
+    row but ~1 s Janino recompile per round because the literals
+    inline into the generated source; per-dim ``F.sum(element_at)``
+    update aggregates — 64 aggregate buffers compile pathologically.)
+    """
+    return (f"array_min(transform({_cent_array_sql(cents)}, "
+            f"(cq, r) -> named_struct("
+            f"'d', aggregate(zip_with(q, cq, (a, c) -> (a-c)*(a-c)), "
+            f"0L, (s, x) -> s+x), 'r', r)))")
+
+
+def _assign_literal(qdf: DataFrame, cents: list[list[int]],
+                    id_col: str) -> DataFrame:
+    """(id, q, cluster, dist2) from driver-literal centroids — a pure
+    narrow map over the corpus scan (zero shuffle, zero join), the
+    baked-literal twin of :func:`_assign`."""
+    if not cents:
+        return (qdf.select(F.col(id_col), "q",
+                           F.lit(None).cast("int").alias("cluster"),
+                           F.lit(None).cast("long").alias("dist2"))
+                .where(F.lit(False)))
+    b = _best_struct_sql(cents)
+    return qdf.select(
+        F.col(id_col), "q", F.expr(f"({b}).r").alias("cluster"),
+        F.expr(f"({b}).d").alias("dist2"))
+
+
+def _centroid_df(spark, cents: list[list[int]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(r, [int(c) for c in cq]) for r, cq in enumerate(cents)],
+        "r int, cq array<bigint>")
+
+
+def _seed_centroids(qdf: DataFrame, k: int,
+                    id_col: str) -> list[list[int]]:
+    """The ``k`` corpus vectors with the smallest ``(md5(id), id)`` —
+    a bounded collect (k rows reach one task via limit(k)), re-sorted
+    driver-side by the same key so rank r is layout-invariant."""
+    hx = F.md5(F.col(id_col).cast("string"))
+    rows = sorted(
+        qdf.orderBy(hx, F.col(id_col)).limit(k)
+        .select(hx.alias("__hx"), F.col(id_col).alias("__id"), "q")
+        .collect(), key=lambda r: (r["__hx"], r["__id"]))
+    return [[int(v) for v in r["q"]] for r in rows]
+
+
+def kmeans_fit_centroids(qdf: DataFrame, k: int, n_iter: int,
+                         id_col: str = "vec_id",
+                         width: int | None = None) -> list[list[int]]:
+    """Driver-literal Lloyd's loop: centroid list (rank order) after
+    ``n_iter`` rounds over the quantized corpus ``qdf`` (``(id, q)`` —
+    :func:`_quantized`, which the caller should cache: the fit scans
+    it once per round).  Seeds are the ``k`` rows with the smallest
+    ``(md5(id), id)``; updates are element-wise truncating integer
+    means with empty-cluster carry — bit-identical to the unrolled SQL
+    oracle because every step is exact integer math.
+
+    Centroids are k×dim small integers (the PQ/MMR codebook class), so
+    each round is ONE job: the baked-literal assignment rides the
+    corpus scan as a narrow map, a map-side-combining
+    groupBy(cluster, pos) collapses the N·dim update stream to k×dim
+    partial rows, and those are collected and merged driver-side.  No
+    per-round localCheckpoint barrier, no centroid join (round-10 —
+    the old DataFrame-state loop paid both, ~0.5–1 s fixed cost per
+    round at any scale).
+
+    Each round is ONE single-stage job: a narrow Arrow pass
+    (``mapInPandas`` — the :func:`~.similarity.partial_topk`
+    per-partition-kernel precedent) assigns every vector to its
+    nearest centroid and reduces the partition to ≤ k partial
+    (cluster, count, Σq) rows; the driver merges partials and applies
+    the truncating mean.  NO shuffle, NO per-round codegen compile
+    (the Python kernel isn't JIT'd plan source), and the per-partition
+    output is codebook-sized.  Exactness: |q|,|c| ≤ 127 so every
+    product ≤ 127²·dim ≪ 2^53 — the float64 BLAS distance matmul is
+    integer-exact (the sparse_cosine proof), argmin ties break to the
+    FIRST (lowest-rank) centroid, and the update sums run in int64.
+
+    The fit runs under a pinned shuffle width sized from ``qdf``'s own
+    plan stats (pagerank/BPE discipline — the width only matters for
+    the seed scan here), AQE pinned off (nothing left for it to
+    decide; its per-stage re-optimize adds latency × rounds)."""
+    import numpy as np
+    import pandas as pd
+
     from ..functions.layout import pinned_shuffle, plan_width
 
-    hx = F.md5(F.col(id_col).cast("string"))
-    with pinned_shuffle(qdf.sparkSession,
-                        plan_width(qdf, floor=max(1, min(8, k))),
-                        adaptive=False):
-        # k seed rows reach one task via limit(k); the single-partition
-        # row_number window then only ever sees k rows — not a corpus
-        # sort
-        cent = (qdf.orderBy(hx, F.col(id_col)).limit(k)
-                .select((F.row_number().over(
-                    Window.orderBy(hx, F.col(id_col))) - 1).alias("r"),
-                    F.col("q").alias("cq"))
-                .localCheckpoint(eager=True))
+    if width is None:  # callers inside a pin pass their width through
+        width = plan_width(qdf, floor=max(1, min(8, k)))
+    with pinned_shuffle(qdf.sparkSession, width, adaptive=False):
+        cents = _seed_centroids(qdf, k, id_col)
+        if not cents:
+            return []
+        dim = len(cents[0])
+        qonly = qdf.select("q")
         for _ in range(n_iter):
-            asg = _assign(qdf, cent, id_col)
-            upd = (asg.select("cluster",
-                              F.posexplode("q").alias("pos", "v"))
-                   .groupBy("cluster", "pos")
-                   .agg(F.expr("sum(v) div count(*)").alias("cv"))
-                   .groupBy("cluster")
-                   .agg(F.transform(
-                       F.sort_array(F.collect_list(
-                           F.struct(F.col("pos"), F.col("cv")))),
-                       lambda s: s["cv"]).alias("cq_new")))
-            cent = (cent.join(upd.withColumnRenamed("cluster", "r"),
-                              "r", "left")
-                    .select("r", F.coalesce("cq_new", "cq").alias("cq"))
-                    .localCheckpoint(eager=True))
-    return cent
+            C = np.asarray(cents, dtype=np.float64)       # k×dim
+            cssq = (C * C).sum(axis=1)                    # k
+
+            def part_stats(batches, _C=C, _cssq=cssq):
+                S = np.zeros((k, dim), dtype=np.int64)
+                n = np.zeros(k, dtype=np.int64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    Q = np.array([np.asarray(v, dtype=np.float64)
+                                  for v in pdf["q"]])
+                    # d = ||q||² − 2q·c + ||c||²; ||q||² is constant
+                    # per row, so argmin over (−2q·c + ||c||²) — every
+                    # term integer-valued < 2^53: float64 BLAS is exact
+                    a = np.argmin(Q @ (-2.0 * _C.T) + _cssq, axis=1)
+                    np.add.at(S, a, Q.astype(np.int64))
+                    n += np.bincount(a, minlength=k)
+                keep = np.flatnonzero(n)
+                out = pd.DataFrame({"cluster": keep.astype("int32"),
+                                    "n": n[keep]})
+                # explicit object dtype: pandas would otherwise pack
+                # the equal-length lists into a 2-D block that Arrow's
+                # NumPyConverter can't map to list<int64>
+                out["s"] = pd.Series([S[r].tolist() for r in keep],
+                                     dtype="object")
+                yield out
+
+            rows = qonly.mapInPandas(
+                part_stats,
+                "cluster int, n long, s array<long>").collect()
+            agg: dict[int, tuple[int, list[int]]] = {}
+            for r in rows:  # ≤ k × partitions rows — codebook-sized
+                n0, s0 = agg.get(r["cluster"], (0, [0] * dim))
+                agg[r["cluster"]] = (n0 + r["n"],
+                                     [x + y for x, y in zip(s0, r["s"])])
+            cents = [
+                [_div_trunc(s, n) for s in sv] if r in agg else cq
+                for r, cq in enumerate(cents)
+                for n, sv in [agg.get(r, (0, []))]]
+    return cents
+
+
+def _div_trunc(a: int, b: int) -> int:
+    """Integer division truncating toward ZERO — Spark ``div`` / DuckDB
+    ``//`` semantics (Python ``//`` floors, which differs for negative
+    sums)."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def kmeans_fit(qdf: DataFrame, k: int, n_iter: int,
+               id_col: str = "vec_id") -> DataFrame:
+    """Centroids (r, cq) after ``n_iter`` Lloyd's rounds — DataFrame
+    facade over :func:`kmeans_fit_centroids` (the k-row table form the
+    IVF probe stage joins against)."""
+    return _centroid_df(qdf.sparkSession,
+                        kmeans_fit_centroids(qdf, k, n_iter, id_col))
 
 
 def kmeans_int(emb: DataFrame, k: int = 4, n_iter: int = 3,
@@ -143,21 +277,38 @@ def kmeans_int(emb: DataFrame, k: int = 4, n_iter: int = 3,
     assigned centroid.  A cluster that loses all members keeps its
     previous centroid (deterministic, no reseeding).
 
-    The FINAL assignment runs under the same stats-sized pinned width
-    as the fit loop (round-7: it previously executed at session width
-    outside the fit's pin — one corpus-sized exchange paying
-    session-wide fixed costs at test SFs; the shared outer pin means
-    the fit's nested pin simply joins this one)."""
+    The FINAL assignment is the baked-literal narrow map of
+    :func:`_assign_literal` — it rides one scan of the cached
+    quantized corpus with NO exchange at all (round-10; previously a
+    broadcast join + corpus-sized groupBy reduce).
+
+    The quantized cache is laid out at the STATS width, not the box
+    width (round-10): every fit round rescans the cache, so a test-SF
+    corpus cached across 32 partitions pays 32 task launches × rounds
+    for a few MB; a 100 TB corpus keeps its natural scan width (the
+    stats estimate caps at the session parallelism)."""
     from ..functions.layout import pinned_shuffle, plan_width
 
-    qdf = ensure_parallelism(_quantized(emb, id_col, vec_col)).cache()
-    with pinned_shuffle(qdf.sparkSession,
-                        plan_width(qdf, floor=max(1, min(8, k))),
-                        adaptive=False):
-        cent = kmeans_fit(qdf, k, n_iter, id_col)
-        final = _assign(qdf, cent, id_col).select(id_col, "cluster",
-                                                  "dist2")
-        return finalize_release(final, qdf)
+    final, qdf, _ = _kmeans_int_lazy(emb, k, n_iter, id_col, vec_col)
+    return finalize_release(final, qdf)
+
+
+def _kmeans_int_lazy(emb: DataFrame, k: int, n_iter: int, id_col: str,
+                     vec_col: str):
+    """(lazy assignment, quantized cache, width) — the shared body of
+    :func:`kmeans_int` / :func:`cluster_balanced_sample`, so a caller
+    can stack more plan (the sample window) on the assignment and pay
+    ONE final materialization instead of two."""
+    from ..functions.layout import pinned_shuffle, plan_width
+
+    q0 = _quantized(emb, id_col, vec_col)
+    w = plan_width(q0, floor=max(1, min(8, k)))
+    qdf = ensure_parallelism(q0, min_partitions=w).cache()
+    with pinned_shuffle(qdf.sparkSession, w, adaptive=False):
+        cents = kmeans_fit_centroids(qdf, k, n_iter, id_col, width=w)
+        final = _assign_literal(qdf, cents, id_col).select(
+            id_col, "cluster", "dist2")
+    return final, qdf, w
 
 
 def cluster_balanced_sample(emb: DataFrame, k: int = 4, n_iter: int = 3,
@@ -174,14 +325,19 @@ def cluster_balanced_sample(emb: DataFrame, k: int = 4, n_iter: int = 3,
     with k bounded this is the one deliberately narrow stage, sized by
     the cluster count, not the corpus (same discipline as
     :func:`~.curation.cap_per_key`, which is the escape hatch if k ever
-    grows to millions)."""
-    asg = kmeans_int(emb, k=k, n_iter=n_iter,
-                     id_col=id_col, vec_col=vec_col)
+    grows to millions).  The window stacks on kmeans' LAZY assignment
+    (round-10): one materialization for the whole pipeline instead of
+    checkpointing the full assignment first."""
+    from ..functions.layout import pinned_shuffle
+
+    asg, qdf, width = _kmeans_int_lazy(emb, k, n_iter, id_col, vec_col)
     w = (Window.partitionBy("cluster")
          .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
-    return (asg.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= per_cluster)
-            .select(id_col, "cluster", "dist2"))
+    with pinned_shuffle(asg.sparkSession, width, adaptive=False):
+        out = (asg.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= per_cluster)
+               .select(id_col, "cluster", "dist2"))
+        return finalize_release(out, qdf)
 
 
 def kmeans_assign(batch: DataFrame, history: DataFrame, k: int = 4,
@@ -195,19 +351,15 @@ def kmeans_assign(batch: DataFrame, history: DataFrame, k: int = 4,
     dist2) for the BATCH rows.
 
     Scale shape: the fit is the usual bounded rounds over history; the
-    batch side is ONE broadcast-centroid scan — no join against
+    batch side is ONE baked-literal narrow scan — no join against
     history, no shuffle of either corpus."""
-    from ..functions.layout import pinned_shuffle, plan_width
+    from ..functions.layout import plan_width
 
-    hq = ensure_parallelism(_quantized(history, id_col, vec_col)).cache()
-    cent = kmeans_fit(hq, k, n_iter, id_col)
+    h0 = _quantized(history, id_col, vec_col)
+    hq = ensure_parallelism(
+        h0, min_partitions=plan_width(h0, floor=max(1, min(8, k)))).cache()
+    cents = kmeans_fit_centroids(hq, k, n_iter, id_col)
     bq = _quantized(batch, id_col, vec_col)
-    # the batch assignment's exchange is BATCH-sized, not
-    # history-sized — pin it to the batch's own stats width (round-7,
-    # same discipline as kmeans_int's final assignment)
-    with pinned_shuffle(bq.sparkSession,
-                        plan_width(bq, floor=max(1, min(8, k))),
-                        adaptive=False):
-        out = _assign(bq, cent, id_col).select(id_col, "cluster",
-                                               "dist2")
-        return finalize_release(out, hq)
+    out = _assign_literal(bq, cents, id_col).select(id_col, "cluster",
+                                                    "dist2")
+    return finalize_release(out, hq)

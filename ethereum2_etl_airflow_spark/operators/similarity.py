@@ -791,45 +791,67 @@ def ann_ivf_exact_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
 
     Returns (query_id, vec_id, rank, cosine), self-matches excluded.
 
-    Scale shape: fit = ``n_iter`` bounded rounds (broadcast assign +
-    combining update); assignment one broadcast scan; the probe table
-    is |Q|·n_probe rows; candidate generation joins probes to the
-    corpus on the cell key so a query touches ~``n_probe/n_cells`` of
-    the corpus; top-k via the same two-phase partial selection as the
-    exact tier."""
-    from .clustering import _assign, _quantized, kmeans_fit
+    Scale shape: fit = ``n_iter`` bounded driver-literal rounds (one
+    narrow-map + combining-update job each — the round-10
+    :func:`~.clustering.kmeans_fit_centroids` shape); cell assignment
+    rides the SAME scan that normalizes the corpus (baked-literal
+    argmin — no quantized↔normalized self-join, no shuffle); the probe
+    table is |Q|·n_probe rows, selected in-plan by sorting the k
+    literal centroid distances per query (no crossJoin, no window);
+    candidate generation joins probes to the corpus on the cell key so
+    a query touches ~``n_probe/n_cells`` of the corpus; top-k via the
+    same two-phase partial selection as the exact tier."""
+    from ..functions.layout import pinned_shuffle, plan_width
+    from .clustering import (_best_struct_sql, _cent_array_sql,
+                             _quantized, kmeans_fit_centroids)
 
-    qdf = ensure_parallelism(_quantized(emb, id_col, vec_col)).cache()
-    cent = kmeans_fit(qdf, n_cells, n_iter, id_col)
-    assigned = (_assign(qdf, cent, id_col)
-                .select(F.col(id_col).alias("vec_id"), "cluster"))
-    nv = (with_normalized(ensure_parallelism(emb), vec_col, "nv")
-          .select(F.col(id_col).alias("vec_id"), "nv").cache())
-    corpus = nv.join(assigned, "vec_id")
-    ids = [int(x) for x in query_ids]
-    # probe: each query's q8 against the k centroids (both tiny per
-    # query — the crossJoin side is the broadcast k-row centroid table)
-    qq = (qdf.where(F.col(id_col).isin(ids))
-          .select(F.col(id_col).alias("query_id"), "q"))
-    d2 = F.aggregate(
-        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    wq = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("r"))
-    probes = (qq.crossJoin(F.broadcast(cent))
-              .select("query_id", F.col("r"), d2.alias("d"))
-              .withColumn("pr", F.row_number().over(wq))
-              .where(F.col("pr") <= n_probe)
-              .select("query_id", F.col("r").alias("cluster")))
-    qv = nv.where(F.col("vec_id").isin(ids)) \
-           .select(F.col("vec_id").alias("query_id"), F.col("nv").alias("qv"))
-    scored = (F.broadcast(probes.join(qv, "query_id"))
-              .join(corpus, "cluster")
-              .where(F.col("query_id") != F.col("vec_id"))
-              .select("query_id", "vec_id",
-                      dot_compact(F.col("qv"), F.col("nv"))
-                      .cast("decimal(18,9)").cast("double").alias("cosine")))
-    out = _rank_topk(partial_topk(scored, k), k)
-    return finalize_release(out, qdf, nv)
+    w = plan_width(emb, floor=8)
+    base = ensure_parallelism(emb, min_partitions=w)
+    with pinned_shuffle(base.sparkSession, w, adaptive=False):
+        qdf = _quantized(base, id_col, vec_col).cache()
+        cents = kmeans_fit_centroids(qdf, n_cells, n_iter, id_col)
+        if not cents:  # empty corpus → empty ranking, stable schema
+            return base.sparkSession.createDataFrame(
+                [], "query_id long, vec_id long, rank int, cosine double")
+        # one scan: normalized vector AND baked-literal cell argmin
+        x = F.col(vec_col)
+        maxabs = F.array_max(
+            F.transform(x, lambda e: F.abs(e.cast("double"))))
+        q8 = F.transform(
+            x, lambda e: F.when(F.col("__m") == 0.0,
+                                F.lit(0).cast("long"))
+            .otherwise(F.floor(e.cast("double") * 127.0 / F.col("__m"))
+                       .cast("long")))
+        b = _best_struct_sql(cents)
+        corpus = (with_normalized(base, vec_col, "nv")
+                  .withColumn("__m", maxabs).withColumn("q", q8)
+                  .select(F.col(id_col).alias("vec_id"), "nv",
+                          F.expr(f"({b}).r").alias("cluster"))
+                  .cache())
+        ids = [int(x_) for x_ in query_ids]
+        # probe: sort the k literal centroid distances per query row —
+        # array_sort on (d, r) structs == orderBy(d asc, r) tie-break
+        arr = (f"transform({_cent_array_sql(cents)}, (cq, r) -> "
+               f"named_struct('d', aggregate(zip_with(q, cq, "
+               f"(a, c) -> (a-c)*(a-c)), 0L, (s, x) -> s+x), 'r', r))")
+        probes = (qdf.where(F.col(id_col).isin(ids))
+                  .select(F.col(id_col).alias("query_id"),
+                          F.explode(F.expr(
+                              f"slice(array_sort({arr}), 1, {n_probe})"))
+                          .alias("p"))
+                  .select("query_id", F.col("p.r").alias("cluster")))
+        qv = (corpus.where(F.col("vec_id").isin(ids))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("nv").alias("qv")))
+        scored = (F.broadcast(probes.join(F.broadcast(qv), "query_id"))
+                  .join(corpus, "cluster")
+                  .where(F.col("query_id") != F.col("vec_id"))
+                  .select("query_id", "vec_id",
+                          dot_compact(F.col("qv"), F.col("nv"))
+                          .cast("decimal(18,9)").cast("double")
+                          .alias("cosine")))
+        out = _rank_topk(partial_topk(scored, k), k)
+        return finalize_release(out, qdf, corpus)
 
 
 def rrf_fuse(rankings: list[DataFrame], k_const: int = 60, k: int = 10,

@@ -644,32 +644,30 @@ def test_lm_scoring_plan_prunes_and_stays_jvm(spark, sf_dir):
     assert "Python" not in plan and "Arrow" not in plan, plan[:500]
 
 
-def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
-    """X70: the per-round assignment is a broadcast nested-loop against
-    the k-row centroid table collapsed by a partial-aggregating
-    min-of-structs — the corpus is never shuffled for assignment.
-    Probes the assignment fragment directly (kmeans_int's result is
-    checkpoint-materialized, which would collapse the plan to Scan
-    ExistingRDD and make the assertion vacuous)."""
-    from ethereum2_etl_airflow_spark.operators.clustering import _quantized
+def test_kmeans_assignment_is_narrow_literal_scan(spark, sf_dir):
+    """X70 (round-10 shape): the final assignment is a pure narrow map
+    over the corpus scan — centroids folded into ONE array literal,
+    argmin in-plan via array_min(transform(...)) — with NO exchange,
+    NO join, and NO Python in the plan.  Probes the assignment
+    fragment directly (kmeans_int's result is checkpoint-materialized,
+    which would collapse the plan to Scan ExistingRDD and make the
+    assertion vacuous)."""
+    from ethereum2_etl_airflow_spark.operators.clustering import (
+        _assign_literal, _quantized)
 
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = _quantized(emb, "vec_id", "embedding")
-    cent = spark.createDataFrame(
-        [(r, [r] * 64) for r in range(4)], "r int, cq array<bigint>")
-    d2 = F.aggregate(
-        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    probe = (qdf.crossJoin(F.broadcast(cent))
-             .groupBy("vec_id")
-             .agg(F.min(F.struct(d2.alias("d"), F.col("r"))).alias("b")))
+    cents = [[r] * 64 for r in range(4)]
+    probe = _assign_literal(qdf, cents, "vec_id")
     plan = plan_string(probe, "simple")
-    assert "BroadcastNestedLoopJoin" in plan, plan[:800]
-    assert "CartesianProduct" not in plan
-    # partial agg collapses the N*k stream map-side before any exchange
-    assert "partial_min" in plan, plan[:800]
-    for marker in ("BatchEvalPython", "ArrowEvalPython"):
-        assert marker not in plan
+    for marker in ("Exchange", "Join", "CartesianProduct",
+                   "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, (marker, plan[:800])
+    # the centroid matrix constant-folded into a single array literal
+    # (no per-evaluation CreateArray rebuild inside the lambda)
+    assert "array_min(transform([[0,0" in plan.replace(" ", ""), plan[:800]
+    out = {r["vec_id"]: r for r in probe.limit(5).collect()}
+    assert all(r["cluster"] is not None for r in out.values())
 
 
 def test_plan_width_scales_with_stats_and_clamps(spark, sf_dir):
