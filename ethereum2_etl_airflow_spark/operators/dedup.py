@@ -641,7 +641,12 @@ def _cosine_near_dup_build(emb: DataFrame, block_col: str,
     cands = nv.groupBy(block_col).applyInPandas(block_gemm, out_schema)
     a = nv.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("va"))
     b = nv.select(F.col("vec_id").alias("id_b"), F.col("nv").alias("vb"))
-    rescored = (cands.join(a, "id_a").join(b, "id_b")
+    # candidate pairs are the SMALL side (near-dup rate × corpus, and
+    # the GEMM already holds each block's pair list in one task) —
+    # broadcast them so each rescore join is one scan of the nv cache
+    # instead of a corpus shuffle (round-10)
+    rescored = (cands.hint("broadcast").join(a, "id_a")
+                .hint("broadcast").join(b, "id_b")
                 .select(block_col, "id_a", "id_b",
                         dot_compact(F.col("va"), F.col("vb"))
                         .cast("decimal(18,9)").alias("cos9")))
@@ -734,7 +739,7 @@ def _semantic_dedup_build(emb: DataFrame, n_cells: int,
         pairs = cosine_near_dup_pairs(with_cell, block_col="__cell",
                                       threshold_millis=threshold_millis)
         removed = pairs.select(F.col("id_b").alias("vec_id")).distinct()
-        return (with_cell.join(removed, "vec_id", "left_anti")
+        return (with_cell.join(F.broadcast(removed), "vec_id", "left_anti")
                 .select(F.col("vec_id").alias(id_col),
                         F.col("__cell").alias("cell")))
     x = F.col(vec_col)
@@ -763,20 +768,17 @@ def _semantic_dedup_build(emb: DataFrame, n_cells: int,
     if assign_via_join is None:
         assign_via_join = len(anchors) > 64
     if not assign_via_join:
-        # bounded cell count: bake the anchors as ONE SQL expression —
-        # pure codegen scan, no join at all
-        def cell_dist_sql(aq: list[int]) -> str:
-            # argmin-equivalent: Σaᵢ² - 2Σqᵢaᵢ (Σqᵢ² constant across
-            # anchors); one SQL string per anchor — node-by-node Column
-            # construction pays a py4j round-trip per node (see pq_topk)
-            ssq = sum(a * a for a in aq)
-            dots = "+".join(f"element_at(q,{i + 1})*({aq[i]}L)"
-                            for i in range(dim))
-            return f"{ssq}L-2*({dots})"
+        # bounded cell count: anchors as ONE constant-folded array
+        # literal, argmin in-plan — pure narrow scan, no join at all.
+        # Full L2 (not the Σa²−2Σqa shortcut): same argmin and same tie
+        # sets (the dropped Σq² is constant per row), and the folded
+        # literal keeps the generated code byte-stable across runs —
+        # the unrolled element_at(q,i)*c form inlined every anchor
+        # value into the codegen source and paid ~1 s of Janino
+        # recompile per run (round-10, measured on the kmeans family)
+        from .clustering import _best_struct_sql
 
-        cell = F.expr("least(" + ",".join(
-            f"named_struct('d',{cell_dist_sql(aq)},'r',{r})"
-            for r, aq in enumerate(anchors)) + ").r")
+        cell = F.expr(f"({_best_struct_sql(anchors)}).r")
         with_cell = qdf.select(F.col(id_col).alias("vec_id"),
                                F.col(vec_col).alias("embedding"),
                                cell.alias("__cell"))
@@ -803,7 +805,7 @@ def _semantic_dedup_build(emb: DataFrame, n_cells: int,
     pairs = cosine_near_dup_pairs(with_cell, block_col="__cell",
                                   threshold_millis=threshold_millis)
     removed = pairs.select(F.col("id_b").alias("vec_id")).distinct()
-    survivors = (with_cell.join(removed, "vec_id", "left_anti")
+    survivors = (with_cell.join(F.broadcast(removed), "vec_id", "left_anti")
                  .select(F.col("vec_id").alias(id_col),
                          F.col("__cell").alias("cell")))
     return finalize_release(survivors, qdf)
@@ -884,15 +886,13 @@ def _semantic_dedup_inc_build(both: DataFrame, n_cells: int,
             f"semantic_dedup_incremental: dim={dim} but '{vec_col}' "
             f"vectors have {len(anchors[0])} components")
 
-    def cell_dist_sql(aq: list[int]) -> str:
-        ssq = sum(a * a for a in aq)
-        dots = "+".join(f"element_at(q,{i + 1})*({aq[i]}L)"
-                        for i in range(dim))
-        return f"{ssq}L-2*({dots})"
+    # constant-folded anchor literal + in-plan argmin (full L2 — same
+    # argmin/ties as the Σa²−2Σqa shortcut, see semantic_dedup): byte-
+    # stable generated code, no per-run Janino recompile (round-10)
+    from .clustering import _best_struct_sql
 
-    cell = F.expr("least(" + ",".join(
-        f"named_struct('d',{cell_dist_sql(aq)},'r',{r})"
-        for r, aq in enumerate(anchors)) + ").r")
+    cell = F.expr(f"({_best_struct_sql(anchors)}).r") if anchors \
+        else F.lit(None).cast("int")
     with_cell = qdf.select(F.col(id_col).alias("vec_id"),
                            F.col(vec_col).alias("embedding"),
                            F.col("__hist"), cell.alias("__cell"))
@@ -900,9 +900,13 @@ def _semantic_dedup_inc_build(both: DataFrame, n_cells: int,
         with_cell.select("vec_id", "embedding", "__cell"),
         block_col="__cell", threshold_millis=threshold_millis)
     roles = with_cell.select("vec_id", "__hist")
-    tagged = (pairs
+    # pairs is the SMALL side (near-dup survivors of the GEMM) — hint
+    # it broadcast so each role attach is one cache scan, not two
+    # corpus shuffles (round-10)
+    tagged = (pairs.hint("broadcast")
               .join(roles.withColumnRenamed("vec_id", "id_a")
                     .withColumnRenamed("__hist", "__hist_a"), "id_a")
+              .hint("broadcast")
               .join(roles.withColumnRenamed("vec_id", "id_b")
                     .withColumnRenamed("__hist", "__hist_b"), "id_b"))
     # removal rules on canonical (id_a < id_b) pairs: a batch doc near
@@ -916,7 +920,7 @@ def _semantic_dedup_inc_build(both: DataFrame, n_cells: int,
     removed = (tagged.select(rm.alias("vec_id"))
                .where(F.col("vec_id").isNotNull()).distinct())
     survivors = (with_cell.where(~F.col("__hist"))
-                 .join(removed, "vec_id", "left_anti")
+                 .join(F.broadcast(removed), "vec_id", "left_anti")
                  .select(F.col("vec_id").alias(id_col),
                          F.col("__cell").alias("cell")))
     return finalize_release(survivors, qdf)
