@@ -10,7 +10,7 @@ import uuid
 
 from pyspark.sql import SparkSession
 
-__all__ = ["bounded_state", "run_bounded"]
+__all__ = ["bounded_state", "run_bounded", "state_partitions"]
 
 #: stateful-operator partition count for bounded check/demo streams.
 #: Measured at sf0.1 (round 6): 4 beats 8 by ~0.5 s/check on the
@@ -19,6 +19,38 @@ __all__ = ["bounded_state", "run_bounded"]
 #: better than 4.  A REAL deployment sizes this to live key
 #: cardinality — this constant only governs bounded check/demo runs.
 STATE_PARTITIONS = 4
+
+#: measured keys-per-partition sweet spot (round-9 state-partition
+#: sweep, docs/SCALE.md): at 96 k active keys the wall fell ~linearly
+#: with partitions up to 32 (188.9/113.3/63.1/46.8 s at 4/8/16/32),
+#: i.e. ~3 k live keys per state partition balances Arrow-batched
+#: per-event work against per-partition store open/commit/fsync
+#: lifecycles; below that the lifecycles dominate (round 6: 4 beat 8
+#: on sf0.1's few-thousand-key checks).
+_KEYS_PER_STATE_PARTITION = 3_000
+
+
+def state_partitions(n_keys: int | None,
+                     spark: SparkSession | None = None) -> int:
+    """Auto-size the stateful-operator partition count from the
+    ESTIMATED live-key cardinality — the measured deployment rule of
+    the round-9 state-partition sweep (docs/SCALE.md), in code instead
+    of prose: ``ceil(n_keys / 3000)`` clamped to [``STATE_PARTITIONS``
+    (=4), the session's executor parallelism].
+
+    ``n_keys`` is the caller's estimate of concurrently-live state
+    keys (active sessions, distinct fingerprints inside the watermark
+    horizon, CMS/HLL group count); ``None``/0 → the small-stream floor.
+    The count is captured into the checkpoint at stream START and must
+    not change across restarts — size it from the PLANNED key volume,
+    not the first micro-batch."""
+    cap = 4
+    if spark is not None:
+        cap = max(4, spark.sparkContext.defaultParallelism)
+    if not n_keys or n_keys <= 0:
+        return STATE_PARTITIONS
+    return max(STATE_PARTITIONS,
+               min(cap, -(-int(n_keys) // _KEYS_PER_STATE_PARTITION)))
 
 
 @contextlib.contextmanager
@@ -55,8 +87,9 @@ def bounded_state(spark: SparkSession, n: int = STATE_PARTITIONS):
 
 
 def run_bounded(df, spark: SparkSession, mode: str = "append",
-                n: int = STATE_PARTITIONS, prefix: str = "st",
-                progress_out: list | None = None):
+                n: int | None = None, prefix: str = "st",
+                progress_out: list | None = None,
+                est_keys: int | None = None):
     """Run a streaming DataFrame to completion over available input
     (``availableNow`` + memory sink) and return the result as a batch
     DataFrame — the shared harness behind every bounded check/demo
@@ -70,7 +103,13 @@ def run_bounded(df, spark: SparkSession, mode: str = "append",
     fixed cost (measured ~0.2-0.5 s/check on this box's disk).  A REAL
     deployment must keep its checkpoint on durable shared storage —
     this shortcut is valid precisely because these runs start from a
-    fresh checkpoint every time and never resume."""
+    fresh checkpoint every time and never resume.
+
+    Width: pass ``n`` to pin an explicit state-partition count, or
+    ``est_keys`` (estimated live-key cardinality) to auto-size via
+    :func:`state_partitions`; neither → the small-stream floor."""
+    if n is None:
+        n = state_partitions(est_keys, spark)
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckroot = "/dev/shm" if os.path.isdir("/dev/shm") \
         else tempfile.gettempdir()

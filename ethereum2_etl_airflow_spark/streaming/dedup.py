@@ -41,11 +41,16 @@ def dedup_stream(docs: DataFrame, ts_col: str = "ts",
 
 
 def run_dedup_available_now(stream_df: DataFrame,
-                            spark: SparkSession) -> DataFrame:
+                            spark: SparkSession,
+                            est_keys: int | None = None) -> DataFrame:
     """Run the dedup stream to completion over currently-available input
     (append sink — each surviving row is emitted exactly once).
-    Delegates to the shared bounded harness (pinned state partitions +
-    tmpfs throwaway checkpoint, see :func:`..streaming.run_bounded`)."""
+    Delegates to the shared bounded harness (tmpfs throwaway
+    checkpoint, see :func:`..streaming.run_bounded`); pass ``est_keys``
+    (expected distinct fingerprints inside the watermark horizon) to
+    auto-size the state partitions via
+    :func:`..streaming.state_partitions`."""
     from . import run_bounded
 
-    return run_bounded(stream_df, spark, mode="append", prefix="dedup")
+    return run_bounded(stream_df, spark, mode="append", prefix="dedup",
+                       est_keys=est_keys)

@@ -84,11 +84,15 @@ def attribution_join_outer(clicks: DataFrame, purchases: DataFrame,
 
 
 def run_append_available_now(stream_df: DataFrame,
-                             spark: SparkSession) -> DataFrame:
+                             spark: SparkSession,
+                             est_keys: int | None = None) -> DataFrame:
     """Run an append-mode streaming query to completion over available
     input (memory sink) and return the result as a batch DataFrame.
-    Delegates to the shared bounded harness (pinned state partitions +
-    tmpfs throwaway checkpoint, see :func:`..streaming.run_bounded`)."""
+    Delegates to the shared bounded harness (tmpfs throwaway
+    checkpoint, see :func:`..streaming.run_bounded`); ``est_keys``
+    (expected live join-state keys) auto-sizes the state partitions
+    via :func:`..streaming.state_partitions`."""
     from . import run_bounded
 
-    return run_bounded(stream_df, spark, mode="append", prefix="ssj")
+    return run_bounded(stream_df, spark, mode="append", prefix="ssj",
+                       est_keys=est_keys)

@@ -641,3 +641,34 @@ def test_pinned_shuffle_state_is_per_session(spark):
         assert spark.conf.get(key) == "3"
     assert spark.conf.get(key) == before_a
     assert other.conf.get(key) == before_b
+
+
+def test_state_partitions_auto_size_tracks_key_volume(spark):
+    """The round-9 state-partition sweep measured (docs/SCALE.md): at
+    96k active keys the wall falls ~linearly with partitions up to 32;
+    at few-thousand-key check streams 4 beats 8.  state_partitions
+    encodes that rule — ~3k live keys per partition, floored at the
+    small-stream 4, capped at the session parallelism — so the auto
+    size must pick the measured sweet spot at both ends and never
+    exceed the box."""
+    from ethereum2_etl_airflow_spark.streaming import (
+        STATE_PARTITIONS, state_partitions)
+
+    par = max(4, spark.sparkContext.defaultParallelism)
+    # no estimate / degenerate estimates -> the small-stream floor
+    assert state_partitions(None, spark) == STATE_PARTITIONS
+    assert state_partitions(0, spark) == STATE_PARTITIONS
+    assert state_partitions(-5, spark) == STATE_PARTITIONS
+    # sf0.1 check streams (couple thousand keys) -> stay at the floor
+    assert state_partitions(2_000, spark) == STATE_PARTITIONS
+    # the measured 64x sweep point: 96k keys -> the measured 32-part
+    # sweet spot (capped by parallelism on smaller boxes)
+    assert state_partitions(96_000, spark) == min(32, par)
+    # intermediate volumes interpolate monotonically
+    widths = [state_partitions(n, spark)
+              for n in (2_000, 12_000, 48_000, 96_000, 10_000_000)]
+    assert widths == sorted(widths)
+    # never exceeds the session's executor parallelism
+    assert state_partitions(10_000_000, spark) <= par
+    # without a session to read parallelism from, stays conservative
+    assert state_partitions(96_000, None) == STATE_PARTITIONS

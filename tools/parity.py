@@ -7,6 +7,19 @@ sorted by all columns).  Floats are compared bit-exactly — the registry's
 determinism rules are designed to survive that.
 
 Usage: python tools/parity.py [--sf-dir DIR] [names...]
+
+Bench-scale value-hash mode (round-10 verdict item 3): the driver's
+gate runs at sf=0.01 and the bench at sf=0.1 checks only n_errors, so
+a scale-dependent wrong answer (overflow, cap truncation,
+width-sensitive dedup) could pass both.  ``--rotate N --rotation-key
+rK`` runs a deterministic N-check subset of the oracle-checked
+registry at the given --sf-dir (use /root/testdata/sf0.1): the subset
+is the first N names under md5(key+name) order, so each round rotates
+through the registry without cherry-picking and any name can be
+audited by re-running with the same key.
+
+    python tools/parity.py --sf-dir /root/testdata/sf0.1 \\
+        --rotate 40 --rotation-key r10
 """
 
 from __future__ import annotations
@@ -82,6 +95,12 @@ def main() -> int:
     ap.add_argument("--update-survey", action="store_true",
                     help="rewrite the SURVEY.md §8 header from the "
                          "registry and exit")
+    ap.add_argument("--rotate", type=int, default=0,
+                    help="run only the first N oracle-checked names "
+                         "under md5(rotation-key + name) order — the "
+                         "deterministic per-round bench-scale subset")
+    ap.add_argument("--rotation-key", default="r0",
+                    help="round tag seeding the --rotate selection")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -103,7 +122,18 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = args.names or sorted(qs)
+    if args.rotate:
+        import hashlib
+
+        names = sorted(
+            (n for n in qs if n in oracles),
+            key=lambda n: hashlib.md5(
+                (args.rotation_key + n).encode()).hexdigest(),
+        )[:args.rotate]
+        print(f"rotation {args.rotation_key}: {len(names)} of "
+              f"{len(oracles)} oracle-checked names at {args.sf_dir}")
+    else:
+        names = args.names or sorted(qs)
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         t0 = time.time()
