@@ -45,7 +45,7 @@ __all__ = [
     "quantize_embeddings", "bin_by_quantile", "outliers_p99", "funnel",
     "winsorize", "table_diff", "funnel_steps",
     "cohort_retention", "chunk_sliding", "url_features",
-    "weighted_median",
+    "weighted_median", "prune_bottom_quantile", "weighted_sample",
 ]
 
 # RE2- and Java-regex-identical patterns (no backrefs / lookaround):
@@ -584,3 +584,74 @@ def weighted_median(df: DataFrame, group_col: str, val_col: str,
     return (df.groupBy(group_col)
             .agg(wmed(F.col(val_col), F.col(weight_col))
                  .alias("weighted_median")))
+
+
+def prune_bottom_quantile(df: DataFrame, group_col: str, score_col: str,
+                          frac_millis: int = 250,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-group bottom-quantile pruning — the classic LLM curation
+    pass "drop the worst q% of documents per source by quality score"
+    (FineWeb/RefinedWeb-style filtering, applied per source so one
+    low-quality source can't dominate the cut).
+
+    Integer-exact spec (no float percentile anywhere): within each
+    group, rows rank 1..n ordered by (score asc, id asc); the rows
+    with ``rank <= (frac_millis * n) div 1000`` are dropped.  With
+    frac_millis=250 exactly ⌊n/4⌋ rows go — deterministic, total
+    order, SQL-oracle-checkable.
+
+    Returns the surviving rows (group_col, id_col, score_col).
+
+    Scale shape: ONE hash exchange on the group key + a per-group sort
+    (rank + count over the same window clustering — no second
+    exchange).  Group size bounds the sort; for pathological one-group
+    corpora the escape hatch is pre-bucketing by score quantile
+    estimates (``bin_by_quantile``) — the exact spec here is the
+    oracle semantics."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col(score_col).asc(), F.col(id_col).asc()))
+    wn = Window.partitionBy(group_col)
+    return (df.select(group_col, id_col, score_col)
+            .withColumn("__rk", F.row_number().over(w))
+            .withColumn("__n", F.count("*").over(wn))
+            .where(F.col("__rk") >
+                   F.expr(f"({frac_millis} * __n) div 1000"))
+            .select(group_col, id_col, score_col))
+
+
+def weighted_sample(df: DataFrame, n: int, weight_col: str,
+                    id_col: str = "doc_id",
+                    seed: str = "ws1") -> DataFrame:
+    """Deterministic weighted priority sample of ``n`` rows — the
+    data-mixing primitive "sample a corpus subset where a doc's
+    selection odds scale with its weight" (domain weights, quality
+    weights), with NO rand(): each row's priority is
+
+        priority = conv(substr(md5(seed || ':' || id), 1, 15), 16, 10)
+                   div weight
+
+    (a layout-invariant 60-bit uniform key divided by the positive
+    integer weight — an integerized Efraimidis-Spirakis-style priority:
+    doubling a row's weight halves its expected priority), and the
+    ``n`` smallest (priority, id) rows win.  Fully deterministic,
+    seed-repeatable, SQL-oracle-checkable (DuckDB:
+    ``('0x' || substr(md5(...), 1, 15))::BIGINT // weight``).
+
+    Returns (id_col, weight_col, priority), the selected rows.
+
+    Scale shape: priority is a narrow map; the top-n is a global
+    TakeOrdered (no full sort — Spark's ``orderBy().limit(n)`` plans
+    per-partition partial top-n + a driver merge of n·P candidates).
+    Rows with NULL or non-positive weight are excluded up front (they
+    have no sampling mass)."""
+    pr = F.expr(
+        f"cast(conv(substr(md5(concat('{seed}', ':', "
+        f"cast({id_col} as string))), 1, 15), 16, 10) as bigint) "
+        f"div cast({weight_col} as bigint)")
+    return (df.where(F.col(weight_col).isNotNull()
+                     & (F.col(weight_col) > 0))
+            .select(id_col, weight_col, pr.alias("priority"))
+            .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+            .limit(n))

@@ -30,7 +30,7 @@ __all__ = ["topk_cosine_bruteforce", "partial_topk", "ann_ivf_topk",
            "ann_ivf_exact_topk",
            "ann_lsh_candidates", "sparse_cosine_pairs", "pq_topk",
            "retrieval_topk", "build_pq_index", "query_pq_index",
-           "rrf_fuse", "mmr_topk", "ranking_eval"]
+           "rrf_fuse", "mmr_topk", "ranking_eval", "hard_negatives"]
 
 
 def partial_topk(scored: DataFrame, k: int,
@@ -1066,3 +1066,46 @@ def ranking_eval(pred: DataFrame, truth: DataFrame, k: int = 10,
                           f"cast(least({k}, n_truth) as int))"),
                    F.lit(0)).cast("long").alias("ndcg_micro")))
     return out
+
+
+def hard_negatives(emb: DataFrame, positives: dict[int, int], k: int = 5,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Hard-negative mining for contrastive retriever training (the
+    DPR / Contriever recipe: the strongest negatives are the corpus
+    docs the CURRENT embedding space ranks highest that are NOT the
+    labeled positive).  For each query in ``positives`` (query id →
+    its positive doc id), return the top ``k`` cosine-nearest corpus
+    docs excluding the query itself and its positive, re-ranked 1..k.
+
+    Deterministic and SQL-oracle-checkable: the underlying ranking is
+    :func:`topk_cosine_bruteforce`'s decimal-exact cosine with
+    (cosine desc, id) total order; the positive exclusion and re-rank
+    are pure relational steps on the |Q|·(k+1) retrieved rows.
+
+    Returns (query_id, pos_id, neg_id, neg_rank, cosine).
+
+    Scale shape: one bruteforce top-(k+1) pass (two-phase partial
+    selection — no per-query full-corpus window), then a broadcast
+    join of the |Q|-row positives table and a window over ≤ k+1 rows
+    per query.  Exactness of the budget: dropping the positive removes
+    at most ONE row per query, so top-(k+1) always leaves ≥ k true
+    negatives."""
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    qids = sorted(int(q) for q in positives)
+    pos = spark.createDataFrame(
+        [(int(q), int(p)) for q, p in sorted(positives.items())],
+        "query_id long, pos_id long")
+    ranking = topk_cosine_bruteforce(emb, qids, k=k + 1,
+                                     id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("query_id").orderBy("rank")
+    return (ranking.join(F.broadcast(pos), "query_id")
+            .where(F.col("vec_id") != F.col("pos_id"))
+            .withColumn("neg_rank",
+                        F.row_number().over(w).cast("long"))
+            .where(F.col("neg_rank") <= k)
+            .select("query_id", "pos_id",
+                    F.col("vec_id").alias("neg_id"), "neg_rank",
+                    "cosine"))

@@ -4719,3 +4719,112 @@ FROM j
 
 
 EXTENSION_CHECKS["dedup_eval"] = (q_dedup_eval, ORACLE_DEDUP_EVAL)
+
+
+# --- X85: hard-negative mining (contrastive retriever training data) -------
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85: DPR/Contriever-style hard negatives — for each query, the 5
+    cosine-nearest corpus docs EXCLUDING the query and its labeled
+    positive (here: positive(q) = q + 1), re-ranked 1..5.  The
+    training-triples producer for retriever fine-tuning."""
+    from ..operators.similarity import hard_negatives
+
+    return (hard_negatives(_emb(spark, sf_dir),
+                           {q: q + 1 for q in _QUERY_IDS}, k=5)
+            .orderBy("query_id", "neg_rank"))
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, {_NV.format(v='v')} AS nv FROM e),
+scored AS (
+  SELECT q.vec_id AS query_id, q.vec_id + 1 AS pos_id, c.vec_id,
+         CAST({_DOT_C.format(a='q.nv', b='c.nv')} AS DOUBLE) AS cosine
+  FROM n q JOIN n c ON q.vec_id IN (0,1,2,3,4) AND q.vec_id != c.vec_id),
+top1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored),
+negs AS (
+  SELECT query_id, pos_id, vec_id AS neg_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank)
+           AS neg_rank
+  FROM top1 WHERE rank <= 6 AND vec_id != pos_id)
+SELECT query_id, pos_id, neg_id, CAST(neg_rank AS BIGINT) AS neg_rank,
+       cosine
+FROM negs WHERE neg_rank <= 5 ORDER BY query_id, neg_rank
+"""
+
+EXTENSION_CHECKS["hard_negatives"] = (q_hard_negatives,
+                                      ORACLE_HARD_NEGATIVES)
+
+
+# --- X86: per-source bottom-quantile quality pruning ------------------------
+
+def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86: drop the worst 25% of documents per source by an integer
+    quality score (token count here — any integer score column works):
+    the FineWeb/RefinedWeb-style per-source filtering pass, integer-
+    exact (rank <= (250 * n) div 1000 drops, no float percentile)."""
+    from ..operators.curation import prune_bottom_quantile
+    from ..operators.text import token_count
+
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id", token_count(F.col("text")).alias("score"))
+    return (prune_bottom_quantile(d, "source", "score",
+                                  frac_millis=250)
+            .orderBy("source", "doc_id"))
+
+
+ORACLE_QUALITY_PRUNE = """
+WITH scored AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                     '[a-z0-9]+')) AS INT) AS score
+  FROM documents),
+ranked AS (
+  SELECT source, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score ASC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM scored)
+SELECT source, doc_id, score FROM ranked
+WHERE rk > (250 * n) // 1000
+ORDER BY source, doc_id
+"""
+
+EXTENSION_CHECKS["quality_prune"] = (q_quality_prune,
+                                     ORACLE_QUALITY_PRUNE)
+
+
+# --- X87: deterministic weighted priority sampling --------------------------
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87: data-mixing weighted sample — 200 documents drawn with
+    selection odds scaling with weight (= doc_id % 10 + 1 here), via
+    the integerized priority key md5-60bit div weight.  No rand():
+    deterministic, seed-repeatable, layout-invariant."""
+    from ..operators.curation import weighted_sample
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 10 + 1).alias("w"))
+    return (weighted_sample(d, n=200, weight_col="w")
+            .orderBy("priority", "doc_id"))
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH pr AS (
+  SELECT doc_id, doc_id % 10 + 1 AS w,
+         ('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT // (doc_id % 10 + 1) AS priority
+  FROM documents)
+SELECT doc_id, w, priority FROM pr
+ORDER BY priority ASC, doc_id ASC LIMIT 200
+"""
+
+EXTENSION_CHECKS["weighted_sample"] = (q_weighted_sample,
+                                       ORACLE_WEIGHTED_SAMPLE)

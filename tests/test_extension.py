@@ -1888,3 +1888,75 @@ def test_decontaminate_semantic_only_history_disqualifies(spark, sf_dir):
     if orig_id not in leaked:
         # identical twins both survive without the intra-batch rule
         assert orig_id in out and dup_id in out
+
+
+def test_hard_negatives_excludes_self_and_positive(spark, sf_dir):
+    """X85: every returned negative differs from the query AND its
+    labeled positive; ranks are dense 1..k per query; and the negative
+    list equals the brute-force ranking with those two ids removed."""
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        hard_negatives, topk_cosine_bruteforce)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    positives = {0: 1, 1: 2, 2: 3}
+    out = hard_negatives(emb, positives, k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        assert r["neg_id"] != r["query_id"]
+        assert r["neg_id"] != r["pos_id"]
+        assert r["pos_id"] == positives[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert sorted(r["neg_rank"] for r in rows) == [1, 2, 3, 4, 5]
+        # equals bruteforce top-6 minus the positive, first five
+        bf = [r["vec_id"] for r in
+              topk_cosine_bruteforce(emb, [q], k=6).collect()
+              if r["vec_id"] != positives[q]][:5]
+        got = [r["neg_id"] for r in
+               sorted(rows, key=lambda r: r["neg_rank"])]
+        assert got == bf
+
+
+def test_quality_prune_drops_exact_quarter_per_group(spark):
+    """X86: with frac_millis=250 exactly floor(n/4) rows drop per
+    group, and the dropped ones are the (score, id)-smallest."""
+    from ethereum2_etl_airflow_spark.operators.curation import (
+        prune_bottom_quantile)
+
+    rows = [("a", i, i * 10) for i in range(10)] + \
+           [("b", i, 5) for i in range(100, 108)]  # all-tie group, n=8
+    df = spark.createDataFrame(rows, "source string, doc_id long, score long")
+    out = prune_bottom_quantile(df, "source", "score").collect()
+    a = sorted(r["doc_id"] for r in out if r["source"] == "a")
+    b = sorted(r["doc_id"] for r in out if r["source"] == "b")
+    assert a == [2, 3, 4, 5, 6, 7, 8, 9]    # floor(10/4)=2 dropped
+    assert b == [102, 103, 104, 105, 106, 107]  # ties -> lowest ids drop
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark, sf_dir):
+    """X87: the sample is layout-invariant (same 200 ids under a
+    different partitioning) and weight-sensitive — weight-10 docs are
+    over-represented vs weight-1 docs relative to their population
+    share."""
+    from ethereum2_etl_airflow_spark.operators.curation import (
+        weighted_sample)
+
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", (F.col("doc_id") % 10 + 1).alias("w")))
+    s1 = sorted(r["doc_id"] for r in
+                weighted_sample(d, n=200, weight_col="w").collect())
+    s2 = sorted(r["doc_id"] for r in
+                weighted_sample(d.repartition(7), n=200,
+                                weight_col="w").collect())
+    assert s1 == s2 and len(s1) == 200
+    picked_w = [(x % 10) + 1 for x in s1]
+    n_hi = sum(1 for w in picked_w if w >= 8)
+    n_lo = sum(1 for w in picked_w if w <= 3)
+    assert n_hi > n_lo  # selection odds track weight
+    # non-positive / NULL weights carry no sampling mass
+    z = spark.createDataFrame(
+        [(1, 0), (2, -3), (3, None), (4, 5)],
+        "doc_id long, w int")
+    picked = weighted_sample(z, n=10, weight_col="w").collect()
+    assert [r["doc_id"] for r in picked] == [4]
