@@ -30,6 +30,7 @@ __all__ = ["topk_cosine_bruteforce", "partial_topk", "ann_ivf_topk",
            "ann_ivf_exact_topk",
            "ann_lsh_candidates", "sparse_cosine_pairs", "pq_topk",
            "retrieval_topk", "build_pq_index", "query_pq_index",
+           "build_ivf_index", "query_ivf_index",
            "rrf_fuse", "mmr_topk", "ranking_eval", "hard_negatives"]
 
 
@@ -1109,3 +1110,100 @@ def hard_negatives(emb: DataFrame, positives: dict[int, int], k: int = 5,
             .select("query_id", "pos_id",
                     F.col("vec_id").alias("neg_id"), "neg_rank",
                     "cosine"))
+
+
+def build_ivf_index(emb: DataFrame, path: str, n_cells: int = 8,
+                    n_iter: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Build a serveable IVF index on disk — the dense-retrieval mirror
+    of :func:`build_pq_index` / the X80 impact index (build on corpus
+    change, serve many times; the reference's load-once/query-many
+    BigQuery tables are the same cadence):
+
+    - ``path/cells`` — (vec_id, nv, q, cluster) parquet PARTITIONED BY
+      cluster, so a serving query's probed cells map to directory
+      pruning: a query reads ~n_probe/n_cells of the corpus FILES,
+      not just rows;
+    - ``path/centroids`` — the k×dim integer centroid table (r, cq),
+      the codebook-sized artifact the server loads once.
+
+    The coarse quantizer is the deterministic integer Lloyd's of
+    :func:`~.clustering.kmeans_fit_centroids` (md5 seeds, integer L2,
+    truncating means), and ``nv`` is the decimal-exact normalized
+    vector — so serving results are bit-identical to the in-session
+    :func:`ann_ivf_exact_topk` (pytest-pinned)."""
+    from ..functions.layout import pinned_shuffle, plan_width
+    from .clustering import (_best_struct_sql, _centroid_df, _quantized,
+                             kmeans_fit_centroids)
+
+    w = plan_width(emb, floor=8)
+    base = ensure_parallelism(emb, min_partitions=w)
+    with pinned_shuffle(base.sparkSession, w, adaptive=False):
+        qdf = _quantized(base, id_col, vec_col).cache()
+        cents = kmeans_fit_centroids(qdf, n_cells, n_iter, id_col,
+                                     width=w)
+        x = F.col(vec_col)
+        maxabs = F.array_max(
+            F.transform(x, lambda e: F.abs(e.cast("double"))))
+        q8 = F.transform(
+            x, lambda e: F.when(F.col("__m") == 0.0,
+                                F.lit(0).cast("long"))
+            .otherwise(F.floor(e.cast("double") * 127.0 / F.col("__m"))
+                       .cast("long")))
+        cl = (F.expr(f"({_best_struct_sql(cents)}).r") if cents
+              else F.lit(None).cast("int"))
+        cells = (with_normalized(base, vec_col, "nv")
+                 .withColumn("__m", maxabs).withColumn("q", q8)
+                 .select(F.col(id_col).alias("vec_id"), "nv", "q",
+                         cl.alias("cluster")))
+        cells.write.mode("overwrite").partitionBy("cluster") \
+            .parquet(path + "/cells")
+        _centroid_df(base.sparkSession, cents).write.mode("overwrite") \
+            .parquet(path + "/centroids")
+        qdf.unpersist()
+
+
+def query_ivf_index(spark, path: str, query_ids: list[int], k: int = 10,
+                    n_probe: int = 2) -> DataFrame:
+    """Serve IVF top-k from the stored index (:func:`build_ivf_index`)
+    without touching the raw corpus: load the codebook-sized centroid
+    table once, pick each query's ``n_probe`` nearest cells in-plan
+    (literal centroid distances, ties → lower cell rank), and join the
+    |Q|·n_probe probe table against the cell-partitioned index —
+    ``cluster`` is the PARTITION column, so dynamic partition pruning
+    turns the broadcast probe join into a directory-pruned scan of
+    only the probed cells' files (plan-asserted in tests).  Scoring is
+    the same decimal-exact cosine + two-phase top-k as the exact tier;
+    results are bit-identical to :func:`ann_ivf_exact_topk` with the
+    same build parameters.
+
+    Returns (query_id, vec_id, rank, cosine), self-matches excluded."""
+    from .clustering import _cent_array_sql
+
+    rows = sorted(spark.read.parquet(path + "/centroids").collect(),
+                  key=lambda r: r["r"])
+    cents = [[int(c) for c in r["cq"]] for r in rows]
+    if not cents:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, rank int, cosine double")
+    cells = spark.read.parquet(path + "/cells")
+    ids = [int(x) for x in query_ids]
+    qrows = (cells.where(F.col("vec_id").isin(ids))
+             .select(F.col("vec_id").alias("query_id"), "q",
+                     F.col("nv").alias("qv")))
+    arr = (f"transform({_cent_array_sql(cents)}, (cq, r) -> "
+           f"named_struct('d', aggregate(zip_with(q, cq, "
+           f"(a, c) -> (a-c)*(a-c)), 0L, (s, x) -> s+x), 'r', r))")
+    probes = (qrows.select(
+        "query_id", "qv",
+        F.explode(F.expr(f"slice(array_sort({arr}), 1, {n_probe})"))
+        .alias("p"))
+        .select("query_id", "qv", F.col("p.r").alias("cluster")))
+    scored = (F.broadcast(probes)
+              .join(cells.select("vec_id", "nv", "cluster"), "cluster")
+              .where(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", "vec_id",
+                      dot_compact(F.col("qv"), F.col("nv"))
+                      .cast("decimal(18,9)").cast("double")
+                      .alias("cosine")))
+    return _rank_topk(partial_topk(scored, k), k)

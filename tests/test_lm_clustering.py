@@ -298,3 +298,27 @@ def test_pair_set_metrics_identities(spark):
     assert (r2["n_hit"], r2["n_fp"], r2["n_fn"]) == (3, 0, 0)
     r3 = pair_set_metrics(mk([]), truth).collect()[0]
     assert (r3["n_pred"], r3["n_hit"], r3["n_fn"]) == (0, 0, 3)
+
+
+def test_ivf_index_serving_bit_identical_and_partition_pruned(
+        spark, sf_dir, tmp_path):
+    """X88: the stored-index serve path returns BIT-IDENTICAL rows
+    (incl. cosine doubles) to the in-session ann_ivf_exact_topk with
+    the same build params, and its cells scan carries a dynamic
+    partition-pruning filter on the cluster partition column — a
+    serving query reads only the probed cells' directories."""
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        ann_ivf_exact_topk, build_ivf_index, query_ivf_index)
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_cells=8, n_iter=2)
+    qids = [0, 1, 2, 3, 4]
+    served = query_ivf_index(spark, path, qids, k=10, n_probe=2)
+    direct = ann_ivf_exact_topk(emb, qids, k=10, n_cells=8, n_probe=2,
+                                n_iter=2)
+    assert sorted(map(tuple, served.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1200]
