@@ -50,6 +50,10 @@ def main() -> None:
                     help="comma list of state-partition counts for "
                          "--stream-parts (default 4,8,16,32 — the "
                          "documented sweep incl. the 32-point row)")
+    ap.add_argument("--r10", action="store_true",
+                    help="scale rows for the round-10 ops "
+                         "(hard_negatives, quality_prune, "
+                         "weighted_sample, IVF index build/serve)")
     ap.add_argument("--stream-parts", action="store_true",
                     help="probe the stateful-partition-count axis of the "
                          "streaming family at one key-volume factor")
@@ -73,6 +77,9 @@ def main() -> None:
         return
     if args.curation:
         curation_probe(args)
+        return
+    if args.r10:
+        r10_probe(args)
         return
     if args.lm:
         lm_probe(args)
@@ -476,6 +483,108 @@ def retrieval_probe(args) -> None:
         print(f"SCALE-RETRIEVAL n={n} docs={nd} bm25={r_bm} "
               f"impact_index={r_ii} mmr={r_mm} passages={r_ps} "
               f"expand={r_ex}", flush=True)
+    spark.stop()
+
+
+def r10_probe(args) -> None:
+    """Measured scale rows for the round-10 ops.  Expected shapes:
+
+    - ``hard_negatives``: one bruteforce top-(k+1) pass — linear in
+      corpus rows (|Q| fixed; scoring is a broadcast-probe scan, the
+      only shuffle is the two-phase rank over ≤ (k+1)·P survivors);
+    - ``quality_prune``: one hash exchange on the group key + per-group
+      sort — linear (sort inside fixed group count);
+    - ``weighted_sample``: narrow priority map + TakeOrdered partial
+      top-n — linear scan, driver merge bounded by n·P;
+    - ``ivf build``: one fit (bounded rounds) + one corpus write —
+      linear; ``ivf serve``: reads ~n_probe/n_cells of the index files
+      (DPP) — slope ~corpus/4 at n_cells=8, n_probe=2.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ethereum2_etl_airflow_spark.operators.curation import (
+        prune_bottom_quantile, weighted_sample)
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        build_ivf_index, hard_negatives, query_ivf_index)
+    from ethereum2_etl_airflow_spark.operators.text import token_count
+    from ethereum2_etl_airflow_spark.session import build_session
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    spark = build_session(app_name="scale-probe-r10")
+    docs = load_table(spark, args.sf_dir, "documents").cache()
+    docs.count()
+    emb = load_table(spark, args.sf_dir, "embeddings").cache()
+    emb.count()
+
+    def best2(fn) -> float:
+        fn()
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return round(min(times), 2)
+
+    def noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    for n in [int(x) for x in args.factors.split(",")]:
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+        docs.cache().count()
+        emb.cache().count()
+        # embedding family first, docs family after: the two scaled
+        # checkpoints co-resident would tax each other's measurements
+        # with GC/memory pressure at high factors (round-10: observed
+        # 7.2 s isolated vs 23 s co-resident for hard_negatives at 64x)
+        se = None
+        for i in range(n):
+            rot = (F.concat(F.slice("embedding", i + 1, 64 - i),
+                            F.slice("embedding", 1, i))
+                   if i else F.col("embedding"))
+            d = emb.select((F.col("vec_id") + F.lit(i * 50_000_000))
+                           .alias("vec_id"), rot.alias("embedding"))
+            se = d if se is None else se.unionByName(d)
+        se = se.localCheckpoint(eager=True)
+        ne = se.count()
+        r_hn = best2(lambda: noop(hard_negatives(
+            se, {q: q + 1 for q in range(5)}, k=5)))
+        root = tempfile.mkdtemp(prefix="e2etl_ivf_probe_")
+        t0 = time.time()
+        build_ivf_index(se, root, n_cells=8, n_iter=2)
+        r_build = round(time.time() - t0, 2)
+        r_serve = best2(lambda: noop(query_ivf_index(
+            spark, root, [0, 1, 2, 3, 4], k=10, n_probe=2)))
+        shutil.rmtree(root, ignore_errors=True)
+        se = None
+        gc.collect()
+        spark.catalog.clearCache()
+        docs.cache().count()
+        sd = None
+        for i in range(n):
+            d = (docs.withColumn("doc_id",
+                                 F.col("doc_id") + F.lit(i * 50_000_000))
+                 .withColumn("text", F.concat("text", F.lit(f" c{i}"))))
+            sd = d if sd is None else sd.unionByName(d)
+        sd = sd.localCheckpoint(eager=True)
+        nd = sd.count()
+        scored = sd.select("source", "doc_id",
+                           token_count(F.col("text")).alias("score"))
+        r_qp = best2(lambda: noop(prune_bottom_quantile(
+            scored, "source", "score")))
+        wdf = sd.select("doc_id", (F.col("doc_id") % 10 + 1).alias("w"))
+        r_ws = best2(lambda: noop(weighted_sample(wdf, n=200,
+                                                  weight_col="w")))
+        print(f"SCALE-R10 n={n} docs={nd} vecs={ne} "
+              f"hard_negatives={r_hn} quality_prune={r_qp} "
+              f"weighted_sample={r_ws} ivf_build={r_build} "
+              f"ivf_serve={r_serve}", flush=True)
     spark.stop()
 
 
