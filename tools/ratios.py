@@ -209,7 +209,12 @@ def main() -> int:
         "checkpoint 1.53 + role-tag/anti/order/finalize ~1.1 (4 "
         "barriers, two Arrow exchanges; bar ≤3.5 s).  Bars are warm "
         "median-of-3 on a quiet box; re-open as weak if exceeded or if "
-        "any stage stops being data-bounded.",
+        "any stage stops being data-bounded.  The new-this-round "
+        "hard_negatives (floor 1.45 s vs a 0.3-0.5 s oracle) is the "
+        "same structural class: it IS topk_cosine_bruteforce (normalize"
+        "-cache + scan + two-phase rank + finalize, 4 barriers) plus "
+        "one broadcast join — its floor tracks sim_topk's and inherits "
+        "that family's standing; bar ≤2.0 s.",
         "Round-10 close-day band (4 full sequential WRITE_REF runs at "
         "235 checks spread over the day): **230.3 / 232.3 / 305.1 / "
         "322.6 s** kept-sum (elapsed 234/238/382/484 s — the last two "
@@ -220,7 +225,10 @@ def main() -> int:
         "this round for the 13 re-shaped queries) totals **209.2 s** "
         "at 235 checks vs ~246 s at 231 last round — the k-means-"
         "family/semantic-dedup/triangle work shows up in the floor, "
-        "not just in single runs.",
+        "not just in single runs.  A close-day full driver-path run "
+        "(both passes, no env flags) read kept-sum **264.5 s** / "
+        "concurrent 89.2 s / 0 errors — inside the band (concurrent "
+        "inside the documented ±45% bracket).",
         "Round-9 contention guard + band: bench's sequential pass "
         "re-times (once, after the pass) any query whose wall exceeds "
         "2× its committed bench_reference.json wall (5 s absolute "
