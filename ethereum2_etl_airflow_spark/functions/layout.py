@@ -160,6 +160,18 @@ def plan_width(df: DataFrame, floor: int = 8,
     return min(conf, max(-(-size // target_bytes), floor))
 
 
+def plan_bytes(df: DataFrame) -> int | None:
+    """Catalyst's plan-time size estimate in bytes (the same quantity
+    :func:`plan_width` partitions by), or ``None`` when the stats API
+    is unavailable — for gating optimizations (e.g. broadcast hints on
+    derived small tables) on the upstream corpus size."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:  # pragma: no cover — stats API unavailable
+        return None
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ``df`` iff its physical plan yields materially fewer
     partitions than the session can run concurrently (< half of

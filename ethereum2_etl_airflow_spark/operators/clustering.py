@@ -53,38 +53,35 @@ __all__ = ["kmeans_int", "kmeans_fit", "kmeans_fit_centroids",
            "kmeans_assign", "cluster_balanced_sample"]
 
 
-def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, q: array<long>) — per-vector int8 floor-quantization, array
-    form (the exploded form is :func:`~.curation.quantize_embeddings`)."""
+def quantize_exprs(vec_col: str, m_col: str = "__m"):
+    """(maxabs, q8) column pair of the per-vector int8 floor
+    quantization — THE bit-identity-critical expression every consumer
+    (k-means fit, IVF corpus scans, index builds) must share verbatim:
+    ``q8`` must be evaluated with ``m_col`` bound to ``maxabs`` via a
+    prior ``withColumn`` (round-10: five drifting copies of this pair
+    would let a future quantizer change silently desynchronize one
+    site and break the stored-index bit-exactness contracts)."""
     x = F.col(vec_col)
     maxabs = F.array_max(F.transform(x, lambda e: F.abs(e.cast("double"))))
     q8 = F.transform(
-        x, lambda e: F.when(F.col("__m") == 0.0, F.lit(0).cast("long"))
-        .otherwise(F.floor(e.cast("double") * 127.0 / F.col("__m"))
+        x, lambda e: F.when(F.col(m_col) == 0.0, F.lit(0).cast("long"))
+        .otherwise(F.floor(e.cast("double") * 127.0 / F.col(m_col))
                    .cast("long")))
+    return maxabs, q8
+
+
+def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, q: array<long>) — per-vector int8 floor-quantization, array
+    form (the exploded form is :func:`~.curation.quantize_embeddings`)."""
+    maxabs, q8 = quantize_exprs(vec_col)
+    # NULL vectors quantize to NULL q and are DROPPED: a row with no
+    # embedding has no position in the space (round-10 — the numpy fit
+    # kernel and the seed collect would otherwise crash on ragged
+    # None rows; the old join-based loop silently carried them with
+    # NULL distances, an accident, not a contract)
     return (emb.withColumn("__m", maxabs)
-            .select(F.col(id_col), q8.alias("q")))
-
-
-def _d2():
-    """Integer L2² between the row's ``q`` and a centroid row's ``cq``."""
-    return F.aggregate(
-        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-
-
-def _assign(qdf: DataFrame, centroids: DataFrame,
-            id_col: str) -> DataFrame:
-    """(id, q, cluster, dist2) — broadcast cross join + partial-
-    aggregating min-of-structs: the N·k candidate stream collapses
-    inside each map task, the corpus is never shuffled."""
-    return (qdf.crossJoin(F.broadcast(centroids))
-            .groupBy(F.col(id_col))
-            .agg(F.first("q").alias("q"),
-                 F.min(F.struct(_d2().alias("d"), F.col("r")))
-                 .alias("b"))
-            .select(id_col, "q", F.col("b.r").alias("cluster"),
-                    F.col("b.d").alias("dist2")))
+            .select(F.col(id_col), q8.alias("q"))
+            .where(F.col("q").isNotNull()))
 
 
 def _cent_array_sql(cents: list[list[int]]) -> str:
@@ -123,20 +120,35 @@ def _best_struct_sql(cents: list[list[int]]) -> str:
             f"0L, (s, x) -> s+x), 'r', r)))")
 
 
+def _probe_sort_sql(cents: list[list[int]]) -> str:
+    """SQL for the FULL sorted (d, r) struct array over literal
+    centroids — ``slice(array_sort(this), 1, n_probe)`` is the IVF
+    probe selection (array_sort on (d, r) structs == orderBy(d asc, r)
+    tie-break).  Shares :func:`_cent_array_sql`'s folded-literal form
+    and :func:`_best_struct_sql`'s distance lambda — the probe order
+    and the assignment argmin can never disagree."""
+    return (f"array_sort(transform({_cent_array_sql(cents)}, "
+            f"(cq, r) -> named_struct("
+            f"'d', aggregate(zip_with(q, cq, (a, c) -> (a-c)*(a-c)), "
+            f"0L, (s, x) -> s+x), 'r', r)))")
+
+
 def _assign_literal(qdf: DataFrame, cents: list[list[int]],
                     id_col: str) -> DataFrame:
     """(id, q, cluster, dist2) from driver-literal centroids — a pure
-    narrow map over the corpus scan (zero shuffle, zero join), the
-    baked-literal twin of :func:`_assign`."""
+    narrow map over the corpus scan (zero shuffle, zero join)."""
     if not cents:
         return (qdf.select(F.col(id_col), "q",
                            F.lit(None).cast("int").alias("cluster"),
                            F.lit(None).cast("long").alias("dist2"))
                 .where(F.lit(False)))
     b = _best_struct_sql(cents)
-    return qdf.select(
-        F.col(id_col), "q", F.expr(f"({b}).r").alias("cluster"),
-        F.expr(f"({b}).d").alias("dist2"))
+    # two-step select: __b is referenced twice below, so CollapseProject
+    # will NOT inline (and thereby duplicate) the k×dim HOF argmin —
+    # one evaluation per row regardless of codegen-CSE support
+    return (qdf.select(F.col(id_col), "q", F.expr(b).alias("__b"))
+            .select(id_col, "q", F.col("__b.r").alias("cluster"),
+                    F.col("__b.d").alias("dist2")))
 
 
 def _centroid_df(spark, cents: list[list[int]]) -> DataFrame:
@@ -287,8 +299,6 @@ def kmeans_int(emb: DataFrame, k: int = 4, n_iter: int = 3,
     corpus cached across 32 partitions pays 32 task launches × rounds
     for a few MB; a 100 TB corpus keeps its natural scan width (the
     stats estimate caps at the session parallelism)."""
-    from ..functions.layout import pinned_shuffle, plan_width
-
     final, qdf, _ = _kmeans_int_lazy(emb, k, n_iter, id_col, vec_col)
     return finalize_release(final, qdf)
 

@@ -644,14 +644,20 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str,
     Scale shape: priority is a narrow map; the top-n is a global
     TakeOrdered (no full sort — Spark's ``orderBy().limit(n)`` plans
     per-partition partial top-n + a driver merge of n·P candidates).
-    Rows with NULL or non-positive weight are excluded up front (they
-    have no sampling mass)."""
+
+    Weights are INTEGERS (the exactness contract — integer division
+    keeps the priority key engine-portable): fractional weights must be
+    pre-scaled by the caller (e.g. millis).  The division uses the
+    bigint-cast weight, so the zero-mass filter runs on the SAME cast —
+    a fractional weight in (0, 1) truncates to 0 and is excluded (the
+    raw-value guard alone would let it through, divide by zero, and the
+    NULL priority would sort FIRST and unconditionally win)."""
+    wcast = F.col(weight_col).cast("bigint")
     pr = F.expr(
         f"cast(conv(substr(md5(concat('{seed}', ':', "
         f"cast({id_col} as string))), 1, 15), 16, 10) as bigint) "
         f"div cast({weight_col} as bigint)")
-    return (df.where(F.col(weight_col).isNotNull()
-                     & (F.col(weight_col) > 0))
+    return (df.where(wcast.isNotNull() & (wcast > 0))
             .select(id_col, weight_col, pr.alias("priority"))
             .orderBy(F.col("priority").asc(), F.col(id_col).asc())
             .limit(n))

@@ -69,6 +69,23 @@ def _pinned_by_stats(fn):
     return wrapper
 
 
+#: broadcast the derived small tables (candidate pairs, removed ids,
+#: role tags) only while the UPSTREAM corpus plan-stats estimate stays
+#: under this bound — at bench/test scale the hint removes corpus
+#: shuffles; past it the duplicate-rate-scaled tables could outgrow the
+#: driver/broadcast limits, so the join degrades gracefully to the
+#: shuffle strategy instead of OOMing on a forced hint (round-10)
+_BROADCAST_GATE_BYTES = 1 << 30
+
+
+def _gated_broadcast(small: DataFrame, corpus: DataFrame) -> DataFrame:
+    from ..functions.layout import plan_bytes
+
+    est = plan_bytes(corpus)
+    return F.broadcast(small) if est is not None \
+        and est < _BROADCAST_GATE_BYTES else small
+
+
 def incremental_new_docs(batch: DataFrame, history: DataFrame,
                          text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
@@ -641,12 +658,13 @@ def _cosine_near_dup_build(emb: DataFrame, block_col: str,
     cands = nv.groupBy(block_col).applyInPandas(block_gemm, out_schema)
     a = nv.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("va"))
     b = nv.select(F.col("vec_id").alias("id_b"), F.col("nv").alias("vb"))
-    # candidate pairs are the SMALL side (near-dup rate × corpus, and
-    # the GEMM already holds each block's pair list in one task) —
+    # candidate pairs are the SMALL side (near-dup rate × corpus) —
     # broadcast them so each rescore join is one scan of the nv cache
-    # instead of a corpus shuffle (round-10)
-    rescored = (cands.hint("broadcast").join(a, "id_a")
-                .hint("broadcast").join(b, "id_b")
+    # instead of a corpus shuffle; GATED on the corpus stats estimate
+    # so a huge-duplication corpus degrades to shuffle joins instead of
+    # OOMing on a forced hint (round-10)
+    rescored = (_gated_broadcast(cands, emb).join(a, "id_a")
+                .join(b, "id_b")
                 .select(block_col, "id_a", "id_b",
                         dot_compact(F.col("va"), F.col("vb"))
                         .cast("decimal(18,9)").alias("cos9")))
@@ -739,7 +757,8 @@ def _semantic_dedup_build(emb: DataFrame, n_cells: int,
         pairs = cosine_near_dup_pairs(with_cell, block_col="__cell",
                                       threshold_millis=threshold_millis)
         removed = pairs.select(F.col("id_b").alias("vec_id")).distinct()
-        return (with_cell.join(F.broadcast(removed), "vec_id", "left_anti")
+        return (with_cell.join(_gated_broadcast(removed, emb),
+                               "vec_id", "left_anti")
                 .select(F.col("vec_id").alias(id_col),
                         F.col("__cell").alias("cell")))
     x = F.col(vec_col)
@@ -805,7 +824,8 @@ def _semantic_dedup_build(emb: DataFrame, n_cells: int,
     pairs = cosine_near_dup_pairs(with_cell, block_col="__cell",
                                   threshold_millis=threshold_millis)
     removed = pairs.select(F.col("id_b").alias("vec_id")).distinct()
-    survivors = (with_cell.join(F.broadcast(removed), "vec_id", "left_anti")
+    survivors = (with_cell.join(_gated_broadcast(removed, qdf),
+                                "vec_id", "left_anti")
                  .select(F.col("vec_id").alias(id_col),
                          F.col("__cell").alias("cell")))
     return finalize_release(survivors, qdf)
@@ -900,13 +920,13 @@ def _semantic_dedup_inc_build(both: DataFrame, n_cells: int,
         with_cell.select("vec_id", "embedding", "__cell"),
         block_col="__cell", threshold_millis=threshold_millis)
     roles = with_cell.select("vec_id", "__hist")
-    # pairs is the SMALL side (near-dup survivors of the GEMM) — hint
-    # it broadcast so each role attach is one cache scan, not two
-    # corpus shuffles (round-10)
-    tagged = (pairs.hint("broadcast")
+    # pairs is the SMALL side (near-dup survivors of the GEMM) —
+    # broadcast it so each role attach is one cache scan, not two
+    # corpus shuffles; gated on corpus stats (round-10)
+    tagged = (_gated_broadcast(pairs, qdf)
               .join(roles.withColumnRenamed("vec_id", "id_a")
-                    .withColumnRenamed("__hist", "__hist_a"), "id_a")
-              .hint("broadcast")
+                    .withColumnRenamed("__hist", "__hist_a"), "id_a"))
+    tagged = (_gated_broadcast(tagged, qdf)
               .join(roles.withColumnRenamed("vec_id", "id_b")
                     .withColumnRenamed("__hist", "__hist_b"), "id_b"))
     # removal rules on canonical (id_a < id_b) pairs: a batch doc near
@@ -920,7 +940,8 @@ def _semantic_dedup_inc_build(both: DataFrame, n_cells: int,
     removed = (tagged.select(rm.alias("vec_id"))
                .where(F.col("vec_id").isNotNull()).distinct())
     survivors = (with_cell.where(~F.col("__hist"))
-                 .join(F.broadcast(removed), "vec_id", "left_anti")
+                 .join(_gated_broadcast(removed, qdf),
+                       "vec_id", "left_anti")
                  .select(F.col("vec_id").alias(id_col),
                          F.col("__cell").alias("cell")))
     return finalize_release(survivors, qdf)

@@ -803,8 +803,9 @@ def ann_ivf_exact_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     a query touches ~``n_probe/n_cells`` of the corpus; top-k via the
     same two-phase partial selection as the exact tier."""
     from ..functions.layout import pinned_shuffle, plan_width
-    from .clustering import (_best_struct_sql, _cent_array_sql,
-                             _quantized, kmeans_fit_centroids)
+    from .clustering import (_best_struct_sql, _probe_sort_sql,
+                             _quantized, kmeans_fit_centroids,
+                             quantize_exprs)
 
     w = plan_width(emb, floor=8)
     base = ensure_parallelism(emb, min_partitions=w)
@@ -812,17 +813,12 @@ def ann_ivf_exact_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         qdf = _quantized(base, id_col, vec_col).cache()
         cents = kmeans_fit_centroids(qdf, n_cells, n_iter, id_col)
         if not cents:  # empty corpus → empty ranking, stable schema
+            qdf.unpersist()
             return base.sparkSession.createDataFrame(
                 [], "query_id long, vec_id long, rank int, cosine double")
         # one scan: normalized vector AND baked-literal cell argmin
-        x = F.col(vec_col)
-        maxabs = F.array_max(
-            F.transform(x, lambda e: F.abs(e.cast("double"))))
-        q8 = F.transform(
-            x, lambda e: F.when(F.col("__m") == 0.0,
-                                F.lit(0).cast("long"))
-            .otherwise(F.floor(e.cast("double") * 127.0 / F.col("__m"))
-                       .cast("long")))
+        # (quantize_exprs — the shared bit-identity-critical pair)
+        maxabs, q8 = quantize_exprs(vec_col)
         b = _best_struct_sql(cents)
         corpus = (with_normalized(base, vec_col, "nv")
                   .withColumn("__m", maxabs).withColumn("q", q8)
@@ -832,13 +828,11 @@ def ann_ivf_exact_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         ids = [int(x_) for x_ in query_ids]
         # probe: sort the k literal centroid distances per query row —
         # array_sort on (d, r) structs == orderBy(d asc, r) tie-break
-        arr = (f"transform({_cent_array_sql(cents)}, (cq, r) -> "
-               f"named_struct('d', aggregate(zip_with(q, cq, "
-               f"(a, c) -> (a-c)*(a-c)), 0L, (s, x) -> s+x), 'r', r))")
         probes = (qdf.where(F.col(id_col).isin(ids))
                   .select(F.col(id_col).alias("query_id"),
                           F.explode(F.expr(
-                              f"slice(array_sort({arr}), 1, {n_probe})"))
+                              f"slice({_probe_sort_sql(cents)}, "
+                              f"1, {n_probe})"))
                           .alias("p"))
                   .select("query_id", F.col("p.r").alias("cluster")))
         qv = (corpus.where(F.col("vec_id").isin(ids))
@@ -1134,7 +1128,7 @@ def build_ivf_index(emb: DataFrame, path: str, n_cells: int = 8,
     :func:`ann_ivf_exact_topk` (pytest-pinned)."""
     from ..functions.layout import pinned_shuffle, plan_width
     from .clustering import (_best_struct_sql, _centroid_df, _quantized,
-                             kmeans_fit_centroids)
+                             kmeans_fit_centroids, quantize_exprs)
 
     w = plan_width(emb, floor=8)
     base = ensure_parallelism(emb, min_partitions=w)
@@ -1142,14 +1136,7 @@ def build_ivf_index(emb: DataFrame, path: str, n_cells: int = 8,
         qdf = _quantized(base, id_col, vec_col).cache()
         cents = kmeans_fit_centroids(qdf, n_cells, n_iter, id_col,
                                      width=w)
-        x = F.col(vec_col)
-        maxabs = F.array_max(
-            F.transform(x, lambda e: F.abs(e.cast("double"))))
-        q8 = F.transform(
-            x, lambda e: F.when(F.col("__m") == 0.0,
-                                F.lit(0).cast("long"))
-            .otherwise(F.floor(e.cast("double") * 127.0 / F.col("__m"))
-                       .cast("long")))
+        maxabs, q8 = quantize_exprs(vec_col)
         cl = (F.expr(f"({_best_struct_sql(cents)}).r") if cents
               else F.lit(None).cast("int"))
         cells = (with_normalized(base, vec_col, "nv")
@@ -1178,7 +1165,7 @@ def query_ivf_index(spark, path: str, query_ids: list[int], k: int = 10,
     same build parameters.
 
     Returns (query_id, vec_id, rank, cosine), self-matches excluded."""
-    from .clustering import _cent_array_sql
+    from .clustering import _probe_sort_sql
 
     rows = sorted(spark.read.parquet(path + "/centroids").collect(),
                   key=lambda r: r["r"])
@@ -1191,13 +1178,10 @@ def query_ivf_index(spark, path: str, query_ids: list[int], k: int = 10,
     qrows = (cells.where(F.col("vec_id").isin(ids))
              .select(F.col("vec_id").alias("query_id"), "q",
                      F.col("nv").alias("qv")))
-    arr = (f"transform({_cent_array_sql(cents)}, (cq, r) -> "
-           f"named_struct('d', aggregate(zip_with(q, cq, "
-           f"(a, c) -> (a-c)*(a-c)), 0L, (s, x) -> s+x), 'r', r))")
     probes = (qrows.select(
         "query_id", "qv",
-        F.explode(F.expr(f"slice(array_sort({arr}), 1, {n_probe})"))
-        .alias("p"))
+        F.explode(F.expr(f"slice({_probe_sort_sql(cents)}, "
+                         f"1, {n_probe})")).alias("p"))
         .select("query_id", "qv", F.col("p.r").alias("cluster")))
     scored = (F.broadcast(probes)
               .join(cells.select("vec_id", "nv", "cluster"), "cluster")

@@ -821,6 +821,9 @@ def best_passages(docs, ranking, queries: dict[int, list[str]],
       window's hits are a consecutive run in the position array, so the
       anchored maximum is the global maximum, and the earliest start
       for a c-hit run ending at position p is max(1, p − w + 1).
+      CAVEAT: on keyword-stuffed documents where hits ≈ tokens the
+      hits² term exceeds tokens·w — pass ``strategy='scan'`` for such
+      corpora (the auto heuristic keys on w only, not hit density).
     - ``strategy='auto'`` (default) — 'scan' for w ≤ 64, 'hits' above.
 
     Returns (query_id, doc_id, offset [1-based token index], n_hits,

@@ -275,3 +275,36 @@ def test_bm25_from_index_degenerate(spark, empty_docs, null_docs):
     out = bm25_topk_from_index(idx, {1: ["real", "doc"]}, k=50).collect()
     assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] \
         == list(range(1, len(out) + 1))
+
+
+def test_kmeans_null_embedding_rows_dropped_not_crash(spark):
+    """Round-10 regression guard: a NULL embedding row has no position
+    in the space — the fit's numpy kernel and the seed collect must not
+    crash on it, and it must not appear in the assignment output."""
+    from ethereum2_etl_airflow_spark.operators.clustering import (
+        cluster_balanced_sample, kmeans_int)
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0]), (4, [1.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    out = kmeans_int(emb, k=2, n_iter=2).collect()
+    assert sorted(r["vec_id"] for r in out) == [1, 3, 4]
+    assert all(r["cluster"] is not None for r in out)
+    samp = cluster_balanced_sample(emb, k=2, n_iter=2).collect()
+    assert 2 not in {r["vec_id"] for r in samp} and samp
+
+
+def test_weighted_sample_fractional_weight_has_no_mass(spark):
+    """Round-10 review fix: a fractional weight in (0, 1) truncates to
+    0 under the bigint division — it must be EXCLUDED (zero mass), not
+    win the whole sample via a NULL div-by-zero priority that sorts
+    first."""
+    from ethereum2_etl_airflow_spark.operators.curation import (
+        weighted_sample)
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 2.0), (4, 1.0)],
+        "doc_id long, w double")
+    picked = weighted_sample(df, n=10, weight_col="w").collect()
+    assert sorted(r["doc_id"] for r in picked) == [3, 4]
+    assert all(r["priority"] is not None for r in picked)
