@@ -215,11 +215,12 @@ def main() -> int:
         "-cache + scan + two-phase rank + finalize, 4 barriers) plus "
         "one broadcast join — its floor tracks sim_topk's and inherits "
         "that family's standing; bar ≤2.0 s.",
-        "Round-10 close-day band (4 full sequential WRITE_REF runs at "
-        "235 checks spread over the day): **230.3 / 232.3 / 305.1 / "
-        "322.6 s** kept-sum (elapsed 234/238/382/484 s — the last two "
-        "ran in a documented slow phase where the guard re-timed "
-        "heavily, and run 3 additionally paid the one-time sf0.1 IVF "
+        "Round-10 close-day band (5 full sequential WRITE_REF runs at "
+        "235 checks spread over the day): **230.3 / 232.3 / 295.2 / "
+        "305.1 / 322.6 s** kept-sum (elapsed 234/238/360/382/484 s — "
+        "the slower runs sat in a documented host slow phase whose "
+        "drift report shows ~uniform inflation, not regression "
+        "— and one run additionally paid the one-time sf0.1 IVF "
         "index build for the new sim_ivf_index check).  The min-merged "
         "quiet floor (bench_reference.json, committed, re-baselined "
         "this round for the 13 re-shaped queries) totals **209.2 s** "
