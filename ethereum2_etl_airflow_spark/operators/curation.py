@@ -622,8 +622,8 @@ def prune_bottom_quantile(df: DataFrame, group_col: str, score_col: str,
 
 
 def weighted_sample(df: DataFrame, n: int, weight_col: str,
-                    id_col: str = "doc_id",
-                    seed: str = "ws1") -> DataFrame:
+                    id_col: str = "doc_id", seed: str = "ws1",
+                    proportional: bool = False) -> DataFrame:
     """Deterministic weighted priority sample of ``n`` rows — the
     data-mixing primitive "sample a corpus subset where a doc's
     selection odds scale with its weight" (domain weights, quality
@@ -632,12 +632,27 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str,
         priority = conv(substr(md5(seed || ':' || id), 1, 15), 16, 10)
                    div weight
 
-    (a layout-invariant 60-bit uniform key divided by the positive
-    integer weight — an integerized Efraimidis-Spirakis-style priority:
-    doubling a row's weight halves its expected priority), and the
-    ``n`` smallest (priority, id) rows win.  Fully deterministic,
-    seed-repeatable, SQL-oracle-checkable (DuckDB:
+    (a layout-invariant 60-bit uniform key integer-divided by the
+    positive integer weight), and the ``n`` smallest (priority, id)
+    rows win.  Fully deterministic, seed-repeatable,
+    SQL-oracle-checkable (DuckDB:
     ``('0x' || substr(md5(...), 1, 15))::BIGINT // weight``).
+
+    Selection-distribution contract (round-11, after review): the
+    default integer key is MONOTONE in weight — a higher-weight row
+    stochastically beats a lower-weight one, and doubling a weight
+    halves the expected priority — but inclusion probabilities are NOT
+    weight-proportional (true Efraimidis–Sirakis needs ``u^(1/w)`` /
+    exponential keys, which are float).  Also, weights approaching the
+    60-bit key range collapse priorities onto few small integers,
+    where the (priority, id) tie-break deterministically favors low
+    ids — keep weights ≪ 2^40 or pre-normalize.  When proportionality
+    matters, pass ``proportional=True``: the key becomes the
+    float ES-max exponential key ``-ln(u)/w`` with
+    ``u = (key60+1)/2^60`` — still deterministic and seed-repeatable,
+    but float (ln differs in last-ulp across engines, so no
+    value-exact SQL oracle; the integer default stays the
+    oracle-checked mode).
 
     Returns (id_col, weight_col, priority), the selected rows.
 
@@ -653,11 +668,23 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str,
     raw-value guard alone would let it through, divide by zero, and the
     NULL priority would sort FIRST and unconditionally win)."""
     wcast = F.col(weight_col).cast("bigint")
-    pr = F.expr(
-        f"cast(conv(substr(md5(concat('{seed}', ':', "
-        f"cast({id_col} as string))), 1, 15), 16, 10) as bigint) "
-        f"div cast({weight_col} as bigint)")
-    return (df.where(wcast.isNotNull() & (wcast > 0))
-            .select(id_col, weight_col, pr.alias("priority"))
+    # 60-bit uniform key; seed enters through F.lit (Column API), not
+    # string interpolation — a quote in the seed must not be able to
+    # rewrite the expression (round-11 review)
+    key60 = F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed), F.lit(":"),
+                       F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("bigint")
+    keyed = (df.where(wcast.isNotNull() & (wcast > 0))
+             .select(F.col(id_col), F.col(weight_col),
+                     key60.alias("__key60"), wcast.alias("__w")))
+    if proportional:
+        pr = (-F.log((F.col("__key60").cast("double") + 1.0)
+                     / float(1 << 60)) / F.col("__w").cast("double"))
+    else:
+        # bigint div bigint — exact; expr-div over the pre-computed
+        # aliased columns (no user strings reach the SQL text)
+        pr = F.expr("__key60 div __w")
+    return (keyed.select(id_col, weight_col, pr.alias("priority"))
             .orderBy(F.col("priority").asc(), F.col(id_col).asc())
             .limit(n))

@@ -78,12 +78,24 @@ def _pinned_by_stats(fn):
 _BROADCAST_GATE_BYTES = 1 << 30
 
 
-def _gated_broadcast(small: DataFrame, corpus: DataFrame) -> DataFrame:
+def _stats_under_gate(corpus: DataFrame) -> bool:
     from ..functions.layout import plan_bytes
 
     est = plan_bytes(corpus)
-    return F.broadcast(small) if est is not None \
-        and est < _BROADCAST_GATE_BYTES else small
+    return est is not None and est < _BROADCAST_GATE_BYTES
+
+
+def _gated_broadcast(small: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Broadcast ``small`` iff the CORPUS plan-stats estimate is under
+    the gate.  Only valid when ``small`` is bounded by the corpus by
+    construction (a ≤-one-row-per-corpus-row id projection — e.g. the
+    distinct removed-id set, which is a subset of corpus ids): then the
+    corpus estimate is an upper bound on the broadcast table and the
+    gate is gating the right quantity.  Pair/candidate tables are NOT
+    in this class (worst-case quadratic in duplicate density) — never
+    pass one here; the rescore path broadcasts its corpus-bounded
+    vector side instead (round-11 review)."""
+    return F.broadcast(small) if _stats_under_gate(corpus) else small
 
 
 def incremental_new_docs(batch: DataFrame, history: DataFrame,
@@ -585,7 +597,8 @@ def _simhash_exact_build(docs: DataFrame, n_bits: int, max_hamming: int,
 
 
 def cosine_near_dup_pairs(emb: DataFrame, block_col: str = "label",
-                          threshold_millis: int = 999) -> DataFrame:
+                          threshold_millis: int = 999,
+                          passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key.
 
     Two-stage scale shape (blocked GEMM prefilter + exact rescore):
@@ -614,6 +627,12 @@ def cosine_near_dup_pairs(emb: DataFrame, block_col: str = "label",
     at test SFs a session-wide shuffle is pure fixed cost on a few-MB
     vector table; at corpus scale the stats estimate keeps the
     session width and the pin is width-neutral.
+
+    ``passthrough``: extra per-vector columns of ``emb`` to carry into
+    the output as ``<col>_a`` / ``<col>_b`` (round-11).  They ride the
+    rescore join's existing vector projections — zero extra exchanges —
+    which is how :func:`semantic_dedup_incremental` gets both sides'
+    history/batch role without two more joins after the GEMM.
     """
     from pyspark.sql import types as T
 
@@ -622,18 +641,21 @@ def cosine_near_dup_pairs(emb: DataFrame, block_col: str = "label",
 
     with pinned_shuffle(emb.sparkSession, plan_width(emb, floor=8),
                         adaptive=False):
-        return _cosine_near_dup_build(emb, block_col, threshold_millis)
+        return _cosine_near_dup_build(emb, block_col, threshold_millis,
+                                      passthrough)
 
 
 def _cosine_near_dup_build(emb: DataFrame, block_col: str,
-                           threshold_millis: int) -> DataFrame:
+                           threshold_millis: int,
+                           passthrough: tuple[str, ...] = (),
+                           finalize: bool = True):
     from pyspark.sql import types as T
 
     from ..functions.vectors import dot_compact, with_normalized
 
     thr = threshold_millis / 1000.0
     nv = with_normalized(ensure_parallelism(emb), "embedding", "nv") \
-        .select("vec_id", "nv", block_col).cache()
+        .select("vec_id", "nv", block_col, *passthrough).cache()
 
     out_schema = T.StructType([
         emb.schema[block_col],
@@ -655,22 +677,48 @@ def _cosine_near_dup_build(emb: DataFrame, block_col: str,
             "id_a": lo, "id_b": hi,
         })
 
-    cands = nv.groupBy(block_col).applyInPandas(block_gemm, out_schema)
-    a = nv.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("va"))
-    b = nv.select(F.col("vec_id").alias("id_b"), F.col("nv").alias("vb"))
-    # candidate pairs are the SMALL side (near-dup rate × corpus) —
-    # broadcast them so each rescore join is one scan of the nv cache
-    # instead of a corpus shuffle; GATED on the corpus stats estimate
-    # so a huge-duplication corpus degrades to shuffle joins instead of
-    # OOMing on a forced hint (round-10)
-    rescored = (_gated_broadcast(cands, emb).join(a, "id_a")
+    cands = (nv.select("vec_id", "nv", block_col)
+             .groupBy(block_col).applyInPandas(block_gemm, out_schema))
+    a = nv.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("va"),
+                  *[F.col(c).alias(f"{c}_a") for c in passthrough])
+    b = nv.select(F.col("vec_id").alias("id_b"), F.col("nv").alias("vb"),
+                  *[F.col(c).alias(f"{c}_b") for c in passthrough])
+    # rescore join orientation (round-11, after review): broadcast the
+    # VECTOR side, never the pair table.  The candidate table's size is
+    # unknowable from plan stats (post-applyInPandas stats are the
+    # defaultSizeInBytes sentinel) and is worst-case quadratic in
+    # duplicate density, so a forced broadcast of it can exceed driver
+    # limits on a pathological corpus even when the corpus itself is
+    # small.  The nv projection, by contrast, is BOUNDED BY THE CORPUS
+    # (≤ one row per vector) — exactly the quantity the stats gate
+    # measures — and broadcasting it turns the rescore into a single
+    # stage the candidate stream flows through once, with no exchange
+    # of the (possibly huge) pair table at all.
+    if _stats_under_gate(emb):
+        a, b = F.broadcast(a), F.broadcast(b)
+    rescored = (cands.join(a, "id_a")
                 .join(b, "id_b")
                 .select(block_col, "id_a", "id_b",
                         dot_compact(F.col("va"), F.col("vb"))
-                        .cast("decimal(18,9)").alias("cos9")))
+                        .cast("decimal(18,9)").alias("cos9"),
+                        *[f"{c}_a" for c in passthrough],
+                        *[f"{c}_b" for c in passthrough]))
     final = (rescored.where(F.col("cos9") >= F.lit(threshold_millis) / 1000.0)
              .select(block_col, "id_a", "id_b",
-                     F.col("cos9").cast("double").alias("cosine")))
+                     F.col("cos9").cast("double").alias("cosine"),
+                     *[f"{c}_a" for c in passthrough],
+                     *[f"{c}_b" for c in passthrough]))
+    if not finalize:
+        # deferred-release mode: return the lazy pair plan + the nv
+        # cache for the caller to release.  NOTE (round-11, measured):
+        # the semantic-dedup builders must NOT use this to skip the
+        # eager checkpoint — their removed-set broadcast then evaluates
+        # the whole GEMM pipeline inside a driver-side broadcast-
+        # exchange collect, and the operators measured ~2× SLOWER
+        # (decontaminate_semantic 2.6→5.3 s warm).  The checkpoint is
+        # load-bearing: it keeps the GEMM in a parallel job and hands
+        # the join a tiny materialized RDD.
+        return final, nv
     return finalize_release(final, nv)
 
 
@@ -916,19 +964,16 @@ def _semantic_dedup_inc_build(both: DataFrame, n_cells: int,
     with_cell = qdf.select(F.col(id_col).alias("vec_id"),
                            F.col(vec_col).alias("embedding"),
                            F.col("__hist"), cell.alias("__cell"))
+    # both sides' history/batch role rides the rescore join via
+    # passthrough — the pre-round-11 shape paid two more broadcast
+    # joins here (role-tag id_a, role-tag id_b) plus their barriers;
+    # now the GEMM+rescore stage emits (pair, __hist_a, __hist_b)
+    # directly and the only steps left are the removal-rule projection
+    # and one anti join
     pairs = cosine_near_dup_pairs(
-        with_cell.select("vec_id", "embedding", "__cell"),
-        block_col="__cell", threshold_millis=threshold_millis)
-    roles = with_cell.select("vec_id", "__hist")
-    # pairs is the SMALL side (near-dup survivors of the GEMM) —
-    # broadcast it so each role attach is one cache scan, not two
-    # corpus shuffles; gated on corpus stats (round-10)
-    tagged = (_gated_broadcast(pairs, qdf)
-              .join(roles.withColumnRenamed("vec_id", "id_a")
-                    .withColumnRenamed("__hist", "__hist_a"), "id_a"))
-    tagged = (_gated_broadcast(tagged, qdf)
-              .join(roles.withColumnRenamed("vec_id", "id_b")
-                    .withColumnRenamed("__hist", "__hist_b"), "id_b"))
+        with_cell.select("vec_id", "embedding", "__cell", "__hist"),
+        block_col="__cell", threshold_millis=threshold_millis,
+        passthrough=("__hist",))
     # removal rules on canonical (id_a < id_b) pairs: a batch doc near
     # ANY history doc drops (whichever side it canonicalized to); a
     # batch-batch pair drops the larger id; history-history is ignored
@@ -937,7 +982,7 @@ def _semantic_dedup_inc_build(both: DataFrame, n_cells: int,
     if intra_batch:
         rm = rm.when(~F.col("__hist_a") & ~F.col("__hist_b"),
                      F.col("id_b"))
-    removed = (tagged.select(rm.alias("vec_id"))
+    removed = (pairs.select(rm.alias("vec_id"))
                .where(F.col("vec_id").isNotNull()).distinct())
     survivors = (with_cell.where(~F.col("__hist"))
                  .join(_gated_broadcast(removed, qdf),

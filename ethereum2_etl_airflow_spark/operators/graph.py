@@ -295,11 +295,9 @@ def triangle_counts(edges: DataFrame, src: str = "id_a",
             int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                             "200") or 200),
             sc.defaultParallelism * 2)
-        try:
-            size = int(canon._jdf.queryExecution().optimizedPlan()
-                       .stats().sizeInBytes())
-        except Exception:  # pragma: no cover — stats API unavailable
-            size = None
+        from ..functions.layout import plan_bytes
+
+        size = plan_bytes(canon)
         npart = cap if size is None else \
             min(cap, max(8, -(-size // (2 << 20))))
     oriented = ranked.select(

@@ -13,7 +13,7 @@ Three operators:
 - :func:`random_projection_embed` — deterministic ±1 random-projection
   embeddings (the cheap dense-featurizer: SimHash's real-valued
   cousin), emitted in long (doc, dim, component) form.
-- :func:`weighted_sample` — per-document Bernoulli keep with
+- :func:`bernoulli_keep` — per-document Bernoulli keep with
   probability proportional to a score column, derandomized through
   ``md5(id)`` so the sample is reproducible on any engine, any
   partitioning, any run.
@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, functions as F
 from .text import tokens
 
 __all__ = ["demo_weights", "hashed_linear_score",
-           "random_projection_embed", "weighted_sample"]
+           "random_projection_embed", "bernoulli_keep"]
 
 
 def _bucket(tok_col, n_buckets: int):
@@ -125,14 +125,20 @@ def random_projection_embed(docs: DataFrame, dims: int = 8,
             .agg(F.sum("sign").cast("long").alias("component")))
 
 
-def weighted_sample(docs: DataFrame, score_col, seed: str = "ws",
-                    id_col: str = "doc_id") -> DataFrame:
+def bernoulli_keep(docs: DataFrame, score_col, seed: str = "ws",
+                   id_col: str = "doc_id") -> DataFrame:
     """Quality-weighted sampling: keep each document with probability
     ``clamp(score, 0, 1)``, derandomized — the keep decision is
     ``md5(seed:id) < score`` in 16-bit integer space, so the sample is
     a pure narrow filter (no rand(), no shuffle) reproducible on any
     engine.  The curriculum/up-weighting primitive: score 1.0 always
     keeps, 0.25 keeps ≈ a quarter, deterministically per id.
+
+    (Renamed from ``weighted_sample`` in round 11: the package also
+    exports :func:`~.curation.weighted_sample` — fixed-size priority
+    sampling — and two public operators sharing a name across sibling
+    modules was an import-site hazard.  The check id stays
+    ``sample_weighted``.)
 
     Integer contract: keep iff ``h16 * 10000 < round(clamp(score) *
     10000) * 65536`` where h16 is the first 4 md5 hex chars of
@@ -146,3 +152,8 @@ def weighted_sample(docs: DataFrame, score_col, seed: str = "ws",
                                        score_col.cast("double"))) * 10000
     ).cast("long")
     return docs.where(h16 * 10000 < bps * 65536)
+
+
+#: deprecated alias (pre-round-11 name; collided with
+#: :func:`~.curation.weighted_sample`) — not in ``__all__``
+weighted_sample = bernoulli_keep

@@ -1150,8 +1150,10 @@ def build_ivf_index(emb: DataFrame, path: str, n_cells: int = 8,
         qdf.unpersist()
 
 
-def query_ivf_index(spark, path: str, query_ids: list[int], k: int = 10,
-                    n_probe: int = 2) -> DataFrame:
+def query_ivf_index(spark, path: str, query_ids: list[int] | None = None,
+                    k: int = 10, n_probe: int = 2,
+                    query_vectors: dict[int, list[float]] | None = None
+                    ) -> DataFrame:
     """Serve IVF top-k from the stored index (:func:`build_ivf_index`)
     without touching the raw corpus: load the codebook-sized centroid
     table once, pick each query's ``n_probe`` nearest cells in-plan
@@ -1164,9 +1166,30 @@ def query_ivf_index(spark, path: str, query_ids: list[int], k: int = 10,
     results are bit-identical to :func:`ann_ivf_exact_topk` with the
     same build parameters.
 
-    Returns (query_id, vec_id, rank, cosine), self-matches excluded."""
-    from .clustering import _probe_sort_sql
+    Query side, two modes (round-11 — the PQ-serve parity item):
 
+    - ``query_vectors`` (preferred at scale): {query_id: raw embedding}
+      literals.  The query rows are quantized/normalized in-plan with
+      the shared :func:`~.clustering.quantize_exprs` /
+      ``with_normalized`` expressions over a tiny local table, so a
+      query NEEDS NO corpus membership and the lookup touches ZERO
+      index files (plan-asserted) — an external query with a corpus
+      vector's exact embedding returns bit-identical results to the
+      id mode.  Pass the raw (un-normalized) embedding values.
+    - ``query_ids``: ids resolved from the index itself — convenient
+      in-corpus mode, but the id lookup filters the full cells table
+      (every cell directory's footers), so prefer vectors when serving
+      detached from the corpus.
+
+    Query ids share the corpus id namespace in both modes: a result
+    row with ``vec_id == query_id`` is dropped as a self-match.
+
+    Returns (query_id, vec_id, rank, cosine)."""
+    from .clustering import _probe_sort_sql, quantize_exprs
+
+    if (query_ids is None) == (query_vectors is None):
+        raise ValueError("query_ivf_index: pass exactly one of "
+                         "query_ids / query_vectors")
     rows = sorted(spark.read.parquet(path + "/centroids").collect(),
                   key=lambda r: r["r"])
     cents = [[int(c) for c in r["cq"]] for r in rows]
@@ -1174,10 +1197,20 @@ def query_ivf_index(spark, path: str, query_ids: list[int], k: int = 10,
         return spark.createDataFrame(
             [], "query_id long, vec_id long, rank int, cosine double")
     cells = spark.read.parquet(path + "/cells")
-    ids = [int(x) for x in query_ids]
-    qrows = (cells.where(F.col("vec_id").isin(ids))
-             .select(F.col("vec_id").alias("query_id"), "q",
-                     F.col("nv").alias("qv")))
+    if query_vectors is not None:
+        qlit = spark.createDataFrame(
+            [(int(i), [float(x) for x in v])
+             for i, v in sorted(query_vectors.items())],
+            "query_id long, embedding array<double>")
+        maxabs, q8 = quantize_exprs("embedding")
+        qrows = (with_normalized(qlit, "embedding", "qv")
+                 .withColumn("__m", maxabs)
+                 .select("query_id", q8.alias("q"), "qv"))
+    else:
+        ids = [int(x) for x in query_ids]
+        qrows = (cells.where(F.col("vec_id").isin(ids))
+                 .select(F.col("vec_id").alias("query_id"), "q",
+                         F.col("nv").alias("qv")))
     probes = (qrows.select(
         "query_id", "qv",
         F.explode(F.expr(f"slice({_probe_sort_sql(cents)}, "

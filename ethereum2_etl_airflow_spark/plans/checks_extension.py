@@ -3563,10 +3563,10 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional to a per-doc score, derandomized via md5(seed:id), a
     pure narrow filter (score here derives from doc_id so the oracle
     replays it; in production it is any quality column)."""
-    from ..operators.scoring import weighted_sample
+    from ..operators.scoring import bernoulli_keep
 
     d = _docs(spark, sf_dir)
-    return (weighted_sample(d, (F.col("doc_id") % 100) / 80.0, seed="ws")
+    return (bernoulli_keep(d, (F.col("doc_id") % 100) / 80.0, seed="ws")
             .select("doc_id").orderBy("doc_id"))
 
 

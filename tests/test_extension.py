@@ -1048,22 +1048,26 @@ def test_hashed_linear_score_plan_jvm_only_broadcast(spark, docs):
     assert "BroadcastHashJoin" in plan
 
 
-def test_weighted_sample_clamps_and_is_deterministic(spark, docs):
+def test_bernoulli_keep_clamps_and_is_deterministic(spark, docs):
+    from ethereum2_etl_airflow_spark.operators import scoring
     from ethereum2_etl_airflow_spark.operators.scoring import (
-        weighted_sample)
+        bernoulli_keep)
+
+    # the pre-round-11 name survives as a deprecated alias
+    assert scoring.weighted_sample is bernoulli_keep
 
     sub = docs.limit(100)
     # score >= 1 keeps everything; score <= 0 keeps nothing
-    assert weighted_sample(sub, F.lit(5.0)).count() == 100
-    assert weighted_sample(sub, F.lit(-1.0)).count() == 0
-    half = weighted_sample(sub, F.lit(0.5), seed="s1")
+    assert bernoulli_keep(sub, F.lit(5.0)).count() == 100
+    assert bernoulli_keep(sub, F.lit(-1.0)).count() == 0
+    half = bernoulli_keep(sub, F.lit(0.5), seed="s1")
     ids1 = sorted(r["doc_id"] for r in half.collect())
     ids2 = sorted(r["doc_id"] for r in
-                  weighted_sample(sub, F.lit(0.5), seed="s1").collect())
+                  bernoulli_keep(sub, F.lit(0.5), seed="s1").collect())
     assert ids1 == ids2                       # reproducible
     assert 20 <= len(ids1) <= 80              # ~Binomial(100, .5)
     ids3 = sorted(r["doc_id"] for r in
-                  weighted_sample(sub, F.lit(0.5), seed="s2").collect())
+                  bernoulli_keep(sub, F.lit(0.5), seed="s2").collect())
     assert ids1 != ids3                       # new seed, new sample
 
 

@@ -322,3 +322,47 @@ def test_ivf_index_serving_bit_identical_and_partition_pruned(
         sorted(map(tuple, direct.collect()))
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:1200]
+
+
+def test_ivf_index_external_query_vectors(spark, sf_dir, tmp_path):
+    """Round-11 (VERDICT item 2): serving accepts LITERAL query vectors
+    — no corpus membership, and the query lookup touches zero index
+    files.  An external vector equal to an in-corpus embedding must
+    serve bit-identically to the id mode (same quantizer, same
+    decimal-exact normalization), and the plan must scan the cells
+    table exactly once (the DPP-pruned scoring scan; the id mode scans
+    it twice — lookup + scoring)."""
+    import pytest
+
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        build_ivf_index, query_ivf_index)
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_cells=8, n_iter=2)
+    qids = [0, 3, 7]
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in emb.where(F.col("vec_id").isin(qids)).collect()}
+    by_id = query_ivf_index(spark, path, qids, k=10, n_probe=2)
+    by_vec = query_ivf_index(spark, path, k=10, n_probe=2,
+                             query_vectors=vecs)
+    assert sorted(map(tuple, by_vec.collect())) == \
+        sorted(map(tuple, by_id.collect()))
+    # lookup-scan audit: the cells parquet is the ONLY file source in a
+    # serve plan (centroids collect driver-side), so FileScan count ==
+    # cells-scan count: ONE in vector mode (scoring only), TWO in id
+    # mode (lookup + scoring)
+    def n_cells_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # post-execution AQE plans print Final + Initial sections —
+        # count the final one only (scans would double otherwise)
+        return plan.split("== Initial Plan ==")[0].count("Scan parquet")
+    assert n_cells_scans(by_vec) == 1, "vector mode must not scan " \
+        "cells for the query lookup"
+    assert n_cells_scans(by_id) >= 2  # lookup scan(s) + scoring scan
+    # exactly one of ids/vectors
+    with pytest.raises(ValueError):
+        query_ivf_index(spark, path, qids, query_vectors=vecs)
+    with pytest.raises(ValueError):
+        query_ivf_index(spark, path)

@@ -305,20 +305,20 @@ def test_bpe_encode_roundtrip_property(spark, texts):
 @given(st.lists(st.integers(0, 1000), min_size=1, max_size=40,
                 unique=True),
        st.integers(0, 10), st.integers(0, 10))
-def test_weighted_sample_monotone_in_score(spark, ids, s_lo, s_hi):
+def test_bernoulli_keep_monotone_in_score(spark, ids, s_lo, s_hi):
     """Derandomized sampling is MONOTONE: raising every document's score
     can only grow the kept set (the md5 threshold test is pointwise
     monotone in the score) — the property that makes score tuning safe
     to reason about."""
     from ethereum2_etl_airflow_spark.operators.scoring import (
-        weighted_sample)
+        bernoulli_keep)
 
     lo, hi = sorted((s_lo, s_hi))
     docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
     keep_lo = {r["doc_id"] for r in
-               weighted_sample(docs, F.lit(lo / 10.0)).collect()}
+               bernoulli_keep(docs, F.lit(lo / 10.0)).collect()}
     keep_hi = {r["doc_id"] for r in
-               weighted_sample(docs, F.lit(hi / 10.0)).collect()}
+               bernoulli_keep(docs, F.lit(hi / 10.0)).collect()}
     assert keep_lo <= keep_hi
 
 

@@ -30,6 +30,74 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+def _drift_section() -> list[str]:
+    """Auto-generated host-drift audit (round-11, VERDICT item 8):
+    compare each query's committed close-run walls (the two most recent
+    BENCH_r*.json) against the quiet floor (bench_reference.json) and
+    flag queries >2× their floor in BOTH rounds — two-rounds-running
+    separates per-query code creep from the documented transient host
+    slow phases (one bad round = drift; two = investigate the plan)."""
+    import glob
+    import json as _json
+
+    lines = ["", "## Drift audit (auto-generated)", ""]
+    try:
+        with open(os.path.join(REPO, "bench_reference.json")) as fh:
+            floor = _json.load(fh)["queries"]
+    except Exception:
+        return lines + ["(no bench_reference.json — floor unavailable)"]
+    benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))[-2:]
+    if len(benches) < 2:
+        return lines + ["(needs two BENCH_r*.json rounds)"]
+    per_round = []
+    for b in benches:
+        try:
+            with open(b) as fh:
+                txt = fh.read()
+            d = _json.loads(txt)
+            # driver BENCH files wrap the bench line under "tail"
+            # (truncated) or carry the map directly — accept both
+            qmap = d.get("queries")
+            if qmap is None and "tail" in d:
+                # tail is a truncated JSON fragment: salvage the
+                # "name": sec pairs with a regex
+                import re as _re
+                qmap = {m.group(1): float(m.group(2)) for m in
+                        _re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)',
+                                     d["tail"])}
+            per_round.append((os.path.basename(b), qmap or {}))
+        except Exception:
+            per_round.append((os.path.basename(b), {}))
+    flagged = []
+    for q, fl in sorted(floor.items()):
+        if not isinstance(fl, (int, float)) or fl < 0.3:
+            continue  # sub-noise floors can't adjudicate drift
+        walls = [r.get(q) for _, r in per_round]
+        if all(w is not None and w > 2 * fl for w in walls):
+            flagged.append((q, fl, walls))
+    names = " + ".join(n for n, _ in per_round)
+    lines.append(f"Floor: bench_reference.json (min-merged quiet walls); "
+                 f"rounds audited: {names}.  Flagged = wall > 2× floor "
+                 f"in BOTH rounds AND floor ≥ 0.3 s.")
+    lines.append("")
+    if not flagged:
+        lines.append("No query exceeded 2× its quiet floor two rounds "
+                     "running — committed-run inflation is host drift, "
+                     "not per-query creep.")
+        return lines
+    lines += ["| check | floor s | " +
+              " | ".join(n for n, _ in per_round) + " |",
+              "|---|---|" + "---|" * len(per_round)]
+    for q, fl, walls in flagged:
+        lines.append(f"| {q} | {fl:.2f} | " +
+                     " | ".join(f"{w:.2f}" for w in walls) + " |")
+    lines.append("")
+    lines.append("These queries ran >2× their quiet floor two rounds "
+                 "running — re-profile the plan (not attributable to a "
+                 "single host slow phase).")
+    return lines
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -81,10 +149,15 @@ def main() -> int:
         times = sorted(run() for _ in range(runs))
         return times[len(times) // 2]
 
-    def oracle_time(sql: str, runs: int = 1) -> float:
+    def oracle_time(sql: str, runs: int = 1) -> tuple[float, list[float]]:
         # single cold run when spark times come from bench (bench's
         # numbers are single cold runs too — like-for-like); warm+timed
-        # otherwise
+        # otherwise.  Returns (median, all samples) — the samples are
+        # RECORDED in the artifact for re-timed rows, so a bar verdict
+        # carries its own evidence (round-11: triangle_count's closure
+        # hinged on proving the one-shot oracle wall was a 2-5× drift
+        # artifact; the artifact now shows the spread instead of
+        # asserting it)
         if not bench_times:
             con.execute(sql).fetchall()
         times = []
@@ -92,7 +165,7 @@ def main() -> int:
             t0 = time.time()
             con.execute(sql).fetchall()
             times.append(time.time() - t0)
-        return sorted(times)[len(times) // 2]
+        return sorted(times)[len(times) // 2], times
 
     rows = []
     for name in sorted(qs):
@@ -108,24 +181,28 @@ def main() -> int:
                 st = float(bench_times[name])
             else:
                 st = spark_time(name)
-            ot = oracle_time(sql)
+            ot, _ = oracle_time(sql)
         except Exception as e:  # noqa: BLE001 — report, don't die
             print(f"ERR   {name}: {type(e).__name__}: {str(e)[:120]}",
                   flush=True)
             continue
         ratio = st / ot if ot > 0 else float("inf")
+        note = ""
         # bar-adjacent verdicts must not ride on one-shot walls: this
         # box drifts ±10-25% run-to-run (round-5 verdict: the SAME
         # triangle_count oracle measured 2.12s by one party and 3.92s
         # by another, flipping the ≥2× verdict).  Re-time BOTH sides
-        # median-of-3 when the single-shot ratio lands near the bar.
+        # median-of-3 when the single-shot ratio lands near the bar,
+        # and RECORD the samples in the artifact (round-11).
         if 1.5 <= ratio < 3.0 and max(st, ot) >= args.min_sec:
             if not bench_times:
                 st = spark_time(name, runs=3)
-            ot = oracle_time(sql, runs=3)
+            ot, samples = oracle_time(sql, runs=3)
             ratio = st / ot if ot > 0 else float("inf")
-            print(f"  (near-bar: re-timed median-of-3)", flush=True)
-        rows.append((name, st, ot, ratio))
+            note = ("oracle med-of-3: "
+                    + "/".join(f"{t:.2f}" for t in sorted(samples)))
+            print(f"  (near-bar: re-timed; {note})", flush=True)
+        rows.append((name, st, ot, ratio, note))
         print(f"RATIO {name}: spark={st:.2f}s oracle={ot:.2f}s "
               f"ratio={ratio:.2f}x", flush=True)
 
@@ -260,13 +337,14 @@ def main() -> int:
         "50.8 s plus 94.1 s inside the full driver-path run — same "
         "band, same spread.",
         "",
-        "| check | spark s | oracle s | ratio |",
-        "|---|---|---|---|",
+        "| check | spark s | oracle s | ratio | re-time evidence |",
+        "|---|---|---|---|---|",
     ]
-    for name, st, ot, ratio in shown:
+    for name, st, ot, ratio, note in shown:
         flag = " **≥2×**" if ratio >= 2.0 else ""
         lines.append(f"| {name}{flag} | {st:.2f} | {ot:.2f} "
-                     f"| {ratio:.2f}× |")
+                     f"| {ratio:.2f}× | {note} |")
+    lines += _drift_section()
     with open(os.path.join(REPO, "docs", "RATIOS.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(f"\nwrote docs/RATIOS.md — {len(shown)} shown, "
