@@ -121,8 +121,8 @@ def main() -> None:
             ensure_ivf_index, ensure_pq_index, ensure_sessionize_source,
             ensure_stream_join_outer_source)
         from ethereum2_etl_airflow_spark.plans.checks_reference import (
-            ensure_csv_staged, ensure_evolved_staged, ensure_ndjson_staged,
-            ensure_orc_staged, ensure_overwrite_sink,
+            ensure_avro_staged, ensure_csv_staged, ensure_evolved_staged,
+            ensure_ndjson_staged, ensure_orc_staged, ensure_overwrite_sink,
             ensure_partition_staged, ensure_xml_staged)
 
         ensure_sessionize_source(spark, sf_dir)
@@ -139,6 +139,7 @@ def main() -> None:
         ensure_partition_staged(spark, sf_dir)
         ensure_overwrite_sink(spark, sf_dir)
         ensure_xml_staged(spark, sf_dir)
+        ensure_avro_staged(spark, sf_dir)
     except Exception as ex:
         print(f"# bench warm-up fixture error: {str(ex).splitlines()[0][:120]}",
               file=sys.stderr)

@@ -4,10 +4,16 @@ way a real corpus build runs them:
     quality filter → exact dedup (keep min-id survivor) →
     sliding-window chunking → leakage-safe fold assignment
 
-One logical plan end-to-end: no stage materializes, so Catalyst prunes
-columns across stage boundaries (the chunker never reads the rule
-bitmask, the fold assigner only reads ids) and the whole composition
-stays a DataFrame a caller can keep composing.
+Stage boundaries MATERIALIZE (round-11): composed lazily, the four
+stages' plan re-read the source 54 times at sf0.1 (gopher's scalar/
+unigram/bigram branches, the semi-joins, and the chunker each re-
+derive the corpus expression) — the fan-out that at 100 TB means 54
+corpus scans.  The pipeline therefore caches exactly two artifacts —
+the input corpus and the post-filter ``kept`` set (what a production
+build would persist as its stage outputs) — computes the chunks
+against them, and releases both (the ``finalize_release`` contract);
+the returned chunks are materialized, which is the pipeline's output
+anyway.  Column pruning still applies inside each stage.
 
 Scale shape is the union of the parts (each documented on its
 operator): the filter is narrow; dedup is one fingerprint-keyed
@@ -21,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.layout import finalize_release
 from ..operators.curation import chunk_sliding, fold_expr
 from ..operators.text import fingerprint, gopher_filter
 
@@ -32,8 +39,10 @@ def curate_pretrain(docs: DataFrame, window: int = 32, stride: int = 24,
                     id_col: str = "doc_id") -> DataFrame:
     """(doc_id, chunk_id, start, n_tokens, chunk_text, fold) for every
     chunk of every kept, content-unique document."""
-    kept_ids = gopher_filter(docs, text_col, id_col).where("keep")
-    kept = docs.join(kept_ids.select(id_col), id_col, "left_semi")
+    src = docs.select(id_col, text_col).cache()
+    kept_ids = gopher_filter(src, text_col, id_col).where("keep")
+    kept = (src.join(kept_ids.select(id_col), id_col, "left_semi")
+            .cache())
     # exact dedup: min-id survivor per content fingerprint
     survivors = (kept.select(F.col(id_col),
                              fingerprint(F.col(text_col)).alias("fp"))
@@ -41,4 +50,5 @@ def curate_pretrain(docs: DataFrame, window: int = 32, stride: int = 24,
                  .select(id_col))
     unique = kept.join(survivors, id_col, "left_semi")
     chunks = chunk_sliding(unique, window, stride, text_col, id_col)
-    return chunks.withColumn("fold", fold_expr(F.col(id_col), k_folds))
+    out = chunks.withColumn("fold", fold_expr(F.col(id_col), k_folds))
+    return finalize_release(out, src, kept)

@@ -239,6 +239,63 @@ GROUP BY source ORDER BY source
 """
 
 
+def ensure_avro_staged(spark: SparkSession, sf_dir: str) -> str:
+    """Avro container files via the jar-free codec (sources/avro.py):
+    one file per partition, deflate blocks, nullable-union + date
+    logical-type columns — the BigQuery-load interchange shape
+    (`build_load_dag.py:81` family) without the spark-avro jar."""
+    import os
+
+    from ..sources.avro import write_avro
+
+    out = _staged(sf_dir, "avro")
+    if not os.path.exists(os.path.join(out, "part-00000.avro")):
+        d = load_table(spark, sf_dir, "documents")
+        (write_avro(
+            d.select(
+                "doc_id", "source",
+                F.col("n_chars").cast("long").alias("n_chars"),
+                # exercise the [null, string] union branch
+                F.when(F.col("lang") != "en", F.col("lang"))
+                .alias("lang_nn"),
+                # exercise the date logical type
+                F.date_add(F.lit("2024-01-01").cast("date"),
+                           (F.col("doc_id") % 100).cast("int"))
+                .alias("d"))
+            .repartition(4), out, codec="deflate"))
+    return out
+
+
+def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro scan (jar-free codec over binaryFile + one Arrow decode
+    stage): read the staged container files — writer schema from one
+    header, per-file decode parallelism — and aggregate, proving the
+    full write→read round-trip against the parquet source of truth."""
+    from ..sources.avro import read_avro
+
+    out = ensure_avro_staged(spark, sf_dir)
+    back = read_avro(spark, out + "/*.avro")
+    return (back.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.count("lang_nn").alias("n_nonnull_lang"),
+                 # string image: DuckDB's pandas bridge renders DATE as
+                 # midnight timestamps, so the date itself is compared
+                 # as its ISO string on both sides
+                 F.max("d").cast("string").alias("max_d"))
+            .orderBy("source"))
+
+
+ORACLE_SCAN_AVRO = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(CASE WHEN lang != 'en' THEN lang END) AS n_nonnull_lang,
+       CAST(MAX(DATE '2024-01-01' + CAST(doc_id % 100 AS INT)) AS VARCHAR) AS max_d
+FROM documents
+GROUP BY source ORDER BY source
+"""
+
+
 def ensure_evolved_staged(spark: SparkSession, sf_dir: str) -> str:
     """Two parquet file generations with EVOLVED schemas (idempotent):
     generation 1 lacks the later ``lang`` column — the drop-a-column /
@@ -761,6 +818,7 @@ REFERENCE_CHECKS: dict[str, tuple] = {
     "scan_csv": (q_scan_csv, ORACLE_SCAN_CSV),
     "scan_xml": (q_scan_xml, ORACLE_SCAN_XML),
     "scan_orc": (q_scan_orc, ORACLE_SCAN_ORC),
+    "scan_avro": (q_scan_avro, ORACLE_SCAN_AVRO),
     "scan_evolved": (q_scan_evolved, ORACLE_SCAN_EVOLVED),
     "scan_partition": (q_scan_partition, ORACLE_SCAN_PARTITION),
     "sink_overwrite": (q_sink_overwrite, ORACLE_SINK_OVERWRITE),

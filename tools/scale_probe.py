@@ -57,7 +57,17 @@ def main() -> None:
     ap.add_argument("--stream-parts", action="store_true",
                     help="probe the stateful-partition-count axis of the "
                          "streaming family at one key-volume factor")
+    ap.add_argument("--qaxis", action="store_true",
+                    help="probe the QUERY-COUNT axis of the serving "
+                         "family (hard_negatives, query_ivf_index, "
+                         "bm25_topk_from_index) at fixed corpus size")
+    ap.add_argument("--queries", default="5,50,500",
+                    help="comma list of |Q| points for --qaxis")
     args = ap.parse_args()
+
+    if args.qaxis:
+        qaxis_probe(args)
+        return
 
     if args.stream_parts:
         stream_parts_probe(args)
@@ -585,6 +595,85 @@ def r10_probe(args) -> None:
               f"hard_negatives={r_hn} quality_prune={r_qp} "
               f"weighted_sample={r_ws} ivf_build={r_build} "
               f"ivf_serve={r_serve}", flush=True)
+    spark.stop()
+
+
+def qaxis_probe(args) -> None:
+    """|Q| axis of the serving family (round-11, VERDICT item 6): the
+    corpus sweeps pin cost vs DATA; serving cost also scales with the
+    QUERY batch, and the bounded-artifact claims need that axis
+    measured too.  Expected shapes at fixed corpus:
+
+    - ``hard_negatives``: the scoring scan does |Q|·N dots behind a
+      broadcast of the |Q|-row query/positive tables — wall is
+      corpus-scan-bound at small |Q| and grows ~linearly once |Q|·N
+      dominates; the rank stage stays ≤ (k+1)·P rows per query.
+    - ``query_ivf_index`` (vector mode — literal queries, zero lookup
+      scan): probes = |Q|·n_probe rows broadcast; files read bounded
+      by the UNION of probed cells (≤ n_cells directories regardless
+      of |Q|), so wall saturates once every cell is probed by some
+      query — the DPP claim on the query axis.
+    - ``bm25_topk_from_index``: the term filter is the union of query
+      terms — the index scan is ONE pass whatever |Q| is; per-query
+      cost is the posting-sum aggregation (|hit postings| rows).
+    """
+    from pyspark.sql import functions as F
+
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        build_ivf_index, hard_negatives, query_ivf_index)
+    from ethereum2_etl_airflow_spark.operators.text import (
+        bm25_topk_from_index, impact_postings, tokens)
+    from ethereum2_etl_airflow_spark.session import build_session
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    import shutil
+    import tempfile
+
+    spark = build_session(app_name="scale-probe-qaxis")
+    emb = load_table(spark, args.sf_dir, "embeddings").cache()
+    n_vec = emb.count()
+    docs = load_table(spark, args.sf_dir, "documents").cache()
+    docs.count()
+
+    def best2(fn) -> float:
+        fn()
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return round(min(times), 2)
+
+    def noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    root = tempfile.mkdtemp(prefix="e2etl_qaxis_ivf_")
+    build_ivf_index(emb, root, n_cells=8, n_iter=2)
+    # literal query vectors: every 3rd corpus embedding, rotated ids
+    all_vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+                for r in emb.where(F.col("vec_id") % 3 == 0)
+                .orderBy("vec_id").limit(600).collect()}
+    vec_ids = sorted(all_vecs)
+    # query terms: distinct tokens by document order (deterministic)
+    toks = [r["t"] for r in
+            docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+            .groupBy("t").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "t").limit(1200).collect()]
+    index = impact_postings(docs, k=64).localCheckpoint(eager=True)
+    for nq in [int(x) for x in args.queries.split(",")]:
+        qids = vec_ids[:nq]
+        r_hn = best2(lambda: noop(hard_negatives(
+            emb, {q: (q + 1) % n_vec for q in qids}, k=5)))
+        qvecs = {q: all_vecs[q] for q in qids}
+        r_ivf = best2(lambda: noop(query_ivf_index(
+            spark, root, k=10, n_probe=2, query_vectors=qvecs)))
+        tq = {i: [toks[(2 * i) % len(toks)],
+                  toks[(2 * i + 1) % len(toks)]] for i in range(nq)}
+        r_bm = best2(lambda: noop(bm25_topk_from_index(index, tq, k=10)))
+        print(f"SCALE-QAXIS |Q|={nq} vecs={n_vec} "
+              f"hard_negatives={r_hn} ivf_serve_vec={r_ivf} "
+              f"bm25_from_index={r_bm}", flush=True)
+    shutil.rmtree(root, ignore_errors=True)
     spark.stop()
 
 
