@@ -46,6 +46,7 @@ __all__ = [
     "winsorize", "table_diff", "funnel_steps",
     "cohort_retention", "chunk_sliding", "url_features",
     "weighted_median", "prune_bottom_quantile", "weighted_sample",
+    "fim_split", "canonical_url", "dedup_by_url",
 ]
 
 # RE2- and Java-regex-identical patterns (no backrefs / lookaround):
@@ -688,3 +689,131 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str,
     return (keyed.select(id_col, weight_col, pr.alias("priority"))
             .orderBy(F.col("priority").asc(), F.col(id_col).asc())
             .limit(n))
+
+
+def fim_split(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", seed: str = "fim",
+              spm_permille: int = 500) -> DataFrame:
+    """X89: fill-in-the-middle example construction (Bavarian et al.,
+    "Efficient Training of Language Models to Fill in the Middle",
+    arXiv'22): split each document's token stream at two points into
+    (prefix, middle, suffix) so the trainer can present
+    prefix+suffix→middle — the data transform behind FIM-capable code
+    models.  The paper draws the two split points uniformly; here they
+    are DERANDOMIZED through the layout-invariant 60-bit md5 key
+    (``md5(seed:id:a)``, ``md5(seed:id:b)``), so the corpus transform
+    is reproducible on any engine, any partitioning, any run — and
+    SQL-oracle-checkable.
+
+    Split spec (integer-exact): with n tokens, point p_x =
+    key60(x) mod (n+1) for x in {a, b}; lo = least(p_a, p_b),
+    hi = greatest(p_a, p_b); prefix = tokens[0:lo),
+    middle = [lo:hi), suffix = [hi:n).  ``fmt`` is 'spm' when
+    key60(f) mod 1000 < spm_permille else 'psm' — the paper's
+    PSM/SPM mixing knob, derandomized the same way.  Zero-token
+    documents emit one row with empty parts (they still count toward
+    the mixing ratio).
+
+    Returns (id, n_tokens, lo, hi, prefix, middle, suffix, fmt).
+
+    Scale shape: pure narrow map — tokenize + three hashes + three
+    array slices per row, zero shuffle, zero UDF; at 100 TB this is
+    scan-bound and embarrassingly parallel."""
+    from .text import tokens
+
+    def key60(tag: str) -> F.Column:
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(seed), F.lit(":"),
+                           F.col(id_col).cast("string"),
+                           F.lit(":" + tag))), 1, 15),
+            16, 10).cast("bigint")
+
+    tk = tokens(F.col(text_col))
+    # let-bind via select stages: n/lo/hi are each referenced several
+    # times below — two-step select keeps them single-evaluation
+    staged = df.select(
+        F.col(id_col), F.col(text_col), tk.alias("__tk"),
+        F.size(tk).alias("__n"),
+        (key60("a") % (F.size(tk) + 1)).alias("__pa"),
+        (key60("b") % (F.size(tk) + 1)).alias("__pb"),
+        F.when(key60("f") % 1000 < spm_permille,
+               F.lit("spm")).otherwise(F.lit("psm")).alias("fmt"))
+    staged = staged.select(
+        id_col, "__tk", "__n", "fmt",
+        F.least("__pa", "__pb").alias("__lo"),
+        F.greatest("__pa", "__pb").alias("__hi"))
+    return staged.select(
+        F.col(id_col), F.col("__n").cast("long").alias("n_tokens"),
+        F.col("__lo").cast("long").alias("lo"),
+        F.col("__hi").cast("long").alias("hi"),
+        F.array_join(F.slice(F.col("__tk"), F.lit(1),
+                             F.col("__lo").cast("int")), " ")
+        .alias("prefix"),
+        F.array_join(F.slice(F.col("__tk"),
+                             (F.col("__lo") + 1).cast("int"),
+                             (F.col("__hi") - F.col("__lo")).cast("int")),
+                     " ").alias("middle"),
+        F.array_join(F.slice(F.col("__tk"),
+                             (F.col("__hi") + 1).cast("int"),
+                             (F.col("__n") - F.col("__hi")).cast("int")),
+                     " ").alias("suffix"),
+        "fmt")
+
+
+#: query keys that never identify content — the tracking families every
+#: crawl canonicalizer strips (utm_* per Google's own spec, click ids,
+#: referrer echoes)
+TRACKING_PARAM_RE = "^(utm_[a-z]+|ref|fbclid|gclid|msclkid|mc_eid)="
+
+
+def canonical_url(url_col) -> F.Column:
+    """X91 kernel: canonical form of a crawl URL — the dedup key that
+    collapses the variants crawlers see for one resource:
+
+    - scheme and host lowercased (RFC 3986 §6.2.2.1 case
+      normalization); path/query case is PRESERVED (significant);
+    - default ports dropped (``:80``/``:443``);
+    - tracking query params removed (``utm_*``, ``ref``, click ids);
+    - surviving query params SORTED bytewise (order is almost never
+      significant; sorting merges permutations);
+    - trailing ``/`` on a non-root path dropped, empty path → ``/``;
+    - fragment dropped (never sent to the server).
+
+    Pure codegen string algebra (split → filter → array_sort →
+    concat) — identical in any engine, so URL dedup is
+    SQL-oracle-checkable.  Returns a string column."""
+    u = F.coalesce(url_col, F.lit(""))
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]*)", 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    path = F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qraw = F.regexp_extract(u, r"\?([^#]*)", 1)
+    qkept = F.array_sort(F.filter(
+        F.split(qraw, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
+    q = F.array_join(qkept, "&")
+    return F.concat(scheme, F.lit("://"), host, path,
+                    F.when(q == "", F.lit("")).otherwise(
+                        F.concat(F.lit("?"), q)))
+
+
+def dedup_by_url(df: DataFrame, url_col: str = "url",
+                 id_col: str = "doc_id") -> DataFrame:
+    """X91: URL-canonicalization dedup — the crawl-side first tier that
+    runs BEFORE any content hashing (two fetches of
+    ``http://X/a?utm_source=y`` and ``https://x/a/`` are one resource;
+    content dedup would also catch them but only after paying storage
+    and hashing for both).  Groups on :func:`canonical_url`, keeps the
+    min-id fetch per group.
+
+    Returns (canonical_url, id, n_variants).
+
+    Scale shape: one narrow canonicalization map + ONE combining
+    groupBy on the canonical key — the exact-dedup shape
+    (:func:`~.dedup.dedup_exact`) keyed on URL instead of content."""
+    return (df.groupBy(canonical_url(F.col(url_col))
+                       .alias("canonical_url"))
+            .agg(F.min(id_col).alias(id_col),
+                 F.count("*").alias("n_variants")))

@@ -27,6 +27,7 @@ __all__ = [
     "gopher_filter", "inverted_postings", "skipgram_counts",
     "winnow_fingerprints", "bm25_topk", "impact_postings",
     "bm25_topk_from_index", "best_passages", "expand_queries",
+    "script_mix",
 ]
 
 # word tokens: runs of alphanumerics (RE2- and Java-regex-identical)
@@ -985,3 +986,59 @@ def expand_queries(docs, queries: dict[int, list[str]], k_fb: int = 5,
         out = _bm25_build(docs, merged, k, k1_milli, b_milli,
                           text_col, id_col)
         return finalize_release(out, tf_all)
+
+
+#: Unicode script classes for corpus composition analysis — literal
+#: codepoint ranges (identical semantics under Java regex and RE2, no
+#: \p{Script=...} dependence, which RE2 spells differently)
+SCRIPT_RANGES = {
+    "latin": "A-Za-z\\u00c0-\\u024f",
+    "digit": "0-9",
+    "cyrillic": "\\u0400-\\u04ff",
+    "greek": "\\u0370-\\u03ff",
+    "arabic": "\\u0600-\\u06ff",
+    "cjk": "\\u3040-\\u30ff\\u4e00-\\u9fff\\uac00-\\ud7af",
+    "space": "\\s",
+}
+
+
+def script_mix(df, text_col: str = "text",
+               id_col: str = "doc_id"):
+    """X90: per-document Unicode-script composition — the curation
+    signal language-ID can't give: a ``lang=en`` page that is 40% CJK
+    codepoints is boilerplate-wrapped foreign content, mixed-script
+    tokens are a spam/homoglyph marker, and corpus-level script drift
+    is the first thing a multilingual data audit plots.
+
+    Counts codepoints per script class (literal codepoint ranges —
+    engine-portable, see ``SCRIPT_RANGES``) as
+    ``length(text) - length(regexp_replace(text, '[class]+', ''))`` —
+    pure codegen string algebra, no tokenizer, no UDF — plus the
+    dominant non-space class (ties → the ``SCRIPT_RANGES`` order via
+    max-of-structs with a rank tiebreak).
+
+    Returns (id, n_chars, n_<class>..., n_other, main_script).
+
+    Scale shape: narrow map over the corpus scan, zero shuffle; at
+    100 TB the regexp passes are the only cost — k fixed passes over
+    each string, vectorized JVM-side."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    total = F.length(t)
+    counts = {name: (total - F.length(
+        F.regexp_replace(t, f"[{rng}]+", "")))
+        for name, rng in SCRIPT_RANGES.items()}
+    other = total
+    for c in counts.values():
+        other = other - c
+    nonspace = [(n, c) for n, c in counts.items() if n != "space"]
+    best = F.greatest(*[
+        F.struct(c.alias("n"), F.lit(len(nonspace) - i).alias("o"),
+                 F.lit(n).alias("s"))
+        for i, (n, c) in enumerate(nonspace)])
+    main = F.when(best.getField("n") > 0,
+                  best.getField("s")).otherwise(F.lit("none"))
+    return df.select(
+        F.col(id_col), total.cast("long").alias("n_chars"),
+        *[c.cast("long").alias(f"n_{n}") for n, c in counts.items()],
+        other.cast("long").alias("n_other"),
+        main.alias("main_script"))

@@ -4904,3 +4904,167 @@ def q_sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTENSION_CHECKS["sim_ivf_index"] = (q_sim_ivf_index,
                                      ORACLE_SIM_IVF_EXACT)
+
+
+# --- X89: fill-in-the-middle example construction ---------------------------
+
+def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89: FIM (prefix, middle, suffix) construction over every 7th
+    document — derandomized split points via md5(seed:id:tag) 60-bit
+    keys mod (n+1), PSM/SPM mix via the same key family."""
+    from ..operators.curation import fim_split
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    return fim_split(d).orderBy("doc_id")
+
+
+ORACLE_FIM_SPLIT = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
+  FROM documents WHERE doc_id % 7 = 0),
+keys AS (
+  SELECT doc_id, tk, n,
+         ('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR) || ':a'),
+                         1, 15))::BIGINT % (n + 1) AS pa,
+         ('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR) || ':b'),
+                         1, 15))::BIGINT % (n + 1) AS pb,
+         ('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR) || ':f'),
+                         1, 15))::BIGINT % 1000 AS pf
+  FROM base),
+pts AS (
+  SELECT doc_id, tk, n, LEAST(pa, pb) AS lo, GREATEST(pa, pb) AS hi,
+         CASE WHEN pf < 500 THEN 'spm' ELSE 'psm' END AS fmt
+  FROM keys)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+       COALESCE(array_to_string(tk[1:lo], ' '), '') AS prefix,
+       COALESCE(array_to_string(tk[lo+1:hi], ' '), '') AS middle,
+       COALESCE(array_to_string(tk[hi+1:n], ' '), '') AS suffix,
+       fmt
+FROM pts ORDER BY doc_id
+"""
+
+EXTENSION_CHECKS["fim_split"] = (q_fim_split, ORACLE_FIM_SPLIT)
+
+
+# --- X90: Unicode-script composition ----------------------------------------
+
+def _mixed_script_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic non-Latin snippets appended (the
+    corpus is ASCII; the check needs every script class populated)."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 11 == 0)
+    cyr = "Привет мир"
+    cjk = "你好世界 こんにちは"
+    ara = "مرحبا"
+    grk = "γεια"
+    extra = (F.when(F.col("doc_id") % 3 == 0, F.lit(" " + cyr + " " + grk))
+             .when(F.col("doc_id") % 3 == 1, F.lit(" " + cjk))
+             .otherwise(F.lit(" " + ara)))
+    return d.select("doc_id",
+                    F.concat(F.col("text"), extra).alias("text"))
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90: per-document Unicode-script composition + dominant script
+    over a deterministically script-mixed corpus slice."""
+    from ..operators.text import script_mix
+
+    return (script_mix(_mixed_script_docs(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
+def _script_oracle() -> str:
+    # literal codepoint ranges (RE2 has no \uXXXX escape — embed the
+    # characters themselves; both engines treat them as class ranges)
+    rng = {
+        "latin": "A-Za-z" + chr(0xC0) + "-" + chr(0x24F),
+        "digit": "0-9",
+        "cyrillic": chr(0x400) + "-" + chr(0x4FF),
+        "greek": chr(0x370) + "-" + chr(0x3FF),
+        "arabic": chr(0x600) + "-" + chr(0x6FF),
+        "cjk": (chr(0x3040) + "-" + chr(0x30FF)
+                + chr(0x4E00) + "-" + chr(0x9FFF)
+                + chr(0xAC00) + "-" + chr(0xD7AF)),
+        "space": r"\s",
+    }
+    cyr = "Привет мир"
+    cjk = "你好世界 こんにちは"
+    ara = "مرحبا"
+    grk = "γεια"
+    cnt = ",\n         ".join(
+        f"length(t) - length(regexp_replace(t, '[{r}]+', '', 'g')) "
+        f"AS n_{n}" for n, r in rng.items())
+    order = ["latin", "digit", "cyrillic", "greek", "arabic", "cjk"]
+    main_case = "CASE WHEN " + " AND ".join(
+        f"n_{o} = 0" for o in order) + " THEN 'none'\n"
+    for i, o in enumerate(order):
+        conds = " AND ".join(f"n_{o} >= n_{p}" for p in order[i + 1:]) \
+            or "TRUE"
+        main_case += f"         WHEN {conds} THEN '{o}'\n"
+    main_case += "         END"
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN ' {cyr} {grk}'
+                      WHEN doc_id % 3 = 1 THEN ' {cjk}'
+                      ELSE ' {ara}' END AS t
+  FROM documents WHERE doc_id % 11 = 0),
+cnts AS (
+  SELECT doc_id, length(t) AS n_chars,
+         {cnt}
+  FROM src)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_latin AS BIGINT) AS n_latin,
+       CAST(n_digit AS BIGINT) AS n_digit,
+       CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+       CAST(n_greek AS BIGINT) AS n_greek,
+       CAST(n_arabic AS BIGINT) AS n_arabic,
+       CAST(n_cjk AS BIGINT) AS n_cjk,
+       CAST(n_space AS BIGINT) AS n_space,
+       CAST(n_chars - n_latin - n_digit - n_cyrillic - n_greek
+            - n_arabic - n_cjk - n_space AS BIGINT) AS n_other,
+       {main_case} AS main_script
+FROM cnts ORDER BY doc_id
+"""
+
+
+EXTENSION_CHECKS["script_mix"] = (q_script_mix, _script_oracle())
+
+
+# --- X91: URL-canonicalization dedup ----------------------------------------
+
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91: crawl URL dedup — two synthesized fetch variants per
+    document (case/port/trailing-slash/fragment/param-order/tracking
+    differences) must collapse to ONE canonical row each; the oracle
+    states the EXPECTED canonical form directly from the generating
+    columns, so the check pins the canonicalizer to the spec, not to
+    itself."""
+    from ..operators.curation import dedup_by_url
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 13 == 0)
+    base = F.concat(F.col("source"), F.lit("/"), F.col("lang"),
+                    F.lit("/"), F.col("doc_id").cast("string"))
+    v0 = d.select(
+        F.col("doc_id"),
+        F.concat(F.lit("HTTPS://WWW.Example.COM:443/"), base,
+                 F.lit("/?b=2&a=1#frag")).alias("url"))
+    v1 = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("https://www.example.com/"), base,
+                 F.lit("?a=1&utm_source=x&b=2&fbclid=99")).alias("url"))
+    return (dedup_by_url(v0.unionByName(v1))
+            .orderBy("canonical_url"))
+
+
+ORACLE_DEDUP_URL = """
+SELECT 'https://www.example.com/' || source || '/' || lang || '/' ||
+       CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canonical_url,
+       doc_id, CAST(2 AS BIGINT) AS n_variants
+FROM documents WHERE doc_id % 13 = 0
+ORDER BY canonical_url
+"""
+
+EXTENSION_CHECKS["dedup_url"] = (q_dedup_url, ORACLE_DEDUP_URL)

@@ -1964,3 +1964,114 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark, sf_dir):
         "doc_id long, w int")
     picked = weighted_sample(z, n=10, weight_col="w").collect()
     assert [r["doc_id"] for r in picked] == [4]
+
+
+# --- X89 fim_split / X90 script_mix / X91 dedup_url (round 11) -------------
+
+def test_fim_split_reconstructs_and_handles_empty(spark):
+    from ethereum2_etl_airflow_spark.operators.curation import fim_split
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, ""), (3, None), (4, "solo")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in fim_split(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for r in rows.values():
+        # partition property: the three parts concatenate to the full
+        # token stream, whatever the split points are
+        parts = " ".join(p for p in
+                         (r["prefix"], r["middle"], r["suffix"]) if p)
+        assert 0 <= r["lo"] <= r["hi"] <= r["n_tokens"]
+        assert r["fmt"] in ("psm", "spm")
+    full = rows[1]
+    assert " ".join([full["prefix"], full["middle"], full["suffix"]]) \
+        .split() == "alpha beta gamma delta epsilon zeta".split()
+    for empty_id in (2, 3):
+        e = rows[empty_id]
+        assert (e["n_tokens"], e["lo"], e["hi"]) == (0, 0, 0)
+        assert e["prefix"] == e["middle"] == e["suffix"] == ""
+    # determinism + seed sensitivity
+    again = {r["doc_id"]: r for r in fim_split(docs).collect()}
+    assert again == rows
+    other = {r["doc_id"]: r for r in
+             fim_split(docs, seed="other").collect()}
+    assert any(other[i] != rows[i] for i in rows)
+
+
+def test_fim_split_spm_ratio_tracks_knob(spark):
+    from ethereum2_etl_airflow_spark.operators.curation import fim_split
+
+    docs = spark.range(400).selectExpr("id AS doc_id",
+                                       "'a b c d e' AS text")
+    n_spm = fim_split(docs, spm_permille=250).where(
+        "fmt = 'spm'").count()
+    assert 50 <= n_spm <= 150  # ~100 expected at 25%
+    assert fim_split(docs, spm_permille=0).where(
+        "fmt = 'spm'").count() == 0
+    assert fim_split(docs, spm_permille=1000).where(
+        "fmt = 'psm'").count() == 0
+
+
+def test_script_mix_classes_and_dominant(spark):
+    from ethereum2_etl_airflow_spark.operators.text import script_mix
+
+    docs = spark.createDataFrame(
+        [(1, "hello world 42"),
+         (2, "Привет мир"),
+         (3, "你好世界"),
+         (4, "مرحبا"),
+         (5, ""), (6, None),
+         (7, "abc Привет")],   # latin 3 vs cyrillic 6 → cyrillic
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in script_mix(docs).collect()}
+    assert rows[1]["main_script"] == "latin"
+    assert rows[1]["n_digit"] == 2 and rows[1]["n_space"] == 2
+    assert rows[2]["main_script"] == "cyrillic"
+    assert rows[3]["main_script"] == "cjk" and rows[3]["n_cjk"] == 4
+    assert rows[4]["main_script"] == "arabic"
+    assert rows[5]["main_script"] == "none"
+    assert rows[6]["main_script"] == "none" and rows[6]["n_chars"] == 0
+    assert rows[7]["main_script"] == "cyrillic"
+    for r in rows.values():
+        total = sum(r[f"n_{c}"] for c in
+                    ("latin", "digit", "cyrillic", "greek", "arabic",
+                     "cjk", "space")) + r["n_other"]
+        assert total == r["n_chars"]
+
+
+def test_canonical_url_normalizations(spark):
+    from ethereum2_etl_airflow_spark.operators.curation import (
+        canonical_url, dedup_by_url)
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTPS://WWW.Ex.COM:443/A/B/?b=2&a=1#f",
+         "https://www.ex.com/A/B?a=1&b=2"),
+        ("http://ex.com:80/", "http://ex.com/"),
+        ("http://ex.com", "http://ex.com/"),
+        ("https://ex.com/p?utm_source=x&utm_medium=y&fbclid=1",
+         "https://ex.com/p"),
+        ("https://ex.com/p?z=1&ref=abc&a=2",
+         "https://ex.com/p?a=2&z=1"),
+        ("https://ex.com/CaseSensitive/Path",
+         "https://ex.com/CaseSensitive/Path"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)],
+        "doc_id long, url string")
+    from pyspark.sql import functions as F2
+    got = [r["c"] for r in
+           df.orderBy("doc_id")
+           .select(canonical_url(F2.col("url")).alias("c")).collect()]
+    assert got == [exp for _, exp in cases]
+    # collapse: same resource fetched 3 ways → one row, min id survives
+    dups = spark.createDataFrame(
+        [(10, "https://ex.com/p?b=2&a=1"),
+         (11, "HTTPS://EX.COM:443/p/?a=1&b=2#x"),
+         (12, "https://ex.com/p?utm_source=t&a=1&b=2")],
+        "doc_id long, url string")
+    out = dedup_by_url(dups).collect()
+    assert len(out) == 1
+    assert (out[0]["doc_id"], out[0]["n_variants"]) == (10, 3)
+    assert out[0]["canonical_url"] == "https://ex.com/p?a=1&b=2"
