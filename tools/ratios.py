@@ -292,6 +292,28 @@ def main() -> int:
         "-cache + scan + two-phase rank + finalize, 4 barriers) plus "
         "one broadcast join — its floor tracks sim_topk's and inherits "
         "that family's standing; bar ≤2.0 s.",
+        "Round-11 closure of the three carried ≥2× rows "
+        "(decontaminate_semantic 2.44× / sparse_cosine 2.24× / "
+        "sim_ivf_exact 2.07× on r10's one-shot oracle walls): the "
+        "adjudication mechanism is now IN the artifact — near-bar rows "
+        "carry their re-timed oracle median-of-3 samples in the last "
+        "column (the triangle_count lesson institutionalized: its r9 "
+        "2.19 s oracle wall re-timed to 3.3-13 s).  Independent "
+        "median-of-5 re-times this round: sparse_cosine oracle "
+        "1.05 s (0.87/0.97/1.05/1.06/1.12 — the r10 0.51 s wall was "
+        "the same drift class; floor ratio 1.14/1.05 = 1.09×), "
+        "sim_ivf_exact oracle 0.81 s (0.70-0.93; floor 1.46/0.81 = "
+        "1.80×), decontaminate_semantic oracle 1.35 s (0.99-2.63) "
+        "against a POST-FUSION spark wall — round 11 eliminated the "
+        "two role-tag broadcast joins by passing the history/batch "
+        "flag through the rescore join's existing vector projections "
+        "(passthrough columns; in-session warm median 3.05→2.56 s), "
+        "so the row reads ~1.9×.  Also rejected, measured: dropping "
+        "the pair-table eager checkpoint (the removed-set broadcast "
+        "then evaluates the GEMM inside a driver-side broadcast-"
+        "exchange collect; 2.6→5.3 s).  The rescore join now "
+        "broadcasts the corpus-bounded VECTOR side, never the "
+        "worst-case-quadratic pair table (robustness review item).",
         "Round-10 close-day band (5 full sequential WRITE_REF runs at "
         "235 checks spread over the day): **230.3 / 232.3 / 295.2 / "
         "305.1 / 322.6 s** kept-sum (elapsed 234/238/360/382/484 s — "
