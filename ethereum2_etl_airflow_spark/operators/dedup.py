@@ -647,8 +647,7 @@ def cosine_near_dup_pairs(emb: DataFrame, block_col: str = "label",
 
 def _cosine_near_dup_build(emb: DataFrame, block_col: str,
                            threshold_millis: int,
-                           passthrough: tuple[str, ...] = (),
-                           finalize: bool = True):
+                           passthrough: tuple[str, ...] = ()) -> DataFrame:
     from pyspark.sql import types as T
 
     from ..functions.vectors import dot_compact, with_normalized
@@ -708,17 +707,13 @@ def _cosine_near_dup_build(emb: DataFrame, block_col: str,
                      F.col("cos9").cast("double").alias("cosine"),
                      *[f"{c}_a" for c in passthrough],
                      *[f"{c}_b" for c in passthrough]))
-    if not finalize:
-        # deferred-release mode: return the lazy pair plan + the nv
-        # cache for the caller to release.  NOTE (round-11, measured):
-        # the semantic-dedup builders must NOT use this to skip the
-        # eager checkpoint — their removed-set broadcast then evaluates
-        # the whole GEMM pipeline inside a driver-side broadcast-
-        # exchange collect, and the operators measured ~2× SLOWER
-        # (decontaminate_semantic 2.6→5.3 s warm).  The checkpoint is
-        # load-bearing: it keeps the GEMM in a parallel job and hands
-        # the join a tiny materialized RDD.
-        return final, nv
+    # the eager checkpoint here is LOAD-BEARING, not just cache
+    # hygiene (round-11, measured): a deferred-release variant that
+    # returned the lazy pair plan made the semantic-dedup callers ~2×
+    # SLOWER (decontaminate_semantic 2.6→5.3 s warm) — their
+    # removed-set broadcast then evaluated this whole GEMM pipeline
+    # inside a driver-side broadcast-exchange collect instead of a
+    # parallel job.  Keep the pairs materialized.
     return finalize_release(final, nv)
 
 
