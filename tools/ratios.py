@@ -194,7 +194,8 @@ def main() -> int:
         # by another, flipping the ≥2× verdict).  Re-time BOTH sides
         # median-of-3 when the single-shot ratio lands near the bar,
         # and RECORD the samples in the artifact (round-11).
-        if 1.5 <= ratio < 3.0 and max(st, ot) >= args.min_sec:
+        if 1.5 <= ratio < 8.0 and ot >= 0.3 and \
+                max(st, ot) >= args.min_sec:
             if not bench_times:
                 st = spark_time(name, runs=3)
             ot, samples = oracle_time(sql, runs=3)
@@ -219,8 +220,8 @@ def main() -> int:
         f"Queries where BOTH sides run under {args.min_sec}s are "
         "omitted (noise).",
         "Protocol: any query whose single-shot ratio lands in "
-        "[1.5×, 3×) is re-timed median-of-3 on BOTH sides before its "
-        "verdict is recorded — this box drifts ±10-25% run-to-run, so "
+        "[1.5×, 8×) with a ≥0.3 s oracle is re-timed median-of-3 on "
+        "BOTH sides before its verdict is recorded — this box drifts ±10-25% run-to-run, so "
         "one-shot walls cannot adjudicate the 2× bar.  (With "
         "--bench-json only the oracle side re-times; the spark wall "
         "comes from the supplied map — round-9 regen feeds the "
