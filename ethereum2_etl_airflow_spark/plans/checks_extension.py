@@ -5186,3 +5186,63 @@ WHERE rank <= 10 ORDER BY query_id, rank
 
 EXTENSION_CHECKS["sim_ivf_append"] = (q_sim_ivf_append,
                                       ORACLE_SIM_IVF_APPEND)
+
+
+# --- X93: IVF index compaction (logical no-op, physical rewrite) ------------
+
+def ensure_ivf_compact_index(spark: SparkSession, sf_dir: str) -> str:
+    """The append-check index, then COMPACTED — build on originals,
+    append rotated copies (many small files), compact.  Serving must
+    be bit-identical through the rewrite, so the check reuses
+    ORACLE_SIM_IVF_APPEND verbatim."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators import similarity as S_
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.normpath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|ivfcompact|v1".encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_ivf_compact_{key}"
+    marker = os.path.join(path, "_COMPACTED")
+    if not os.path.exists(marker):
+        tmp = f"{path}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        emb = _emb(spark, sf_dir)
+        S_.build_ivf_index(emb, tmp, n_cells=8, n_iter=2)
+        rotated = emb.select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.concat(
+                F.slice(F.transform("embedding",
+                                    lambda x: x.cast("double")), 2, 63),
+                F.slice(F.transform("embedding",
+                                    lambda x: x.cast("double")), 1, 1))
+            .alias("embedding"))
+        S_.append_ivf_index(rotated, tmp)
+        S_.compact_ivf_index(spark, tmp)
+        open(os.path.join(tmp, "_COMPACTED"), "w").close()
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(marker):
+                raise
+    return path
+
+
+def q_sim_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93: serving THROUGH a compaction — same corpus, same frozen
+    codebook, physically rewritten cell files — must match the append
+    oracle bit-for-bit (compaction is a logical no-op)."""
+    from ..operators.similarity import query_ivf_index
+
+    path = ensure_ivf_compact_index(spark, sf_dir)
+    return (query_ivf_index(spark, path, _QUERY_IDS, k=10, n_probe=2)
+            .orderBy("query_id", "rank"))
+
+
+EXTENSION_CHECKS["sim_ivf_compact"] = (q_sim_ivf_compact,
+                                       ORACLE_SIM_IVF_APPEND)

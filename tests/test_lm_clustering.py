@@ -420,3 +420,44 @@ def test_append_ivf_index_frozen_codebook(spark, sf_dir, tmp_path):
     build_ivf_index(emb.where("vec_id < 0"), empty, n_cells=4, n_iter=2)
     with pytest.raises(ValueError, match="centroid"):
         append_ivf_index(seconds, empty)
+
+
+def test_compact_ivf_index_is_logical_noop(spark, sf_dir, tmp_path):
+    """X93: compaction rewrites cell files (fewer per cell after many
+    appends) without changing rows, partition layout, or serving."""
+    from ethereum2_etl_airflow_spark.operators.similarity import (
+        append_ivf_index, build_ivf_index, compact_ivf_index,
+        ivf_index_stats, query_ivf_index)
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.where("vec_id % 4 = 0"), path,
+                    n_cells=4, n_iter=2)
+    # three appends → ≥4 file generations per touched cell
+    for m in (1, 2, 3):
+        append_ivf_index(
+            emb.where(f"vec_id % 4 = {m}")
+            .select((F.col("vec_id") + m * 100000).alias("vec_id"),
+                    "embedding"), path)
+    files_before = {r["cluster"]: r["n_files"]
+                    for r in ivf_index_stats(spark, path).collect()}
+    rows_before = sorted(map(tuple, spark.read.parquet(
+        path + "/cells").select("vec_id", "cluster", "q",
+                                "nv").collect()))
+    qid = int(emb.where("vec_id % 4 = 0").limit(1)
+              .collect()[0]["vec_id"])
+    served_before = sorted(map(tuple, query_ivf_index(
+        spark, path, [qid], k=5, n_probe=4).collect()))
+    compact_ivf_index(spark, path)
+    files_after = {r["cluster"]: r["n_files"]
+                   for r in ivf_index_stats(spark, path).collect()}
+    rows_after = sorted(map(tuple, spark.read.parquet(
+        path + "/cells").select("vec_id", "cluster", "q",
+                                "nv").collect()))
+    served_after = sorted(map(tuple, query_ivf_index(
+        spark, path, [qid], k=5, n_probe=4).collect()))
+    assert rows_after == rows_before          # logical no-op
+    assert served_after == served_before      # serving bit-identical
+    assert sum(files_after.values()) < sum(files_before.values())
+    assert max(files_after.values()) <= 2     # small index → ~1/cell
