@@ -817,29 +817,37 @@ def ann_ivf_exact_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
             return base.sparkSession.createDataFrame(
                 [], "query_id long, vec_id long, rank int, cosine double")
         # one scan: normalized vector AND baked-literal cell argmin
-        # (quantize_exprs — the shared bit-identity-critical pair)
+        # (quantize_exprs — the shared bit-identity-critical pair).
+        # The cache keeps ``q`` too (round-11): the corpus cache then
+        # has build_ivf_index's cells layout (vec_id, nv, q, cluster),
+        # and the query side — probes AND normalized query vectors —
+        # becomes ONE subtree over this cache instead of two separate
+        # broadcast builds (one over qdf for probes, one over corpus
+        # for qv); the fit-only qdf cache releases at finalize as
+        # before, so peak cache footprint is unchanged.
         maxabs, q8 = quantize_exprs(vec_col)
         b = _best_struct_sql(cents)
         corpus = (with_normalized(base, vec_col, "nv")
                   .withColumn("__m", maxabs).withColumn("q", q8)
-                  .select(F.col(id_col).alias("vec_id"), "nv",
+                  .select(F.col(id_col).alias("vec_id"), "nv", "q",
                           F.expr(f"({b}).r").alias("cluster"))
                   .cache())
         ids = [int(x_) for x_ in query_ids]
         # probe: sort the k literal centroid distances per query row —
-        # array_sort on (d, r) structs == orderBy(d asc, r) tie-break
-        probes = (qdf.where(F.col(id_col).isin(ids))
-                  .select(F.col(id_col).alias("query_id"),
+        # array_sort on (d, r) structs == orderBy(d asc, r) tie-break —
+        # carrying the query's normalized vector in the same rows
+        probes = (corpus.where(F.col("vec_id").isin(ids))
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("nv").alias("qv"),
                           F.explode(F.expr(
                               f"slice({_probe_sort_sql(cents)}, "
                               f"1, {n_probe})"))
                           .alias("p"))
-                  .select("query_id", F.col("p.r").alias("cluster")))
-        qv = (corpus.where(F.col("vec_id").isin(ids))
-              .select(F.col("vec_id").alias("query_id"),
-                      F.col("nv").alias("qv")))
-        scored = (F.broadcast(probes.join(F.broadcast(qv), "query_id"))
-                  .join(corpus, "cluster")
+                  .select("query_id", "qv",
+                          F.col("p.r").alias("cluster")))
+        scored = (F.broadcast(probes)
+                  .join(corpus.select("vec_id", "nv", "cluster"),
+                        "cluster")
                   .where(F.col("query_id") != F.col("vec_id"))
                   .select("query_id", "vec_id",
                           dot_compact(F.col("qv"), F.col("nv"))

@@ -333,7 +333,14 @@ def main() -> int:
         "corpus (1.27 s at 1×) — data-bounded text analytics, not "
         "composition overhead; the oracle is a single-process DuckDB "
         "CTE chain at ~0.5 s, under any 4-barrier Spark plan's floor "
-        "on this box.",
+        "on this box.  sim_ivf_exact also lost a barrier this round: "
+        "its corpus cache now keeps q (build_ivf_index's cells-table "
+        "layout; the fit-only qdf cache releases at finalize, so peak "
+        "footprint is unchanged) and the query side — probes + "
+        "normalized query vectors — is ONE broadcast subtree over "
+        "that cache instead of two separate broadcast builds (5 "
+        "barriers → 4; bit-identity pinned by the sim_ivf_index/"
+        "append/compact oracles and pytests).",
         "Round-10 close-day band (5 full sequential WRITE_REF runs at "
         "235 checks spread over the day): **230.3 / 232.3 / 295.2 / "
         "305.1 / 322.6 s** kept-sum (elapsed 234/238/360/382/484 s — "
