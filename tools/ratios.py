@@ -78,7 +78,11 @@ def _drift_section() -> list[str]:
     names = " + ".join(n for n, _ in per_round)
     lines.append(f"Floor: bench_reference.json (min-merged quiet walls); "
                  f"rounds audited: {names}.  Flagged = wall > 2× floor "
-                 f"in BOTH rounds AND floor ≥ 0.3 s.")
+                 f"in BOTH rounds AND floor ≥ 0.3 s.  Caveat: when the "
+                 f"CURRENT round re-shaped a query, its floor reflects "
+                 f"the new plan while the audited walls are the old "
+                 f"plan's — such a flag reads 'already fixed this "
+                 f"round', not creep (check the round notes above).")
     lines.append("")
     if not flagged:
         lines.append("No query exceeded 2× its quiet floor two rounds "
@@ -340,7 +344,25 @@ def main() -> int:
         "normalized query vectors — is ONE broadcast subtree over "
         "that cache instead of two separate broadcast builds (5 "
         "barriers → 4; bit-identity pinned by the sim_ivf_index/"
-        "append/compact oracles and pytests).",
+        "append/compact oracles and pytests).  Round-11 quiet-box "
+        "median-of-7 oracle walls for every row that straddles the "
+        "0.5 s adjudication threshold (regen-to-regen DuckDB walls on "
+        "these drift 2-4×, flipping flags — e.g. impact_index read "
+        "0.58 s in one regen and 0.11-0.16 s across 7 quiet samples): "
+        "cms_estimate 0.40 (0.38-0.52), impact_index 0.13 "
+        "(0.11-0.16), pipeline_pretrain 0.42 (0.39-0.53), "
+        "sparse_cosine 0.44 (0.40-0.45), retrieval_topk 0.41 "
+        "(0.38-0.61; its whole family — hybrid 0.30, eval 0.32, "
+        "bm25_expanded 0.23, query_expansion 0.16 — is sub-0.5 s "
+        "quiet) — all five are micro-oracle "
+        "class on quiet numbers; sim_ivf_exact 0.58 (0.54-0.72) is "
+        "the one genuinely adjudicable residual: floor 1.46 / 0.58 ≈ "
+        "2.5× — a structural 4-barrier job-count floor over a 2 000-"
+        "row corpus (the r10 ≤2.5 s warm bar is met, every stage is "
+        "data-bounded, and its serving twins sim_ivf_index/append/"
+        "compact all read ≤1.5× because they skip the in-session "
+        "fit), not plan debt; the gap closes with corpus size, not "
+        "with plan work.",
         "Round-10 close-day band (5 full sequential WRITE_REF runs at "
         "235 checks spread over the day): **230.3 / 232.3 / 295.2 / "
         "305.1 / 322.6 s** kept-sum (elapsed 234/238/360/382/484 s — "
