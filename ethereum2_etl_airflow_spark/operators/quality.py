@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["run_expectations", "cms_build", "cms_estimate",
+__all__ = ["run_expectations", "cms_build", "cms_build_tokens", "cms_estimate",
            "mdq_sample", "mdq_quantiles", "mdq_bucket_registers",
            "hll_portable_registers", "hll_portable_estimate"]
 
@@ -108,9 +108,20 @@ def cms_build(docs: DataFrame, text_col: str = "text",
     from .text import tokens
 
     tok = docs.select(F.explode(tokens(F.col(text_col))).alias("t"))
+    return cms_build_tokens(tok, d=d, w=w)
+
+
+def cms_build_tokens(tok: DataFrame, tok_col: str = "t",
+                     d: int = 4, w: int = 1024) -> DataFrame:
+    """:func:`cms_build` over an ALREADY-tokenized stream — the shape a
+    pipeline that computed the token stream for other consumers (exact
+    counts, probes, n-gram stats) uses, so the corpus is tokenized
+    once and shared (round-11; the cms_estimate check's three separate
+    tokenize passes collapsed onto one cached stream)."""
     rows = tok.select(F.posexplode(F.array(*[
         F.pmod(F.conv(F.substring(
-            F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("t"))),
+            F.md5(F.concat(F.lit(str(j)), F.lit("|"),
+                           F.col(tok_col))),
             1, 8), 16, 10).cast("long"), F.lit(w))
         for j in range(d)])).alias("row", "bucket"))
     return (rows.groupBy("row", "bucket")

@@ -2892,18 +2892,23 @@ def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     own distinct tokens and surface estimate vs exact — the
     never-underestimates invariant is visible in the `over` column
     (always ≥ 0) and pinned exactly by the oracle."""
-    from ..operators.quality import cms_build, cms_estimate
+    from ..functions.layout import finalize_release
+    from ..operators.quality import cms_build_tokens, cms_estimate
+    from ..operators.text import tokens as _tokens
 
     d = _docs(spark, sf_dir)
-    sketch = cms_build(d)
-    from ..operators.text import tokens as _tokens
-    toks = d.select(F.explode(_tokens(F.col("text"))).alias("t"))
+    # ONE tokenize pass shared by the sketch build, the exact counts,
+    # and (via the exact table, already distinct) the probe side —
+    # round-11: the previous shape tokenized the corpus three times
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("t")).cache()
+    sketch = cms_build_tokens(toks)
     exact = toks.groupBy("t").agg(F.count("*").alias("n_exact"))
-    est = cms_estimate(sketch, toks)
-    return (exact.join(est, "t")
-            .select("t", "n_exact", "n_est",
-                    (F.col("n_est") - F.col("n_exact")).alias("over"))
-            .orderBy("t"))
+    est = cms_estimate(sketch, exact)
+    out = (exact.join(est, "t")
+           .select("t", "n_exact", "n_est",
+                   (F.col("n_est") - F.col("n_exact")).alias("over"))
+           .orderBy("t"))
+    return finalize_release(out, toks)
 
 
 ORACLE_CMS_ESTIMATE = """
