@@ -363,6 +363,16 @@ def main() -> int:
         "compact all read ≤1.5× because they skip the in-session "
         "fit), not plan debt; the gap closes with corpus size, not "
         "with plan work.",
+        "Round-11 close-day band (7 full sequential WRITE_REF runs at "
+        "241 checks spread over the day): **206.1 / 217.4 / 230.9 / "
+        "271.9 / 294.6 / 316.1 / 325.0 s** kept-sum — same ±50% "
+        "host-phase spread as every prior round; the quietest runs "
+        "(206.1/217.4) bracket the floor.  The min-merged quiet floor "
+        "(bench_reference.json, committed) totals **190.3 s at 241 "
+        "checks** vs 209.2 s at 235 last round — six checks ADDED and "
+        "19 s REMOVED from the floor (the decontaminate fusion, the "
+        "sim_ivf_exact barrier cut, the pipeline_pretrain reshape, "
+        "and the cms token-stream sharing are all floor-visible).",
         "Round-10 close-day band (5 full sequential WRITE_REF runs at "
         "235 checks spread over the day): **230.3 / 232.3 / 295.2 / "
         "305.1 / 322.6 s** kept-sum (elapsed 234/238/360/382/484 s — "
