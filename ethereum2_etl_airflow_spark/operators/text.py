@@ -27,7 +27,7 @@ __all__ = [
     "gopher_filter", "inverted_postings", "skipgram_counts",
     "winnow_fingerprints", "bm25_topk", "impact_postings",
     "bm25_topk_from_index", "best_passages", "expand_queries",
-    "script_mix",
+    "script_mix", "html_extract",
 ]
 
 # word tokens: runs of alphanumerics (RE2- and Java-regex-identical)
@@ -1042,3 +1042,39 @@ def script_mix(df, text_col: str = "text",
         *[c.cast("long").alias(f"n_{n}") for n, c in counts.items()],
         other.cast("long").alias("n_other"),
         main.alias("main_script"))
+
+
+def html_extract(df, html_col: str = "html", id_col: str = "doc_id"):
+    """X94: HTML → training text extraction — the crawl-side stage
+    that runs before every operator in this package sees a byte
+    (WET-style extraction: strip script/style/comment blocks, drop
+    tags, decode the common entities, collapse whitespace) plus link
+    harvesting for the frontier.  Pure regexp column algebra over
+    patterns valid in BOTH Java regex and RE2 ((?is) inline flags,
+    non-greedy block bodies, no lookaround) — so extraction is
+    SQL-oracle-checkable, unlike library extractors.
+
+    Deliberately a LITE extractor: no DOM, no boilerplate ML — the
+    deterministic 80% a distributed pass wants; route pages needing
+    real structure to a Pandas-UDF stage with an HTML parser.
+
+    Returns (id, text, n_links, links).
+
+    Scale shape: k fixed regexp passes per row, narrow map, zero
+    shuffle, zero UDF."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    # block elements whose CONTENT must go, then comments, then tags
+    s = F.regexp_replace(h, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"<[^>]*>", " ")
+    # &amp; decodes LAST: '&amp;lt;' is a literal '&lt;' in HTML —
+    # decoding ampersands first would double-decode it to '<'
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    links = F.regexp_extract_all(h, F.lit(r'href="([^"]*)"'), 1)
+    return df.select(F.col(id_col), s.alias("text"),
+                     F.size(links).cast("long").alias("n_links"),
+                     links.alias("links"))

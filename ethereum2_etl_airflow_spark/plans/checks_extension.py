@@ -5251,3 +5251,69 @@ def q_sim_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTENSION_CHECKS["sim_ivf_compact"] = (q_sim_ivf_compact,
                                        ORACLE_SIM_IVF_APPEND)
+
+
+# --- X94: HTML -> text extraction -------------------------------------------
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94: WET-style extraction over synthesized pages (every 9th
+    document wrapped in head/style/script/comment/entity/link
+    boilerplate) — the clean text, link count, and first harvested
+    link must match the oracle's replay of the same regex grammar."""
+    from ..operators.text import html_extract
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 9 == 0)
+    html = F.concat(
+        F.lit("<html><head><title>t</title><style>p{color:red}</style>"
+              "<script>var a = 1 < 2;</script></head>\n<body>"
+              "<!-- boilerplate -->\n<h1>"),
+        F.col("source"), F.lit("</h1>\n<p>"),
+        F.substring(F.col("text"), 1, 120),
+        F.lit(" &amp; more &lt;tail&gt;</p>\n<a href=\"https://ex.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\">x</a> <a href=\"/rel?a=1&amp;b=2\">y</a></body></html>"))
+    out = html_extract(
+        d.select("doc_id", html.alias("html")))
+    return (out.select("doc_id", "text", "n_links",
+                       F.element_at("links", 1).alias("first_link"))
+            .orderBy("doc_id"))
+
+
+ORACLE_HTML_EXTRACT = r"""
+WITH src AS (
+  SELECT doc_id,
+         '<html><head><title>t</title><style>p{color:red}</style>'
+         || '<script>var a = 1 < 2;</script></head>' || chr(10)
+         || '<body><!-- boilerplate -->' || chr(10) || '<h1>' || source
+         || '</h1>' || chr(10) || '<p>' || substr(text, 1, 120)
+         || ' &amp; more &lt;tail&gt;</p>' || chr(10)
+         || '<a href="https://ex.com/' || CAST(doc_id AS VARCHAR)
+         || '">x</a> <a href="/rel?a=1&amp;b=2">y</a></body></html>'
+           AS html
+  FROM documents WHERE doc_id % 9 = 0),
+stripped AS (
+  SELECT doc_id, html,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(html,
+                 '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+           '<[^>]*>', ' ', 'g') AS s
+  FROM src),
+decoded AS (
+  SELECT doc_id, html,
+         replace(replace(replace(replace(replace(replace(s,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS s2
+  FROM stripped)
+SELECT doc_id,
+       trim(regexp_replace(s2, '\s+', ' ', 'g')) AS text,
+       CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS BIGINT)
+         AS n_links,
+       regexp_extract_all(html, 'href="([^"]*)"', 1)[1] AS first_link
+FROM decoded ORDER BY doc_id
+"""
+
+EXTENSION_CHECKS["html_extract"] = (q_html_extract, ORACLE_HTML_EXTRACT)

@@ -2075,3 +2075,32 @@ def test_canonical_url_normalizations(spark):
     assert len(out) == 1
     assert (out[0]["doc_id"], out[0]["n_variants"]) == (10, 3)
     assert out[0]["canonical_url"] == "https://ex.com/p?a=1&b=2"
+
+
+def test_html_extract_edges(spark):
+    from ethereum2_etl_airflow_spark.operators.text import html_extract
+
+    pages = spark.createDataFrame([
+        (1, "<p>hello <b>world</b></p>"),
+        (2, "<script>ignore<p>this</p></script>kept"),
+        (3, "<style a=b>p{}</style>x<!-- <p>no</p> -->y"),
+        (4, "&amp;lt; stays-lt &lt; becomes-angle &#39;q&#39;"),
+        (5, None),
+        (6, '<a href="u1">1</a><a href="u2">2</a>'),
+        (7, "plain text, no markup"),
+    ], "doc_id long, html string")
+    rows = {r["doc_id"]: r for r in html_extract(pages).collect()}
+    assert rows[1]["text"] == "hello world"
+    assert rows[2]["text"] == "kept"            # script CONTENT dropped
+    assert rows[3]["text"] == "x y"             # style + comment dropped
+    # &amp;lt; is the literal string '&lt;' (no double decode);
+    # bare &lt; decodes to '<'; &#39; decodes to apostrophe
+    assert rows[4]["text"] == "&lt; stays-lt < becomes-angle 'q'"
+    assert rows[5]["text"] == "" and rows[5]["n_links"] == 0
+    assert rows[6]["n_links"] == 2
+    assert list(rows[6]["links"]) == ["u1", "u2"]
+    assert rows[7]["text"] == "plain text, no markup"
+    # no Python in the plan
+    plan = html_extract(pages)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan
