@@ -363,9 +363,10 @@ def main() -> int:
         "compact all read ≤1.5× because they skip the in-session "
         "fit), not plan debt; the gap closes with corpus size, not "
         "with plan work.",
-        "Round-11 close-day band (7 full sequential WRITE_REF runs at "
-        "241 checks spread over the day): **206.1 / 217.4 / 230.9 / "
-        "271.9 / 294.6 / 316.1 / 325.0 s** kept-sum — same ±50% "
+        "Round-11 close-day band (8 full sequential WRITE_REF runs "
+        "spread over the day; the first 7 at 241 checks, the last at "
+        "242 after html_extract landed): **206.1 / 217.4 / 230.9 / "
+        "271.9 / 275.0 / 294.6 / 316.1 / 325.0 s** kept-sum — same ±50% "
         "host-phase spread as every prior round; the quietest runs "
         "(206.1/217.4) bracket the floor.  The min-merged quiet floor "
         "(bench_reference.json, committed) totals **190.3 s at 241 "
