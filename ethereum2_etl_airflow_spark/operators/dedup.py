@@ -459,11 +459,17 @@ def minhash_exact_pairs(docs: DataFrame, n_hashes: int = 8,
     engine — so the full LSH pipeline (shingle → signature → band →
     bucket join) is exactly reproducible in ANSI SQL:
 
-      ``h_s(shingle) = md5(s || '|' || shingle)``, compared as hex
-      strings; the signature row s is the lexicographic min over the
-      document's distinct shingles.  Lexicographic min over a uniform
-      hex hash is order-isomorphic to numeric min over the 128-bit
-      value, so the usual MinHash Jaccard estimate carries over.
+      ``h_s(shingle) = substr(md5((s div 4) || '|' || shingle),
+      1 + 8·(s mod 4), 8)`` — one-hash-many-slices: each md5 yields
+      FOUR independent 32-bit rows (hex slices of a uniform 128-bit
+      digest are themselves uniform and independent), so an 8-row
+      signature costs 2 md5 evaluations per shingle instead of 8
+      (round-11; the md5s were the sigs stage's CPU).  Slices are
+      fixed-width lowercase hex, so lexicographic min is order-
+      isomorphic to numeric min over the 32-bit value and the usual
+      MinHash Jaccard estimate carries over; 32 bits over realistic
+      per-document shingle-set sizes leaves min-collision probability
+      negligible (~|sh|²/2³²).
 
     Banding: ``n_hashes / band_rows`` bands, band signature = the
     comma-joined signature rows; docs sharing any band signature become
@@ -487,9 +493,16 @@ def minhash_exact_pairs(docs: DataFrame, n_hashes: int = 8,
                         F.array_distinct(shingles(F.col(text_col), n))
                         .alias("shs"))
             .where(F.size("shs") > 0))
-    ex = sets.select("id", F.explode("shs").alias("sh"))
+    n_md5 = (n_hashes + 3) // 4
+    # the md5s live in the explode-side PROJECTION (one column per
+    # digest), not inside the agg expressions — each digest is
+    # evaluated exactly once per shingle row, and the min-aggregates
+    # reduce cheap 8-char slices
+    ex = (sets.select("id", F.explode("shs").alias("sh"))
+          .select("id", *[F.md5(F.concat(F.lit(f"{m}|"), F.col("sh")))
+                          .alias(f"h{m}") for m in range(n_md5)]))
     sigs = ex.groupBy("id").agg(*[
-        F.min(F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("sh"))))
+        F.min(F.substring(F.col(f"h{s // 4}"), 1 + 8 * (s % 4), 8))
         .alias(f"mh{s}") for s in range(n_hashes)])
     bands = sigs.select(
         "id",

@@ -30,7 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["run_expectations", "cms_build", "cms_build_tokens", "cms_estimate",
+__all__ = ["run_expectations", "cms_build", "cms_build_tokens",
+           "cms_build_counts", "cms_estimate",
            "mdq_sample", "mdq_quantiles", "mdq_bucket_registers",
            "hll_portable_registers", "hll_portable_estimate"]
 
@@ -128,14 +129,45 @@ def cms_build_tokens(tok: DataFrame, tok_col: str = "t",
             .agg(F.count("*").alias("c")))
 
 
+def cms_build_counts(counts: DataFrame, tok_col: str = "t",
+                     cnt_col: str = "n", d: int = 4,
+                     w: int = 1024) -> DataFrame:
+    """:func:`cms_build` from a PRE-AGGREGATED ``(token, count)`` table:
+    ``sketch[j][h_j(t)] = Σ_{t hashing there} count(t)`` — by definition
+    the same sketch :func:`cms_build_tokens` builds from the raw stream,
+    but the hash family is evaluated once per DISTINCT token instead of
+    once per occurrence.  When a pipeline already holds exact counts
+    (the usual case: the CMS rides next to a groupBy the consumer needed
+    anyway), this drops the sketch's hash work from O(|stream|·d) to
+    O(|vocab|·d) and adds no exchange — the counts table is already
+    vocab-keyed, and the (row, bucket) groupBy combines map-side to
+    ≤ d·w rows (round-11; cut the cms_estimate check's second
+    full-stream fan-out)."""
+    rows = counts.select(
+        F.col(cnt_col).cast("long").alias("__n"),
+        F.posexplode(F.array(*[
+            F.pmod(F.conv(F.substring(
+                F.md5(F.concat(F.lit(str(j)), F.lit("|"),
+                               F.col(tok_col))),
+                1, 8), 16, 10).cast("long"), F.lit(w))
+            for j in range(d)])).alias("row", "bucket"))
+    return (rows.groupBy("row", "bucket")
+            .agg(F.sum("__n").alias("c")))
+
+
 def cms_estimate(sketch: DataFrame, probes: DataFrame,
                  probe_col: str = "t", d: int = 4,
-                 w: int = 1024) -> DataFrame:
+                 w: int = 1024, assume_distinct: bool = False) -> DataFrame:
     """Point-frequency estimates from a :func:`cms_build` sketch:
     ``est(t) = min_j sketch[j][h_j(t)]`` — never underestimates, and
     deterministic given the md5 family.  The probe side fans out d rows
-    per probe and joins the (≤ d·w row) sketch — broadcast by size."""
-    pr = probes.select(F.col(probe_col).alias("t")).distinct()
+    per probe and joins the (≤ d·w row) sketch — broadcast by size.
+    Pass ``assume_distinct=True`` when the probe table is already
+    unique on ``probe_col`` (a counts/vocab table): the dedup exchange
+    is pure overhead there."""
+    pr = probes.select(F.col(probe_col).alias("t"))
+    if not assume_distinct:
+        pr = pr.distinct()
     fan = pr.select("t", F.posexplode(F.array(*[
         F.pmod(F.conv(F.substring(
             F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("t"))),

@@ -268,11 +268,13 @@ def sparse_cosine_pairs(docs: DataFrame, block_col: str = "source",
       2^53; each block checks the cheap bound ``max(cnt)²·|vocab| <
       2^53`` and falls back to an int64 matmul when it can't prove
       exactness — so the scores (and the IEEE sqrt/mul/div cosine) are
-      bit-identical to the index path at ANY count scale.  Two
-      exchanges end-to-end: the combining (blk, id, tok) count groupBy
-      and the block grouping.  Replaces the index path's 11.2 M-row
-      pair-join+aggregate stage (sf0.1) with ~0.2 s of BLAS — measured
-      1.77 s → 0.78 s warm median, closing the round-7 ≤1.5 s bar.
+      bit-identical to the index path at ANY count scale.  ONE
+      exchange end-to-end — the block grouping; counts form inside the
+      block kernel (round-11, see
+      :func:`_sparse_cosine_gemm_build`).  Replaces the index path's
+      11.2 M-row pair-join+aggregate stage (sf0.1) with ~0.2 s of
+      BLAS — measured 1.77 s → 0.78 s warm median, closing the
+      round-7 ≤1.5 s bar.
       Memory contract (same as the embedding GEMM): one block's dense
       |block|×|vocab| count matrix must fit a task — right for
       bounded-block, bounded-vocab corpora like the documents table.
@@ -338,16 +340,24 @@ def _sparse_cosine_gemm_build(docs: DataFrame, block_col: str,
     """Lazy pipeline for the blocked-GEMM strategy of
     :func:`sparse_cosine_pairs` (plan tests assert on this).
 
-    One combining groupBy builds the (blk, id, tok, cnt) index (map-side
-    partial agg — no pre-clustering repartition needed since no window
-    follows), then ``groupBy(blk).applyInPandas`` ships each block's
-    index slice through Arrow and computes every pair dot, norm, and
-    cosine in one matmul.  Exactness: float64 holds integers exactly
-    below 2^53, so when ``max(cnt)² · |vocab| < 2^53`` (an upper bound
-    on any dot/norm) the BLAS result is the exact integer; otherwise
-    the block recomputes in int64 (exact to 2^63).  The cosine is the
-    same three IEEE ops (sqrt, mul, div) on the same exact integers as
-    the index path and the SQL oracle — bit-identical output.
+    ONE exchange end-to-end (round-11; was two): the raw (blk, id, tok)
+    occurrence stream goes straight into ``groupBy(blk).applyInPandas``
+    and the per-(id, tok) counts form INSIDE the block kernel (a
+    size-aggregating pivot) — the previous combining groupBy(blk, id,
+    tok) paid a full extra shuffle barrier only to pre-shrink the Arrow
+    batch by the mean within-doc token multiplicity (~1.5–3× on real
+    text; measured at sf0.1 the barrier costs more than the width
+    saves, 0.81 → 0.69 s warm floor, bit-identical output).  On a
+    corpus whose multiplicity is extreme (log-file spam, boilerplate
+    floods) the pre-combining shape is one ``groupBy`` away — the
+    kernel's pivot aggregates either width.  Each block computes every
+    pair dot, norm, and cosine in one matmul.  Exactness: float64
+    holds integers exactly below 2^53, so when ``max(cnt)² · |vocab| <
+    2^53`` (an upper bound on any dot/norm) the BLAS result is the
+    exact integer; otherwise the block recomputes in int64 (exact to
+    2^63).  The cosine is the same three IEEE ops (sqrt, mul, div) on
+    the same exact integers as the index path and the SQL oracle —
+    bit-identical output.
 
     NULL block values are dropped up front: the index path's
     ``a.blk == b.blk`` self-join never matches NULL (SQL join
@@ -362,12 +372,12 @@ def _sparse_cosine_gemm_build(docs: DataFrame, block_col: str,
     tc0 = (docs.where(F.col(block_col).isNotNull())
            .select(F.col(block_col).alias("blk"),
                    F.col(id_col).alias("id"),
-                   F.explode(tokens(F.col(text_col))).alias("tok"))
-           .groupBy("blk", "id", "tok").agg(F.count("*").alias("cnt")))
+                   F.explode(tokens(F.col(text_col))).alias("tok")))
 
     def block_gemm(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = pdf.pivot_table(index="id", columns="tok", values="cnt",
-                            fill_value=0, aggfunc="sum")
+        # occurrence rows → counts matrix in one size-aggregating pivot
+        m = pdf.pivot_table(index="id", columns="tok", aggfunc="size",
+                            fill_value=0)
         ids = m.index.to_numpy()  # pivot sorts → id_a < id_b for free
         if len(ids) < 2:
             return pd.DataFrame({"id_a": np.array([], dtype="int64"),
@@ -804,34 +814,38 @@ def ann_ivf_exact_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     same two-phase partial selection as the exact tier."""
     from ..functions.layout import pinned_shuffle, plan_width
     from .clustering import (_best_struct_sql, _probe_sort_sql,
-                             _quantized, kmeans_fit_centroids,
-                             quantize_exprs)
+                             kmeans_fit_centroids, quantize_exprs)
 
     w = plan_width(emb, floor=8)
     base = ensure_parallelism(emb, min_partitions=w)
     with pinned_shuffle(base.sparkSession, w, adaptive=False):
-        qdf = _quantized(base, id_col, vec_col).cache()
-        cents = kmeans_fit_centroids(qdf, n_cells, n_iter, id_col)
+        # ONE cache, materialized once (round-11; was two — a fit-only
+        # (id, q) cache plus a serving (vec_id, nv, q, cluster) cache,
+        # i.e. two full quantize passes over the corpus): normalized
+        # vector AND quantized vector ride the same scan
+        # (quantize_exprs — the shared bit-identity-critical pair); the
+        # fit reads its (id, q) view off this cache, and ``cluster`` is
+        # a post-fit baked-literal argmin PROJECTION over it — k×dim
+        # integer ops per scanned row, recomputed by each consumer
+        # instead of widening the materialize with a second barrier.
+        # NULL embeddings quantize to NULL q and are dropped here, the
+        # :func:`~.clustering._quantized` contract — they have no
+        # position in the space on either the fit or the serving side.
+        maxabs, q8 = quantize_exprs(vec_col)
+        cells = (with_normalized(base, vec_col, "nv")
+                 .withColumn("__m", maxabs).withColumn("q", q8)
+                 .select(F.col(id_col).alias("vec_id"), "nv", "q")
+                 .where(F.col("q").isNotNull())
+                 .cache())
+        cents = kmeans_fit_centroids(
+            cells.select(F.col("vec_id").alias(id_col), "q"),
+            n_cells, n_iter, id_col)
         if not cents:  # empty corpus → empty ranking, stable schema
-            qdf.unpersist()
+            cells.unpersist()
             return base.sparkSession.createDataFrame(
                 [], "query_id long, vec_id long, rank int, cosine double")
-        # one scan: normalized vector AND baked-literal cell argmin
-        # (quantize_exprs — the shared bit-identity-critical pair).
-        # The cache keeps ``q`` too (round-11): the corpus cache then
-        # has build_ivf_index's cells layout (vec_id, nv, q, cluster),
-        # and the query side — probes AND normalized query vectors —
-        # becomes ONE subtree over this cache instead of two separate
-        # broadcast builds (one over qdf for probes, one over corpus
-        # for qv); the fit-only qdf cache releases at finalize as
-        # before, so peak cache footprint is unchanged.
-        maxabs, q8 = quantize_exprs(vec_col)
         b = _best_struct_sql(cents)
-        corpus = (with_normalized(base, vec_col, "nv")
-                  .withColumn("__m", maxabs).withColumn("q", q8)
-                  .select(F.col(id_col).alias("vec_id"), "nv", "q",
-                          F.expr(f"({b}).r").alias("cluster"))
-                  .cache())
+        corpus = cells.withColumn("cluster", F.expr(f"({b}).r"))
         ids = [int(x_) for x_ in query_ids]
         # probe: sort the k literal centroid distances per query row —
         # array_sort on (d, r) structs == orderBy(d asc, r) tie-break —
@@ -854,7 +868,7 @@ def ann_ivf_exact_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                           .cast("decimal(18,9)").cast("double")
                           .alias("cosine")))
         out = _rank_topk(partial_topk(scored, k), k)
-        return finalize_release(out, qdf, corpus)
+        return finalize_release(out, cells)
 
 
 def rrf_fuse(rankings: list[DataFrame], k_const: int = 60, k: int = 10,

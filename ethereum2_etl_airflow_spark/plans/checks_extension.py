@@ -1543,8 +1543,11 @@ sh AS (
                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
     ELSE [] END) AS sh
   FROM tk),
-mh AS (SELECT id, s.seed, min(md5(s.seed::VARCHAR || '|' || sh)) AS mh
-       FROM sh CROSS JOIN generate_series(0, 7) s(seed)
+hh AS (SELECT id, md5('0|' || sh) AS h0, md5('1|' || sh) AS h1 FROM sh),
+mh AS (SELECT id, s.seed,
+              min(substr(CASE WHEN s.seed < 4 THEN h0 ELSE h1 END,
+                         1 + 8 * (s.seed % 4), 8)) AS mh
+       FROM hh CROSS JOIN generate_series(0, 7) s(seed)
        GROUP BY id, s.seed),
 bands AS (SELECT id, seed // 2 AS band_id,
                  string_agg(mh, ',' ORDER BY seed) AS band_sig
@@ -2893,22 +2896,25 @@ def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     never-underestimates invariant is visible in the `over` column
     (always ≥ 0) and pinned exactly by the oracle."""
     from ..functions.layout import finalize_release
-    from ..operators.quality import cms_build_tokens, cms_estimate
+    from ..operators.quality import cms_build_counts, cms_estimate
     from ..operators.text import tokens as _tokens
 
     d = _docs(spark, sf_dir)
-    # ONE tokenize pass shared by the sketch build, the exact counts,
-    # and (via the exact table, already distinct) the probe side —
-    # round-11: the previous shape tokenized the corpus three times
-    toks = d.select(F.explode(_tokens(F.col("text"))).alias("t")).cache()
-    sketch = cms_build_tokens(toks)
-    exact = toks.groupBy("t").agg(F.count("*").alias("n_exact"))
-    est = cms_estimate(sketch, exact)
+    # ONE tokenize pass, ONE full-stream exchange: the exact counts are
+    # the only stream-width aggregate; the sketch derives from them
+    # (cms_build_counts — same sketch by definition), so sketch build,
+    # probe fan-out, and the final join all run at vocab width off the
+    # cached counts table (round-11: the stream was previously fanned
+    # out ×d a second time just to rebuild counts the check already had)
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("t"))
+    exact = toks.groupBy("t").agg(F.count("*").alias("n_exact")).cache()
+    sketch = cms_build_counts(exact, "t", "n_exact")
+    est = cms_estimate(sketch, exact, assume_distinct=True)
     out = (exact.join(est, "t")
            .select("t", "n_exact", "n_est",
                    (F.col("n_est") - F.col("n_exact")).alias("over"))
            .orderBy("t"))
-    return finalize_release(out, toks)
+    return finalize_release(out, exact)
 
 
 ORACLE_CMS_ESTIMATE = """

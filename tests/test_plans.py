@@ -366,10 +366,10 @@ def test_sparse_cosine_pinned_width_and_join_shape(spark, sf_dir):
 
 
 def test_sparse_cosine_gemm_plan_shape(spark, sf_dir):
-    """The blocked-GEMM default (round-9): exactly TWO exchanges — the
-    combining (blk, id, tok) count groupBy and the block grouping that
-    feeds the one sanctioned Arrow stage (FlatMapGroupsInPandas); the
-    count aggregate partial-aggregates map-side, and no row-at-a-time
+    """The blocked-GEMM default (round-11): exactly ONE exchange — the
+    block grouping that feeds the one sanctioned Arrow stage
+    (FlatMapGroupsInPandas); counts form inside the block kernel, so
+    no combining groupBy barrier precedes it, and no row-at-a-time
     Python evaluator appears."""
     import re
 
@@ -384,13 +384,12 @@ def test_sparse_cosine_gemm_plan_shape(spark, sf_dir):
         res = _sparse_cosine_gemm_build(docs, "source", 650,
                                         "text", "doc_id")
         plan = plan_string(res, "simple")
-    assert plan.count("Exchange hashpartitioning") == 2, plan[:1500]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
     widths = {int(n) for n in
               re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan)}
     assert widths == {7}, plan[:1500]
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
-    assert "partial_count" in plan or "HashAggregate" in plan
 
 
 def test_bm25_plan_shape(spark, sf_dir):
