@@ -47,6 +47,8 @@ __all__ = [
     "cohort_retention", "chunk_sliding", "url_features",
     "weighted_median", "prune_bottom_quantile", "weighted_sample",
     "fim_split", "canonical_url", "dedup_by_url",
+    "plan_shards", "hamilton_quota", "allocate_budget",
+    "dialogue_turns", "span_corrupt",
 ]
 
 # RE2- and Java-regex-identical patterns (no backrefs / lookaround):
@@ -817,3 +819,263 @@ def dedup_by_url(df: DataFrame, url_col: str = "url",
                        .alias("canonical_url"))
             .agg(F.min(id_col).alias(id_col),
                  F.count("*").alias("n_variants")))
+
+
+def plan_shards(df: DataFrame, n_shards: int = 8,
+                size_col: str = "n_chars",
+                id_col: str = "doc_id") -> DataFrame:
+    """X95: balanced output-shard planning — assign every document to
+    one of ``n_shards`` training shards so shard sizes come out nearly
+    equal, the writer-side twin of :func:`pack_offsets`: a 100 TB run
+    that writes shards by hash gets size spread equal to the doc-size
+    variance; a run that SNAKE-allocates by descending size gets
+    max-min spread bounded by one document.  Deterministic (no
+    sampling, no rand()): sort by (size desc, id asc), then
+    boustrophedon assignment over the dense global rank ``r``::
+
+        pass = r div n_shards;  pos = r mod n_shards
+        shard = pos             if pass is even
+              = n-1-pos         otherwise
+
+    (the classic snake draft — each pass hands the largest remaining
+    doc to the currently-lightest shard class).
+
+    Returns (id, size, rank, shard), rank 0-based dense global.
+
+    Scale shape — the dense global rank is a **distributed prefix
+    count**, not a one-task window (``row_number()`` over an
+    unpartitioned ORDER BY collapses to a single task — the known
+    Spark anti-pattern): range-repartition on (size desc, id), sort
+    within partitions, count rows per partition (≤ P tiny rows
+    collected), prefix-sum the counts driver-side into per-partition
+    base ranks, then one narrow Arrow pass adds base + local index.
+    The sorted layout is frozen with an eager ``localCheckpoint``
+    between the passes for the same reason :func:`pack_offsets`
+    documents: range boundaries are sampled, and a silent recompute
+    under different boundaries would mis-rank every row."""
+    base = df.select(F.col(id_col).alias("i"),
+                     F.col(size_col).cast("long").alias("sz"))
+    spark = df.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    laid = (base.repartitionByRange(nparts, F.col("sz").desc(), F.col("i"))
+            .sortWithinPartitions(F.col("sz").desc(), F.col("i"))
+            .withColumn("pid", F.spark_partition_id())
+            .localCheckpoint(eager=True))
+    counts = laid.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    rows, run = [], 0
+    for r in sorted(counts, key=lambda r: r["pid"]):
+        rows.append((int(r["pid"]), run))
+        run += int(r["n"])
+    base_df = spark.createDataFrame(rows, "pid int, base long")
+    joined = laid.join(F.broadcast(base_df), "pid")
+
+    def local_index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        seen = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ranks = (pdf["base"].to_numpy(dtype="int64")
+                     + seen + np.arange(len(pdf), dtype="int64"))
+            seen += len(pdf)
+            yield pd.DataFrame({"i": pdf["i"], "sz": pdf["sz"],
+                                "rank": ranks})
+
+    ranked = joined.mapInPandas(local_index, "i long, sz long, rank long")
+    s = n_shards
+    shard = F.when(
+        F.expr(f"(rank div {s}) % 2 = 0"), F.expr(f"rank % {s}")
+    ).otherwise(F.expr(f"{s - 1} - (rank % {s})"))
+    out = ranked.select(F.col("i").alias(id_col),
+                        F.col("sz").alias(size_col),
+                        "rank", shard.cast("int").alias("shard"))
+    from ..functions.layout import finalize_release
+    return finalize_release(out)
+
+
+def hamilton_quota(weights: DataFrame, budget: int,
+                   group_col: str = "g",
+                   weight_col: str = "wt") -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment over an
+    already-aggregated ``(group, weight)`` table — THE shared integer
+    core of every budget-allocation operator in this package (the
+    ``mix_quota`` check's sqrt-weighted mix and :func:`allocate_budget`
+    both route through it, so the apportionment rule can never drift
+    between them)::
+
+        base_g  = budget * w_g div W
+        extras  = budget - Σ base_g             (< |groups|)
+        the ``extras`` groups with the largest remainder
+        ``budget * w_g mod W`` (tie → group asc) get +1
+
+    Pure integer arithmetic (products stay under 2^63 for any
+    realistic budget × weight mass), so Σ quota == budget EXACTLY —
+    no float drift, no re-normalization pass.
+
+    Returns ``weights``' columns + ``quota``.
+
+    Scale shape: window ranking over the |groups|-row catalog —
+    bounded (sources are dumps/crawls, thousands at most, the
+    :func:`~.dedup.source_minhash_similarity` contract); the
+    unpartitioned window is the right plan for a bounded catalog."""
+    tot = Window.partitionBy()
+    w = Window.partitionBy().orderBy(
+        F.expr(f"({budget} * {weight_col}) % __tot").desc(),
+        F.col(group_col))
+    return (weights
+            .withColumn("__tot", F.sum(weight_col).over(tot))
+            .withColumn("__base",
+                        F.expr(f"({budget} * {weight_col}) div __tot"))
+            .withColumn("__extra_rank", F.row_number().over(w))
+            .withColumn(
+                "quota",
+                F.col("__base")
+                + F.when(F.col("__extra_rank")
+                         <= F.lit(budget) - F.sum("__base").over(tot),
+                         1).otherwise(0))
+            .drop("__tot", "__base", "__extra_rank"))
+
+
+def allocate_budget(df: DataFrame, budget: int,
+                    group_col: str = "source",
+                    size_col: str = "n_chars") -> DataFrame:
+    """X98: proportional token-budget apportionment from a raw corpus —
+    one map-side-combining groupBy builds each source's inventory,
+    then :func:`hamilton_quota` turns it into exact integer quotas
+    (linear weights = proportional allocation; the ``mix_quota`` check
+    pins the sqrt-weighted variant of the same core).
+
+    Returns (group, size_sum, quota) ordered by group."""
+    inv = (df.groupBy(F.col(group_col).alias("__g"))
+           .agg(F.sum(F.col(size_col).cast("long")).alias("__sz")))
+    out = hamilton_quota(inv, budget, "__g", "__sz")
+    return out.select(F.col("__g").alias(group_col),
+                      F.col("__sz").alias("size_sum"), "quota")
+
+
+def dialogue_turns(events: DataFrame, gap_minutes: int = 30,
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type",
+                   id_col: str = "event_id") -> DataFrame:
+    """X97: event-stream → dialogue-transcript linearization — the SFT
+    corpus-construction step that turns interaction logs into
+    role-alternating training transcripts: per user, gap-based
+    sessionization (a new session starts after ``gap_minutes`` of
+    silence — the :func:`~.plans.checks_relational` sessionize rule),
+    then within each session the events become numbered turns with
+    alternating user/assistant roles and the transcript is the
+    ordered ``role: event_type`` concatenation.
+
+    Returns (user, session_id, n_turns, transcript), session_id
+    0-based per user.
+
+    Scale shape: ONE hash exchange on the user key; the session
+    boundary (lag + cumulative sum), turn numbering, and the ordered
+    listagg all ride windows over the same (user) clustering with
+    per-user ORDER BY ts — no second exchange, and no session ever
+    spans partitions.  Transcript size is bounded by session length —
+    cap upstream (``cap_per_key``) if a pathological user never goes
+    quiet."""
+    wu = Window.partitionBy(user_col).orderBy(F.col(ts_col),
+                                              F.col(id_col))
+    # events land as timestamp_ntz; the session is UTC by contract
+    # (sources.testdata), so the ntz->timestamp cast is exact
+    usec = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = usec - F.lag(usec).over(wu)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > gap_minutes * 60_000_000),
+               1).otherwise(0)
+    ).over(wu) - 1
+    s = events.withColumn("__sess", sess.cast("long"))
+    ws = Window.partitionBy(user_col, "__sess").orderBy(
+        F.col(ts_col), F.col(id_col))
+    turn = F.row_number().over(ws) - 1
+    role = F.when(turn % 2 == 0, F.lit("user")).otherwise(
+        F.lit("assistant"))
+    line = F.concat(role, F.lit(": "), F.col(type_col))
+    return (s.withColumn("__line", line)
+            .groupBy(F.col(user_col), F.col("__sess").alias("session_id"))
+            .agg(F.count("*").alias("n_turns"),
+                 F.array_join(
+                     F.array_sort(F.collect_list(F.struct(
+                         F.col(ts_col).alias("t"),
+                         F.col(id_col).alias("e"),
+                         F.col("__line").alias("l")))).getField("l"),
+                 "\n").alias("transcript")))
+
+
+def span_corrupt(df: DataFrame, span_len: int = 3, one_in: int = 5,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """X100: T5/UL2-style span-corruption example construction — turn
+    each document into a (input, target) denoising pair: the token
+    stream is cut into ``span_len``-token spans, a deterministic
+    ``1/one_in`` of the spans are masked, each masked span is replaced
+    in the input by a numbered sentinel ``<extra_id_k>``, and the
+    target is the sentinel-prefixed concatenation of the masked-out
+    tokens (the exact seq2seq objective layout of Raffel et al., JMLR
+    2020).
+
+    Mask selection is derandomized the package way (no rand()):
+    span ``s`` of document ``d`` is masked iff
+    ``s % one_in == md5(d) % one_in`` — every doc masks a different
+    phase, the masked fraction is exactly the span-coverage of its
+    residue class, and because consecutive spans differ by one residue
+    (``one_in ≥ 2``), masked spans are never adjacent — each masked
+    span is a maximal run, so sentinel numbering is simply the masked
+    span's rank.  Deterministic, engine-portable, SQL-oracle-exact.
+
+    Returns (id, n_tokens, n_masked_spans, input, target); documents
+    with no maskable span (fewer than span_len·one_in tokens still
+    yield their phase's spans or none) pass through with an empty
+    target.
+
+    Scale shape: explode to (doc, pos, token), then every derived
+    quantity — span id, mask flag, sentinel rank, both ordered
+    concatenations — rides windows and ONE combining groupBy over the
+    same doc-key clustering: a single hash exchange end-to-end."""
+    base = df.select(F.col(id_col).alias("i"),
+                     F.posexplode(tokens(F.col(text_col)))
+                     .alias("pos", "tok"))
+    phase = F.pmod(F.conv(F.substring(F.md5(F.col("i").cast("string")),
+                                      1, 8), 16, 10).cast("long"),
+                   F.lit(one_in))
+    span = F.expr(f"pos div {span_len}")
+    masked = F.pmod(span, F.lit(one_in)) == phase
+    wdoc = Window.partitionBy("i").orderBy("pos")
+    s = (base.withColumn("__span", span)
+         .withColumn("__masked", masked))
+    # sentinel rank: dense index of the masked span within the doc —
+    # first position of each masked span increments the counter
+    first_of_span = F.col("__masked") & (
+        F.pmod(F.col("pos"), F.lit(span_len)) == 0)
+    s = s.withColumn(
+        "__sent",
+        F.sum(first_of_span.cast("long")).over(wdoc) - 1)
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("__sent"), F.lit(">"))
+    # input stream: unmasked tokens verbatim; ONE sentinel per masked
+    # span (emitted at its first position, other positions drop)
+    in_piece = F.when(~F.col("__masked"), F.col("tok")) \
+        .when(first_of_span, sentinel)
+    tgt_piece = F.when(F.col("__masked"),
+                       F.when(first_of_span,
+                              F.concat(sentinel, F.lit(" "), F.col("tok")))
+                       .otherwise(F.col("tok")))
+    out = (s.withColumn("__in", in_piece).withColumn("__tgt", tgt_piece)
+           .groupBy("i")
+           .agg(F.count("*").alias("n_tokens"),
+                (F.max("__sent") + 1).cast("long").alias("n_masked_spans"),
+                F.array_join(F.array_sort(F.collect_list(
+                    F.when(F.col("__in").isNotNull(), F.struct(
+                        F.col("pos").alias("p"),
+                        F.col("__in").alias("v"))))).getField("v"), " ")
+                .alias("input"),
+                F.array_join(F.array_sort(F.collect_list(
+                    F.when(F.col("__tgt").isNotNull(), F.struct(
+                        F.col("pos").alias("p"),
+                        F.col("__tgt").alias("v"))))).getField("v"), " ")
+                .alias("target")))
+    return out.select(F.col("i").alias(id_col), "n_tokens",
+                      F.coalesce("n_masked_spans", F.lit(0))
+                      .alias("n_masked_spans"), "input", "target")

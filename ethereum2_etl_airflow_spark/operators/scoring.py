@@ -41,7 +41,8 @@ from pyspark.sql import DataFrame, functions as F
 from .text import tokens
 
 __all__ = ["demo_weights", "hashed_linear_score",
-           "random_projection_embed", "bernoulli_keep"]
+           "random_projection_embed", "bernoulli_keep",
+           "calibration_bins"]
 
 
 def _bucket(tok_col, n_buckets: int):
@@ -157,3 +158,48 @@ def bernoulli_keep(docs: DataFrame, score_col, seed: str = "ws",
 #: deprecated alias (pre-round-11 name; collided with
 #: :func:`~.curation.weighted_sample`) — not in ``__all__``
 weighted_sample = bernoulli_keep
+
+
+def calibration_bins(scored: DataFrame, score_col: str, label_col,
+                     n_bins: int = 10, lo: int = 0,
+                     hi: int = 1000) -> DataFrame:
+    """X99: reliability-diagram bins for a filter classifier — the
+    calibration audit every score-thresholded curation step needs
+    before its threshold means anything: bucket the integer score
+    range [lo, hi) into ``n_bins`` equal bins and report, per bin, the
+    count, the positive count, the empirical positive rate (exact
+    integer millis), and the mean score (exact integer millis of the
+    bin-relative scale) — a well-calibrated scorer has rate_millis
+    tracking the bin's score position.
+
+    ``label_col`` is a boolean column (or name) — the ground truth the
+    calibration is measured against.  All arithmetic is integer
+    (``div``), so the output is exact and SQL-oracle-checkable;
+    plotting and ECE-style weighted sums are the consumer's float
+    step.
+
+    Returns (bin, n, n_pos, rate_millis, mean_score) ordered by bin;
+    scores outside [lo, hi) clamp into the edge bins (a scorer
+    emitting out-of-range values still shows up, at the edges, rather
+    than vanishing).
+
+    Scale shape: one map-side-combining groupBy on ≤ n_bins keys —
+    the sketch-class aggregation shape."""
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    s = F.col(score_col).cast("long")
+    width = (hi - lo) // n_bins
+    # integer `div` truncates toward zero, but under-range scores only
+    # need to land ≤ 0 before the clamp, so truncation direction is
+    # immaterial here
+    b = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1),
+                                     F.expr(f"(CAST({score_col} AS BIGINT)"
+                                            f" - {lo}) div {width}")))
+    return (scored.select(b.cast("int").alias("bin"),
+                          lab.cast("int").alias("pos"), s.alias("sc"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"),
+                 F.sum("pos").cast("long").alias("n_pos"),
+                 F.expr("1000 * sum(pos) div count(*)")
+                 .alias("rate_millis"),
+                 F.expr("1000 * sum(sc) div count(*)")
+                 .alias("mean_score")))

@@ -27,7 +27,7 @@ __all__ = [
     "gopher_filter", "inverted_postings", "skipgram_counts",
     "winnow_fingerprints", "bm25_topk", "impact_postings",
     "bm25_topk_from_index", "best_passages", "expand_queries",
-    "script_mix", "html_extract",
+    "script_mix", "html_extract", "markdown_extract",
 ]
 
 # word tokens: runs of alphanumerics (RE2- and Java-regex-identical)
@@ -1078,3 +1078,48 @@ def html_extract(df, html_col: str = "html", id_col: str = "doc_id"):
     return df.select(F.col(id_col), s.alias("text"),
                      F.size(links).cast("long").alias("n_links"),
                      links.alias("links"))
+
+
+def markdown_extract(df, md_col: str = "md", id_col: str = "doc_id"):
+    """X96: Markdown → training-text structure extraction — the
+    :func:`html_extract` sibling for the other dominant crawl/corpus
+    format (READMEs, docs sites, forum exports): harvest ATX headers
+    and link targets, strip fenced code blocks (their content is CODE
+    data, routed to a different pipeline lane — here we surface its
+    size), drop inline markup (emphasis, inline code, link syntax down
+    to the anchor text), and collapse whitespace.
+
+    Same portability contract as :func:`html_extract`: every pattern is
+    valid in BOTH Java regex and RE2 ((?m)/(?s) inline flags, no
+    lookaround, no backrefs), so the whole extraction is
+    SQL-oracle-checkable.  A lite extractor by design — CommonMark
+    corner cases (setext headers, lazy continuation, reference links)
+    go to a Pandas-UDF stage with a real parser.
+
+    Returns (id, text, n_headers, headers, n_code_blocks, code_chars,
+    links).
+
+    Scale shape: k fixed regexp passes per row, narrow map, zero
+    shuffle, zero UDF."""
+    m = F.coalesce(F.col(md_col), F.lit(""))
+    headers = F.regexp_extract_all(m, F.lit(r"(?m)^#{1,6}[ \t]+(.+)$"), 1)
+    fences = F.regexp_extract_all(m, F.lit(r"(?s)```(.*?)```"), 1)
+    code_chars = F.aggregate(
+        F.transform(fences, lambda c: F.length(c).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    links = F.regexp_extract_all(m, F.lit(r"\]\(([^)]*)\)"), 1)
+    # strip order: fenced code first (its content must not leak into
+    # text), then headers' hash markers, link syntax down to anchor
+    # text, emphasis/inline-code markers, then whitespace collapse
+    s = F.regexp_replace(m, r"(?s)```.*?```", " ")
+    s = F.regexp_replace(s, r"(?m)^#{1,6}[ \t]+", "")
+    s = F.regexp_replace(s, r"\[([^\]]*)\]\([^)]*\)", "$1")
+    s = F.regexp_replace(s, r"[*_`]+", "")
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return df.select(
+        F.col(id_col), s.alias("text"),
+        F.size(headers).cast("long").alias("n_headers"),
+        headers.alias("headers"),
+        F.size(fences).cast("long").alias("n_code_blocks"),
+        code_chars.alias("code_chars"),
+        links.alias("links"))

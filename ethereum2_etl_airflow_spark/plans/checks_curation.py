@@ -1016,30 +1016,21 @@ def q_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     largest-remainder rounding so the quotas sum EXACTLY to the budget;
     the remainder ranking is a window over |sources| rows (bounded by
     the source catalog)."""
+    from ..operators.curation import hamilton_quota
     from ..operators.text import token_count
 
-    total = 100_000
     d = _docs(spark, sf_dir)
     src = (d.groupBy("source")
            .agg(F.sum(token_count("text")).alias("n_tok")))
     # integer sqrt via FLOOR(SQRT(double)): exact for n < 2^52 and
-    # identical cross-engine (IEEE sqrt is correctly rounded)
+    # identical cross-engine (IEEE sqrt is correctly rounded); the
+    # apportionment itself is the shared hamilton_quota core (round-11
+    # refactor — this check's unchanged oracle pins the extraction)
     w = src.select("source", "n_tok",
                    F.floor(F.sqrt(F.col("n_tok").cast("double")))
                    .cast("long").alias("wt"))
-    tot = w.agg(F.sum("wt").alias("wsum"))
-    j = w.crossJoin(F.broadcast(tot))
-    base = (j.select(
-        "source", "n_tok", "wt",
-        F.expr(f"({total} * wt) div wsum").alias("base"),
-        F.expr(f"({total} * wt) % wsum").alias("rem")))
-    need = F.lit(total) - F.sum("base").over(Window.partitionBy())
-    rnk = F.row_number().over(Window.orderBy(F.col("rem").desc(),
-                                             F.col("source")))
-    return (base.withColumn("extra",
-                            (rnk <= need).cast("int"))
-            .select("source", "n_tok",
-                    (F.col("base") + F.col("extra")).alias("quota"))
+    return (hamilton_quota(w, 100_000, "source", "wt")
+            .select("source", "n_tok", "quota")
             .orderBy("source"))
 
 

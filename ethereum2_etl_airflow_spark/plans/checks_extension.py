@@ -5323,3 +5323,269 @@ FROM decoded ORDER BY doc_id
 """
 
 EXTENSION_CHECKS["html_extract"] = (q_html_extract, ORACLE_HTML_EXTRACT)
+
+
+# --- X95: balanced shard planning -------------------------------------------
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95: snake-balanced shard assignment over the full corpus by
+    n_chars — the per-document (rank, shard) plan must match the
+    oracle's one-window replay exactly (the distributed prefix-count
+    rank IS the claim under test)."""
+    from ..operators.curation import plan_shards
+
+    return (plan_shards(_docs(spark, sf_dir), n_shards=8,
+                        size_col="n_chars")
+            .orderBy("rank"))
+
+
+ORACLE_SHARD_PLAN = """
+WITH r AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rank
+  FROM documents)
+SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank,
+       CAST(CASE WHEN (rank // 8) % 2 = 0 THEN rank % 8
+                 ELSE 7 - (rank % 8) END AS INT) AS shard
+FROM r ORDER BY rank
+"""
+
+
+EXTENSION_CHECKS["shard_plan"] = (q_shard_plan, ORACLE_SHARD_PLAN)
+
+
+# --- X96: Markdown -> text extraction ----------------------------------------
+
+def q_md_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96: Markdown extraction over synthesized pages (every 11th
+    document wrapped in header/link/emphasis/code-fence boilerplate) —
+    clean text, header harvest, code-block accounting, and link
+    harvest must match the oracle's replay of the same regex
+    grammar."""
+    from ..operators.text import markdown_extract
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 11 == 0)
+    md = F.concat(
+        F.lit("# Doc "), F.col("doc_id").cast("string"),
+        F.lit("\n\nIntro with a [link](https://ex.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit(") and *emphasis* plus `inline`.\n\n```\ncode block "),
+        F.col("source"),
+        F.lit("\n```\n\n## Section\n\n"),
+        F.substring(F.col("text"), 1, 100))
+    out = markdown_extract(d.select("doc_id", md.alias("md")))
+    return (out.select("doc_id", "text", "n_headers",
+                       F.element_at("headers", 1).alias("first_header"),
+                       "n_code_blocks", "code_chars",
+                       F.element_at("links", 1).alias("first_link"))
+            .orderBy("doc_id"))
+
+
+ORACLE_MD_EXTRACT = r"""
+WITH src AS (
+  SELECT doc_id,
+         '# Doc ' || doc_id || chr(10) || chr(10)
+         || 'Intro with a [link](https://ex.com/' || doc_id
+         || ') and *emphasis* plus `inline`.' || chr(10) || chr(10)
+         || '```' || chr(10) || 'code block ' || source || chr(10)
+         || '```' || chr(10) || chr(10) || '## Section' || chr(10)
+         || chr(10) || substr(text, 1, 100) AS md
+  FROM documents WHERE doc_id % 11 = 0),
+parts AS (
+  SELECT doc_id, md,
+         regexp_extract_all(md, '(?m)^#{1,6}[ \t]+(.+)$', 1) AS headers,
+         regexp_extract_all(md, '(?s)```(.*?)```', 1) AS fences,
+         regexp_extract_all(md, '\]\(([^)]*)\)', 1) AS links,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(md,
+                '(?s)```.*?```', ' ', 'g'),
+                '(?m)^#{1,6}[ \t]+', '', 'g'),
+                '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+                '[*_`]+', '', 'g'),
+                '\s+', ' ', 'g')) AS text
+  FROM src)
+SELECT doc_id, text,
+       CAST(len(headers) AS BIGINT) AS n_headers,
+       headers[1] AS first_header,
+       CAST(len(fences) AS BIGINT) AS n_code_blocks,
+       CAST(COALESCE(list_sum(list_transform(fences, f -> len(f))), 0)
+            AS BIGINT) AS code_chars,
+       links[1] AS first_link
+FROM parts ORDER BY doc_id
+"""
+
+
+EXTENSION_CHECKS["md_extract"] = (q_md_extract, ORACLE_MD_EXTRACT)
+
+
+# --- X97: dialogue-turn linearization ---------------------------------------
+
+def q_conv_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97: event log -> role-alternating SFT transcripts (30-min gap
+    sessions, turn parity roles, newline-joined `role: event_type`
+    lines) — sessionization, ordering, and the ordered concatenation
+    are all value-pinned by the oracle."""
+    from ..operators.curation import dialogue_turns
+    from ..sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (dialogue_turns(ev).orderBy("user_id", "session_id"))
+
+
+ORACLE_CONV_TURNS = """
+WITH m AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS sess
+  FROM m),
+t AS (
+  SELECT user_id, sess, ts, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                            ORDER BY ts, event_id) - 1 AS turn
+  FROM s)
+SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       string_agg(CASE WHEN turn % 2 = 0 THEN 'user: '
+                       ELSE 'assistant: ' END || event_type,
+                  chr(10) ORDER BY ts, event_id) AS transcript
+FROM t GROUP BY user_id, sess
+ORDER BY user_id, session_id
+"""
+
+
+EXTENSION_CHECKS["conv_turns"] = (q_conv_turns, ORACLE_CONV_TURNS)
+
+
+# --- X98: largest-remainder token-budget allocation --------------------------
+
+def q_token_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98: Hamilton apportionment of a 1M-token budget across
+    sources by char inventory — quotas must be exact integers summing
+    to the budget, remainder ranking and tie-break pinned by the
+    oracle."""
+    from ..operators.curation import allocate_budget
+
+    return (allocate_budget(_docs(spark, sf_dir), budget=1_000_000)
+            .orderBy("source"))
+
+
+ORACLE_TOKEN_ALLOC = """
+WITH inv AS (
+  SELECT source AS g, CAST(SUM(n_chars) AS BIGINT) AS sz
+  FROM documents GROUP BY source),
+t AS (SELECT g, sz, (SELECT SUM(sz) FROM inv) AS tot FROM inv),
+b AS (SELECT g, sz, (1000000 * sz) // tot AS base,
+             (1000000 * sz) % tot AS rem FROM t),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, g) AS rk,
+             (SELECT 1000000 - SUM(base) FROM b) AS extras FROM b)
+SELECT g AS source, sz AS size_sum,
+       CAST(base + CASE WHEN rk <= extras THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM r ORDER BY source
+"""
+
+
+EXTENSION_CHECKS["token_alloc"] = (q_token_alloc, ORACLE_TOKEN_ALLOC)
+
+
+# --- X99: scorer calibration bins --------------------------------------------
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99: reliability bins for a deterministic synthetic scorer
+    (md5-derived score 0..999, label correlated by construction so
+    rates actually climb across bins) — counts, positive rates, and
+    mean scores are exact-integer-pinned."""
+    from ..operators.scoring import calibration_bins
+
+    d = _docs(spark, sf_dir)
+    score = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long"), F.lit(1000))
+    label = (score + F.pmod(F.col("doc_id"), F.lit(400))) > 600
+    scored = d.select(F.col("doc_id"), score.alias("score"),
+                      label.alias("label"))
+    return (calibration_bins(scored, "score", "label", n_bins=10)
+            .orderBy("bin"))
+
+
+ORACLE_CALIBRATION_BINS = """
+WITH s AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000
+           AS score
+  FROM documents),
+l AS (
+  SELECT score,
+         CASE WHEN score + doc_id % 400 > 600 THEN 1 ELSE 0 END AS pos
+  FROM s),
+binned AS (
+  SELECT GREATEST(0, LEAST(9, score // 100)) AS bin, pos, score FROM l)
+SELECT CAST(bin AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(1000 * SUM(pos) // COUNT(*) AS BIGINT) AS rate_millis,
+       CAST(1000 * SUM(score) // COUNT(*) AS BIGINT) AS mean_score
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+EXTENSION_CHECKS["calibration_bins"] = (q_calibration_bins,
+                                        ORACLE_CALIBRATION_BINS)
+
+
+# --- X100: span-corruption objective construction ----------------------------
+
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X100: T5-style denoising pairs over every 7th document — the
+    sentinel-numbered input and the masked-token target must match the
+    oracle's replay of the deterministic phase-mask token-for-token."""
+    from ..operators.curation import span_corrupt
+
+    return (span_corrupt(_docs(spark, sf_dir)
+                         .where(F.col("doc_id") % 7 == 0))
+            .orderBy("doc_id"))
+
+
+ORACLE_SPAN_CORRUPT = """
+WITH d AS (
+  SELECT doc_id AS i, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents WHERE doc_id % 7 = 0),
+tok AS (SELECT i, r AS pos, tk[r + 1] AS tok
+        FROM (SELECT i, tk, UNNEST(range(len(tk))) AS r FROM d)),
+ph AS (SELECT i, ('0x' || substr(md5(i::VARCHAR), 1, 8))::BIGINT % 5
+              AS phase
+       FROM d),
+m AS (
+  SELECT t.i, pos, tok,
+         ((pos // 3) % 5 = phase) AS masked,
+         ((pos // 3) % 5 = phase AND pos % 3 = 0) AS firsttok
+  FROM tok t JOIN ph ON t.i = ph.i),
+s AS (
+  SELECT *, SUM(CASE WHEN firsttok THEN 1 ELSE 0 END)
+            OVER (PARTITION BY i ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) - 1 AS sent
+  FROM m),
+p AS (
+  SELECT i, pos, sent, masked, firsttok,
+         CASE WHEN NOT masked THEN tok
+              WHEN firsttok THEN '<extra_id_' || sent || '>' END
+           AS in_piece,
+         CASE WHEN masked AND firsttok
+                THEN '<extra_id_' || sent || '> ' || tok
+              WHEN masked THEN tok END AS tgt_piece
+  FROM s)
+SELECT i AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(MAX(sent) + 1 AS BIGINT) AS n_masked_spans,
+       COALESCE(string_agg(in_piece, ' ' ORDER BY pos), '') AS input,
+       COALESCE(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target
+FROM p GROUP BY i ORDER BY doc_id
+"""
+
+
+EXTENSION_CHECKS["span_corrupt"] = (q_span_corrupt, ORACLE_SPAN_CORRUPT)

@@ -2104,3 +2104,161 @@ def test_html_extract_edges(spark):
     plan = html_extract(pages)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_markdown_extract_edges(spark):
+    from ethereum2_etl_airflow_spark.operators.text import markdown_extract
+
+    pages = spark.createDataFrame([
+        (1, "# Title\n\nbody *em* `code` text"),
+        (2, "```\nsecret code\n```\nvisible"),
+        (3, "[anchor](http://u/1) and [two](u2)"),
+        (4, None),
+        (5, "## A\n### B\nplain"),
+        (6, "no markup at all"),
+    ], "doc_id long, md string")
+    rows = {r["doc_id"]: r for r in markdown_extract(pages).collect()}
+    assert rows[1]["text"] == "Title body em code text"
+    assert rows[1]["n_headers"] == 1
+    assert list(rows[1]["headers"]) == ["Title"]
+    # fenced code content never reaches text, but is accounted for
+    assert "secret" not in rows[2]["text"]
+    assert rows[2]["n_code_blocks"] == 1
+    assert rows[2]["code_chars"] == len("\nsecret code\n")
+    # link syntax collapses to anchor text; targets harvested
+    assert rows[3]["text"] == "anchor and two"
+    assert list(rows[3]["links"]) == ["http://u/1", "u2"]
+    assert rows[4]["text"] == "" and rows[4]["n_headers"] == 0
+    assert list(rows[5]["headers"]) == ["A", "B"]
+    assert rows[6]["text"] == "no markup at all"
+    plan = markdown_extract(pages)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_plan_shards_balance_and_rank(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from ethereum2_etl_airflow_spark.operators.curation import plan_shards
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    out = plan_shards(docs, n_shards=4).cache()
+    rows = out.collect()
+    # dense 0..n-1 rank, every doc exactly once
+    assert sorted(r["rank"] for r in rows) == list(range(n))
+    assert len({r["doc_id"] for r in rows}) == n
+    # rank order is (size desc, id asc)
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    keys = [(-r["n_chars"], r["doc_id"]) for r in by_rank]
+    assert keys == sorted(keys)
+    # snake balance: per-shard size totals spread ≤ the largest doc
+    sums = {}
+    for r in rows:
+        sums[r["shard"]] = sums.get(r["shard"], 0) + r["n_chars"]
+    assert set(sums) <= set(range(4))
+    biggest = max(r["n_chars"] for r in rows)
+    assert max(sums.values()) - min(sums.values()) <= biggest
+    # determinism under a different input layout
+    again = {(r["doc_id"], r["rank"], r["shard"])
+             for r in plan_shards(docs.repartition(3), n_shards=4).collect()}
+    assert again == {(r["doc_id"], r["rank"], r["shard"]) for r in rows}
+    out.unpersist()
+
+
+def test_allocate_budget_sums_exactly(spark, sf_dir):
+    from ethereum2_etl_airflow_spark.operators.curation import allocate_budget
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for budget in (7, 999, 1_000_000):
+        rows = allocate_budget(docs, budget=budget).collect()
+        assert sum(r["quota"] for r in rows) == budget
+        # monotone: a strictly larger inventory never gets a smaller base
+        # entitlement than a smaller one by more than the +1 remainder unit
+        by_sz = sorted(rows, key=lambda r: r["size_sum"])
+        for a, b in zip(by_sz, by_sz[1:]):
+            assert b["quota"] >= a["quota"] - 1
+
+
+def test_dialogue_turns_micro(spark):
+    from ethereum2_etl_airflow_spark.operators.curation import dialogue_turns
+
+    ev = spark.createDataFrame([
+        # user 7: 3 events, then a 2h gap, then 1 more
+        (1, "2024-01-01 10:00:00", 7, "ask"),
+        (2, "2024-01-01 10:05:00", 7, "answer"),
+        (3, "2024-01-01 10:10:00", 7, "ask"),
+        (4, "2024-01-01 12:30:00", 7, "bye"),
+        # user 9: single event
+        (5, "2024-01-01 00:00:00", 9, "ping"),
+    ], "event_id long, ts string, user_id long, event_type string") \
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts",
+                    "user_id", "event_type")
+    rows = {(r["user_id"], r["session_id"]): r
+            for r in dialogue_turns(ev, gap_minutes=30).collect()}
+    assert set(rows) == {(7, 0), (7, 1), (9, 0)}
+    assert rows[(7, 0)]["n_turns"] == 3
+    assert rows[(7, 0)]["transcript"] == \
+        "user: ask\nassistant: answer\nuser: ask"
+    assert rows[(7, 1)]["transcript"] == "user: bye"
+    assert rows[(9, 0)]["transcript"] == "user: ping"
+
+
+def test_calibration_bins_clamps_and_bounds(spark):
+    import pyspark.sql.functions as F
+
+    from ethereum2_etl_airflow_spark.operators.scoring import calibration_bins
+
+    df = spark.createDataFrame(
+        [(-50, 1), (0, 0), (999, 1), (1500, 0), (450, 1), (450, 0)],
+        "score long, label int")
+    rows = {r["bin"]: r for r in
+            calibration_bins(df, "score", F.col("label") == 1,
+                             n_bins=10).collect()}
+    # out-of-range scores clamp into edge bins instead of vanishing
+    assert rows[0]["n"] == 2          # -50 and 0
+    assert rows[9]["n"] == 2          # 999 and 1500
+    assert rows[4]["n"] == 2 and rows[4]["rate_millis"] == 500
+    assert sum(r["n"] for r in rows.values()) == 6
+    for r in rows.values():
+        assert 0 <= r["rate_millis"] <= 1000
+
+
+def test_span_corrupt_reconstructs(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from ethereum2_etl_airflow_spark.operators.curation import span_corrupt
+    from ethereum2_etl_airflow_spark.operators.text import tokens
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    orig = {r["doc_id"]: r["toks"] for r in
+            docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+            .collect()}
+    for r in span_corrupt(docs).collect():
+        toks = list(orig[r["doc_id"]])
+        assert r["n_tokens"] == len(toks)
+        inp, tgt = r["input"].split(" "), r["target"].split(" ")
+        # splice every sentinel's target span back into the input
+        spans = {}
+        cur = None
+        for piece in tgt:
+            if piece.startswith("<extra_id_"):
+                cur = piece
+                spans[cur] = []
+            elif cur is not None:
+                spans[cur].append(piece)
+        rebuilt = []
+        for piece in inp:
+            if piece.startswith("<extra_id_"):
+                rebuilt.extend(spans[piece])
+            else:
+                rebuilt.append(piece)
+        assert rebuilt == toks, r["doc_id"]
+        assert r["n_masked_spans"] == len(spans)
+        # masked spans never adjacent: numbering is strictly ordered
+        sent_ids = [int(p[len("<extra_id_"):-1]) for p in inp
+                    if p.startswith("<extra_id_")]
+        assert sent_ids == sorted(set(sent_ids))

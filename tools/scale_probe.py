@@ -54,6 +54,10 @@ def main() -> None:
                     help="scale rows for the round-10 ops "
                          "(hard_negatives, quality_prune, "
                          "weighted_sample, IVF index build/serve)")
+    ap.add_argument("--r11", action="store_true",
+                    help="scale rows for the round-11 ops "
+                         "(plan_shards, span_corrupt, dialogue_turns, "
+                         "allocate_budget, markdown_extract)")
     ap.add_argument("--stream-parts", action="store_true",
                     help="probe the stateful-partition-count axis of the "
                          "streaming family at one key-volume factor")
@@ -90,6 +94,9 @@ def main() -> None:
         return
     if args.r10:
         r10_probe(args)
+        return
+    if args.r11:
+        r11_probe(args)
         return
     if args.lm:
         lm_probe(args)
@@ -494,6 +501,88 @@ def retrieval_probe(args) -> None:
               f"impact_index={r_ii} mmr={r_mm} passages={r_ps} "
               f"expand={r_ex}", flush=True)
     spark.stop()
+
+
+
+
+def r11_probe(args) -> None:
+    """Measured scale rows for the round-11 ops.  Expected shapes:
+
+    - ``plan_shards``: range exchange + two narrow passes + a ≤ P-row
+      collect — linear in rows (the rank is a prefix COUNT, never a
+      one-task window);
+    - ``span_corrupt``: explode + windows + one combining groupBy on
+      the doc key — linear in token volume;
+    - ``dialogue_turns``: ONE hash exchange on the user key, windows
+      and listagg ride the same clustering — linear in events;
+    - ``allocate_budget``: map-side-combining groupBy to the bounded
+      source catalog — linear scan, constant-size tail;
+    - ``markdown_extract``: pure narrow regexp map — parquet-scan
+      bound.
+    """
+    from pyspark.sql import functions as F
+
+    from ethereum2_etl_airflow_spark.operators.curation import (
+        allocate_budget, dialogue_turns, plan_shards, span_corrupt)
+    from ethereum2_etl_airflow_spark.operators.text import markdown_extract
+    from ethereum2_etl_airflow_spark.session import build_session
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    spark = build_session(app_name="scale-probe-r11")
+    docs = load_table(spark, args.sf_dir, "documents").cache()
+    docs.count()
+    ev = load_table(spark, args.sf_dir, "events").cache()
+    ev.count()
+
+    def best2(fn) -> float:
+        fn()
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return round(min(times), 2)
+
+    def noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    for n in [int(x) for x in args.factors.split(",")]:
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+        docs.cache().count()
+        ev.cache().count()
+        sd = None
+        for i in range(n):
+            d = docs.withColumn("doc_id", F.col("doc_id")
+                                + F.lit(i * 50_000_000))
+            sd = d if sd is None else sd.unionByName(d)
+        sd = sd.localCheckpoint(eager=True)
+        se = None
+        for i in range(n):
+            # shift both the id space and the user space so sessions
+            # scale as disjoint users, not longer per-user histories
+            d = (ev.withColumn("event_id", F.col("event_id")
+                               + F.lit(i * 50_000_000))
+                 .withColumn("user_id", F.col("user_id")
+                             + F.lit(i * 1_000_000)))
+            se = d if se is None else se.unionByName(d)
+        se = se.localCheckpoint(eager=True)
+
+        r1 = best2(lambda: noop(plan_shards(sd)))
+        r2 = best2(lambda: noop(span_corrupt(
+            sd.where(F.col("doc_id") % 7 == 0))))
+        r3 = best2(lambda: noop(dialogue_turns(se)))
+        r4 = best2(lambda: noop(allocate_budget(sd, budget=1_000_000)))
+        md = sd.select("doc_id", F.concat(
+            F.lit("# H\n\n[l](u) `c`\n\n```\nx\n```\n\n"),
+            F.col("text")).alias("md"))
+        r5 = best2(lambda: noop(markdown_extract(md)))
+        print(f"factor={n} plan_shards={r1}s span_corrupt={r2}s "
+              f"dialogue_turns={r3}s allocate_budget={r4}s "
+              f"markdown_extract={r5}s", flush=True)
 
 
 def r10_probe(args) -> None:
