@@ -37,7 +37,7 @@ __all__ = [
     "dedup_exact", "shingles", "shingles_of_tokens", "hashed_shingles",
     "ngram_jaccard_pairs", "contamination_pairs",
     "minhash_near_dups", "simhash_signature", "simhash_candidates",
-    "minhash_exact_pairs", "simhash_exact_pairs",
+    "minhash_exact_pairs", "simhash_exact_pairs", "paragraph_dedup",
     "source_minhash_similarity",
     "cosine_near_dup_pairs", "incremental_new_docs", "contamination_score",
     "dedup_chunks", "repeated_ngram_spans", "repeated_span_hits",
@@ -1275,3 +1275,62 @@ def pair_set_metrics(pred: DataFrame, truth: DataFrame) -> DataFrame:
         .select("n_pred", "n_truth", "n_hit",
                 (F.col("n_pred") - F.col("n_hit")).alias("n_fp"),
                 (F.col("n_truth") - F.col("n_hit")).alias("n_fn")))
+
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    sep: str = "\n\n") -> DataFrame:
+    """X101: corpus-wide duplicate-PARAGRAPH removal — the CCNet
+    boilerplate pass (Wenzek et al., LREC 2020): a paragraph that
+    appears anywhere else in the corpus keeps only its FIRST
+    occurrence (smallest (doc, position)); every later copy is cut and
+    each document is reassembled from its surviving paragraphs in
+    order.  This is the tier between document-level exact dedup
+    (:func:`dedup_exact` — whole-text key) and span-level analysis
+    (:func:`repeated_ngram_spans` — report, not rewrite): headers,
+    navigation chrome, and licence blocks vanish corpus-wide while
+    each document survives.
+
+    First-occurrence is decided on the md5 of the NORMALIZED paragraph
+    (:func:`~.text.normalize_text` — case/whitespace-canonical), so
+    trivially-reformatted copies dedup too; the surviving text keeps
+    its original form.
+
+    Returns (id, n_paras, n_kept, text) — text rebuilt with ``sep``;
+    documents whose every paragraph was cut return an empty string
+    (drop downstream if unwanted — the row itself is evidence).
+
+    Scale shape: explode to (fp, doc, pos) and resolve each
+    fingerprint's global minimum (doc, pos) with ONE
+    map-side-combining groupBy on the fingerprint key (min over a
+    packed struct — no window, no self-join); survivors join back
+    fp-keyed (the exploded stream is already laid out on fp from the
+    aggregate — exchange reuse), then one groupBy(doc) rebuilds the
+    text via ordered listagg.  Hot fingerprints (the boilerplate being
+    removed!) combine map-side, so the shuffle carries ≤ |distinct
+    paragraphs| rows per map task, not the duplication mass."""
+    from .text import normalize_text
+
+    paras = (docs.select(F.col(id_col).alias("i"),
+                         F.posexplode(F.split(F.col(text_col), sep))
+                         .alias("pos", "para"))
+             .where(F.trim(F.col("para")) != "")
+             .withColumn("fp", F.md5(normalize_text(F.col("para")))))
+    # global first occurrence per fingerprint: min over the packed
+    # (doc, pos) struct — struct comparison is lexicographic, exactly
+    # the (doc asc, pos asc) rule
+    firsts = (paras.groupBy("fp")
+              .agg(F.min(F.struct(F.col("i").alias("fi"),
+                                  F.col("pos").alias("fpos")))
+                   .alias("first")))
+    kept = (paras.join(firsts, "fp")
+            .withColumn("__keep", (F.col("i") == F.col("first.fi"))
+                        & (F.col("pos") == F.col("first.fpos"))))
+    return (kept.groupBy(F.col("i").alias(id_col))
+            .agg(F.count("*").alias("n_paras"),
+                 F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+                 F.array_join(F.array_sort(F.collect_list(
+                     F.when(F.col("__keep"), F.struct(
+                         F.col("pos").alias("p"),
+                         F.col("para").alias("v"))))).getField("v"),
+                     sep).alias(text_col)))

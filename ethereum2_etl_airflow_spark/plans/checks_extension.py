@@ -5589,3 +5589,64 @@ FROM p GROUP BY i ORDER BY doc_id
 
 
 EXTENSION_CHECKS["span_corrupt"] = (q_span_corrupt, ORACLE_SPAN_CORRUPT)
+
+
+# --- X101: corpus-wide paragraph dedup (CCNet boilerplate pass) -------------
+
+_BOILER = "Subscribe to our newsletter for updates"
+
+
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X101: duplicate-paragraph removal over a corpus with planted
+    boilerplate (every 4th doc prefixed with a fixed banner paragraph,
+    every 8th with its UPPERCASED variant — normalization must fold
+    them onto one fingerprint) — survivor selection, first-occurrence
+    rule, and document reassembly are value-pinned by the oracle."""
+    from ..operators.dedup import paragraph_dedup
+
+    d = _docs(spark, sf_dir)
+    prefix = (F.when(F.col("doc_id") % 8 == 0,
+                     F.lit(_BOILER.upper() + "\n\n"))
+              .when(F.col("doc_id") % 4 == 0, F.lit(_BOILER + "\n\n"))
+              .otherwise(F.lit("")))
+    pt = F.concat(prefix, F.substring("text", 1, 80), F.lit("\n\n"),
+                  F.substring("text", 81, 400))
+    return (paragraph_dedup(d.select("doc_id", pt.alias("text")))
+            .orderBy("doc_id"))
+
+
+ORACLE_PARA_DEDUP = rf"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 8 = 0
+                THEN upper('{_BOILER}') || chr(10) || chr(10)
+              WHEN doc_id % 4 = 0
+                THEN '{_BOILER}' || chr(10) || chr(10)
+              ELSE '' END
+         || substr(text, 1, 80) || chr(10) || chr(10)
+         || substr(text, 81, 400) AS t
+  FROM documents),
+paras AS (
+  SELECT doc_id AS i, r AS pos, p[r + 1] AS para
+  FROM (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS p
+        FROM src),
+       LATERAL (SELECT UNNEST(range(len(p))) AS r)),
+nonblank AS (
+  SELECT i, pos, para,
+         md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g'))) AS fp
+  FROM paras WHERE trim(para) != ''),
+marked AS (
+  SELECT i, pos, para,
+         (ROW_NUMBER() OVER (PARTITION BY fp ORDER BY i, pos) = 1)
+           AS keep
+  FROM nonblank)
+SELECT i AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep THEN para END,
+                           chr(10) || chr(10) ORDER BY pos), '')
+         AS text
+FROM marked GROUP BY i ORDER BY doc_id
+"""
+
+
+EXTENSION_CHECKS["para_dedup"] = (q_para_dedup, ORACLE_PARA_DEDUP)

@@ -2262,3 +2262,44 @@ def test_span_corrupt_reconstructs(spark, sf_dir):
         sent_ids = [int(p[len("<extra_id_"):-1]) for p in inp
                     if p.startswith("<extra_id_")]
         assert sent_ids == sorted(set(sent_ids))
+
+
+def test_cms_build_counts_equals_stream_build(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from ethereum2_etl_airflow_spark.operators.quality import (
+        cms_build_counts, cms_build_tokens)
+    from ethereum2_etl_airflow_spark.operators.text import tokens
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    from_stream = {(r["row"], r["bucket"]): r["c"]
+                   for r in cms_build_tokens(toks).collect()}
+    counts = toks.groupBy("t").agg(F.count("*").alias("n"))
+    from_counts = {(r["row"], r["bucket"]): r["c"]
+                   for r in cms_build_counts(counts).collect()}
+    # same sketch by definition: vocab-width hashing, stream-width mass
+    assert from_stream == from_counts and from_stream
+
+
+def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
+    from ethereum2_etl_airflow_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame([
+        (1, "alpha\n\nshared banner\n\nbeta"),
+        (2, "SHARED   BANNER\n\ngamma"),     # normalizes onto doc 1's
+        (3, "shared banner"),                # whole doc is the dup
+        (4, "alpha\n\n\n\ndelta"),           # blank paragraph dropped
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert rows[1]["text"] == "alpha\n\nshared banner\n\nbeta"
+    assert rows[1]["n_paras"] == 3 and rows[1]["n_kept"] == 3
+    # later copies cut, case/whitespace-insensitively
+    assert rows[2]["text"] == "gamma"
+    assert rows[2]["n_kept"] == 1
+    # a doc that was ONLY boilerplate survives as an empty row
+    assert rows[3]["text"] == "" and rows[3]["n_kept"] == 0
+    # doc 4: 'alpha' already seen in doc 1 -> cut; blank para ignored
+    assert rows[4]["text"] == "delta"
+    assert rows[4]["n_paras"] == 2 and rows[4]["n_kept"] == 1
