@@ -48,7 +48,7 @@ __all__ = [
     "weighted_median", "prune_bottom_quantile", "weighted_sample",
     "fim_split", "canonical_url", "dedup_by_url",
     "plan_shards", "hamilton_quota", "allocate_budget",
-    "dialogue_turns", "span_corrupt",
+    "dialogue_turns", "span_corrupt", "blocklist_filter",
 ]
 
 # RE2- and Java-regex-identical patterns (no backrefs / lookaround):
@@ -1079,3 +1079,45 @@ def span_corrupt(df: DataFrame, span_len: int = 3, one_in: int = 5,
     return out.select(F.col("i").alias(id_col), "n_tokens",
                       F.coalesce("n_masked_spans", F.lit(0))
                       .alias("n_masked_spans"), "input", "target")
+
+
+def blocklist_filter(df: DataFrame, blocklist: DataFrame,
+                     url_col: str = "url", id_col: str = "doc_id",
+                     domain_col: str = "domain",
+                     max_labels: int = 8) -> DataFrame:
+    """X102: registrable-domain blocklist filtering — drop every
+    document whose URL host falls under a blocked domain (the host
+    itself OR any subdomain of it), the crawl-curation step that
+    applies licence/spam/PII domain lists before content ever reaches
+    an operator.
+
+    Spark-first scale shape: a document matches iff one of its host's
+    DOT-SUFFIXES equals a blocked domain, so the host explodes into
+    its ≤ ``max_labels`` suffix chain (``a.b.c`` → ``a.b.c``,
+    ``b.c``, ``c``) and the match is ONE equi-semi-join against the
+    blocklist — which Catalyst broadcasts while the list is small and
+    shuffles when it is web-scale (millions of domains), with the
+    suffix key uniformly distributing load either way.  The
+    alternative shapes both break at scale: a per-row regex
+    alternation recompiles per blocklist change and scans linearly in
+    |blocklist|; a ``LIKE '%.' || domain`` theta-join is a
+    non-equi-join — quadratic.
+
+    Host extraction: the authority between the scheme and the first
+    ``/``, ``?``, ``#`` or ``:`` — lowercased; userinfo up to ``@``
+    dropped.  Returns the SURVIVING rows (left-anti join), original
+    columns intact.
+    """
+    host = F.lower(F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?"
+                        r"([^/:?#]+)", 1))
+    suffixes = F.expr(
+        f"transform(sequence(1, {max_labels}), "
+        f"i -> array_join(slice(split(__host, '\\\\.'), "
+        f"-i, i), '.'))")
+    keyed = (df.withColumn("__host", host)
+             .withColumn("__sfx", F.explode(F.array_distinct(suffixes))))
+    bl = blocklist.select(F.lower(F.col(domain_col)).alias("__sfx"))
+    hit_ids = (keyed.join(bl, "__sfx", "left_semi")
+               .select(F.col(id_col)).distinct())
+    return df.join(hit_ids, id_col, "left_anti")

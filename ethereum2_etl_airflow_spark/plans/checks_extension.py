@@ -5650,3 +5650,48 @@ FROM marked GROUP BY i ORDER BY doc_id
 
 
 EXTENSION_CHECKS["para_dedup"] = (q_para_dedup, ORACLE_PARA_DEDUP)
+
+
+# --- X102: domain blocklist filtering ----------------------------------------
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102: registrable-domain blocklist over synthesized crawl URLs
+    (every 5th doc lands on a subdomain of a blocked domain; one whole
+    source's site is blocked outright) — the oracle states the
+    survival rule from the generating columns directly (host equals a
+    blocked domain OR is a subdomain of one), so the suffix-join
+    implementation is pinned to the spec, not to itself."""
+    from ..operators.curation import blocklist_filter
+
+    d = _docs(spark, sf_dir)
+    host = F.when(F.col("doc_id") % 5 == 0,
+                  F.concat(F.col("lang"), F.lit("."), F.col("source"),
+                           F.lit(".bad.net"))) \
+        .otherwise(F.concat(F.col("source"), F.lit(".site")))
+    u = d.select("doc_id",
+                 F.concat(F.lit("https://"), host, F.lit("/p/"),
+                          F.col("doc_id").cast("string"),
+                          F.lit("?q=1")).alias("url"))
+    bl = spark.createDataFrame([("bad.net",), ("src3.site",)],
+                               "domain string")
+    return blocklist_filter(u, bl).orderBy("doc_id")
+
+
+ORACLE_BLOCKLIST = """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+                THEN lang || '.' || source || '.bad.net'
+              ELSE source || '.site' END AS host
+  FROM documents)
+SELECT doc_id,
+       'https://' || host || '/p/' || doc_id || '?q=1' AS url
+FROM u
+WHERE NOT EXISTS (
+  SELECT 1 FROM (VALUES ('bad.net'), ('src3.site')) b(d)
+  WHERE u.host = b.d OR u.host LIKE '%.' || b.d)
+ORDER BY doc_id
+"""
+
+
+EXTENSION_CHECKS["blocklist"] = (q_blocklist, ORACLE_BLOCKLIST)

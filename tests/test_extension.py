@@ -2303,3 +2303,24 @@ def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
     # doc 4: 'alpha' already seen in doc 1 -> cut; blank para ignored
     assert rows[4]["text"] == "delta"
     assert rows[4]["n_paras"] == 2 and rows[4]["n_kept"] == 1
+
+
+def test_blocklist_filter_suffix_semantics(spark):
+    from ethereum2_etl_airflow_spark.operators.curation import (
+        blocklist_filter)
+
+    docs = spark.createDataFrame([
+        (1, "https://spam.example.com/a?x=1"),     # subdomain -> drop
+        (2, "https://example.com/b"),              # exact -> drop
+        (3, "http://deep.sub.spam.example.com:8080/c"),  # deep -> drop
+        (4, "https://notexample.com/d"),           # suffix-STRING only
+        (5, "https://user:pw@example.org/e#f"),    # userinfo+cased bl
+        (6, "https://good.site/f"),
+        (7, None),
+    ], "doc_id long, url string")
+    bl = spark.createDataFrame([("example.com",), ("EXAMPLE.ORG",)],
+                               "domain string")
+    out = sorted(r["doc_id"] for r in blocklist_filter(docs, bl).collect())
+    # notexample.com shares the 'example.com' string suffix but NOT the
+    # dot-boundary — it must survive; NULL url has no host — survives
+    assert out == [4, 6, 7]
