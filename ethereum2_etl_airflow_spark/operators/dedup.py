@@ -38,6 +38,7 @@ __all__ = [
     "ngram_jaccard_pairs", "contamination_pairs",
     "minhash_near_dups", "simhash_signature", "simhash_candidates",
     "minhash_exact_pairs", "simhash_exact_pairs", "paragraph_dedup",
+    "template_clusters",
     "source_minhash_similarity",
     "cosine_near_dup_pairs", "incremental_new_docs", "contamination_score",
     "dedup_chunks", "repeated_ngram_spans", "repeated_span_hits",
@@ -1334,3 +1335,44 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
                          F.col("pos").alias("p"),
                          F.col("para").alias("v"))))).getField("v"),
                      sep).alias(text_col)))
+
+
+def template_clusters(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_docs: int = 2) -> DataFrame:
+    """X103: templated-document clustering — group documents that are
+    the SAME template instantiated with different entities (log lines,
+    order confirmations, stub pages, weather reports): numbers, hex
+    runs, emails and URLs normalize to fixed placeholders, whitespace
+    and case canonicalize, and documents sharing the resulting
+    template fingerprint form a cluster.  The tier between exact dedup
+    (:func:`dedup_exact` — byte-identical content only) and MinHash
+    (:func:`minhash_exact_pairs` — token-overlap similarity, which
+    templated docs can EVADE when the entity mass outweighs the
+    template mass).
+
+    Returns one row per template cluster with ≥ ``min_docs`` members:
+    (template_fp, n_docs, min_id, max_id, sample) — ``sample`` is the
+    min-id member's NORMALIZED template string (the human-readable
+    "what is this boilerplate" evidence).
+
+    Scale shape: narrow normalize map (k fixed regexp passes, codegen)
+    + ONE map-side-combining groupBy on the fingerprint; min/max/
+    min-by aggregates — no window, no join, no explode."""
+    t0 = F.lower(F.col(text_col))
+    # order matters: URLs before hex/number (a URL contains both),
+    # emails before numbers (the local part may be numeric)
+    t1 = F.regexp_replace(t0, r"[a-z][a-z0-9+.-]*://[^\s]+", "<url>")
+    t2 = F.regexp_replace(t1, r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+                          "<email>")
+    t3 = F.regexp_replace(t2, r"\b0x[0-9a-f]+\b", "<hex>")
+    t4 = F.regexp_replace(t3, r"\b[0-9]+\b", "<num>")
+    norm = F.trim(F.regexp_replace(t4, r"\s+", " "))
+    keyed = docs.select(F.col(id_col).alias("i"), norm.alias("tpl"))
+    return (keyed.withColumn("template_fp", F.md5("tpl"))
+            .groupBy("template_fp")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("i").alias("min_id"),
+                 F.max("i").alias("max_id"),
+                 F.min_by("tpl", F.col("i")).alias("sample"))
+            .where(F.col("n_docs") >= min_docs))

@@ -88,6 +88,28 @@ def run_expectations(df: DataFrame, specs: list[tuple]) -> DataFrame:
                     (F.col("r.violations") == 0).alias("passed")))
 
 
+def _cms_bucket_array(col, d: int, w: int):
+    """The CMS hash family, in ONE place so build / weighted-build /
+    estimate can never drift: an array of ``d`` bucket indices, where
+    bucket j is hex slice ``j mod 4`` of digest ``md5((j div 4) | col)``
+    taken mod ``w``.  The digests are let-bound
+    (:func:`..functions.let.bind`) so each md5 evaluates once per row
+    however many slices read it."""
+    from ..functions.let import bind
+
+    n_md5 = (d + 3) // 4
+
+    def mk(hs):
+        return F.array(*[
+            F.pmod(F.conv(F.substring(F.element_at(hs, j // 4 + 1),
+                                      1 + 8 * (j % 4), 8),
+                          16, 10).cast("long"), F.lit(w))
+            for j in range(d)])
+
+    return bind(F.array(*[F.md5(F.concat(F.lit(f"{m}|"), col))
+                          for m in range(n_md5)]), mk)
+
+
 def cms_build(docs: DataFrame, text_col: str = "text",
               d: int = 4, w: int = 1024) -> DataFrame:
     """Count-Min sketch over the corpus token stream — the mergeable
@@ -97,10 +119,15 @@ def cms_build(docs: DataFrame, text_col: str = "text",
     sketches merge by summing counters — the property that makes CMS
     THE distributed frequency sketch.
 
-    The hash family is md5-derived (``conv(substr(md5(j||'|'||tok),
-    1, 8), 16, 10) % w``) so the sketch — and every estimate off it —
-    is bit-identical cross-engine: unlike native-hash sketches (HLL++,
-    rows-only by nature) this one is fully SQL-oracle-checkable.
+    The hash family is md5-derived and SLICED (row j's bucket is hex
+    slice ``j mod 4`` of digest ``md5((j div 4) || '|' || tok)`` —
+    one-hash-many-slices, the :func:`~.dedup.minhash_exact_pairs`
+    idiom: d=4 rows cost ONE md5 per token instead of four, round-11),
+    so the sketch — and every estimate off it — is bit-identical
+    cross-engine: unlike native-hash sketches (HLL++, rows-only by
+    nature) this one is fully SQL-oracle-checkable.  Distinct slices
+    of a cryptographic digest are independent uniform 32-bit values —
+    exactly the per-row pairwise-independence CMS needs.
 
     Scale shape: explode tokens × d flat hash projections (codegen) →
     ONE map-side-combining groupBy on (row, bucket): hot tokens combine
@@ -119,12 +146,9 @@ def cms_build_tokens(tok: DataFrame, tok_col: str = "t",
     counts, probes, n-gram stats) uses, so the corpus is tokenized
     once and shared (round-11; the cms_estimate check's three separate
     tokenize passes collapsed onto one cached stream)."""
-    rows = tok.select(F.posexplode(F.array(*[
-        F.pmod(F.conv(F.substring(
-            F.md5(F.concat(F.lit(str(j)), F.lit("|"),
-                           F.col(tok_col))),
-            1, 8), 16, 10).cast("long"), F.lit(w))
-        for j in range(d)])).alias("row", "bucket"))
+    rows = tok.select(
+        F.posexplode(_cms_bucket_array(F.col(tok_col), d, w))
+        .alias("row", "bucket"))
     return (rows.groupBy("row", "bucket")
             .agg(F.count("*").alias("c")))
 
@@ -145,12 +169,8 @@ def cms_build_counts(counts: DataFrame, tok_col: str = "t",
     full-stream fan-out)."""
     rows = counts.select(
         F.col(cnt_col).cast("long").alias("__n"),
-        F.posexplode(F.array(*[
-            F.pmod(F.conv(F.substring(
-                F.md5(F.concat(F.lit(str(j)), F.lit("|"),
-                               F.col(tok_col))),
-                1, 8), 16, 10).cast("long"), F.lit(w))
-            for j in range(d)])).alias("row", "bucket"))
+        F.posexplode(_cms_bucket_array(F.col(tok_col), d, w))
+        .alias("row", "bucket"))
     return (rows.groupBy("row", "bucket")
             .agg(F.sum("__n").alias("c")))
 
@@ -168,11 +188,8 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame,
     pr = probes.select(F.col(probe_col).alias("t"))
     if not assume_distinct:
         pr = pr.distinct()
-    fan = pr.select("t", F.posexplode(F.array(*[
-        F.pmod(F.conv(F.substring(
-            F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("t"))),
-            1, 8), 16, 10).cast("long"), F.lit(w))
-        for j in range(d)])).alias("row", "bucket"))
+    fan = pr.select("t", F.posexplode(_cms_bucket_array(F.col("t"), d, w))
+                    .alias("row", "bucket"))
     return (fan.join(F.broadcast(sketch), ["row", "bucket"], "left")
             .groupBy("t")
             .agg(F.min(F.coalesce("c", F.lit(0))).alias("n_est")))

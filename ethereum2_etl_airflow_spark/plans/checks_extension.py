@@ -2924,14 +2924,14 @@ WITH tok AS (
 exact AS (SELECT t, COUNT(*) AS n_exact FROM tok GROUP BY t),
 fan AS (
   SELECT t, j,
-         ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || t), 1, 8))
+         ('0x' || substr(md5('0|' || t), 1 + 8 * j, 8))
            ::BIGINT % 1024 AS bucket
   FROM tok, range(4) r(j)),
 sketch AS (SELECT j AS row, bucket, COUNT(*) AS c
            FROM fan GROUP BY j, bucket),
 probe AS (
   SELECT DISTINCT t, j,
-         ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || t), 1, 8))
+         ('0x' || substr(md5('0|' || t), 1 + 8 * j, 8))
            ::BIGINT % 1024 AS bucket
   FROM exact, range(4) r(j)),
 est AS (
@@ -3072,7 +3072,7 @@ WITH tok AS (
   FROM documents),
 fan AS (
   SELECT t, j,
-         ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || t), 1, 8))
+         ('0x' || substr(md5('0|' || t), 1 + 8 * j, 8))
            ::BIGINT % 1024 AS bucket
   FROM tok, range(4) r(j))
 SELECT j AS row, bucket, COUNT(*) AS c
@@ -5695,3 +5695,61 @@ ORDER BY doc_id
 
 
 EXTENSION_CHECKS["blocklist"] = (q_blocklist, ORACLE_BLOCKLIST)
+
+
+# --- X103: templated-document clustering -------------------------------------
+
+def q_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103: structural dedup over a corpus with planted template
+    instantiations (every 6th doc also emits an order-confirmation
+    line whose ids/hashes/urls/emails differ per doc) — all instances
+    must fold onto ONE template fingerprint; the normalization grammar
+    is replayed by the oracle."""
+    from ..operators.dedup import template_clusters
+
+    d = _docs(spark, sf_dir)
+    tmpl = (d.where(F.col("doc_id") % 6 == 0)
+            .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                    F.concat(
+                        F.lit("Order "), F.col("doc_id").cast("string"),
+                        F.lit(" for "), F.col("source"),
+                        F.lit(" total 0xface"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" at https://shop.example/p/"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" contact u"), F.col("doc_id").cast("string"),
+                        F.lit("@mail.com ref 42")).alias("text")))
+    corpus = d.select("doc_id", "text").unionByName(tmpl)
+    return (template_clusters(corpus, min_docs=2)
+            .orderBy("template_fp"))
+
+
+ORACLE_TEMPLATE_CLUSTERS = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+         'Order ' || doc_id || ' for ' || source || ' total 0xface'
+         || doc_id || ' at https://shop.example/p/' || doc_id
+         || ' contact u' || doc_id || '@mail.com ref 42'
+  FROM documents WHERE doc_id % 6 = 0),
+norm AS (
+  SELECT doc_id AS i,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(lower(text),
+                '[a-z][a-z0-9+.-]*://[^\s]+', '<url>', 'g'),
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+                '\b0x[0-9a-f]+\b', '<hex>', 'g'),
+                '\b[0-9]+\b', '<num>', 'g'),
+                '\s+', ' ', 'g')) AS tpl
+  FROM corpus)
+SELECT md5(tpl) AS template_fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(i) AS min_id, MAX(i) AS max_id,
+       arg_min(tpl, i) AS sample
+FROM norm GROUP BY tpl HAVING COUNT(*) >= 2
+ORDER BY template_fp
+"""
+
+
+EXTENSION_CHECKS["template_clusters"] = (q_template_clusters,
+                                         ORACLE_TEMPLATE_CLUSTERS)

@@ -2324,3 +2324,22 @@ def test_blocklist_filter_suffix_semantics(spark):
     # notexample.com shares the 'example.com' string suffix but NOT the
     # dot-boundary — it must survive; NULL url has no host — survives
     assert out == [4, 6, 7]
+
+
+def test_template_clusters_folds_entities(spark):
+    from ethereum2_etl_airflow_spark.operators.dedup import (
+        template_clusters)
+
+    docs = spark.createDataFrame([
+        (1, "Error 500 at 0xdead in https://a.io/x for bob@x.io"),
+        (2, "error 9 at 0xBEEF in https://b.io/y?z=1 for a.c@y.org"),
+        (3, "Totally different content here"),
+        (4, "totally  DIFFERENT content here"),   # ws/case fold only
+        (5, "singleton row"),
+    ], "doc_id long, text string")
+    rows = template_clusters(docs).collect()
+    by_members = {(r["min_id"], r["max_id"]): r for r in rows}
+    assert set(by_members) == {(1, 2), (3, 4)}
+    tpl = by_members[(1, 2)]["sample"]
+    assert tpl == "error <num> at <hex> in <url> for <email>"
+    assert by_members[(1, 2)]["n_docs"] == 2
