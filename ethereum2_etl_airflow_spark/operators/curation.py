@@ -49,6 +49,7 @@ __all__ = [
     "fim_split", "canonical_url", "dedup_by_url",
     "plan_shards", "hamilton_quota", "allocate_budget",
     "dialogue_turns", "span_corrupt", "blocklist_filter",
+    "embedding_outliers",
 ]
 
 # RE2- and Java-regex-identical patterns (no backrefs / lookaround):
@@ -1121,3 +1122,62 @@ def blocklist_filter(df: DataFrame, blocklist: DataFrame,
     hit_ids = (keyed.join(bl, "__sfx", "left_semi")
                .select(F.col(id_col)).distinct())
     return df.join(hit_ids, id_col, "left_anti")
+
+
+def embedding_outliers(emb: DataFrame, k: int = 5,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """X104: embedding-space outlier detection — for each label group,
+    the ``k`` vectors FURTHEST (integer squared L2) from their group's
+    centroid: the data-quality pass that surfaces mislabeled rows,
+    broken encoders, and garbage embeddings before they poison a
+    contrastive batch or an ANN index.
+
+    Exactness contract: distances run on the shared int8 floor
+    quantization (:func:`~.clustering.quantize_exprs` — the
+    bit-identity-critical pair every embedding consumer uses) and the
+    centroid is the element-wise TRUNCATING integer mean (``sum div
+    n``, toward zero — the :func:`~.clustering.kmeans_fit_centroids`
+    update rule), so every distance is an exact BIGINT and the whole
+    ranking is SQL-oracle-checkable.  NULL embeddings quantize to NULL
+    and are dropped (no position in the space); NULL labels form their
+    own group only if present in the data — they are dropped with the
+    same rule (a row with no group has no centroid to sit out from).
+
+    Returns (label, vec_id, dist, rank), rank 1..k per label by
+    (dist desc, vec_id asc).
+
+    Scale shape: explode to (label, pos, v) with ONE combining groupBy
+    on (label, pos) [≤ |labels|·dim rows out], pack centroids
+    per-label [|labels| rows — broadcast], then a narrow zip_with/
+    aggregate distance map and a per-label top-k window over groups
+    the label key bounds.  No all-pairs anything; the only data-sized
+    exchange is the (label, pos) combine."""
+    from .clustering import quantize_exprs
+
+    maxabs, q8 = quantize_exprs(vec_col)
+    base = (emb.withColumn("__m", maxabs)
+            .select(F.col(id_col).alias("vid"),
+                    F.col(label_col).alias("lbl"), q8.alias("q"))
+            .where(F.col("q").isNotNull() & F.col(label_col).isNotNull()))
+    dims = base.select("vid", "lbl", F.posexplode("q").alias("pos", "v"))
+    cents = (dims.groupBy("lbl", "pos")
+             .agg(F.expr("sum(v) div count(*)").alias("c")))
+    carr = (cents.groupBy("lbl")
+            .agg(F.array_sort(F.collect_list(
+                F.struct(F.col("pos").alias("p"), F.col("c").alias("c"))))
+                .getField("c").alias("cent")))
+    dist = (base.join(F.broadcast(carr), "lbl")
+            .select("lbl", "vid", F.aggregate(
+                F.zip_with("q", "cent",
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+                .alias("dist")))
+    w = Window.partitionBy("lbl").orderBy(F.col("dist").desc(),
+                                          F.col("vid"))
+    return (dist.withColumn("rank",
+                            F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(F.col("lbl").alias(label_col),
+                    F.col("vid").alias(id_col), "dist", "rank"))

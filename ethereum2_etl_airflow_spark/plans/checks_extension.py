@@ -5753,3 +5753,49 @@ ORDER BY template_fp
 
 EXTENSION_CHECKS["template_clusters"] = (q_template_clusters,
                                          ORACLE_TEMPLATE_CLUSTERS)
+
+
+# --- X104: embedding-space outlier detection ---------------------------------
+
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X104: per-label furthest-from-centroid vectors on the shared
+    int8 quantization — centroid rule, integer distances, and the
+    (dist desc, id) ranking are all value-pinned by the oracle."""
+    from ..operators.curation import embedding_outliers
+
+    return (embedding_outliers(_emb(spark, sf_dir), k=5)
+            .orderBy("label", "rank"))
+
+
+ORACLE_EMB_OUTLIERS = """
+WITH q AS (
+  SELECT vec_id, label, i - 1 AS pos,
+         CASE WHEN m = 0 THEN 0
+              ELSE CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127.0 / m)
+                        AS BIGINT) END AS v
+  FROM (SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS m
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL),
+       range(1, 65) t(i)),
+cent AS (
+  SELECT label, pos,
+         CAST(TRUNC(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM q GROUP BY label, pos),
+dist AS (
+  SELECT q.vec_id, q.label, SUM((q.v - c.c) * (q.v - c.c)) AS d
+  FROM q JOIN cent c ON q.label = c.label AND q.pos = c.pos
+  GROUP BY q.vec_id, q.label),
+r AS (
+  SELECT label, vec_id, d,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY d DESC, vec_id) AS rank
+  FROM dist)
+SELECT label, vec_id, CAST(d AS BIGINT) AS dist,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5 ORDER BY label, rank
+"""
+
+
+EXTENSION_CHECKS["emb_outliers"] = (q_emb_outliers, ORACLE_EMB_OUTLIERS)

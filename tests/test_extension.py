@@ -2343,3 +2343,29 @@ def test_template_clusters_folds_entities(spark):
     tpl = by_members[(1, 2)]["sample"]
     assert tpl == "error <num> at <hex> in <url> for <email>"
     assert by_members[(1, 2)]["n_docs"] == 2
+
+
+def test_embedding_outliers_finds_planted_outlier(spark):
+    from ethereum2_etl_airflow_spark.operators.curation import (
+        embedding_outliers)
+
+    near = [1.0] * 64
+    far = [1.0] * 32 + [-1.0] * 32
+    rows = [(i, near, 0) for i in range(10)] + [(99, far, 0)] \
+        + [(200, [0.5] * 64, 1), (201, None, 0), (202, near, None)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long")
+    out = embedding_outliers(emb, k=2).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+    # the planted far vector is label 0's rank-1 outlier, by a margin
+    assert by_label[0][0]["vec_id"] == 99
+    assert by_label[0][0]["rank"] == 1
+    assert by_label[0][0]["dist"] > by_label[0][1]["dist"] * 10
+    # singleton label: its only member IS the centroid, dist 0
+    assert by_label[1][0]["vec_id"] == 200
+    assert by_label[1][0]["dist"] == 0
+    # NULL embedding / NULL label rows dropped
+    ids = {r["vec_id"] for r in out}
+    assert 201 not in ids and 202 not in ids
