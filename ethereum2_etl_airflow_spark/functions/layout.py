@@ -25,7 +25,34 @@ import threading
 from pyspark.sql import DataFrame
 
 __all__ = ["ensure_parallelism", "finalize_release", "zorder_key",
-           "zorder_by", "pinned_shuffle", "plan_width"]
+           "zorder_by", "pinned_shuffle", "plan_width", "parallel_frames"]
+
+
+def parallel_frames(*thunks):
+    """Evaluate independent DataFrame-building thunks concurrently and
+    return their results in order (optimization guide §2.6: Spark's
+    scheduler runs several jobs at once inside one application; actions
+    are only sequential because driver code calls them sequentially).
+
+    The eagerly-materializing operators (``finalize_release`` pattern)
+    serialize when a caller composes two of them — the second arm's
+    jobs only start after the first arm's checkpoint completes, leaving
+    the machine idle through each arm's stage tails.  Submitting the
+    arms from a small thread pool lets the scheduler back-fill: the
+    composite's wall becomes ~max(arm walls) instead of their sum.
+
+    Safe under the session-conf pins: :func:`pinned_shuffle` is
+    reference-counted per session (overlapping holders share the
+    outermost width — a performance knob, never correctness, for every
+    operator behind it), and every operator here is layout-invariant
+    by design."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
 
 #: reentrancy guard for :func:`pinned_shuffle` — PER-SESSION holder
 #: counts + the conf values saved by the first holder of each knob

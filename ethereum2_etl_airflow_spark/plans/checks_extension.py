@@ -2368,11 +2368,17 @@ def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import rrf_fuse
     from ..operators.text import bm25_topk
 
+    from ..functions.layout import parallel_frames
+
     qids = sorted(_BM25_QUERIES)
-    dense = (S.topk_cosine_bruteforce(_emb(spark, sf_dir), qids, k=10)
-             .select("query_id", F.col("vec_id").alias("doc_id"), "rank"))
-    sparse = (bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
-              .select("query_id", "doc_id", "rank"))
+    # both arms materialize eagerly and are independent — run them
+    # concurrently (guide §2.6)
+    dense, sparse = parallel_frames(
+        lambda: (S.topk_cosine_bruteforce(_emb(spark, sf_dir), qids, k=10)
+                 .select("query_id", F.col("vec_id").alias("doc_id"),
+                         "rank")),
+        lambda: (bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
+                 .select("query_id", "doc_id", "rank")))
     return (rrf_fuse([dense, sparse], k_const=60, k=10)
             .orderBy("query_id", "rank"))
 
@@ -2798,11 +2804,15 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ranking_eval
     from ..operators.text import bm25_topk
 
+    from ..functions.layout import parallel_frames
+
     qids = sorted(_BM25_QUERIES)
-    pred = (bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
-            .select("query_id", "doc_id", "rank"))
-    truth = (S.topk_cosine_bruteforce(_emb(spark, sf_dir), qids, k=10)
-             .select("query_id", F.col("vec_id").alias("doc_id")))
+    # independent eagerly-materialized arms → concurrent (guide §2.6)
+    pred, truth = parallel_frames(
+        lambda: (bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
+                 .select("query_id", "doc_id", "rank")),
+        lambda: (S.topk_cosine_bruteforce(_emb(spark, sf_dir), qids, k=10)
+                 .select("query_id", F.col("vec_id").alias("doc_id"))))
     return ranking_eval(pred, truth, k=10).orderBy("query_id")
 
 
@@ -4704,9 +4714,15 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_fn); precision/recall are the consumer's float step.  The
     DataFrame twin of the pytest recall assertions, as a first-class
     queryable operator."""
+    from ..functions.layout import parallel_frames
+
     corpus = _neardup_corpus(spark, sf_dir)
-    pred = D.minhash_exact_pairs(corpus, n_hashes=8, band_rows=2)
-    truth = D.ngram_jaccard_pairs(corpus, threshold_tenths=6)
+    # both tiers materialize eagerly (finalize_release) and are
+    # independent — build them concurrently (guide §2.6) so the wall is
+    # ~max(tier walls), not their sum
+    pred, truth = parallel_frames(
+        lambda: D.minhash_exact_pairs(corpus, n_hashes=8, band_rows=2),
+        lambda: D.ngram_jaccard_pairs(corpus, threshold_tenths=6))
     return D.pair_set_metrics(pred, truth)
 
 
