@@ -97,19 +97,33 @@ def connected_components(edges: DataFrame, src: str = "id_a",
            .cache())
     # seed with min(closed neighborhood) — identical to what the first
     # propagation round would produce from identity labels, for the cost
-    # of the groupBy alone (saves one full join+agg+probe round)
+    # of the groupBy alone (saves one full join+agg+probe round).  Every
+    # seed label was just (re)assigned, so the whole table starts as the
+    # propagation frontier.
     labels = (sym.groupBy("u").agg(F.min("v").alias("mn"))
               .select(F.col("u").alias("node"),
-                      F.least(F.col("u"), F.col("mn")).alias("label"))
+                      F.least(F.col("u"), F.col("mn")).alias("label"),
+                      F.lit(True).alias("changed"))
               .localCheckpoint(eager=True))
     for _ in range(max_iter):
-        neigh = (sym.join(labels.withColumnRenamed("node", "v"), "v")
+        # frontier optimization (round-11, guide §2.3): a node's min-
+        # over-neighborhood can only drop when some neighbor's label
+        # dropped LAST round, so the propagation join runs against the
+        # changed frontier, not the full label table — the frontier
+        # shrinks geometrically on star-ish dedup graphs, so late
+        # rounds join (and shuffle) almost nothing.  Exact: labels are
+        # monotonically non-increasing, and an unchanged neighbor's
+        # label was already folded into this node's label in an
+        # earlier round.
+        frontier = (labels.where("changed")
+                    .select(F.col("node").alias("v"), "label"))
+        neigh = (sym.join(frontier, "v")
                  .groupBy("u").agg(F.min("label").alias("nl"))
                  .withColumnRenamed("u", "node"))
         # carry a per-row changed flag through the checkpoint: the probe
         # then scans the materialized blocks with limit(1) instead of
         # re-joining new labels against old (one fewer shuffle per round)
-        new = (labels.join(neigh, "node", "left")
+        new = (labels.select("node", "label").join(neigh, "node", "left")
                .select("node",
                        F.least(F.col("label"),
                                F.coalesce("nl", "label")).alias("label"),
@@ -117,7 +131,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                        .alias("changed"))
                .localCheckpoint(eager=True))
         changed = new.where("changed").limit(1).count()
-        labels = new.drop("changed")
+        labels = new
         _release_round_blocks()
         if changed == 0:
             break
@@ -172,10 +186,13 @@ def _connected_components_star(edges: DataFrame, src: str, dst: str,
     for _ in range(max_iter):
         new = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # set-equality probe: counts match AND nothing new appeared
-        # (previous round's count is carried — no re-count of e)
-        grew = new.join(e, ["u", "v"], "left_anti").limit(1).count()
+        # (previous round's count is carried — no re-count of e).  The
+        # cheap count runs first and short-circuits the anti-join probe
+        # on every non-converged round (one fewer job per round)
         new_count = new.count()
         same_size = new_count == e_count
+        grew = 1 if not same_size else \
+            new.join(e, ["u", "v"], "left_anti").limit(1).count()
         e, e_count = new, new_count
         _release_round_blocks()
         if same_size and grew == 0:
@@ -525,33 +542,43 @@ def kcore_peel(edges: DataFrame, k: int = 3, n_rounds: int = 4,
     (peeling converges in ≤ |V| rounds; in practice a handful).
 
     Returns (node, degree) of survivors with their within-subgraph
-    degree.  Each round is one symmetric-edge semi-join against the
-    surviving low-degree-filtered node set + a map-side-combining degree
-    count — no driver state.
+    degree.
 
-    Memory/shuffle discipline (round-7, after the 64× scale probe found
-    the peel shuffle-bound at 76.5 M edges): the structural insight is
-    that the EDGE set is the big side and the survivor NODE set is tiny
-    (16 B/node — ~25 MB even at the 64× probe's 3.2 M nodes), so the
-    two per-round semi-joins should broadcast the node set, never
-    reshuffle the edges.  The peel therefore runs with AQE ON and the
-    broadcast-join threshold raised (scoped) to 128 MB: at probe scale
-    both semi-joins plan/convert to BroadcastHashJoin(LeftSemi) and the
-    only per-round shuffle left is the degree count's own exchange —
-    measured 127 s vs 399 s for the shuffle-semi-join shape at 64×.
-    Scale safety at 100 TB: a billion-node survivor set exceeds 128 MB
-    both in Catalyst's compile-time estimate (which scales with the
-    child edge stats) and in AQE's runtime measurement, so the joins
-    fall back to shuffle semi-joins exactly when broadcast would OOM —
-    the threshold raise only widens the broadcast window, it never
-    forces one.  Lineage is cut every ``checkpoint_every`` peels
-    (between cuts the duplicated e-subtree references dedupe through
-    ReuseExchange), and the symmetric edge list is NOT held by name
-    across the loop — after the first cut its blocks are collectable."""
+    Incremental-degree formulation (round-11 optimization, guide §2.3
+    "aggregate before you shuffle" taken to its limit): the old shape
+    re-aggregated the FULL edge set every round (degree groupBy) and
+    rewrote the filtered edge set every other round (|E|-sized
+    checkpoints).  But peeling only ever SUBTRACTS: a surviving node's
+    next-round degree is its current degree minus its edges into this
+    round's removed set.  So the peel now materializes the symmetric
+    edge list ONCE, aggregates the initial degree table ONCE, and each
+    round updates the |V|-sized degree table from a delta join of the
+    edges against the (usually tiny, broadcastable) removed set —
+    per-round shuffle volume is edges-incident-to-removed, not |E|,
+    and the final degree table IS the answer (the old final |E|
+    re-aggregation disappears).  Equivalence: deg_{r+1}(u) = deg_r(u)
+    − |nbrs(u) ∩ removed_r| restricted to alive nodes is exactly the
+    degree within the round-r surviving subgraph; removal rounds
+    partition the removed nodes, so no edge is ever double-subtracted.
+    A round that removes nothing is a fixpoint (every later round
+    removes nothing and degrees are final), so the loop may exit early
+    without changing the result of the fixed-round contract.
+
+    Memory/shuffle discipline (round-7 → round-11): the removed-node
+    side of the delta join is small whenever peeling is selective, so
+    the peel runs with AQE ON and the broadcast threshold raised
+    (scoped) to 128 MB — at probe scale the delta join converts to a
+    broadcast join and the only per-round shuffle is the delta's own
+    map-side-combining count; a billion-node removed set exceeds the
+    threshold in AQE's runtime measurement and falls back to a shuffle
+    join exactly when broadcast would OOM.  The per-round degree table
+    is ``localCheckpoint``-ed (|V| rows — orders of magnitude smaller
+    than the old |E| checkpoints) because each round's table feeds two
+    consumers (the removed probe and the next update)."""
     from ..functions.layout import pinned_shuffle
 
     # 8 MB/partition, not the 64 MB scan default: the peel SYMMETRIZES
-    # the input (2×) and every round's degree count groups the whole
+    # the input (2×) and the initial degree count groups the whole
     # working set, so per-task footprint — not scan bytes — is the
     # binding constraint (at the 64× probe point the 64 MB sizing
     # yielded 10 partitions of ~15 M rows each on 32 cores:
@@ -569,21 +596,30 @@ def kcore_peel(edges: DataFrame, k: int = 3, n_rounds: int = 4,
                                  F.col(src).cast("long").alias("v")))
              .where(F.col("u") != F.col("v")).distinct()
              .localCheckpoint(eager=True))
-        checkpoint_every = 2
-        pending = 0
-        for i in range(n_rounds):
-            deg = e.groupBy("u").agg(F.count("*").alias("d"))
-            keep = deg.where(F.col("d") >= k).select("u")
-            e = (e.join(keep, "u", "left_semi")
-                 .join(keep.withColumnRenamed("u", "v"), "v",
-                       "left_semi"))
-            pending += 1
-            if pending >= checkpoint_every or i == n_rounds - 1:
-                e = e.localCheckpoint(eager=True)
-                pending = 0
-                _release_round_blocks()
-        return (e.groupBy("u").agg(F.count("*").alias("degree"))
-                .select(F.col("u").alias("node"), "degree"))
+        deg = (e.groupBy("u").agg(F.count("*").alias("d"))
+               .select(F.col("u").alias("node"), "d")
+               .localCheckpoint(eager=True))
+        for _ in range(n_rounds):
+            removed = deg.where(F.col("d") < k).select("node")
+            # cheap probe over the checkpointed table: an empty removed
+            # set is the peel fixpoint — every remaining round is a
+            # no-op, so breaking preserves the fixed-round result
+            if removed.limit(1).count() == 0:
+                break
+            delta = (e.join(removed.withColumnRenamed("node", "v"), "v")
+                     .groupBy("u").agg(F.count("*").alias("lost"))
+                     .select(F.col("u").alias("node"), "lost"))
+            deg = (deg.join(removed, "node", "left_anti")
+                   .join(delta, "node", "left")
+                   .select("node",
+                           (F.col("d") - F.coalesce("lost", F.lit(0)))
+                           .cast("long").alias("d"))
+                   .localCheckpoint(eager=True))
+            _release_round_blocks()
+        # degree 0 ⟺ no surviving incident edge ⟺ absent from the old
+        # final edge re-aggregation
+        return (deg.where(F.col("d") > 0)
+                .select("node", F.col("d").alias("degree")))
 
 
 def random_walks(edges: DataFrame, walk_len: int = 4,
