@@ -271,7 +271,19 @@ def triangle_counts(edges: DataFrame, src: str = "id_a",
            .groupBy("n").agg(F.count("*").alias("deg")))
     # orient by (deg, id): strict total order, so each edge gets exactly
     # one direction and each triangle exactly one (u; v, w) wedge + edge
-    if broadcast_degrees:
+    from ..functions.layout import plan_bytes
+
+    # stats-gated degree broadcast (round-11): when Catalyst's free
+    # plan-time estimate says the edge set is small, the degree table
+    # (≤ 2 rows per edge, 16 B each) certainly broadcasts — both
+    # endpoint joins then resolve against ONE broadcast hash map and
+    # the edge set is never shuffled for orientation (measured at
+    # sf0.1: 0.89 s vs 2.14 s for the melt join + regroup).  Above the
+    # gate the estimate scales with the input and the melt path keeps
+    # the two-bounded-exchange web-scale shape.
+    canon_bytes = None if broadcast_degrees else plan_bytes(canon)
+    if broadcast_degrees or (canon_bytes is not None
+                             and canon_bytes < (32 << 20)):
         # both endpoint degrees resolve against the SAME broadcast
         # hash map (the two join builds are identical modulo aliasing,
         # so the exchange is planned once and reused) — no shuffle of
@@ -312,11 +324,17 @@ def triangle_counts(edges: DataFrame, src: str = "id_a",
             int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                             "200") or 200),
             sc.defaultParallelism * 2)
-        from ..functions.layout import plan_bytes
-
+        # floor at HALF the machine width, not a constant 8: the
+        # intersect stage is CPU-bound (m^1.5 comparisons on m bytes),
+        # so even a few-MB graph wants real cores — measured at sf0.1
+        # on 32 cores the close reads 1.96/1.24/1.34 s at widths
+        # 8/16/32.  defaultParallelism scales the floor down on the
+        # driver's lower-core bench runs and is irrelevant at cluster
+        # scale where the stats term exceeds it.
         size = plan_bytes(canon)
+        floor = max(8, sc.defaultParallelism // 2)
         npart = cap if size is None else \
-            min(cap, max(8, -(-size // (2 << 20))))
+            min(cap, max(floor, -(-size // (2 << 20))))
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"))
@@ -427,8 +445,15 @@ def pagerank_int(edges: DataFrame, n_iter: int = 3,
     # npart — a width mismatch that re-exchanges the score table every
     # round (measured at sf0.1: ~2.7 s unpinned vs ~1.95 s pinned on a
     # 32-wide bench session; the round-7 RATIOS regression was this
-    # mismatch, not the plan shape)
-    with pinned_shuffle(spark, npart):
+    # mismatch, not the plan shape).  adaptive=False (round-11): the
+    # pinned-width iterative plan leaves AQE nothing to decide — the
+    # joins are co-partitioned zero-exchange, the per-round SUM is
+    # map-side-combined at the pinned width — while its per-stage
+    # materialize→re-optimize round-trips cost real driver latency
+    # (measured at sf0.1: 4.04 s with AQE vs 2.27 s without on the
+    # same 1.2 M-edge graph) — the same rationale as the BPE/k-means
+    # loops, which already run adaptive=False.
+    with pinned_shuffle(spark, npart, adaptive=False):
         e = edges.select("src", "dst").repartition(npart, "src")
         if dedup:
             e = e.distinct()  # co-located: hash(src) clusters (src, dst)
