@@ -584,11 +584,6 @@ def _bm25_build(docs, queries: dict[int, list[str]], k: int,
     """Pre-checkpoint pipeline for :func:`bm25_topk` (plan tests assert
     on this — the public entry localCheckpoints inside its pinned
     scope)."""
-    from pyspark.sql import Window
-
-    from .curation import cap_per_key  # local import: avoid cycle
-
-    spark = docs.sparkSession
     all_terms = sorted({t for ts in queries.values() for t in ts})
     sel = docs.select(F.col(id_col).alias("doc"),
                       tokens(F.col(text_col)).alias("__tk")) \
@@ -599,6 +594,22 @@ def _bm25_build(docs, queries: dict[int, list[str]], k: int,
            .where(F.col("term").isin(all_terms))
            .groupBy("doc", "dl", "term")
            .agg(F.count("*").alias("tf")))
+    return _bm25_score(tfq, nt, queries, k, k1_milli, b_milli)
+
+
+def _bm25_score(tfq, nt, queries: dict[int, list[str]], k: int,
+                k1_milli: int, b_milli: int):
+    """BM25 scoring tail over a prepared (doc, dl, term, tf) table
+    already restricted to the query terms, plus the 1-row (n_docs,
+    n_tokens) corpus-stats frame.  Split out (round-11) so
+    :func:`expand_queries` can feed BOTH of its passes from one cached
+    corpus (doc, term) count instead of re-tokenizing the corpus per
+    pass — identical math, identical output."""
+    from pyspark.sql import Window
+
+    from .curation import cap_per_key  # local import: avoid cycle
+
+    spark = tfq.sparkSession
     df_t = tfq.groupBy("term").agg(F.countDistinct("doc").alias("df"))
     qt = spark.createDataFrame(
         [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
@@ -937,18 +948,36 @@ def expand_queries(docs, queries: dict[int, list[str]], k_fb: int = 5,
     spark = docs.sparkSession
     with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
                         adaptive=False):
-        fb = _bm25_build(docs, queries, k_fb, k1_milli, b_milli,
-                         text_col, id_col).select("query_id", "doc_id")
+        # ONE corpus tokenize for the whole two-pass pipeline
+        # (round-11): the cached (doc, dl, term, tf) table feeds the
+        # first BM25 pass, the feedback-term scoring, AND the second
+        # pass — the old shape re-tokenized the corpus per pass (and
+        # once more per pass for the 1-row stats aggregate), 5 scans
+        # in total.  dl rides in the groupBy key (functionally
+        # dependent on doc, the sparse-cosine trick), so per-pass
+        # scoring needs no document-length join.
         sel = docs.select(F.col(id_col).alias("doc"),
-                          tokens(F.col(text_col)).alias("__tk"))
-        tf_all = (sel.select("doc", F.explode("__tk").alias("term"))
-                  .groupBy("doc", "term").agg(F.count("*").alias("tf"))
+                          tokens(F.col(text_col)).alias("__tk")) \
+            .withColumn("dl", F.size("__tk").cast("long"))
+        tf_all = (sel.select("doc", "dl", F.explode("__tk").alias("term"))
+                  .groupBy("doc", "dl", "term")
+                  .agg(F.count("*").alias("tf"))
                   .cache())
-        # eager build: two plan branches (cand and df_t) read this
-        # cache — racing a cold cache would tokenize the corpus twice
-        # (same guard as repeated_span_hits)
+        # eager build: several plan branches read this cache — racing a
+        # cold cache would tokenize the corpus once per branch (same
+        # guard as repeated_span_hits)
         tf_all.count()
-        nt = sel.agg(F.count("*").alias("n_docs"))
+        # corpus stats WITHOUT another tokenize: n_docs counts the raw
+        # corpus (docs with zero tokens included — they are absent from
+        # tf_all), n_tokens sums dl over the cached per-doc keys
+        n_docs_df = docs.agg(F.count("*").alias("n_docs"))
+        n_tok_df = (tf_all.groupBy("doc").agg(F.max("dl").alias("__dl"))
+                    .agg(F.sum("__dl").alias("n_tokens")))
+        nt = n_docs_df.crossJoin(n_tok_df)
+        all_terms = sorted({t for ts in queries.values() for t in ts})
+        fb = _bm25_score(tf_all.where(F.col("term").isin(all_terms)),
+                         nt, queries, k_fb, k1_milli, b_milli) \
+            .select("query_id", "doc_id")
         df_t = tf_all.groupBy("term").agg(
             F.countDistinct("doc").alias("df"))
         orig = spark.createDataFrame(
@@ -983,8 +1012,13 @@ def expand_queries(docs, queries: dict[int, list[str]], k_fb: int = 5,
             if r["term"] not in merged[r["query_id"]]:
                 merged[r["query_id"]].append(r["term"])
         merged = {qid: sorted(set(ts)) for qid, ts in merged.items()}
-        out = _bm25_build(docs, merged, k, k1_milli, b_milli,
-                          text_col, id_col)
+        # second pass scores from the SAME cached corpus counts — no
+        # re-tokenize (identical math: _bm25_build is _bm25_score over
+        # the term-filtered (doc, dl, term, tf) table)
+        merged_terms = sorted({t for ts in merged.values() for t in ts})
+        out = _bm25_score(
+            tf_all.where(F.col("term").isin(merged_terms)),
+            nt, merged, k, k1_milli, b_milli)
         return finalize_release(out, tf_all)
 
 
