@@ -427,25 +427,32 @@ def simhash_signature(docs: DataFrame, text_col: str = "text",
 def simhash_candidates(sigs: DataFrame) -> DataFrame:
     """Near-dup candidate pairs from equal 16-bit SimHash bands (4 bands —
     any pair with Hamming distance ≤ 3 shares at least one band).  Banding
-    replaces the quadratic all-pairs Hamming scan with 4 equi-joins."""
+    replaces the quadratic all-pairs Hamming scan with band equi-joins.
+
+    Round-11 shape: ONE self-join on the posexploded ``(band_idx,
+    band_val)`` long table instead of four per-band joins + a 4-way
+    union (guide §2.4 — the same candidate multiset reaches the
+    ``distinct`` either way, but 8 cached-scan branches and 4 join
+    exchanges collapse into 2 exchanges on the exploded table; measured
+    warm 2.0 → 1.35 s on the full check)."""
     bands = sigs.select(
         "id", "simhash",
-        *[F.shiftrightunsigned(F.col("simhash"), 16 * i)
-          .bitwiseAND(F.lit(0xFFFF)).alias(f"band{i}") for i in range(4)],
-    ).cache()  # read 8x below (4 bands x 2 join sides); upstream may be
-    #            an expensive signature expression
-    out = None
-    for i in range(4):
-        a, b = bands.alias("a"), bands.alias("b")
-        cand = (a.join(b, (F.col(f"a.band{i}") == F.col(f"b.band{i}"))
-                       & (F.col("a.id") < F.col("b.id")))
-                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                        F.col("a.simhash").alias("sig_a"),
-                        F.col("b.simhash").alias("sig_b")))
-        out = cand if out is None else out.unionByName(cand)
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), 16 * i)
+            .bitwiseAND(F.lit(0xFFFF)) for i in range(4)]))
+        .alias("band_idx", "band_val"),
+    ).cache()  # read twice (2 join sides); upstream may be an
+    #            expensive signature expression
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_val") == F.col("b.band_val"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.simhash").alias("sig_a"),
+                    F.col("b.simhash").alias("sig_b")))
     dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return finalize_release(
-        out.distinct().withColumn("hamming", dist.cast("int")), bands)
+        cand.distinct().withColumn("hamming", dist.cast("int")), bands)
 
 
 def minhash_exact_pairs(docs: DataFrame, n_hashes: int = 8,
@@ -568,13 +575,18 @@ def _simhash_exact_build(docs: DataFrame, n_bits: int, max_hamming: int,
     assert n_bits % 4 == 0 and 4 <= n_bits <= 32
     band_w = n_bits // 4
     docs = ensure_parallelism(docs)
-    tc = (docs.select(F.col(id_col).alias("id"),
-                      F.explode(tokens(F.col(text_col))).alias("tok"))
-          .groupBy("id", "tok").agg(F.count("*").alias("cnt"))
-          .select("id", F.md5("tok").alias("h"), "cnt"))
-    sums = tc.groupBy("id").agg(*[
+    # Σ_tokens cnt·(±1) == Σ_occurrences (±1): summing ±1 per token
+    # OCCURRENCE folds the (id, tok) count table into the per-id
+    # aggregate, so the (id, tok) exchange disappears — the groupBy(id)
+    # partial-aggregates map-side and the only shuffle carries |docs|
+    # rows of 32 partial sums (round-11, guide §2.3/§2.4; measured
+    # 1.95 → 1.06 s warm on the sigs stage, values bit-identical).
+    occ = (docs.select(F.col(id_col).alias("id"),
+                       F.explode(tokens(F.col(text_col))).alias("tok"))
+           .select("id", F.md5("tok").alias("h")))
+    sums = occ.groupBy("id").agg(*[
         F.sum(F.when(F.substring("h", i, 1).isin(*_HEX_HIGH),
-                     F.col("cnt")).otherwise(-F.col("cnt")))
+                     F.lit(1)).otherwise(-1))
         .alias(f"s{i}") for i in range(1, n_bits + 1)])
     sigs = sums.select(
         "id",
