@@ -92,7 +92,7 @@ def heavy_hitters(df: DataFrame, k: int = 50,
 
 
 def cap_per_key(df: DataFrame, key_col: str, order_col: str,
-                cap: int) -> DataFrame:
+                cap: int, small: bool | None = None) -> DataFrame:
     """Keep at most ``cap`` rows per key, the ones smallest by
     ``order_col`` (ties impossible when ``order_col`` is a key; otherwise
     first by value).  The web-crawl "≤ N docs per domain" rule.
@@ -101,8 +101,33 @@ def cap_per_key(df: DataFrame, key_col: str, order_col: str,
     Arrow pass reduces every partition to its local ``cap`` smallest rows
     per key (no shuffle), then one per-key window ranks the ≤ cap·P
     survivors.  A plain ``row_number`` window would instead sort every
-    row of the dominant domain in a single task."""
+    row of the dominant domain in a single task.
+
+    Stats fast path (round-11, guide §1.2/§4): when the input's
+    plan-stats estimate is small enough that the dominant key trivially
+    sorts in one task (< 64 MiB), the Arrow local-cap pass is pure
+    Python-boundary fixed cost — skip straight to the window.  Same
+    result either way (both keep the ``cap`` smallest by ``order_col``
+    per key; the final window is the same expression), so the gate can
+    only change the plan, never the rows.  Estimate unavailable or
+    large → the two-phase scale shape.
+
+    ``small``: callers with a STRUCTURAL row bound (e.g. the impact-
+    index serving path, whose input is ≤ |query terms| × index-cap
+    rows no matter the corpus size) pass ``True`` to take the window
+    path even when a post-explode plan-stats estimate is inflated;
+    ``False`` forces the two-phase shape; ``None`` (default) gates on
+    plan stats."""
+    from ..functions.layout import plan_bytes
+
     cols = list(df.columns)
+    if small is None:
+        est = plan_bytes(df)
+        small = est is not None and est < (64 << 20)
+    if small:
+        w = Window.partitionBy(key_col).orderBy(order_col)
+        return (df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= cap).drop("__rn"))
 
     def local_cap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: list[pd.DataFrame] = []

@@ -610,7 +610,10 @@ def _bm25_score(tfq, nt, queries: dict[int, list[str]], k: int,
     from .curation import cap_per_key  # local import: avoid cycle
 
     spark = tfq.sparkSession
-    df_t = tfq.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    # tfq is unique per (doc, term) by construction, so count(*) IS
+    # countDistinct(doc) — without the distinct rewrite's extra
+    # (term, doc) exchange (round-11, guide §2.4)
+    df_t = tfq.groupBy("term").agg(F.count("*").alias("df"))
     qt = spark.createDataFrame(
         [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
         "query_id long, term string")
@@ -691,8 +694,18 @@ def _impact_build(docs, k: int, k1_milli: int, b_milli: int,
     tf = (sel.select("doc", "dl", F.explode("__tk").alias("term"))
           .groupBy("doc", "dl", "term")
           .agg(F.count("*").alias("tf")))
-    df_t = tf.groupBy("term").agg(F.countDistinct("doc").alias("df"))
-    base = tf.join(df_t, "term").crossJoin(F.broadcast(nt))
+    # df as a COUNT window over the term partition: tf is unique per
+    # (doc, term) by construction, so count(*) over the term frame IS
+    # countDistinct(doc) — and the window's Exchange(term) replaces the
+    # old aggregate + self-join of tf (countDistinct's internal
+    # (term, doc) exchange, the df_t aggregate, and the join) with the
+    # one exchange the per-term pipeline needs anyway (round-11,
+    # guide §2.4 "window keyed like the aggregation shares the
+    # exchange").
+    from pyspark.sql import Window
+    base = (tf.withColumn("df", F.count("*")
+                          .over(Window.partitionBy("term")))
+            .crossJoin(F.broadcast(nt)))
     idf = F.expr(_IDF_QBITS)
     norm = (F.lit(1000 - b_milli)
             + F.expr(f"({b_milli} * dl * n_docs) div n_tokens"))
@@ -789,7 +802,12 @@ def _bm25_from_index_build(index, queries: dict[int, list[str]], k: int):
               .where(F.col("score_milli") > 0))
     ordered = scored.withColumn(
         "ord", _packed_ord("score_milli", "doc", "bm25_topk_from_index"))
-    top = cap_per_key(ordered, "query_id", "ord", k)
+    # small=True: the serving input is <= |query terms| x index-cap
+    # rows BY CONSTRUCTION (the index postings are already capped), so
+    # the Arrow local-cap pass is pure Python-boundary fixed cost at
+    # every corpus size - the post-explode stats estimate cannot see
+    # that bound
+    top = cap_per_key(ordered, "query_id", "ord", k, small=True)
     w = Window.partitionBy("query_id").orderBy("ord")
     return (top.withColumn("rank", F.row_number().over(w))
             .select("query_id", F.col("doc").alias("doc_id"),
