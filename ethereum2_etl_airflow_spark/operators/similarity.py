@@ -35,7 +35,8 @@ __all__ = ["topk_cosine_bruteforce", "partial_topk", "ann_ivf_topk",
 
 
 def partial_topk(scored: DataFrame, k: int,
-                 compact_every: int = 1 << 18) -> DataFrame:
+                 compact_every: int = 1 << 18,
+                 small: bool | None = None) -> DataFrame:
     """Phase 1 of two-phase exact top-k: reduce each partition to its
     local top-k rows per ``query_id`` by (cosine desc, vec_id asc) with a
     narrow Arrow pass — NO shuffle, so no task ever holds one query's full
@@ -47,7 +48,24 @@ def partial_topk(scored: DataFrame, k: int,
     no arithmetic happens here, so the cosine doubles (and therefore the
     final hashes) are byte-identical to the single-phase plan.  Memory is
     bounded: the accumulator compacts to ≤ k rows per query seen whenever
-    it exceeds ``compact_every`` buffered rows."""
+    it exceeds ``compact_every`` buffered rows.
+
+    Stats fast path (round-11, same gate as ``curation.cap_per_key``):
+    when the scored table's plan-stats estimate is < 64 MiB the rank
+    window downstream trivially handles every row in one task and the
+    Arrow pass is pure Python-boundary fixed cost — return ``scored``
+    unchanged (phase 2 alone IS the exact top-k; phase 1 only prunes).
+    Above the gate (or with no estimate) the scale shape runs;
+    ``small=True``/``False`` overrides the stats decision (False pins
+    the scale shape — used by tests that assert on the pruning)."""
+    from ..functions.layout import plan_bytes
+
+    if small is None:
+        est = plan_bytes(scored)
+        small = est is not None and est < (64 << 20)
+    if small:
+        return scored
+
     cols = list(scored.columns)  # (query_id, vec_id, cosine)
 
     def _compact(frames: list[pd.DataFrame]) -> pd.DataFrame:

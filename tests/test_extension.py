@@ -320,11 +320,15 @@ def test_partial_topk_bounds_and_exactness(spark, sf_dir):
               .select("query_id", "vec_id",
                       dot_compact(F.col("qv"), F.col("cv"))
                       .cast("decimal(18,9)").cast("double").alias("cosine")))
-    survivors = S.partial_topk(scored, k)
+    # small=False pins the two-phase SCALE shape (the round-11 stats
+    # gate would otherwise skip the Arrow pass on this tiny relation)
+    survivors = S.partial_topk(scored, k, small=False)
     n_parts = scored.rdd.getNumPartitions()
     assert survivors.count() <= k * n_parts * len(qids)
+    # the gated fast path must be pass-through (phase 2 alone ranks it)
+    assert S.partial_topk(scored, k, small=True) is scored
     # tiny compact threshold exercises the mid-stream compaction path
-    small = S.partial_topk(scored, k, compact_every=64)
+    small = S.partial_topk(scored, k, compact_every=64, small=False)
     # exactness: survivors re-ranked == single global window
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id"))
