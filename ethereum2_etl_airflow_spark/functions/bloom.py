@@ -89,8 +89,11 @@ def bloom_semi_join(big: DataFrame, small: DataFrame, on: str,
     broadcast bit-array probe drops non-matching rows before the
     exchange; the exact semi-join over the surviving candidates removes
     false positives, so the result is exactly the plain semi-join."""
-    keys = small.select(on).distinct()
-    bloom = bloom_build(keys, on, m_bits, k)
+    # no distinct on the build side either: bit_or is idempotent, so
+    # duplicate keys OR the same bits — the dedup exchange bought
+    # nothing (round-11; the map-side combine already collapses the
+    # per-word rows)
+    bloom = bloom_build(small.select(on), on, m_bits, k)
     candidates = bloom_probe(big, on, bloom, m_bits, k)
     # no distinct on the semi-join right side: right-side duplicates
     # cannot change left-semi semantics, so the dedup exchange is waste

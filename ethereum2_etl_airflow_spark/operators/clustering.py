@@ -70,9 +70,14 @@ def quantize_exprs(vec_col: str, m_col: str = "__m"):
     return maxabs, q8
 
 
-def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, q: array<long>) — per-vector int8 floor-quantization, array
-    form (the exploded form is :func:`~.curation.quantize_embeddings`)."""
+def _quantized(emb: DataFrame, id_col: str, vec_col: str,
+               carry: tuple[str, ...] = ()) -> DataFrame:
+    """(id[, carry...], q: array<long>) — per-vector int8 floor-
+    quantization, array form (the exploded form is
+    :func:`~.curation.quantize_embeddings`).  ``carry``: raw columns to
+    keep alongside the codes (round-11 — lets a caller consume the
+    assignment without re-joining the corpus; the fit kernel projects
+    down to ``q`` so carried columns never cross the Arrow boundary)."""
     maxabs, q8 = quantize_exprs(vec_col)
     # NULL vectors quantize to NULL q and are DROPPED: a row with no
     # embedding has no position in the space (round-10 — the numpy fit
@@ -80,7 +85,8 @@ def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     # None rows; the old join-based loop silently carried them with
     # NULL distances, an accident, not a contract)
     return (emb.withColumn("__m", maxabs)
-            .select(F.col(id_col), q8.alias("q"))
+            .select(F.col(id_col), *[F.col(c) for c in carry],
+                    q8.alias("q"))
             .where(F.col("q").isNotNull()))
 
 
@@ -138,7 +144,9 @@ def _assign_literal(qdf: DataFrame, cents: list[list[int]],
     """(id, q, cluster, dist2) from driver-literal centroids — a pure
     narrow map over the corpus scan (zero shuffle, zero join)."""
     if not cents:
-        return (qdf.select(F.col(id_col), "q",
+        return (qdf.select(F.col(id_col),
+                           *[c for c in qdf.columns
+                             if c not in (id_col, "q")], "q",
                            F.lit(None).cast("int").alias("cluster"),
                            F.lit(None).cast("long").alias("dist2"))
                 .where(F.lit(False)))
@@ -146,8 +154,11 @@ def _assign_literal(qdf: DataFrame, cents: list[list[int]],
     # two-step select: __b is referenced twice below, so CollapseProject
     # will NOT inline (and thereby duplicate) the k×dim HOF argmin —
     # one evaluation per row regardless of codegen-CSE support
-    return (qdf.select(F.col(id_col), "q", F.expr(b).alias("__b"))
-            .select(id_col, "q", F.col("__b.r").alias("cluster"),
+    extra = [c for c in qdf.columns if c not in (id_col, "q")]
+    return (qdf.select(F.col(id_col), *extra, "q",
+                       F.expr(b).alias("__b"))
+            .select(id_col, *extra, "q",
+                    F.col("__b.r").alias("cluster"),
                     F.col("__b.d").alias("dist2")))
 
 
@@ -304,20 +315,24 @@ def kmeans_int(emb: DataFrame, k: int = 4, n_iter: int = 3,
 
 
 def _kmeans_int_lazy(emb: DataFrame, k: int, n_iter: int, id_col: str,
-                     vec_col: str):
+                     vec_col: str, carry: tuple[str, ...] = ()):
     """(lazy assignment, quantized cache, width) — the shared body of
     :func:`kmeans_int` / :func:`cluster_balanced_sample`, so a caller
     can stack more plan (the sample window) on the assignment and pay
-    ONE final materialization instead of two."""
+    ONE final materialization instead of two.  ``carry``: raw columns
+    to ride the quantized cache into the assignment output (round-11 —
+    semantic_dedup's refine path consumes (id, embedding, cluster)
+    directly instead of checkpointing the assignment and joining the
+    corpus back; the fit kernel still sees only ``q``)."""
     from ..functions.layout import pinned_shuffle, plan_width
 
-    q0 = _quantized(emb, id_col, vec_col)
+    q0 = _quantized(emb, id_col, vec_col, carry=carry)
     w = plan_width(q0, floor=max(1, min(8, k)))
     qdf = ensure_parallelism(q0, min_partitions=w).cache()
     with pinned_shuffle(qdf.sparkSession, w, adaptive=False):
         cents = kmeans_fit_centroids(qdf, k, n_iter, id_col, width=w)
         final = _assign_literal(qdf, cents, id_col).select(
-            id_col, "cluster", "dist2")
+            id_col, *carry, "cluster", "dist2")
     return final, qdf, w
 
 

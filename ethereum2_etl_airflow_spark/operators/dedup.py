@@ -814,22 +814,29 @@ def _semantic_dedup_build(emb: DataFrame, n_cells: int,
                           vec_col: str, assign_via_join: bool | None,
                           refine_iters: int) -> DataFrame:
     if refine_iters:
-        from .clustering import kmeans_int
+        from .clustering import _kmeans_int_lazy
 
-        assigned = (kmeans_int(emb, k=n_cells, n_iter=refine_iters,
-                               id_col=id_col, vec_col=vec_col)
-                    .select(F.col(id_col).alias("vec_id"),
-                            F.col("cluster").alias("__cell")))
-        with_cell = (emb.select(F.col(id_col).alias("vec_id"),
-                                F.col(vec_col).alias("embedding"))
-                     .join(assigned, "vec_id"))
+        # round-11: carry the raw vector through the quantized cache —
+        # the assignment output already holds (id, embedding, cluster),
+        # so the old eager kmeans checkpoint AND the corpus re-join are
+        # gone (guide §2.4).  with_cell is a narrow literal-argmin scan
+        # over the cache; same rows (NULL embeddings drop at
+        # quantization exactly as the inner join dropped them), same
+        # cells, same math.
+        final, qdf, _w = _kmeans_int_lazy(
+            emb, k=n_cells, n_iter=refine_iters,
+            id_col=id_col, vec_col=vec_col, carry=(vec_col,))
+        with_cell = final.select(F.col(id_col).alias("vec_id"),
+                                 F.col(vec_col).alias("embedding"),
+                                 F.col("cluster").alias("__cell"))
         pairs = cosine_near_dup_pairs(with_cell, block_col="__cell",
                                       threshold_millis=threshold_millis)
         removed = pairs.select(F.col("id_b").alias("vec_id")).distinct()
-        return (with_cell.join(_gated_broadcast(removed, emb),
-                               "vec_id", "left_anti")
-                .select(F.col("vec_id").alias(id_col),
-                        F.col("__cell").alias("cell")))
+        out = (with_cell.join(_gated_broadcast(removed, emb),
+                              "vec_id", "left_anti")
+               .select(F.col("vec_id").alias(id_col),
+                       F.col("__cell").alias("cell")))
+        return finalize_release(out, qdf)
     x = F.col(vec_col)
     maxabs = F.array_max(F.transform(x, lambda e: F.abs(e.cast("double"))))
     q8 = F.transform(
