@@ -158,7 +158,9 @@ def test_minhash_exact_matches_bruteforce_bands(spark, texts):
     got = {(r["id_a"], r["id_b"]): r["n_shared_bands"]
            for r in minhash_exact_pairs(df).collect()}
 
-    # driver-side reference: same tokenizer, same hash family
+    # driver-side reference: same tokenizer, same hash family — the
+    # one-hash-many-slices form (h_s = 8-hex-char slice s%4 of
+    # md5((s div 4) || '|' || shingle), round-11)
     import re
 
     def sig(text):
@@ -166,7 +168,8 @@ def test_minhash_exact_matches_bruteforce_bands(spark, texts):
         shs = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
         if not shs:
             return None
-        return [min(hashlib.md5(f"{s}|{sh}".encode()).hexdigest()
+        return [min(hashlib.md5(f"{s // 4}|{sh}".encode()).hexdigest()
+                    [8 * (s % 4):8 * (s % 4) + 8]
                     for sh in shs) for s in range(8)]
 
     sigs = {i: sig(t) for i, t in rows}
