@@ -24,7 +24,8 @@ __all__ = [
     "register_split_sentences_udtf",
     "ngram_novelty",
     "compression_ratio",
-    "gopher_filter", "inverted_postings", "skipgram_counts",
+    "gopher_filter", "gopher_verdict", "inverted_postings",
+    "skipgram_counts",
     "winnow_fingerprints", "bm25_topk", "impact_postings",
     "bm25_topk_from_index", "best_passages", "expand_queries",
     "script_mix", "html_extract", "markdown_extract",
@@ -152,6 +153,47 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _mode_count(arr: Column) -> Column:
+    """Count of the most frequent element of an array — the longest
+    equal-element run of the SORTED array, computed as one per-row
+    ``aggregate`` fold (sort order beyond grouping equal elements is
+    irrelevant, only run lengths matter).  Empty array → 0.  This is
+    the narrow replacement for explode → groupBy(id, term) →
+    ``max(count)``: same integer, zero shuffles."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(F.lit(0).cast("long").alias("best"),
+                 F.lit(0).cast("long").alias("cur"),
+                 F.lit(None).cast("string").alias("prev")),
+        lambda acc, x: F.struct(
+            F.greatest(acc["best"],
+                       F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + 1)
+                       .otherwise(F.lit(1).cast("long"))).alias("best"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + 1)
+            .otherwise(F.lit(1).cast("long")).alias("cur"),
+            x.alias("prev")),
+        lambda acc: acc["best"])
+
+
+def _repetition_struct(t: Column) -> Column:
+    """The six repetition signals off a BOUND token-array variable (see
+    :func:`..functions.let.bind`): struct(n_tokens, n_distinct_tokens,
+    top_token_n, bi.{n_2grams, n_distinct_2grams, top_2gram_n})."""
+    from ..operators.dedup import shingles_of_tokens
+    from ..functions.let import bind
+
+    return F.struct(
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long")
+        .alias("n_distinct_tokens"),
+        _mode_count(t).alias("top_token_n"),
+        bind(shingles_of_tokens(t, 2), lambda b: F.struct(
+            F.size(b).cast("long").alias("n_2grams"),
+            F.size(F.array_distinct(b)).cast("long")
+            .alias("n_distinct_2grams"),
+            _mode_count(b).alias("top_2gram_n"))).alias("bi"))
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Repetition signals for quality filtering (the Gopher-rule family:
@@ -164,37 +206,29 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     All integers — consumers derive ratios (e.g. ``top_2gram_n /
     n_2grams``) without float drift in the operator output.
 
-    Shape at scale: explode → groupBy(id, term) → groupBy(id), both
-    aggregations partial-agg map-side; keys carry the doc id so the
-    shuffle is uniform in documents, never in term popularity (a hot
-    global token never concentrates — it is counted per document).
-    Token arrays are let-bound so the tokenizer runs once per row.
-    Documents with < 1 token / < 1 2-gram simply have zero rows on that
-    axis and surface 0 counts via the outer join.
+    Shape at scale (round-11): every signal is a function of ONE
+    document, so the whole operator is a single narrow codegen-stage
+    projection — token/2-gram arrays are let-bound (one tokenizer run
+    per row), distinct counts come from ``array_distinct``, and the
+    top-term count is the longest equal-run of the sorted array
+    (:func:`_mode_count`).  The previous shape (explode →
+    groupBy(id, term) → groupBy(id) per axis + two id joins) shuffled
+    every token occurrence twice; this shuffles NOTHING, which also
+    removes the skew question entirely.  Documents with < 1 token /
+    < 1 2-gram have empty arrays and surface 0 counts.  Input rows are
+    assumed id-unique (the corpus contract everywhere in this package).
     """
-    def ngram_counts(n: int, prefix: str) -> DataFrame:
-        if n == 1:
-            terms = tokens(F.col(text_col))
-        else:
-            from ..operators.dedup import shingles
-            terms = shingles(F.col(text_col), n)
-        per_term = (df.select(F.col(id_col), F.explode(terms).alias("t"))
-                    .groupBy(id_col, "t").agg(F.count("*").alias("c")))
-        return (per_term.groupBy(id_col)
-                .agg(F.sum("c").alias(f"n_{prefix}"),
-                     F.count("*").alias(f"n_distinct_{prefix}"),
-                     F.max("c").alias(f"top_{prefix[:-1]}_n")))
+    from ..functions.let import bind
 
-    uni = ngram_counts(1, "tokens")
-    bi = ngram_counts(2, "2grams")
-    base = df.select(id_col)
-    out = (base.join(uni, id_col, "left").join(bi, id_col, "left"))
-    fill = {c: 0 for c in out.columns if c != id_col}
-    return out.na.fill(fill).select(
+    s = bind(tokens(F.col(text_col)), _repetition_struct)
+    return df.select(F.col(id_col), s.alias("__s")).select(
         id_col,
-        *[F.col(c).cast("long").alias(c) for c in
-          ("n_tokens", "n_distinct_tokens", "top_token_n",
-           "n_2grams", "n_distinct_2grams", "top_2gram_n")])
+        F.col("__s.n_tokens").alias("n_tokens"),
+        F.col("__s.n_distinct_tokens").alias("n_distinct_tokens"),
+        F.col("__s.top_token_n").alias("top_token_n"),
+        F.col("__s.bi.n_2grams").alias("n_2grams"),
+        F.col("__s.bi.n_distinct_2grams").alias("n_distinct_2grams"),
+        F.col("__s.bi.top_2gram_n").alias("top_2gram_n"))
 
 
 def gopher_filter(df: DataFrame, text_col: str = "text",
@@ -219,37 +253,60 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
     All signals are integer-domain, so the verdict is bit-identical on
     any engine — the whole filter is SQL-oracle-checkable.
 
-    Scale shape: the per-doc scalar features are one narrow codegen map;
-    the repetition signals reuse :func:`repetition_stats` (two doc-keyed
-    partial aggregations); one doc-keyed join stitches them — no
-    popularity-keyed shuffle anywhere, so hot global tokens cannot skew
-    a partition."""
-    c = F.col(text_col)
+    Scale shape (round-11): ONE narrow codegen projection, zero
+    shuffles and zero joins — every rule is a function of the single
+    document, and the repetition signals now come from the let-bound
+    per-row form (:func:`_repetition_struct`, same integers as
+    :func:`repetition_stats`).  The previous shape paid four doc-keyed
+    aggregation exchanges plus two id joins to stitch scalar and
+    repetition branches; a quality filter that shuffles nothing also
+    cannot skew, and composes into pipelines (``curate_pretrain``) as
+    a plain WHERE."""
+    s = gopher_verdict(F.col(text_col))
+    return df.select(F.col(id_col), s.alias("__g")).select(
+        F.col(id_col), F.col("__g.failed").alias("failed"),
+        F.col("__g.keep").alias("keep"))
+
+
+def gopher_verdict(c: Column) -> Column:
+    """The :func:`gopher_filter` verdict as a pure COLUMN expression —
+    ``struct(failed int, keep boolean)`` of the text column: what lets
+    a pipeline apply the quality filter as a plain WHERE on the corpus
+    scan (``curate_pretrain`` does) instead of joining a verdict table.
+    Token/2-gram work is let-bound: one tokenizer run per row."""
+    from ..functions.let import bind
+
     n_chars = F.length(c)
-    n_tokens = token_count(c)
     n_punct = F.size(F.regexp_extract_all(c, F.lit("[^A-Za-z0-9\\s]"), 0))
     all_stop = _stop_hits(c, sorted({w for ws in LANG_STOPWORDS.values()
                                      for w in ws}))
-    scalar = df.select(F.col(id_col), n_chars.alias("nc"),
-                       n_tokens.alias("nt"), n_punct.alias("np"),
-                       all_stop.alias("ns"))
-    rep = repetition_stats(df, text_col, id_col)
-    j = scalar.join(rep, id_col)
-    bit = [
-        (1, ~((F.col("nt") >= 10) & (F.col("nt") <= 100_000))),
-        (2, ~((F.col("nc") >= 3 * F.col("nt"))
-              & (F.col("nc") < 12 * F.col("nt")))),
-        (4, 5 * F.col("np") > F.col("nc")),
-        (8, F.col("ns") == 0),
-        (16, 2 * F.col("n_distinct_tokens") < F.col("nt")),
-        (32, 5 * F.col("top_2gram_n") > F.col("n_2grams")),
-    ]
-    failed = None
-    for b, cond in bit:
-        term = F.when(cond, F.lit(b)).otherwise(0)
-        failed = term if failed is None else failed + term
-    return j.select(F.col(id_col), failed.cast("int").alias("failed"),
-                    (failed == 0).alias("keep"))
+
+    def _failed(t: Column) -> Column:
+        nt = F.size(t)
+
+        def _with_rep(r: Column) -> Column:
+            bit = [
+                (1, ~((nt >= 10) & (nt <= 100_000))),
+                (2, ~((n_chars >= 3 * nt) & (n_chars < 12 * nt))),
+                (4, 5 * n_punct > n_chars),
+                (8, all_stop == 0),
+                (16, 2 * r["n_distinct_tokens"] < nt),
+                (32, 5 * r["bi"]["top_2gram_n"] > r["bi"]["n_2grams"]),
+            ]
+            failed = None
+            for b, cond in bit:
+                term = F.when(cond, F.lit(b)).otherwise(0)
+                failed = term if failed is None else failed + term
+            # bind the bitmask too: struct(failed, keep) references it
+            # twice, and two inline copies would re-run the scalar
+            # regexes (n_punct / stopword hits) per reference
+            return bind(failed.cast("int"),
+                        lambda f: F.struct(f.alias("failed"),
+                                           (f == 0).alias("keep")))
+
+        return bind(_repetition_struct(t), _with_rep)
+
+    return bind(tokens(c), _failed)
 
 
 def register_split_sentences_udtf(spark) -> None:

@@ -4,16 +4,17 @@ way a real corpus build runs them:
     quality filter → exact dedup (keep min-id survivor) →
     sliding-window chunking → leakage-safe fold assignment
 
-Stage boundaries MATERIALIZE (round-11): composed lazily, the four
-stages' plan re-read the source 54 times at sf0.1 (gopher's scalar/
-unigram/bigram branches, the semi-joins, and the chunker each re-
-derive the corpus expression) — the fan-out that at 100 TB means 54
-corpus scans.  The pipeline therefore caches exactly two artifacts —
-the input corpus and the post-filter ``kept`` set (what a production
-build would persist as its stage outputs) — computes the chunks
-against them, and releases both (the ``finalize_release`` contract);
-the returned chunks are materialized, which is the pipeline's output
-anyway.  Column pruning still applies inside each stage.
+Stage boundaries MATERIALIZE (round-11): composed lazily, the stages'
+plan re-reads the source once per corpus-expression consumer — the
+fan-out that at 100 TB means repeated corpus scans.  The pipeline
+caches exactly ONE artifact — the post-filter ``kept`` set (what a
+production build would persist as its stage output) — computes the
+chunks against it, and releases it (the ``finalize_release``
+contract); the returned chunks are materialized, which is the
+pipeline's output anyway.  The quality filter itself needs no
+materialization at all: the gopher verdict is a narrow per-row
+expression (round-11), so filtering is a WHERE on the source scan.
+Column pruning still applies inside each stage.
 
 Scale shape is the union of the parts (each documented on its
 operator): the filter is narrow; dedup is one fingerprint-keyed
@@ -29,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.layout import finalize_release
 from ..operators.curation import chunk_sliding, fold_expr
-from ..operators.text import fingerprint, gopher_filter
+from ..operators.text import fingerprint, gopher_verdict
 
 __all__ = ["curate_pretrain"]
 
@@ -39,10 +40,12 @@ def curate_pretrain(docs: DataFrame, window: int = 32, stride: int = 24,
                     id_col: str = "doc_id") -> DataFrame:
     """(doc_id, chunk_id, start, n_tokens, chunk_text, fold) for every
     chunk of every kept, content-unique document."""
-    src = docs.select(id_col, text_col).cache()
-    kept_ids = gopher_filter(src, text_col, id_col).where("keep")
-    kept = (src.join(kept_ids.select(id_col), id_col, "left_semi")
-            .cache())
+    src = docs.select(id_col, text_col)
+    # quality filter: gopher is a narrow per-row verdict (round-11), so
+    # the filter stage is a plain WHERE on the source scan — no verdict
+    # join, and no reason to cache the raw corpus separately from the
+    # post-filter set
+    kept = src.where(gopher_verdict(F.col(text_col))["keep"]).cache()
     # exact dedup: min-id survivor per content fingerprint
     survivors = (kept.select(F.col(id_col),
                              fingerprint(F.col(text_col)).alias("fp"))
@@ -51,4 +54,4 @@ def curate_pretrain(docs: DataFrame, window: int = 32, stride: int = 24,
     unique = kept.join(survivors, id_col, "left_semi")
     chunks = chunk_sliding(unique, window, stride, text_col, id_col)
     out = chunks.withColumn("fold", fold_expr(F.col(id_col), k_folds))
-    return finalize_release(out, src, kept)
+    return finalize_release(out, kept)
