@@ -218,8 +218,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     < 1 2-gram have empty arrays and surface 0 counts.  Input rows are
     assumed id-unique (the corpus contract everywhere in this package).
     """
+    from ..functions.layout import ensure_parallelism
     from ..functions.let import bind
 
+    # the whole operator is ONE narrow stage, so it inherits the
+    # source's partitioning — a single parquet file would serialize the
+    # (CPU-heavy) per-row folds onto one core; fan out first
+    df = ensure_parallelism(df)
     s = bind(tokens(F.col(text_col)), _repetition_struct)
     return df.select(F.col(id_col), s.alias("__s")).select(
         id_col,
@@ -262,8 +267,13 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
     repetition branches; a quality filter that shuffles nothing also
     cannot skew, and composes into pipelines (``curate_pretrain``) as
     a plain WHERE."""
+    from ..functions.layout import ensure_parallelism
+
     s = gopher_verdict(F.col(text_col))
-    return df.select(F.col(id_col), s.alias("__g")).select(
+    # narrow single-stage plan: fan the source out first (same reason
+    # as repetition_stats — the fold work would run at file width)
+    return ensure_parallelism(df).select(
+        F.col(id_col), s.alias("__g")).select(
         F.col(id_col), F.col("__g.failed").alias("failed"),
         F.col("__g.keep").alias("keep"))
 

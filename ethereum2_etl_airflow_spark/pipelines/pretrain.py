@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.layout import finalize_release
+from ..functions.layout import ensure_parallelism, finalize_release
 from ..operators.curation import chunk_sliding, fold_expr
 from ..operators.text import fingerprint, gopher_verdict
 
@@ -43,9 +43,20 @@ def curate_pretrain(docs: DataFrame, window: int = 32, stride: int = 24,
     src = docs.select(id_col, text_col)
     # quality filter: gopher is a narrow per-row verdict (round-11), so
     # the filter stage is a plain WHERE on the source scan — no verdict
-    # join, and no reason to cache the raw corpus separately from the
-    # post-filter set
-    kept = src.where(gopher_verdict(F.col(text_col))["keep"]).cache()
+    # join.  One layout hazard: Catalyst pushes the (deterministic)
+    # verdict predicate BELOW a bare repartition, so on a source whose
+    # scan is narrower than the machine (single-row-group files) the
+    # CPU-heavy verdict would run at file width no matter what exchange
+    # sits above it.  When — and only when — the fan-out repartition is
+    # actually needed, pin it (cache) so the verdict evaluates against
+    # the wide materialized layout; on an already-wide corpus scan this
+    # is a no-op and nothing extra is cached.
+    wide = ensure_parallelism(src)
+    pinned = []
+    if wide is not src:
+        wide = wide.cache()
+        pinned.append(wide)
+    kept = wide.where(gopher_verdict(F.col(text_col))["keep"]).cache()
     # exact dedup: min-id survivor per content fingerprint
     survivors = (kept.select(F.col(id_col),
                              fingerprint(F.col(text_col)).alias("fp"))
@@ -54,4 +65,4 @@ def curate_pretrain(docs: DataFrame, window: int = 32, stride: int = 24,
     unique = kept.join(survivors, id_col, "left_semi")
     chunks = chunk_sliding(unique, window, stride, text_col, id_col)
     out = chunks.withColumn("fold", fold_expr(F.col(id_col), k_folds))
-    return finalize_release(out, kept)
+    return finalize_release(out, kept, *pinned)
