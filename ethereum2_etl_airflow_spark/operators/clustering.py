@@ -71,23 +71,39 @@ def quantize_exprs(vec_col: str, m_col: str = "__m"):
 
 
 def _quantized(emb: DataFrame, id_col: str, vec_col: str,
-               carry: tuple[str, ...] = ()) -> DataFrame:
+               carry: tuple[str, ...] = (),
+               width: int | None = None) -> DataFrame:
     """(id[, carry...], q: array<long>) — per-vector int8 floor-
     quantization, array form (the exploded form is
     :func:`~.curation.quantize_embeddings`).  ``carry``: raw columns to
     keep alongside the codes (round-11 — lets a caller consume the
     assignment without re-joining the corpus; the fit kernel projects
-    down to ``q`` so carried columns never cross the Arrow boundary)."""
+    down to ``q`` so carried columns never cross the Arrow boundary).
+
+    NULL vectors are DROPPED: a row with no embedding has no position
+    in the space (round-10 — the numpy fit kernel and the seed collect
+    would otherwise crash on ragged None rows).  The drop predicate is
+    on the RAW column — exact, since ``transform()`` of a non-NULL
+    array is never NULL, so ``q IS NULL ⇔ vec IS NULL`` — because a
+    predicate on ``q`` itself is pushed below any fan-out exchange and
+    evaluates the whole interpreted quantize chain once in the filter
+    at scan width and AGAIN in the projection (round-11; measured 3 s
+    of single-task HOF time on the incremental-assign batch).  The
+    raw-column IsNotNull instead reaches the parquet scan.
+
+    ``width``: fan-out floor for the quantize projection — the
+    exchange (:func:`~..functions.layout.ensure_parallelism`; no-op on
+    an already-wide scan, e.g. any real corpus) sits BELOW the
+    projection so the HOF chain runs at machine (``None``) or caller
+    (``width``) parallelism; ``width=0`` skips the fan-out entirely
+    (plan-stats probes, already-widened inputs)."""
     maxabs, q8 = quantize_exprs(vec_col)
-    # NULL vectors quantize to NULL q and are DROPPED: a row with no
-    # embedding has no position in the space (round-10 — the numpy fit
-    # kernel and the seed collect would otherwise crash on ragged
-    # None rows; the old join-based loop silently carried them with
-    # NULL distances, an accident, not a contract)
-    return (emb.withColumn("__m", maxabs)
+    src = emb.where(F.col(vec_col).isNotNull())
+    if width != 0:
+        src = ensure_parallelism(src, min_partitions=width)
+    return (src.withColumn("__m", maxabs)
             .select(F.col(id_col), *[F.col(c) for c in carry],
-                    q8.alias("q"))
-            .where(F.col("q").isNotNull()))
+                    q8.alias("q")))
 
 
 def _cent_array_sql(cents: list[list[int]]) -> str:
@@ -326,9 +342,9 @@ def _kmeans_int_lazy(emb: DataFrame, k: int, n_iter: int, id_col: str,
     corpus back; the fit kernel still sees only ``q``)."""
     from ..functions.layout import pinned_shuffle, plan_width
 
-    q0 = _quantized(emb, id_col, vec_col, carry=carry)
-    w = plan_width(q0, floor=max(1, min(8, k)))
-    qdf = ensure_parallelism(q0, min_partitions=w).cache()
+    w = plan_width(_quantized(emb, id_col, vec_col, carry=carry, width=0),
+                   floor=max(1, min(8, k)))
+    qdf = _quantized(emb, id_col, vec_col, carry=carry, width=w).cache()
     with pinned_shuffle(qdf.sparkSession, w, adaptive=False):
         cents = kmeans_fit_centroids(qdf, k, n_iter, id_col, width=w)
         final = _assign_literal(qdf, cents, id_col).select(
@@ -377,12 +393,16 @@ def kmeans_assign(batch: DataFrame, history: DataFrame, k: int = 4,
 
     Scale shape: the fit is the usual bounded rounds over history; the
     batch side is ONE baked-literal narrow scan — no join against
-    history, no shuffle of either corpus."""
+    history, no shuffle of either corpus.  The batch is fanned out to
+    machine width BEFORE quantization when its scan is narrower than
+    the machine (``ensure_parallelism`` no-ops on an already-wide
+    scan): quantize + argmin are interpreted HOF chains, and a narrow
+    batch scan would serialize that CPU onto one task."""
     from ..functions.layout import plan_width
 
-    h0 = _quantized(history, id_col, vec_col)
-    hq = ensure_parallelism(
-        h0, min_partitions=plan_width(h0, floor=max(1, min(8, k)))).cache()
+    w = plan_width(_quantized(history, id_col, vec_col, width=0),
+                   floor=max(1, min(8, k)))
+    hq = _quantized(history, id_col, vec_col, width=w).cache()
     cents = kmeans_fit_centroids(hq, k, n_iter, id_col)
     bq = _quantized(batch, id_col, vec_col)
     out = _assign_literal(bq, cents, id_col).select(id_col, "cluster",

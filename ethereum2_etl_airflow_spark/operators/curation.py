@@ -1179,13 +1179,21 @@ def embedding_outliers(emb: DataFrame, k: int = 5,
     aggregate distance map and a per-label top-k window over groups
     the label key bounds.  No all-pairs anything; the only data-sized
     exchange is the (label, pos) combine."""
+    from ..functions.layout import ensure_parallelism
     from .clustering import quantize_exprs
 
     maxabs, q8 = quantize_exprs(vec_col)
-    base = (emb.withColumn("__m", maxabs)
+    # drop predicates on the RAW columns (q IS NULL ⇔ vec IS NULL —
+    # transform() of a non-NULL array is never NULL) so they push to
+    # the scan instead of evaluating the quantize chain in the filter;
+    # fan the scan out below the projection (no-op when already wide)
+    # — the interpreted HOF quantize would otherwise run at file width
+    base = (ensure_parallelism(
+                emb.where(F.col(vec_col).isNotNull()
+                          & F.col(label_col).isNotNull()))
+            .withColumn("__m", maxabs)
             .select(F.col(id_col).alias("vid"),
-                    F.col(label_col).alias("lbl"), q8.alias("q"))
-            .where(F.col("q").isNotNull() & F.col(label_col).isNotNull()))
+                    F.col(label_col).alias("lbl"), q8.alias("q")))
     dims = base.select("vid", "lbl", F.posexplode("q").alias("pos", "v"))
     cents = (dims.groupBy("lbl", "pos")
              .agg(F.expr("sum(v) div count(*)").alias("c")))

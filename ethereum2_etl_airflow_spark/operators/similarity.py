@@ -1175,7 +1175,7 @@ def build_ivf_index(emb: DataFrame, path: str, n_cells: int = 8,
     w = plan_width(emb, floor=8)
     base = ensure_parallelism(emb, min_partitions=w)
     with pinned_shuffle(base.sparkSession, w, adaptive=False):
-        qdf = _quantized(base, id_col, vec_col).cache()
+        qdf = _quantized(base, id_col, vec_col, width=0).cache()
         cents = kmeans_fit_centroids(qdf, n_cells, n_iter, id_col,
                                      width=w)
         maxabs, q8 = quantize_exprs(vec_col)

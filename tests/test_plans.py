@@ -655,7 +655,9 @@ def test_kmeans_assignment_is_narrow_literal_scan(spark, sf_dir):
         _assign_literal, _quantized)
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qdf = _quantized(emb, "vec_id", "embedding")
+    # width=0: skip _quantized's (deliberate) fan-out exchange — this
+    # test asserts the ASSIGNMENT fragment stays a narrow literal map
+    qdf = _quantized(emb, "vec_id", "embedding", width=0)
     cents = [[r] * 64 for r in range(4)]
     probe = _assign_literal(qdf, cents, "vec_id")
     plan = plan_string(probe, "simple")
