@@ -848,14 +848,19 @@ def ann_ivf_exact_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         # a post-fit baked-literal argmin PROJECTION over it — k×dim
         # integer ops per scanned row, recomputed by each consumer
         # instead of widening the materialize with a second barrier.
-        # NULL embeddings quantize to NULL q and are dropped here, the
+        # NULL embeddings are dropped, the
         # :func:`~.clustering._quantized` contract — they have no
         # position in the space on either the fit or the serving side.
+        # The drop predicate is on the RAW column (q IS NULL ⇔ vec IS
+        # NULL: transform() of a non-NULL array is never NULL) — a
+        # predicate on q would be substitution-pushed through the
+        # projection and below the fan-out exchange, evaluating the
+        # whole interpreted quantize chain at scan width (round-11).
         maxabs, q8 = quantize_exprs(vec_col)
-        cells = (with_normalized(base, vec_col, "nv")
+        cells = (with_normalized(base.where(F.col(vec_col).isNotNull()),
+                                 vec_col, "nv")
                  .withColumn("__m", maxabs).withColumn("q", q8)
                  .select(F.col(id_col).alias("vec_id"), "nv", "q")
-                 .where(F.col("q").isNotNull())
                  .cache())
         cents = kmeans_fit_centroids(
             cells.select(F.col("vec_id").alias(id_col), "q"),
