@@ -900,8 +900,12 @@ def best_passages(docs, ranking, queries: dict[int, list[str]],
     Scale shape: ``ranking`` is a retrieved top-k list (|Q|·k rows) —
     it joins the corpus as a BROADCAST probe (with the per-query term
     arrays attached), so the pass is one corpus scan with a narrow
-    codegen map and NO shuffle at all.  At 100 TB this is scan-bound,
-    exactly like the text-stats family.
+    codegen map and no data-sized shuffle.  Tokenization happens ABOVE
+    the join (round-11): the inner broadcast probe prunes the corpus
+    to the |Q|·k ranked documents first, so the tokenizer and the
+    window scoring run on survivors only — previously the whole corpus
+    tokenized below the join.  At 100 TB this is scan-bound, exactly
+    like the text-stats family.
 
     COST MODEL (per surviving row, inside one codegen expression):
 
@@ -940,9 +944,17 @@ def best_passages(docs, ranking, queries: dict[int, list[str]],
         "query_id long, qterms array<string>")
     probe = (ranking.select("query_id", F.col("doc_id").alias("__rdoc"))
              .join(qt, "query_id"))
-    sel = docs.select(F.col(id_col).alias("doc_id"),
-                      tokens(F.col(text_col)).alias("__tk"))
-    j = sel.join(F.broadcast(probe), sel["doc_id"] == probe["__rdoc"])
+    from ..functions.layout import ensure_parallelism
+
+    sel = ensure_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("__tx")))
+    # tokens as a named column ABOVE the join: the broadcast probe
+    # prunes to ranked docs before the tokenizer runs; __tk is
+    # referenced ≥2× downstream so CollapseProject won't inline (and
+    # thereby re-evaluate) the tokenizer
+    j = (sel.join(F.broadcast(probe), sel["doc_id"] == probe["__rdoc"])
+         .withColumn("__tk", tokens(F.col("__tx"))))
     if strategy == "scan":
         mt = ("transform(__tk, t -> CASE WHEN array_contains(qterms, t) "
               "THEN 1L ELSE 0L END)")
