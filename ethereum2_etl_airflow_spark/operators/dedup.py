@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.layout import ensure_parallelism, finalize_release
 from .text import fingerprint, tokens
@@ -1031,38 +1031,37 @@ def dedup_chunks(docs: DataFrame, text_col: str = "text",
     Output: one row per document that retains ≥1 segment —
     (id, clean_text, n_kept, n_chunks).
 
-    Scale shape: two shuffles total.  Segmentation itself is NARROW —
+    Scale shape (round-11): two shuffles total, ONE evaluation of the
+    segment stream, ONE corpus scan.  Segmentation itself is NARROW —
     the word array is sliced into chunks with array HOFs (transform +
-    slice), no explode-then-regroup shuffle.  Segments then shuffle
-    once on the segment text (uniform keys — fixed-width word windows,
-    no empty-string hot key), where a map-side-combining
-    ``min(struct(id, idx))`` picks the canonical occurrence; survivors
-    shuffle once back on the id for reassembly.  No window over the
-    full corpus, no driver-side state."""
+    slice), no explode-then-regroup shuffle.  The globally-first
+    occurrence is a ``row_number() = 1`` over the chunk partition (one
+    exchange of the segment rows — exactly the rows the previous
+    groupBy+join-back shape ALSO shipped to the chunk partition, so
+    the hot-segment skew exposure is unchanged, but the explode is no
+    longer evaluated twice and the min-struct join back is gone);
+    survivors shuffle once on the id for reassembly.  ``n_chunks``
+    rides the segment rows (8 bytes each) instead of re-scanning and
+    re-joining the corpus.  No driver-side state."""
     words = F.split(F.col(text_col), " ")
     n_chunks_col = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks_col - 1),
         lambda i: F.array_join(
             F.slice(words, i * chunk_words + 1, chunk_words), " "))
-    seg = (docs.select(id_col, F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    seg = (docs.select(id_col,
+                       n_chunks_col.cast("bigint").alias("n_chunks"),
+                       F.posexplode(chunks).alias("chunk_idx", "chunk"))
            .withColumn("chunk_idx", F.col("chunk_idx").cast("bigint")))
-    wins = (seg.groupBy("chunk")
-            .agg(F.min(F.struct(id_col, "chunk_idx")).alias("keep"),
-                 F.count("*").alias("n_copies")))
-    kept = (seg.join(wins, "chunk")
-            .where((F.col(id_col) == F.col(f"keep.{id_col}"))
-                   & (F.col("chunk_idx") == F.col("keep.chunk_idx"))))
-    # n_chunks is a narrow projection of the source (array arithmetic),
-    # not a re-aggregation of seg — one fewer exchange
-    per_doc_total = docs.select(id_col, n_chunks_col.cast("bigint")
-                                .alias("n_chunks"))
+    w = Window.partitionBy("chunk").orderBy(id_col, "chunk_idx")
+    kept = (seg.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1))
     return (kept.groupBy(id_col)
             .agg(F.array_join(
                 F.transform(F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
                             lambda x: x["chunk"]), " ").alias("clean_text"),
-                F.count("*").alias("n_kept"))
-            .join(per_doc_total, id_col))
+                F.count("*").alias("n_kept"),
+                F.first("n_chunks").alias("n_chunks")))
 
 
 @_pinned_by_stats
