@@ -90,6 +90,28 @@ def partial_topk(scored: DataFrame, k: int,
     return scored.mapInPandas(gen, scored.schema)
 
 
+def _ivf_small(corpus: DataFrame, n_queries: int, n_probe: int,
+               n_cells: int) -> bool | None:
+    """Derived stats gate for IVF scored tables (round-11): the scored
+    plan's own estimate is multiplicatively inflated by the broadcast
+    probe chain (reads ~1e30 bytes at sf0.1 — a crossJoin×window×join
+    product), so :func:`partial_topk`'s plan-stats gate never takes its
+    fast path even on a few thousand candidate rows.  Bound the scored
+    size from the CORPUS side instead: candidate rows ≈ |corpus| ·
+    n_queries · n_probe/n_cells, and a scored row (query, vec, cosine)
+    is narrower than a corpus vector row, so ``corpus_bytes ·
+    n_queries · n_probe/n_cells`` over-estimates by the row-width
+    ratio (≥ 20×) — a conservative gate.  Returns None (let
+    partial_topk decide) when plan stats are unavailable."""
+    from ..functions.layout import plan_bytes
+
+    cb = plan_bytes(corpus)
+    if cb is None:
+        return None
+    est = cb * max(1, n_queries) * n_probe // max(1, n_cells)
+    return True if est < (64 << 20) else False
+
+
 def _rank_topk(survivors: DataFrame, k: int) -> DataFrame:
     """Phase 2: global rank per query over the ≤ k·P surviving rows."""
     w = Window.partitionBy("query_id").orderBy(
@@ -152,8 +174,11 @@ def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                              n_probe=n_probe, seed=seed, id_col=id_col,
                              vec_col=vec_col)
     # same two-phase top-k as the exact tier: per-partition partial
-    # selection, then rank over the ≤ k·P survivors
-    out = _rank_topk(partial_topk(scored, k), k)
+    # selection, then rank over the ≤ k·P survivors; the gate bound
+    # derives from the corpus (the joined plan's own estimate explodes)
+    out = _rank_topk(partial_topk(
+        scored, k, small=_ivf_small(nv, len(query_ids), n_probe,
+                                    n_lists)), k)
     return finalize_release(out, nv)
 
 
@@ -892,7 +917,9 @@ def ann_ivf_exact_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                           dot_compact(F.col("qv"), F.col("nv"))
                           .cast("decimal(18,9)").cast("double")
                           .alias("cosine")))
-        out = _rank_topk(partial_topk(scored, k), k)
+        out = _rank_topk(partial_topk(
+            scored, k, small=_ivf_small(cells, len(query_ids), n_probe,
+                                        n_cells)), k)
         return finalize_release(out, cells)
 
 
@@ -1363,4 +1390,11 @@ def query_ivf_index(spark, path: str, query_ids: list[int] | None = None,
                       dot_compact(F.col("qv"), F.col("nv"))
                       .cast("decimal(18,9)").cast("double")
                       .alias("cosine")))
-    return _rank_topk(partial_topk(scored, k), k)
+    # gate bound from the cells SCAN (real file stats — the joined
+    # plan's estimate is probe-chain inflated); |Q| from qrows is not
+    # known without a count, so bound by the probe row count instead:
+    # probes ≤ |Q|·n_probe, and scored ≤ |corpus|·|Q|·n_probe/n_cells
+    n_q = len(query_vectors) if query_vectors is not None else len(query_ids)
+    return _rank_topk(partial_topk(
+        scored, k, small=_ivf_small(cells, n_q, n_probe,
+                                    max(1, len(cents)))), k)
