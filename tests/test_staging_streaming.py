@@ -164,6 +164,60 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert got <= expected, "stream emitted a session batch disagrees with"
 
 
+def test_session_fn_multi_chunk_unordered_input():
+    """The per-group kernel sorts with a numpy argsort over just the
+    (ts, millis) columns (round-11): multiple out-of-order Arrow chunks
+    must produce the same sessions as one pre-sorted frame."""
+    import datetime
+
+    import pandas as pd
+
+    from ethereum2_etl_airflow_spark.streaming.sessionize import _session_fn
+
+    class _State:
+        hasTimedOut = False
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    def run(chunks):
+        fn = _session_fn(gap_s=3600)
+        st = _State()
+        out = list(fn((7,), iter(chunks), st))
+        return out, st.value
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(base + datetime.timedelta(seconds=s), m) for s, m in
+            [(0, 1), (10, 2), (7200, 4), (7300, 8), (20000, 16)]]
+
+    def chunk(idx):
+        return pd.DataFrame({
+            "user_id": 7,
+            "ts": pd.Series([rows[i][0] for i in idx], dtype="datetime64[us]"),
+            "value": 0.0,
+            "millis": [rows[i][1] for i in idx]})
+
+    sorted_out, sorted_state = run([chunk([0, 1, 2, 3, 4])])
+    # same rows split across two chunks, interleaved out of order
+    multi_out, multi_state = run([chunk([4, 1]), chunk([3, 0, 2])])
+
+    assert sorted_state == multi_state
+    a = pd.concat(sorted_out).reset_index(drop=True)
+    b = pd.concat(multi_out).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # two closed sessions emitted, the open third kept in state
+    assert list(a["n_events"]) == [2, 2]
+    assert list(a["value_millis"]) == [3, 12]
+    assert sorted_state[2:] == (1, 16)
+
+
 def test_asof_join_semantics(spark):
     from ethereum2_etl_airflow_spark.functions.asof import asof_join
 
