@@ -149,7 +149,12 @@ def topk_cosine_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
                 dot_compact(F.col("qv"), F.col("cv"))
                 .cast("decimal(18,9)").cast("double").alias("cosine"))
     )
-    out = _rank_topk(partial_topk(scored, k), k)
+    # gate bound from the corpus side (scored rows = |corpus|·|Q|, each
+    # far narrower than a cached vector row): the crossJoin's own
+    # plan-stats estimate multiplies to ~1e12 bytes at sf0.1 and would
+    # pin the Arrow pass on even a few thousand candidate rows
+    out = _rank_topk(partial_topk(
+        scored, k, small=_ivf_small(nv, len(query_ids), 1, 1)), k)
     return finalize_release(out, nv)
 
 
@@ -987,11 +992,12 @@ def mmr_topk(emb: DataFrame, query_ids: list[int], k: int = 8,
     quantized cosine) is the distributed heavy pass — broadcast
     queries, narrow codegen scoring over the corpus, two-phase
     selection (the X3 machinery), never a per-query global sort.  The
-    greedy itself runs on a BOUNDED driver artifact: |Q|·s shortlist
-    rows + |Q|·s² pair cosines (s=16 default → ≤ 256 pairs/query —
-    the codebook-sized collect this repo sanctions), because MMR's
-    sequential argmax is inherently k serial steps; running them on
-    collected floats costs k·s compares instead of k Spark jobs.
+    greedy itself runs on a BOUNDED driver artifact: ONE collect of the
+    |Q|·s shortlist rows with their quantized vectors (s=16 default —
+    the codebook-sized collect this repo sanctions); the ≤ s² pair
+    cosines per query are driver integer/IEEE math on those rows
+    (bit-identical to the SQL form), because MMR's sequential argmax is
+    inherently k serial steps — k·s compares instead of k Spark jobs.
     Returns (query_id, vec_id, rank) — rank 1..k in pick order."""
     lam = lambda_milli / 1000.0
     qz = F.expr(
@@ -1019,36 +1025,48 @@ def mmr_topk(emb: DataFrame, query_ids: list[int], k: int = 8,
               .select("query_id", F.col(id_col).alias("vec_id"),
                       cos.alias("cosine")))
     # two-phase exact top-s on the quantized cosine (X3 machinery);
-    # materialized once — the relevance collect AND the pair stage
-    # below both read it
-    sl = _rank_topk(partial_topk(scored, shortlist), shortlist) \
-        .drop("rank").localCheckpoint(eager=True)
-    # pair cosines within each query's shortlist — ≤ s² rows per query
+    # gate bound from the corpus side, as in the bruteforce tier (the
+    # crossJoin's own estimate is multiplicative).
+    sl = _rank_topk(partial_topk(
+        scored, shortlist,
+        small=_ivf_small(z, len(query_ids), 1, 1)), shortlist) \
+        .drop("rank")
+    # ONE bounded collect of the shortlist WITH its quantized vectors
+    # (|Q|·s rows, each a dim-long int8-range array — codebook-sized);
+    # the ≤ s² pair cosines per query are then driver math on exactly
+    # the same integers.  Round-11: this replaces an eager checkpoint +
+    # a distributed self-join + a second collect (3 barriers) with one
+    # job — and the driver arithmetic is bit-identical to the SQL form
+    # it replaces (int64 dot: |qv| ≤ 127, so dim·127² never nears 2⁶³;
+    # one correctly-rounded math.sqrt/division per pair — the identical
+    # IEEE ops the oracle's unrolled CTEs perform).
     zc = z.select(F.col(id_col).alias("__zid"), "qv", "nsq")
-    slv = sl.join(zc, sl["vec_id"] == zc["__zid"]) \
-        .select("query_id", "vec_id", "qv", "nsq", "cosine")
-    a, b = slv.alias("a"), slv.alias("b")
-    pcos = F.when((F.col("a.nsq") == 0) | (F.col("b.nsq") == 0),
-                  F.lit(0.0)).otherwise(
-        F.expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, "
-               "(acc, x) -> acc + x)").cast("double")
-        / (F.sqrt(F.col("a.nsq").cast("double"))
-           * F.sqrt(F.col("b.nsq").cast("double"))))
-    pairs = (a.join(b, (F.col("a.query_id") == F.col("b.query_id"))
-                    & (F.col("a.vec_id") != F.col("b.vec_id")))
-             .select(F.col("a.query_id").alias("query_id"),
-                     F.col("a.vec_id").alias("da"),
-                     F.col("b.vec_id").alias("db"),
-                     pcos.alias("pc")))
-    # bounded artifacts: |Q|·s relevance rows, |Q|·s² pair rows
-    rel_rows = sl.collect()
-    pair_rows = pairs.collect()
+    slv = (sl.join(zc, sl["vec_id"] == zc["__zid"])
+           .select("query_id", "vec_id", "cosine", "qv", "nsq"))
+    sl_rows = slv.collect()
     z.unpersist()
+    import math
+
     rel: dict[int, dict[int, float]] = {}
-    for r in rel_rows:
+    vecs: dict[tuple[int, int], tuple[list[int], int]] = {}
+    for r in sl_rows:
         rel.setdefault(r["query_id"], {})[r["vec_id"]] = r["cosine"]
-    pc: dict[tuple[int, int, int], float] = {
-        (r["query_id"], r["da"], r["db"]): r["pc"] for r in pair_rows}
+        vecs[(r["query_id"], r["vec_id"])] = (r["qv"], r["nsq"])
+    pc: dict[tuple[int, int, int], float] = {}
+    for qid, cands in rel.items():
+        ids = sorted(cands)
+        for da in ids:
+            va, na = vecs[(qid, da)]
+            for db in ids:
+                if da == db:
+                    continue
+                vb, nb = vecs[(qid, db)]
+                if na == 0 or nb == 0:
+                    pc[(qid, da, db)] = 0.0
+                else:
+                    dot = sum(x * y for x, y in zip(va, vb))
+                    pc[(qid, da, db)] = float(dot) / (
+                        math.sqrt(float(na)) * math.sqrt(float(nb)))
     out = []
     for qid, cands in sorted(rel.items()):
         picked: list[int] = []
