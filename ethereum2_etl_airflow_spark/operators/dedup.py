@@ -1228,41 +1228,41 @@ def repeated_span_hits(docs: DataFrame, n: int = 5, min_docs: int = 2,
     ``source_similarity``, so the DuckDB oracle computes the IDENTICAL
     keys and the check stays bit-exact) — then hash-clustered and
     cached, so the
-    repeated-set aggregation AND the join-back probe both read the one
-    exchange with no further shuffle (groupBy key ⊇ layout key; both
-    join sides cluster on ``h``).  Net vs the old shape at sf0.1: the
-    fan-out CPU once instead of twice, ~40 MB exchanged instead of
-    ~110 MB, 8-byte join keys instead of strings.  The final per-doc
-    groupBy is the only remaining exchange (combining, doc-count-sized
-    output).  At 100 TB the cache is corpus-fan-out-sized —
-    MEMORY_AND_DISK spills it; the alternative (recompute, the old
-    shape) pays the tokenize twice instead."""
+    repeated-set aggregation AND the per-doc probe read the one
+    exchange with no further shuffle.
+
+    Round-11 shape (guide §2.1/§1.2): the round-8 version CACHED the
+    hashed gram stream and read it twice (repeated-set aggregate +
+    join-back probe) — a cache-fill barrier, a corpus-fan-out-sized
+    cache, and a shuffle-free-but-still-real sort-merge join.  The two
+    reads collapse into ONE single-consumer plan: after the (h1, h2)
+    repartition, ``groupBy(h1, h2, id)`` needs no further exchange
+    (clustering on a key subset satisfies the aggregate), and on those
+    now-distinct (span, doc) rows ``count(*) over (partition by h1,
+    h2)`` IS the span's distinct-doc count — the countDistinct
+    expansion and the probe join are gone, the fan-out is evaluated
+    once with no cache at all, and the final per-doc groupBy is the
+    only other exchange.  ``m`` (per-doc occurrences of the span)
+    rides the grouped rows so per-doc totals are exact sums."""
     from ..functions.layout import pinned_shuffle, plan_width
 
     with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
                         adaptive=False):
-        grams = (_span_gram_hashes(docs, n, text_col, id_col)
-                 .repartition("h1", "h2").cache())
-        # build the cache with one cheap job BEFORE the probe job sees
-        # grams on both sides of its DAG (the pagerank_int nodes-union
-        # lesson: two stages racing a cold cache compute the pipeline
-        # twice)
-        grams.count()
-        rep = (grams.groupBy("h1", "h2")
-               .agg(F.countDistinct(id_col).alias("nd"))
-               .where(F.col("nd") >= min_docs)
-               .select("h1", "h2", F.lit(1).alias("__hit")))
-        hit = (grams.join(rep, ["h1", "h2"], "left")
+        per = (_span_gram_hashes(docs, n, text_col, id_col)
+               .repartition("h1", "h2")
+               .groupBy("h1", "h2", id_col).agg(F.count("*").alias("m")))
+        nd = F.count("*").over(Window.partitionBy("h1", "h2"))
+        hit = (per.withColumn("nd", nd)
                .groupBy(id_col)
-               .agg(F.count("*").cast("long").alias("n_spans"),
-                    F.sum(F.coalesce("__hit", F.lit(0))).cast("long")
+               .agg(F.sum("m").cast("long").alias("n_spans"),
+                    F.sum(F.when(F.col("nd") >= min_docs, F.col("m"))
+                          .otherwise(F.lit(0))).cast("long")
                     .alias("n_repeated")))
         # integer division (div), not double-divide-then-cast: engines
         # disagree on double->int casts (truncate vs round)
         return finalize_release(hit.select(
             id_col, "n_spans", "n_repeated",
-            F.expr("n_repeated * 100 div n_spans").alias("repeated_pct")),
-            grams)
+            F.expr("n_repeated * 100 div n_spans").alias("repeated_pct")))
 
 
 def pair_set_metrics(pred: DataFrame, truth: DataFrame) -> DataFrame:
