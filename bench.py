@@ -277,7 +277,12 @@ def main() -> None:
             n for n, t in times.items()
             if t > 0 and t > (max(1.5, 2.0 * ref[n]) if n in ref else 5.0))
         # bounded second pass: at most 60 re-times (a permanently
-        # contended box must not double the suite), deterministic order
+        # contended box must not double the suite), deterministic order.
+        # Release leftover checkpoint blocks first: the re-time samples
+        # must not inherit the full pass's accumulated block-manager
+        # state (the same pollution the periodic release above bounds)
+        if flagged:
+            release_blocks()
         for name in flagged[:60]:
             first = times[name]
             run_one(name)

@@ -352,19 +352,25 @@ def ngram_novelty(docs, n: int = 2, id_col: str = "doc_id",
     quality filters should down-weight before training.
 
     All-integer output (n_ngrams, n_novel) so the SQL oracle hashes
-    bit-exactly.  Scale shape: distinct n-grams explode once; document
-    frequency is one map-side-combining groupBy on the n-gram string
-    (high-entropy key); the df=1 survivors semi-join back keyed by doc.
+    bit-exactly.  Scale shape (round-11, the span_hits lesson): the
+    (id, n-gram) rows are already distinct (``array_distinct`` before
+    the explode), so ``count(*) over (partition by sh)`` on the
+    exploded stream IS the document frequency — the df groupBy and the
+    join back (which evaluated the fan-out twice, once per join side)
+    collapse into ONE windowed pass: one exchange on the high-entropy
+    n-gram key, one combining exchange on the doc key, fan-out
+    evaluated once.
     """
     from ..operators.dedup import shingles
     from pyspark.sql import functions as F
+    from pyspark.sql import Window
 
     sh = (docs.select(F.col(id_col).alias("id"),
                       F.explode(F.array_distinct(
                           shingles(F.col(text_col), n))).alias("sh")))
-    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    joined = sh.join(df_counts, "sh")
-    return (joined.groupBy("id")
+    df_c = F.count("*").over(Window.partitionBy("sh"))
+    return (sh.withColumn("df", df_c)
+            .groupBy("id")
             .agg(F.count("*").alias("n_ngrams"),
                  F.count(F.when(F.col("df") == 1, 1)).alias("n_novel"))
             .select(F.col("id").alias(id_col), "n_ngrams", "n_novel"))
