@@ -202,9 +202,27 @@ def plan_bytes(df: DataFrame) -> int | None:
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ``df`` iff its physical plan yields materially fewer
     partitions than the session can run concurrently (< half of
-    ``defaultParallelism``).  Returns ``df`` unchanged otherwise."""
+    ``defaultParallelism``).  Returns ``df`` unchanged otherwise.
+
+    Tiny-frame gate (round-11): when Catalyst's plan-time estimate says
+    ``df`` is ≤ 64 KiB (a bounded artifact — a ``limit`` result, a
+    probe table; measured 1 KiB for the 64-row media frames vs 594 KiB
+    for the smallest corpus scan at sf0.1, so the cut separates the
+    two classes by ~600× on either side), the frame is returned
+    untouched: fanning it to machine width costs an exchange plus
+    ``target`` task launches for no parallelism gain, and the ``.rdd``
+    width probe below converts the whole plan to an RDD — which
+    EXECUTES multi-stage upstreams (the same hazard :func:`plan_width`
+    documents), double-running any Python stage feeding ``df``.  At
+    scale real inputs blow past 64 KiB and take the probe path
+    unchanged.  An EXPLICIT ``min_partitions`` bypasses the gate:
+    those callers sized the fan-out to per-row compute, not bytes."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
+    if min_partitions is None:
+        size = plan_bytes(df)
+        if size is not None and size <= (1 << 16):
+            return df
     try:
         current = df.rdd.getNumPartitions()
     except Exception:  # streaming / unresolvable plans: leave untouched
