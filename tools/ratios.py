@@ -389,6 +389,25 @@ def main() -> int:
         "residual still reading ~2× on the 0.58-0.81 s re-timed "
         "oracle band, carried under the unchanged structural-floor "
         "adjudication above.",
+        "Round-11 OPTIMIZATION-round regen (full live-timed run, both "
+        "sides same box, med-of-3 on every near-bar row): the three "
+        "carried ≥2× rows all read UNDER the bar on like-for-like "
+        "same-epoch walls — sim_ivf_exact 1.95× (oracle med-of-3 "
+        "0.60/0.61/0.65), sparse_cosine 1.88× (0.47/0.47/0.54), "
+        "decontaminate_semantic 1.57× (0.94/1.02/1.22) — CLOSED under "
+        "the standing criterion (RATIOS itself <2×).  The single "
+        "remaining flag is pipeline_pretrain 3.16× (spark med-of-3 "
+        "1.96 on a measured ~1.5-2× contended epoch — its committed "
+        "quiet floor is 0.86 s — vs oracle med-of-3 0.56/0.62/0.71; "
+        "the build-round med-of-7 quiet oracle read 0.39-0.53, i.e. "
+        "micro-oracle class on quiet numbers).  Stage profile this "
+        "epoch: gopher-verdict+kept-cache 1.33 s / chunk+checkpoint "
+        "0.61 / order+sink 0.43 — the first stage is the same "
+        "tokenize the standalone gopher_filter check pays on the 2× "
+        "planted-dup corpus, data-bounded; no new plan debt (the "
+        "54-rescan bug this pipeline once had stays fixed: 0 source "
+        "rescans, plan-counted).  Carried as structural per the "
+        "unchanged adjudication above.",
         "Round-11 close-day band (12 full sequential WRITE_REF runs "
         "spread over the round; the first 7 at 241 checks, one at 242 "
         "after html_extract landed, and 4 second-half runs at 249-250 "
