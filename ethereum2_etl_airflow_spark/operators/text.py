@@ -1072,11 +1072,19 @@ def expand_queries(docs, queries: dict[int, list[str]], k_fb: int = 5,
         tf_all.count()
         # corpus stats WITHOUT another tokenize: n_docs counts the raw
         # corpus (docs with zero tokens included — they are absent from
-        # tf_all), n_tokens sums dl over the cached per-doc keys
+        # tf_all), n_tokens sums dl over the cached per-doc keys.
+        # Collected ONCE into a 1-row local frame (the bounded-artifact
+        # class — round-11): nt has THREE broadcast consumers (first
+        # pass, candidate weights, second pass) and each broadcast
+        # build would otherwise re-run the corpus count scan + the
+        # tf_all aggregate under it.
         n_docs_df = docs.agg(F.count("*").alias("n_docs"))
         n_tok_df = (tf_all.groupBy("doc").agg(F.max("dl").alias("__dl"))
                     .agg(F.sum("__dl").alias("n_tokens")))
-        nt = n_docs_df.crossJoin(n_tok_df)
+        r = n_docs_df.crossJoin(n_tok_df).first()
+        nt = spark.createDataFrame(
+            [(int(r["n_docs"]), int(r["n_tokens"]))],
+            "n_docs long, n_tokens long")
         all_terms = sorted({t for ts in queries.values() for t in ts})
         fb = _bm25_score(tf_all.where(F.col("term").isin(all_terms)),
                          nt, queries, k_fb, k1_milli, b_milli) \
