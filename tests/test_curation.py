@@ -374,3 +374,25 @@ def test_weighted_median_null_and_nan_weights(spark):
     assert out["g1"] == 1.0        # weights (1, 1) over v (1, 3) -> lower med
     assert out["g2"] == 7.0        # the only fully-non-null row
     assert out["g3"] is None       # no usable (v, w) pair at all
+
+
+def test_ensure_parallelism_tiny_frame_gate(spark, sf_dir):
+    """Round-11 gate: a default-width call must return a tiny
+    (plan-stats ≤64 KiB) frame UNTOUCHED — no exchange, no .rdd width
+    probe (which executes multi-stage upstreams) — while explicit
+    min_partitions bypasses the gate and still spreads."""
+    from ethereum2_etl_airflow_spark.functions.layout import (
+        ensure_parallelism, plan_bytes)
+
+    docs = load_table(spark, sf_dir, "documents")
+    tiny = docs.select("doc_id").orderBy("doc_id").limit(16)
+    assert plan_bytes(tiny) is not None and plan_bytes(tiny) <= (1 << 16)
+    out = ensure_parallelism(tiny)
+    assert out is tiny  # identity: the gate returned it untouched
+    # explicit width bypasses the gate: the result is a repartition
+    forced = ensure_parallelism(tiny, min_partitions=4)
+    assert forced is not tiny
+    assert forced.rdd.getNumPartitions() == 4
+    # values are unaffected either way (layout-only contract)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in forced.collect())
