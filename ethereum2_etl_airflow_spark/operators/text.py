@@ -1082,8 +1082,12 @@ def expand_queries(docs, queries: dict[int, list[str]], k_fb: int = 5,
         n_tok_df = (tf_all.groupBy("doc").agg(F.max("dl").alias("__dl"))
                     .agg(F.sum("__dl").alias("n_tokens")))
         r = n_docs_df.crossJoin(n_tok_df).first()
+        # SUM over zero rows is NULL (corpus with no tokenized docs);
+        # tf_all is empty then, so every scoring join below is empty
+        # whatever the stats read — 0 is value-equivalent and keeps the
+        # collect total
         nt = spark.createDataFrame(
-            [(int(r["n_docs"]), int(r["n_tokens"]))],
+            [(int(r["n_docs"] or 0), int(r["n_tokens"] or 0))],
             "n_docs long, n_tokens long")
         all_terms = sorted({t for ts in queries.values() for t in ts})
         fb = _bm25_score(tf_all.where(F.col("term").isin(all_terms)),
