@@ -91,6 +91,25 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     link graphs) and diameter is unbounded."""
     if algorithm == "star":
         return _connected_components_star(edges, src, dst, max_iter)
+    # run the whole loop at the session's own width with AQE OFF
+    # (round-11, guide §1.2 step 3): every round materializes an eager
+    # localCheckpoint, and under AQE each exchange in that round's plan
+    # becomes its own materialize→re-optimize job — measured at sf0.1,
+    # 25 jobs for a 3-round propagation vs 11 with the pin, values
+    # bit-identical.  The width is the session's current value (no
+    # layout change — AQE had nothing left to decide at these widths);
+    # pinning through the refcounted guard keeps nesting with caller
+    # pins safe.
+    from ..functions.layout import pinned_shuffle
+
+    spark = edges.sparkSession
+    cur_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with pinned_shuffle(spark, cur_width, adaptive=False):
+        return _connected_components_label(edges, src, dst, max_iter)
+
+
+def _connected_components_label(edges: DataFrame, src: str, dst: str,
+                                max_iter: int) -> DataFrame:
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(edges.select(F.col(dst).alias("u"),
                                F.col(src).alias("v")))
@@ -175,7 +194,23 @@ def _connected_components_star(edges: DataFrame, src: str, dst: str,
     each round is two window-shuffles + dedups; the edge set contracts
     to per-component stars rooted at the component minimum in O(log n)
     rounds, independent of diameter.  Lineage is cut per round with
-    ``localCheckpoint`` like the label-propagation path."""
+    ``localCheckpoint`` like the label-propagation path.
+
+    Runs at the session's current width with AQE off (round-11): each
+    round is two window-shuffles + two dedups feeding an eager
+    checkpoint, and AQE turned every one of those exchanges into its
+    own per-stage job — measured at sf0.1, 40 jobs for a 3-round run
+    vs 12 with the pin, values bit-identical."""
+    from ..functions.layout import pinned_shuffle
+
+    spark = edges.sparkSession
+    cur_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with pinned_shuffle(spark, cur_width, adaptive=False):
+        return _cc_star_loop(edges, src, dst, max_iter)
+
+
+def _cc_star_loop(edges: DataFrame, src: str, dst: str,
+                  max_iter: int) -> DataFrame:
     nodes = (edges.select(F.col(src).alias("u"))
              .union(edges.select(F.col(dst).alias("u")))
              .distinct().localCheckpoint(eager=True))
