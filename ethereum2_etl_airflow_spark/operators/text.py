@@ -1093,8 +1093,13 @@ def expand_queries(docs, queries: dict[int, list[str]], k_fb: int = 5,
         fb = _bm25_score(tf_all.where(F.col("term").isin(all_terms)),
                          nt, queries, k_fb, k1_milli, b_milli) \
             .select("query_id", "doc_id")
+        # tf_all is (doc, term)-unique by construction (the groupBy
+        # above), so count(*) per term IS countDistinct(doc) — the same
+        # identity _bm25_score uses.  Plan-neutral at the exchange level
+        # (Catalyst already folded the distinct into one exchange) but
+        # drops the per-partition distinct hash set per term.
         df_t = tf_all.groupBy("term").agg(
-            F.countDistinct("doc").alias("df"))
+            F.count("*").alias("df"))
         orig = spark.createDataFrame(
             [(qid, t) for qid, ts in sorted(queries.items())
              for t in sorted(set(ts))], "query_id long, term string")
