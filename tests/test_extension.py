@@ -230,6 +230,38 @@ def test_connected_components_star_matches_label(spark):
     assert lab == star
 
 
+def test_connected_components_restores_session_conf(spark):
+    """The CC loops pin (session width, adaptive=False) internally
+    (round-11: AQE turned every per-round checkpoint exchange into its
+    own job).  The pin must restore BOTH knobs on exit — including when
+    the caller already holds a pin of its own — and the pinned run must
+    label identically to an unpinned session (layout-only contract)."""
+    from ethereum2_etl_airflow_spark.functions.layout import pinned_shuffle
+    from ethereum2_etl_airflow_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    expect = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    width0 = spark.conf.get("spark.sql.shuffle.partitions")
+    adapt0 = spark.conf.get("spark.sql.adaptive.enabled")
+    for algo in ("label", "star"):
+        got = {(r["node"], r["component"])
+               for r in connected_components(edges, algorithm=algo).collect()}
+        assert got == expect
+        assert spark.conf.get("spark.sql.shuffle.partitions") == width0
+        assert spark.conf.get("spark.sql.adaptive.enabled") == adapt0
+        # nested under a caller pin: inner adaptive=False is honored and
+        # the outer holder's width survives the inner exit
+        with pinned_shuffle(spark, 5):
+            got = {(r["node"], r["component"])
+                   for r in connected_components(edges,
+                                                 algorithm=algo).collect()}
+            assert got == expect
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == width0
+        assert spark.conf.get("spark.sql.adaptive.enabled") == adapt0
+
+
 def test_connected_components_star_deep_chain(spark):
     """large-star/small-star is O(log n) rounds: a 10k-node path graph
     (diameter 10^4 — label propagation would need 10^4 rounds) must
