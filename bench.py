@@ -332,8 +332,12 @@ def main() -> None:
                     prev = json.load(fh)["queries"]
             except Exception:
                 pass
-            merged = {k: round(min(float(prev.get(k, v)), v), 3)
-                      for k, v in seq_times.items() if v > 0}
+            # carry forward entries NOT in this run (a BENCH_ONLY +
+            # WRITE_REF pass must tighten its subset, not truncate the
+            # reference to it)
+            merged = dict(prev)
+            merged.update({k: round(min(float(prev.get(k, v)), v), 3)
+                           for k, v in seq_times.items() if v > 0})
             with open(ref_path, "w") as fh:
                 json.dump({"pass": "reference", "queries": merged}, fh,
                           indent=0, sort_keys=True)

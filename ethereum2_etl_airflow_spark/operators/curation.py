@@ -330,17 +330,22 @@ def term_salience(df: DataFrame, m: int = 5, text_col: str = "text",
     size factor is a constant per run — dropping it preserves every
     ranking and keeps the arithmetic integer-exact).
 
-    Shape: explode → (doc, term) tf [uniform shuffle keyed by doc+term]
-    → term document-frequency [vocab-sized, partial-agg] → join back on
-    term (AQE-handled; a hot token's tf rows are spread across docs) →
-    per-doc window over ≤ |distinct terms in doc| rows (bounded, uniform).
+    Shape (round-11, the ngram_novelty/span_hits identity): explode →
+    (doc, term) tf [uniform shuffle keyed by doc+term] → ``count(*)
+    OVER (PARTITION BY token)`` IS the document frequency, because the
+    grouped tf rows are (doc, token)-unique — so the old vocab-sized
+    df groupBy + join back (which also evaluated the tokenize fan-out
+    once per join side) collapses into one windowed pass → per-doc
+    window over ≤ |distinct terms in doc| rows (bounded, uniform).
+    A hot token concentrates its window partition exactly as it did
+    the old join's build side — skew exposure unchanged.
     """
     tf = (df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
           .groupBy(id_col, "token").agg(F.count("*").alias("tf")))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    scored = (tf.join(dfreq, "token")
-              .select(F.col(id_col), "token", "tf", "df",
-                      F.expr("tf * 1000000 DIV df").alias("salience")))
+    scored = (tf.withColumn("df", F.count("*").over(
+        Window.partitionBy("token")))
+        .select(F.col(id_col), "token", "tf", "df",
+                F.expr("tf * 1000000 DIV df").alias("salience")))
     w = Window.partitionBy(id_col).orderBy(
         F.col("salience").desc(), F.col("token"))
     return (scored.withColumn("rank", F.row_number().over(w))
