@@ -193,10 +193,21 @@ def dsir_logratio_bits(raw: DataFrame, target: DataFrame,
     vocabulary, not corpus), then one per-doc aggregate.  Training is
     two combining groupBys per corpus; two driver scalars (the vocab
     sizes)."""
-    uni_t, bi_t = _train_bigram_lm_ckpt(target, text_col, id_col)
-    vt = max(int(uni_t.count()), 1)
-    uni_r, bi_r = _train_bigram_lm_ckpt(raw, text_col, id_col)
-    vr = max(int(uni_r.count()), 1)
+    # the two models are independent eager materializations (checkpoint
+    # + vocab-count job each); built sequentially the second corpus's
+    # tokenize waits for the first's stage tail — overlap them (guide
+    # §2.6, the same parallel_frames pattern the composite checks use).
+    # Values unchanged: identical expressions, scheduling only.
+    from ..functions.layout import parallel_frames
+
+    def _model(corpus):
+        def thunk():
+            uni, bi = _train_bigram_lm_ckpt(corpus, text_col, id_col)
+            return uni, bi, max(int(uni.count()), 1)
+        return thunk
+
+    (uni_t, bi_t, vt), (uni_r, bi_r, vr) = parallel_frames(
+        _model(target), _model(raw))
     db = (doc_bigrams(raw, text_col, id_col)
           .groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m")))
     j = (db
