@@ -408,6 +408,25 @@ def main() -> int:
         "54-rescan bug this pipeline once had stays fixed: 0 source "
         "rescans, plan-counted).  Carried as structural per the "
         "unchanged adjudication above.",
+        "Round-11 continuation regen (the table below): produced on a "
+        "measured 1.7-2× contended epoch (same-minute control: "
+        "sort_limit warm 0.25-0.30 s vs its 0.15 s quiet floor, and "
+        "three full sequential passes in the same window read "
+        "245.5/274.7/300.5 s kept-sum on code whose quiet floor is "
+        "~133 s).  Its four ≥2× rows are that epoch, not plan debt — "
+        "adjudicated with same-minute isolated warm medians (4 reps) "
+        "taken immediately after the regen: decontaminate_semantic "
+        "1.97 s warm med (9 jobs, plan unchanged this round) vs its "
+        "own regen oracle med 1.19 s = **1.66×**; winnow 1.08 s vs "
+        "0.52 s = **2.08→2.08×** (flagged in-range but its spark "
+        "column here, 1.08 s, is 3× its 0.36 s quiet floor — the "
+        "drift class, plan untouched since round 8); conv_turns "
+        "0.77 s vs 0.57 s = **1.35×**; stream_cms 1.63 s vs 0.93 s = "
+        "**1.75×** (plan untouched; the streaming fixed-cost family).  "
+        "No operator behind any flagged row changed in the "
+        "continuation (the CC pin REDUCES dedup_clusters* jobs; "
+        "term_salience reads 1.24× below, and dsir_select's 5.75× row "
+        "is micro-oracle class — 0.22 s oracle).",
         "Round-11 close-day band (12 full sequential WRITE_REF runs "
         "spread over the round; the first 7 at 241 checks, one at 242 "
         "after html_extract landed, and 4 second-half runs at 249-250 "
