@@ -103,7 +103,10 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     from ..functions.layout import pinned_shuffle
 
     spark = edges.sparkSession
-    cur_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # raw conf string, not int(): some distributions set this knob
+    # to a non-numeric value (e.g. "auto"), and pinned_shuffle
+    # stringifies the width anyway (round-11 advisor item)
+    cur_width = spark.conf.get("spark.sql.shuffle.partitions")
     with pinned_shuffle(spark, cur_width, adaptive=False):
         return _connected_components_label(edges, src, dst, max_iter)
 
@@ -204,7 +207,10 @@ def _connected_components_star(edges: DataFrame, src: str, dst: str,
     from ..functions.layout import pinned_shuffle
 
     spark = edges.sparkSession
-    cur_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # raw conf string, not int(): some distributions set this knob
+    # to a non-numeric value (e.g. "auto"), and pinned_shuffle
+    # stringifies the width anyway (round-11 advisor item)
+    cur_width = spark.conf.get("spark.sql.shuffle.partitions")
     with pinned_shuffle(spark, cur_width, adaptive=False):
         return _cc_star_loop(edges, src, dst, max_iter)
 

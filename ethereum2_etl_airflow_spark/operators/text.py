@@ -1093,11 +1093,14 @@ def expand_queries(docs, queries: dict[int, list[str]], k_fb: int = 5,
         fb = _bm25_score(tf_all.where(F.col("term").isin(all_terms)),
                          nt, queries, k_fb, k1_milli, b_milli) \
             .select("query_id", "doc_id")
-        # tf_all is (doc, term)-unique by construction (the groupBy
-        # above), so count(*) per term IS countDistinct(doc) — the same
-        # identity _bm25_score uses.  Plan-neutral at the exchange level
-        # (Catalyst already folded the distinct into one exchange) but
-        # drops the per-partition distinct hash set per term.
+        # tf_all is (doc, dl, term)-unique by construction (the groupBy
+        # above); with UNIQUE doc ids (the corpus contract — duplicated
+        # ids would make (doc, dl) non-functional and df count both
+        # copies) that is (doc, term)-unique, so count(*) per term IS
+        # countDistinct(doc) — the same identity _bm25_score relies on.
+        # Plan-neutral at the exchange level (Catalyst already folded
+        # the distinct into one exchange) but drops the per-partition
+        # distinct hash set per term.
         df_t = tf_all.groupBy("term").agg(
             F.count("*").alias("df"))
         orig = spark.createDataFrame(
