@@ -819,7 +819,10 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .schema(spark.read.parquet(src).schema).parquet(src))
     surv = dedup_stream(stream_src, ts_col="ts", text_col="text",
                         watermark="1 hour")
-    return (run_bounded(surv, spark, mode="append", prefix="ddst")
+    # flush=False: dropDuplicatesWithinWatermark emits first-seen rows
+    # on arrival; the no-data flush batch only evicts state (round-12)
+    return (run_bounded(surv, spark, mode="append", prefix="ddst",
+                        flush=False)
             .select("fp").orderBy("fp"))
 
 
@@ -1148,7 +1151,11 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = attribution_join(
         src.where(F.col("event_type") == "click"),
         src.where(F.col("event_type") == "purchase"))
-    return (run_append_available_now(joined, spark)
+    # flush=False: inner join — every match emits in the data batch
+    # that produced it; the no-data flush batch would pay a planning +
+    # commit + state-store lifecycle round to emit nothing (round-12,
+    # guide §1.2 — the streaming family's fixed cost)
+    return (run_append_available_now(joined, spark, flush=False)
             .orderBy("user_id", "click_id", "purchase_id"))
 
 
@@ -3024,11 +3031,24 @@ EXTENSION_CHECKS["random_walks"] = (q_random_walks, ORACLE_RANDOM_WALKS)
 # --- streaming CMS maintenance (stateful complete-mode aggregation) -------
 
 def _file_stream(spark: SparkSession, sf_dir: str, table: str,
-                 tag: str, nanos: bool = False):
+                 tag: str, nanos: bool = False, spread: bool = True):
     """readStream over a single driver-testdata parquet table: exposes
     the file via a symlink in a stable temp dir (streaming file sources
     need a directory; read-only testdata stays untouched).  Shared by
-    the complete-mode sketch-maintenance checks."""
+    the complete-mode sketch-maintenance checks.
+
+    ``spread``: the fixture is ONE single-row-group parquet file, so
+    every micro-batch scans as ONE task and the sketch map work
+    (tokenize + explode + d hashes per token for CMS) runs serially —
+    the guide-§2.5 unsplittable-input-skew shape (split-size knobs
+    can't help: a split must contain a row-group start, and there is
+    only one).  A bounded ``repartition`` right after the read spreads
+    that map work across the box before the (4-partition) stateful
+    aggregation; results are layout-invariant (complete-mode
+    aggregations).  A production file stream carries many files /
+    row groups per batch and gets scan parallelism natively — pass
+    ``spread=False`` there (the repartition would be a pure extra
+    shuffle of the corpus)."""
     import hashlib
     import os
     import tempfile
@@ -3049,7 +3069,11 @@ def _file_stream(spark: SparkSession, sf_dir: str, table: str,
     stream = spark.readStream.schema(schema)
     if nanos:
         stream = stream.option("nanosAsLong", True)
-    return stream.option("maxFilesPerTrigger", 1).parquet(src_dir)
+    out = stream.option("maxFilesPerTrigger", 1).parquet(src_dir)
+    if spread:
+        out = out.repartition(
+            min(spark.sparkContext.defaultParallelism, 16))
+    return out
 
 
 def _run_complete(df, spark: SparkSession):
@@ -3234,8 +3258,11 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     State: ≤ 2^b register rows, constant for any stream length."""
     from ..operators.quality import hll_portable_registers
 
+    # spread=False: one md5 per row — the repartition exchange costs
+    # more than the map work it would spread (A/B med-of-3: 0.97 vs
+    # 1.07 s), unlike the tokenize-heavy CMS stream
     stream = _file_stream(spark, sf_dir, "events", "hllstream",
-                          nanos=True)
+                          nanos=True, spread=False)
     regs = hll_portable_registers(stream.select("user_id"), "user_id")
     return _run_complete(regs, spark).orderBy("j")
 
@@ -3899,8 +3926,10 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     State: ≤ 64 register rows, constant for any stream length."""
     from ..operators.quality import mdq_bucket_registers
 
+    # spread=False: same cheap-map shape as stream_hll (A/B: 0.88 vs
+    # 1.01 s med-of-3) — only the tokenize-heavy CMS stream spreads
     stream = _file_stream(spark, sf_dir, "events", "mdqstream",
-                          nanos=True)
+                          nanos=True, spread=False)
     regs = mdq_bucket_registers(stream.select("event_id", "value"),
                                 "value", n_buckets=64,
                                 id_col="event_id")

@@ -89,7 +89,8 @@ def bounded_state(spark: SparkSession, n: int = STATE_PARTITIONS):
 def run_bounded(df, spark: SparkSession, mode: str = "append",
                 n: int | None = None, prefix: str = "st",
                 progress_out: list | None = None,
-                est_keys: int | None = None):
+                est_keys: int | None = None,
+                flush: bool = True):
     """Run a streaming DataFrame to completion over available input
     (``availableNow`` + memory sink) and return the result as a batch
     DataFrame — the shared harness behind every bounded check/demo
@@ -107,14 +108,35 @@ def run_bounded(df, spark: SparkSession, mode: str = "append",
 
     Width: pass ``n`` to pin an explicit state-partition count, or
     ``est_keys`` (estimated live-key cardinality) to auto-size via
-    :func:`state_partitions`; neither → the small-stream floor."""
+    :func:`state_partitions`; neither → the small-stream floor.
+
+    ``flush=False`` skips the final no-data micro-batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled`` pinned off for
+    this run): ONLY valid for append-mode queries whose every output
+    row is emitted in the data batch that produced it — inner
+    stream-stream joins (matches emit on arrival; the no-data batch
+    only evicts state) and ``dropDuplicatesWithinWatermark``
+    (first-seen rows emit on arrival) — where the flush batch pays a
+    full planning + offset/commit-log + state-store lifecycle round to
+    emit nothing.  Queries whose results are RELEASED by the advancing
+    watermark (outer-join null rows, append-mode window/session
+    aggregations, event-time timeouts) MUST keep ``flush=True`` or
+    withheld rows never surface.  The conf is restored after the run;
+    like the ``bounded_state`` width pin it is session-scoped while
+    held (bench's concurrent pass isolates via per-thread child
+    sessions)."""
     if n is None:
         n = state_partitions(est_keys, spark)
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckroot = "/dev/shm" if os.path.isdir("/dev/shm") \
         else tempfile.gettempdir()
     ck = os.path.join(ckroot, f"e2etl_ck_{name}")
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = None
     try:
+        if not flush:
+            prev_nodata = spark.conf.get(nodata_key, None)
+            spark.conf.set(nodata_key, "false")
         with bounded_state(spark, n):
             q = (df.writeStream.format("memory").queryName(name)
                  .option("checkpointLocation", ck)
@@ -126,5 +148,13 @@ def run_bounded(df, spark: SparkSession, mode: str = "append",
                 # watermark/active-key bounds claimed in docs/SCALE.md
                 progress_out.extend(p for p in q.recentProgress if p)
     finally:
+        if not flush:
+            if prev_nodata is None:
+                try:
+                    spark.conf.unset(nodata_key)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(nodata_key, prev_nodata)
         shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name)

@@ -85,14 +85,18 @@ def attribution_join_outer(clicks: DataFrame, purchases: DataFrame,
 
 def run_append_available_now(stream_df: DataFrame,
                              spark: SparkSession,
-                             est_keys: int | None = None) -> DataFrame:
+                             est_keys: int | None = None,
+                             flush: bool = True) -> DataFrame:
     """Run an append-mode streaming query to completion over available
     input (memory sink) and return the result as a batch DataFrame.
     Delegates to the shared bounded harness (tmpfs throwaway
     checkpoint, see :func:`..streaming.run_bounded`); ``est_keys``
     (expected live join-state keys) auto-sizes the state partitions
-    via :func:`..streaming.state_partitions`."""
+    via :func:`..streaming.state_partitions`; ``flush=False`` skips
+    the final no-data micro-batch — valid ONLY for emission-on-arrival
+    append queries (inner joins; see ``run_bounded``), never for
+    outer joins whose null rows the watermark releases."""
     from . import run_bounded
 
     return run_bounded(stream_df, spark, mode="append", prefix="ssj",
-                       est_keys=est_keys)
+                       est_keys=est_keys, flush=flush)

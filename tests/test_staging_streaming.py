@@ -726,3 +726,52 @@ def test_state_partitions_auto_size_tracks_key_volume(spark):
     assert state_partitions(10_000_000, spark) <= par
     # without a session to read parallelism from, stays conservative
     assert state_partitions(96_000, None) == STATE_PARTITIONS
+
+
+def test_run_bounded_flush_false_matches_and_restores_conf(spark, tmp_path):
+    """``flush=False`` (skip the final no-data micro-batch) is valid
+    for emission-on-arrival append queries: an inner attribution join
+    over a MULTI-batch source must emit the identical row set with and
+    without the flush batch, and the session conf must be restored
+    after the run (including when it was previously set)."""
+    import os
+    import shutil
+    from datetime import datetime, timedelta
+
+    from ethereum2_etl_airflow_spark.streaming import run_bounded
+    from ethereum2_etl_airflow_spark.streaming.join import attribution_join
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows1 = [(i, i % 3, "click", t0 + timedelta(minutes=i))
+             for i in range(6)]
+    rows2 = [(100 + i, i % 3, "purchase", t0 + timedelta(minutes=i + 10))
+             for i in range(6)]
+    for i, rows in enumerate([rows1, rows2]):
+        b = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+                  "ts timestamp")
+        tmp = str(tmp_path / f"w{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.startswith("part-"))
+        dest = os.path.join(src, f"{i}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dest)
+        os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    def run(flush):
+        stream = (spark.readStream
+                  .schema("event_id long, user_id long, "
+                          "event_type string, ts timestamp")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        joined = attribution_join(
+            stream.where(F.col("event_type") == "click"),
+            stream.where(F.col("event_type") == "purchase"))
+        return sorted(map(tuple, run_bounded(
+            joined, spark, mode="append", prefix="tf",
+            flush=flush).collect()))
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    spark.conf.set(key, "true")
+    assert run(flush=False) == run(flush=True)
+    assert spark.conf.get(key) == "true"  # restored to the prior value
