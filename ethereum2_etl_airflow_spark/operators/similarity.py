@@ -857,14 +857,18 @@ def ann_ivf_exact_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     :func:`~.clustering.kmeans_fit_centroids` shape); cell assignment
     rides the SAME scan that normalizes the corpus (baked-literal
     argmin — no quantized↔normalized self-join, no shuffle); the probe
-    table is |Q|·n_probe rows, selected in-plan by sorting the k
-    literal centroid distances per query (no crossJoin, no window);
-    candidate generation joins probes to the corpus on the cell key so
-    a query touches ~``n_probe/n_cells`` of the corpus; top-k via the
-    same two-phase partial selection as the exact tier."""
+    table is |Q|·n_probe rows, BUILT DRIVER-SIDE (round-12) from a
+    bounded |Q|-row collect that overlaps the fit — exact integer
+    centroid distances, (d, rank) tie order — and baked into the plan
+    as a folded cluster→probes literal LUT, so candidate generation is
+    a narrow ``Generate`` over the corpus cache (no crossJoin, no
+    window, no join, no broadcast: the probe-subtree job disappears);
+    a query still touches ~``n_probe/n_cells`` of the corpus (rows in
+    unprobed cells explode an empty array); top-k via the same
+    two-phase partial selection as the exact tier."""
     from ..functions.layout import pinned_shuffle, plan_width
-    from .clustering import (_best_struct_sql, _probe_sort_sql,
-                             kmeans_fit_centroids, quantize_exprs)
+    from .clustering import (_best_struct_sql, kmeans_fit_centroids,
+                             quantize_exprs)
 
     w = plan_width(emb, floor=8)
     base = ensure_parallelism(emb, min_partitions=w)
@@ -892,34 +896,81 @@ def ann_ivf_exact_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                  .withColumn("__m", maxabs).withColumn("q", q8)
                  .select(F.col(id_col).alias("vec_id"), "nv", "q")
                  .cache())
-        cents = kmeans_fit_centroids(
-            cells.select(F.col("vec_id").alias(id_col), "q"),
-            n_cells, n_iter, id_col)
+        ids = [int(x_) for x_ in query_ids]
+        # round-12 (guide §2.6/§5.1): the |Q| query rows — (id, nv, q),
+        # a structurally BOUNDED collect like the mmr/PQ-stats ones —
+        # don't depend on the fit, so they're fetched straight off the
+        # raw parquet (pushed isin filter, |Q| rows pay the normalize/
+        # quantize exprs) CONCURRENTLY with the Lloyd rounds; the probe
+        # ranking is then computed driver-side from the final centroid
+        # literals with the SAME exact integer L2 and (d, r) tie order
+        # as _probe_sort_sql and baked into the serving plan as a
+        # folded literal LUT — the probe-subtree broadcast job (a
+        # rescan of the corpus cache) disappears from the barrier
+        # chain (before/after serving fragments in
+        # plans/r12/sim_ivf_exact_serve_*.txt).
+        from ..functions.layout import parallel_frames
+
+        def fit():
+            return kmeans_fit_centroids(
+                cells.select(F.col("vec_id").alias(id_col), "q"),
+                n_cells, n_iter, id_col)
+
+        def query_rows():
+            qf = base.where(F.col(id_col).isin(ids)
+                            & F.col(vec_col).isNotNull())
+            return (with_normalized(qf, vec_col, "nv")
+                    .withColumn("__m", maxabs).withColumn("q", q8)
+                    .select(F.col(id_col).alias("vec_id"), "nv", "q")
+                    .collect())
+        cents, qrows = parallel_frames(fit, query_rows)
         if not cents:  # empty corpus → empty ranking, stable schema
             cells.unpersist()
             return base.sparkSession.createDataFrame(
                 [], "query_id long, vec_id long, rank int, cosine double")
         b = _best_struct_sql(cents)
         corpus = cells.withColumn("cluster", F.expr(f"({b}).r"))
-        ids = [int(x_) for x_ in query_ids]
-        # probe: sort the k literal centroid distances per query row —
-        # array_sort on (d, r) structs == orderBy(d asc, r) tie-break —
-        # carrying the query's normalized vector in the same rows
-        probes = (corpus.where(F.col("vec_id").isin(ids))
-                  .select(F.col("vec_id").alias("query_id"),
-                          F.col("nv").alias("qv"),
+        # driver-side probe selection: d = Σ(qᵢ−cᵢ)² in exact Python
+        # ints, sorted by (d, rank) — bit-for-bit the array_sort((d, r)
+        # struct) selection the in-plan probe expression computed
+        by_cell: list[list[tuple[int, list]]] = [[] for _ in cents]
+        for r_ in sorted(qrows, key=lambda r: int(r["vec_id"])):
+            qq = [int(v) for v in r_["q"]]
+            ds = sorted((sum((a - c) * (a - c) for a, c in zip(qq, cq)),
+                         rank) for rank, cq in enumerate(cents))
+            for _d, cell in ds[:n_probe]:
+                by_cell[cell].append((int(r_["vec_id"]),
+                                      list(r_["nv"])))
+        # cluster → probing (query_id, qv) LUT as ONE folded literal
+        # (the _cent_array_sql discipline: the array is the
+        # element_at's input, so ConstantFolding collapses it to a
+        # single object) — serving is a narrow Generate over the
+        # corpus cache: no join, no broadcast, no exchange.  Doubles
+        # print via repr (shortest exact round-trip) with the D suffix
+        # so the parser yields the identical IEEE value.
+        def _d_lit(x) -> str:
+            return "CAST(NULL AS DOUBLE)" if x is None else f"{x!r}D"
+
+        elem_t = "array<struct<query_id:bigint,qv:array<double>>>"
+        cell_arrays = []
+        for plist in by_cell:
+            if not plist:
+                cell_arrays.append(f"CAST(array() AS {elem_t})")
+            else:
+                cell_arrays.append("array(" + ",".join(
+                    f"named_struct('query_id', {qid}L, 'qv', "
+                    f"array({','.join(_d_lit(x) for x in nvv)}))"
+                    for qid, nvv in plist) + ")")
+        lut = "array(" + ",".join(cell_arrays) + ")"
+        scored = (corpus
+                  .select("vec_id", "nv",
                           F.explode(F.expr(
-                              f"slice({_probe_sort_sql(cents)}, "
-                              f"1, {n_probe})"))
+                              f"element_at({lut}, cluster + 1)"))
                           .alias("p"))
-                  .select("query_id", "qv",
-                          F.col("p.r").alias("cluster")))
-        scored = (F.broadcast(probes)
-                  .join(corpus.select("vec_id", "nv", "cluster"),
-                        "cluster")
-                  .where(F.col("query_id") != F.col("vec_id"))
-                  .select("query_id", "vec_id",
-                          dot_compact(F.col("qv"), F.col("nv"))
+                  .where(F.col("p.query_id") != F.col("vec_id"))
+                  .select(F.col("p.query_id").alias("query_id"),
+                          "vec_id",
+                          dot_compact(F.col("p.qv"), F.col("nv"))
                           .cast("decimal(18,9)").cast("double")
                           .alias("cosine")))
         out = _rank_topk(partial_topk(

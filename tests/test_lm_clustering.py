@@ -461,3 +461,30 @@ def test_compact_ivf_index_is_logical_noop(spark, sf_dir, tmp_path):
     assert served_after == served_before      # serving bit-identical
     assert sum(files_after.values()) < sum(files_before.values())
     assert max(files_after.values()) <= 2     # small index → ~1/cell
+
+
+def test_driver_probe_selection_matches_probe_sort_sql(spark):
+    """Round-12: ann_ivf_exact_topk now selects each query's probes
+    DRIVER-SIDE (exact Python-int L2, (d, rank) tie order) instead of
+    evaluating ``_probe_sort_sql`` in-plan.  Pin the equivalence: for
+    adversarial q/centroid pairs (exact ties included), the Python
+    selection must equal ``slice(array_sort(...), 1, n_probe)``."""
+    from pyspark.sql import functions as F
+
+    from ethereum2_etl_airflow_spark.operators.clustering import (
+        _probe_sort_sql)
+
+    cents = [[0, 0], [3, 4], [4, 3], [0, 5], [5, 0]]  # d-ties by design
+    qs = [(0, [0, 0]), (1, [3, 4]), (2, [2, 2]), (3, [-1, 7])]
+    n_probe = 3
+    df = spark.createDataFrame(
+        [(i, [int(x) for x in q]) for i, q in qs], "id long, q array<long>")
+    in_plan = {
+        r["id"]: [p["r"] for p in r["ps"]]
+        for r in df.select(
+            "id", F.expr(f"slice({_probe_sort_sql(cents)}, 1, "
+                         f"{n_probe})").alias("ps")).collect()}
+    for i, q in qs:
+        ds = sorted((sum((a - c) * (a - c) for a, c in zip(q, cq)), rank)
+                    for rank, cq in enumerate(cents))
+        assert [r for _d, r in ds[:n_probe]] == in_plan[i], f"query {i}"
