@@ -179,13 +179,30 @@ def pack_offsets(df: DataFrame, budget: int = 2048,
     at this size (one narrow projection of the input) fail-and-retry is
     the correct contract; a recompute could silently mis-assign every
     offset downstream."""
+    from ..functions.layout import pinned_shuffle, plan_width
     from .text import bpe_token_count
 
     tok = F.col(tok_col) if tok_col else bpe_token_count(F.col("text"))
     base = df.select(F.col(group_col).alias("g"), F.col(id_col).alias("i"),
                      tok.cast("long").alias("n_tok"))
     spark = df.sparkSession
-    nparts = spark.sparkContext.defaultParallelism
+    # width from the projection's own plan stats, AQE pinned off for
+    # the whole bounded two-pass layout (round-12, guide §2.2/§1.2):
+    # the old defaultParallelism width paid 32 tiny tasks per stage at
+    # test SFs, and AQE materialized every exchange of the multi-
+    # barrier plan as its own job (measured: 11 jobs for the sf0.1
+    # check, 6 after — stage list in plans/r12/pack_chunks_jobs.txt).
+    # At 100 TB the stats estimate is huge and plan_width returns the
+    # session cap — same layout as before, minus the per-stage AQE
+    # round-trips.
+    nparts = plan_width(base, floor=8)
+    with pinned_shuffle(spark, nparts, adaptive=False):
+        return _pack_offsets_laid(base, spark, nparts, budget,
+                                  group_col, id_col)
+
+
+def _pack_offsets_laid(base: DataFrame, spark, nparts: int, budget: int,
+                       group_col: str, id_col: str) -> DataFrame:
     laid = (base.repartitionByRange(nparts, "g", "i")
             .sortWithinPartitions("g", "i")
             .withColumn("pid", F.spark_partition_id())
@@ -203,9 +220,31 @@ def pack_offsets(df: DataFrame, budget: int = 2048,
         for pid, t in lst:
             bases.append((pid, g, run))
             run += t
-    base_df = spark.createDataFrame(bases, "pid int, g string, base long")
-
-    joined = laid.join(F.broadcast(base_df), ["pid", "g"], "left")
+    # (pid, g) → base as a folded literal map (round-12): the old
+    # broadcast-joined createDataFrame frame parallelized its tiny row
+    # list over defaultParallelism tasks and paid a broadcast-build
+    # job; the map is ≤ P·|groups| entries — the same bounded driver
+    # artifact the prefix-sum collect above already holds — and the
+    # lookup is a narrow projection (no join, no broadcast job).  Key
+    # = "pid NUL g": exactness needs only build/probe agreement, and
+    # both sides build it with the same concat.  Gate: a very
+    # high-cardinality group_col would pay one py4j literal per entry,
+    # so past 4096 entries the old broadcast-join shape runs instead
+    # (same results; the map is a fixed-cost win, not a scale shape).
+    if len(bases) <= 4096:
+        key = F.concat(F.col("pid").cast("string"), F.lit("\x00"),
+                       F.col("g"))
+        if bases:
+            lut = F.create_map(
+                *[c for pid, g, b in bases
+                  for c in (F.lit(f"{pid}\x00{g}"), F.lit(b))])
+        else:
+            lut = F.create_map().cast("map<string,long>")
+        joined = laid.withColumn("base", F.element_at(lut, key))
+    else:  # pragma: no cover — exercised only by huge group counts
+        base_df = spark.createDataFrame(
+            bases, "pid int, g string, base long")
+        joined = laid.join(F.broadcast(base_df), ["pid", "g"], "left")
 
     out_schema = "g string, i long, n_tok long, start_off long"
 
