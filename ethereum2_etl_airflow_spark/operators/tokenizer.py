@@ -246,7 +246,12 @@ def bpe_train(docs: DataFrame, n_merges: int = 20,
     with pinned_shuffle(docs.sparkSession, width, adaptive=False):
         syms = base.localCheckpoint(eager=True)
         pending = 0  # rewrites since the last lineage cut
-        scan = 3 * max(batch, 1)  # tie margin — see docstring
+        # tie margin — see docstring.  (Round-12 measured rejection: an
+        # 8× scan was tried — the safe-prefix rule is depth-agnostic so
+        # it could only help — and the sf0.1 12-merge check still took
+        # 6 driver rounds with an identical merge list: the batching
+        # conservatism is tie-density-bound, not horizon-bound.)
+        scan = 3 * max(batch, 1)
         while len(merges) < n_merges:
             rows = (bpe_pair_counts(syms)
                     .orderBy(F.col("cnt").desc(), "a", "b")

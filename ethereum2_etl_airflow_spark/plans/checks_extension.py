@@ -3681,9 +3681,12 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merges = bpe_train(_docs(spark, sf_dir).where(F.col("doc_id") < 300),
                        n_merges=12)
+    # coalesce(1): createDataFrame parallelizes the 12 literal rows
+    # over defaultParallelism (32 mostly-empty task launches at the
+    # noop sink — round-12 job trace); one task is the right width
     return spark.createDataFrame(
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
-        "rank int, a string, b string, merged string")
+        "rank int, a string, b string, merged string").coalesce(1)
 
 
 def _bpe_merges_oracle(n_merges: int = 12) -> str:
