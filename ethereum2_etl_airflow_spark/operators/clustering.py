@@ -181,7 +181,7 @@ def _assign_literal(qdf: DataFrame, cents: list[list[int]],
 def _centroid_df(spark, cents: list[list[int]]) -> DataFrame:
     return spark.createDataFrame(
         [(r, [int(c) for c in cq]) for r, cq in enumerate(cents)],
-        "r int, cq array<bigint>")
+        "r int, cq array<bigint>").coalesce(1)
 
 
 def _seed_centroids(qdf: DataFrame, k: int,

@@ -923,10 +923,22 @@ def plan_shards(df: DataFrame, n_shards: int = 8,
     between the passes for the same reason :func:`pack_offsets`
     documents: range boundaries are sampled, and a silent recompute
     under different boundaries would mis-rank every row."""
+    from ..functions.layout import pinned_shuffle, plan_width
+
     base = df.select(F.col(id_col).alias("i"),
                      F.col(size_col).cast("long").alias("sz"))
     spark = df.sparkSession
-    nparts = spark.sparkContext.defaultParallelism
+    # stats-sized width + AQE pin + literal pid->base map: the same
+    # round-12 treatment as pack_offsets (this operator is its
+    # documented writer-side twin) — see plans/r12/pack_chunks_jobs.txt
+    nparts = plan_width(base, floor=8)
+    with pinned_shuffle(spark, nparts, adaptive=False):
+        return _plan_shards_laid(base, n_shards, nparts,
+                                 size_col, id_col)
+
+
+def _plan_shards_laid(base: DataFrame, n_shards: int, nparts: int,
+                      size_col: str, id_col: str) -> DataFrame:
     laid = (base.repartitionByRange(nparts, F.col("sz").desc(), F.col("i"))
             .sortWithinPartitions(F.col("sz").desc(), F.col("i"))
             .withColumn("pid", F.spark_partition_id())
@@ -936,8 +948,14 @@ def plan_shards(df: DataFrame, n_shards: int = 8,
     for r in sorted(counts, key=lambda r: r["pid"]):
         rows.append((int(r["pid"]), run))
         run += int(r["n"])
-    base_df = spark.createDataFrame(rows, "pid int, base long")
-    joined = laid.join(F.broadcast(base_df), "pid")
+    # pid -> base rank as a folded literal map (≤ P entries, the
+    # driver already holds them) — no broadcast-join build job
+    if rows:
+        lut = F.create_map(*[c for pid, b in rows
+                             for c in (F.lit(pid), F.lit(b))])
+    else:
+        lut = F.create_map().cast("map<int,bigint>")
+    joined = laid.withColumn("base", F.element_at(lut, F.col("pid")))
 
     def local_index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

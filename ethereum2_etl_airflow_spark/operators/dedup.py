@@ -887,7 +887,7 @@ def _semantic_dedup_build(emb: DataFrame, n_cells: int,
         # collapses the N·n_cells stream inside each task)
         adf = emb.sparkSession.createDataFrame(
             [(r, aq) for r, aq in enumerate(anchors)],
-            "__arank int, __aq array<bigint>")
+            "__arank int, __aq array<bigint>").coalesce(1)
         d2 = F.aggregate(
             F.zip_with("q", "__aq", lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"), lambda acc, x: acc + x)

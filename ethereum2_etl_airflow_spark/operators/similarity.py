@@ -235,7 +235,7 @@ def _ivf_scored(emb: DataFrame, query_ids: list[int], *, n_lists: int,
     # per-query nearest cells by centroid cosine (centroids are tiny)
     centers = [(i, [float(x) for x in C[i]]) for i in range(n_lists)]
     centroids = emb.sparkSession.createDataFrame(
-        centers, "cell int, cvec array<double>")
+        centers, "cell int, cvec array<double>").coalesce(1)
     q = (corpus.where(F.col(id_col).isin([int(x) for x in query_ids]))
          .select(F.col(id_col).alias("query_id"), F.col("nv").alias("qv")))
     qc = (F.broadcast(q).crossJoin(F.broadcast(centroids))
@@ -1133,7 +1133,7 @@ def mmr_topk(emb: DataFrame, query_ids: list[int], k: int = 8,
             del remaining[best[1]]
             out.append((qid, best[1], len(picked)))
     return emb.sparkSession.createDataFrame(
-        out, "query_id long, vec_id long, rank long")
+        out, "query_id long, vec_id long, rank long").coalesce(1)
 
 
 def ranking_eval(pred: DataFrame, truth: DataFrame, k: int = 10,
@@ -1235,7 +1235,7 @@ def hard_negatives(emb: DataFrame, positives: dict[int, int], k: int = 5,
     qids = sorted(int(q) for q in positives)
     pos = spark.createDataFrame(
         [(int(q), int(p)) for q, p in sorted(positives.items())],
-        "query_id long, pos_id long")
+        "query_id long, pos_id long").coalesce(1)
     ranking = topk_cosine_bruteforce(emb, qids, k=k + 1,
                                      id_col=id_col, vec_col=vec_col)
     w = Window.partitionBy("query_id").orderBy("rank")
@@ -1437,7 +1437,7 @@ def query_ivf_index(spark, path: str, query_ids: list[int] | None = None,
         qlit = spark.createDataFrame(
             [(int(i), [float(x) for x in v])
              for i, v in sorted(query_vectors.items())],
-            "query_id long, embedding array<double>")
+            "query_id long, embedding array<double>").coalesce(1)
         maxabs, q8 = quantize_exprs("embedding")
         qrows = (with_normalized(qlit, "embedding", "qv")
                  .withColumn("__m", maxabs)

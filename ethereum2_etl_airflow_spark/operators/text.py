@@ -687,9 +687,12 @@ def _bm25_score(tfq, nt, queries: dict[int, list[str]], k: int,
     # countDistinct(doc) — without the distinct rewrite's extra
     # (term, doc) exchange (round-11, guide §2.4)
     df_t = tfq.groupBy("term").agg(F.count("*").alias("df"))
+    # coalesce(1): literal |Q·terms| rows otherwise parallelize over
+    # defaultParallelism, and the broadcast build fans 32 near-empty
+    # tasks per pass (round-12 job trace)
     qt = spark.createDataFrame(
         [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
-        "query_id long, term string")
+        "query_id long, term string").coalesce(1)
     scored = (tfq.join(F.broadcast(df_t), "term")
               .join(F.broadcast(qt), "term")
               .crossJoin(F.broadcast(nt)))
@@ -862,7 +865,7 @@ def _bm25_from_index_build(index, queries: dict[int, list[str]], k: int):
     all_terms = sorted({t for ts in queries.values() for t in ts})
     qt = spark.createDataFrame(
         [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
-        "query_id long, term string")
+        "query_id long, term string").coalesce(1)
     post = (index.where(F.col("term").isin(all_terms))
             .select("term",
                     F.explode(F.split("postings", ",")).alias("__p"))
@@ -947,7 +950,7 @@ def best_passages(docs, ranking, queries: dict[int, list[str]],
     spark = docs.sparkSession
     qt = spark.createDataFrame(
         [(qid, sorted(set(ts))) for qid, ts in sorted(queries.items())],
-        "query_id long, qterms array<string>")
+        "query_id long, qterms array<string>").coalesce(1)
     probe = (ranking.select("query_id", F.col("doc_id").alias("__rdoc"))
              .join(qt, "query_id"))
     from ..functions.layout import ensure_parallelism
@@ -1088,7 +1091,7 @@ def expand_queries(docs, queries: dict[int, list[str]], k_fb: int = 5,
         # collect total
         nt = spark.createDataFrame(
             [(int(r["n_docs"] or 0), int(r["n_tokens"] or 0))],
-            "n_docs long, n_tokens long")
+            "n_docs long, n_tokens long").coalesce(1)
         all_terms = sorted({t for ts in queries.values() for t in ts})
         fb = _bm25_score(tf_all.where(F.col("term").isin(all_terms)),
                          nt, queries, k_fb, k1_milli, b_milli) \
@@ -1105,7 +1108,8 @@ def expand_queries(docs, queries: dict[int, list[str]], k_fb: int = 5,
             F.count("*").alias("df"))
         orig = spark.createDataFrame(
             [(qid, t) for qid, ts in sorted(queries.items())
-             for t in sorted(set(ts))], "query_id long, term string")
+             for t in sorted(set(ts))],
+            "query_id long, term string").coalesce(1)
         cand = (tf_all.join(F.broadcast(fb),
                             tf_all["doc"] == fb["doc_id"])
                 .groupBy("query_id", "term")
