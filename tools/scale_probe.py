@@ -67,8 +67,24 @@ def main() -> None:
                          "bm25_topk_from_index) at fixed corpus size")
     ap.add_argument("--queries", default="5,50,500",
                     help="comma list of |Q| points for --qaxis")
+    ap.add_argument("--cpu-axis", action="store_true",
+                    help="8-vs-32-core sweep over --cpu-queries "
+                         "(round-11 verdict item 7: the driver's c8/c32 "
+                         "comparison needs a same-epoch repo-side "
+                         "counterpart)")
+    ap.add_argument("--cpus", default="8,32",
+                    help="comma list of core counts for --cpu-axis")
+    ap.add_argument("--cpu-queries",
+                    default="bm25_expanded,sessionize_stream,"
+                            "dedup_clusters_star,sim_ivf,stream_join,"
+                            "stream_join_outer,dedup_survivors,"
+                            "triangle_count,query_expansion,pagerank",
+                    help="comma list of check names for --cpu-axis")
     args = ap.parse_args()
 
+    if args.cpu_axis:
+        cpu_axis_probe(args)
+        return
     if args.qaxis:
         qaxis_probe(args)
         return
@@ -1061,6 +1077,58 @@ def graph_probe(args) -> None:
         print(f"SCALE-GRAPH n={n} edges={m} triangles={r_tri} "
               f"pagerank={r_pr} kcore={r_kc} walks={r_rw}", flush=True)
     spark.stop()
+
+
+def cpu_axis_probe(args) -> None:
+    """8-vs-32-core sweep (round-11 verdict item 7).  Shells out to
+    tools/profile_queries.py once per (round, cpu-count) in A/B/A/B
+    interleave — each subprocess is a fresh JVM at
+    ``local[$SPARK_GRAFT_CPUS]`` — and always times ``sort_limit``
+    alongside as the same-epoch control.  Per query it reports warm
+    min over both rounds, the job count, and the fixed-cost reading:
+    at sf0.1 a query whose plan runs J jobs of ≤8-partition stages has
+    a ~J·(per-job fixed cost) floor that MORE CORES CANNOT CUT — wall
+    ratios near (or below) 1 are expected there and say nothing about
+    parallelism; only wide-stage queries (triangle wedges, corpus
+    scans at machine width) can show a real c32 edge."""
+    import re
+    import subprocess
+
+    names = [q.strip() for q in args.cpu_queries.split(",") if q.strip()]
+    cpus_list = [c.strip() for c in args.cpus.split(",") if c.strip()]
+    pat = re.compile(r"^(\S+)\s+cold\s+([\d.]+)\s+warm_min\s+([\d.]+)"
+                     r"\s+warm_med\s+([\d.]+)\s+jobs\s+(\d+)")
+    acc: dict = {}
+    jobs: dict = {}
+    for rnd in range(2):
+        for cpus in cpus_list:
+            env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "tools", "profile_queries.py"),
+                 "--sf-dir", args.sf_dir, "--reps", "3",
+                 "sort_limit", *names],
+                env=env, capture_output=True, text=True).stdout
+            for line in out.splitlines():
+                m = pat.match(line.strip())
+                if not m:
+                    continue
+                name, _cold, wmin, _wmed, nj = m.groups()
+                acc.setdefault((name, cpus), []).append(float(wmin))
+                jobs[name] = int(nj)
+            ctrl = min(acc.get(("sort_limit", cpus), [float("nan")]))
+            print(f"# round {rnd} cpus={cpus} control sort_limit "
+                  f"warm_min={ctrl}", flush=True)
+    print("CPU-AXIS query | " + " | ".join(f"c{c} warm_min"
+                                           for c in cpus_list)
+          + " | jobs | ratio(c8/c32)")
+    for name in ["sort_limit"] + names:
+        mins = [min(acc.get((name, c), [float('nan')]))
+                for c in cpus_list]
+        ratio = (mins[0] / mins[-1]) if mins[-1] else float("nan")
+        print(f"CPU-AXIS {name} | "
+              + " | ".join(f"{m:.2f}" for m in mins)
+              + f" | {jobs.get(name, '?')} | {ratio:.2f}", flush=True)
 
 
 if __name__ == "__main__":
