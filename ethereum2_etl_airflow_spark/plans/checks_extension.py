@@ -5721,7 +5721,7 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("doc_id").cast("string"),
                           F.lit("?q=1")).alias("url"))
     bl = spark.createDataFrame([("bad.net",), ("src3.site",)],
-                               "domain string")
+                               "domain string").coalesce(1)
     return blocklist_filter(u, bl).orderBy("doc_id")
 
 

@@ -578,7 +578,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     bands = spark.createDataFrame(
         [(i, float(i * 100000), float((i + 1) * 100000)) for i in range(7)],
-        "band int, lo double, hi double")
+        "band int, lo double, hi double").coalesce(1)
     j = o.join(F.broadcast(bands),
                (o["o_totalprice"] >= bands["lo"])
                & (o["o_totalprice"] < bands["hi"]), "inner")
