@@ -25,7 +25,8 @@ import threading
 from pyspark.sql import DataFrame
 
 __all__ = ["ensure_parallelism", "finalize_release", "zorder_key",
-           "zorder_by", "pinned_shuffle", "plan_width", "parallel_frames"]
+           "zorder_by", "pinned_shuffle", "plan_width", "parallel_frames",
+           "local_frame"]
 
 
 def parallel_frames(*thunks):
@@ -185,6 +186,25 @@ def plan_width(df: DataFrame, floor: int = 8,
     except Exception:  # pragma: no cover — stats API unavailable
         return conf
     return min(conf, max(-(-size // target_bytes), floor))
+
+
+def local_frame(spark, rows, schema: str) -> DataFrame:
+    """One-partition literal DataFrame for join/broadcast inputs.
+
+    ``spark.createDataFrame(list)`` parallelizes its handful of rows
+    over ``defaultParallelism``, so every broadcast build launches that
+    many near-empty tasks (measured round-12: 6 × 31 wasted launches
+    per bm25_expanded run).  The tempting ``.coalesce(1)`` fix is a
+    TRAP for join inputs: the Repartition node it inserts between
+    ``F.broadcast()`` and the relation loses the broadcast hint, and
+    every consumer re-execution then pays a full shuffle join of the
+    big side (measured: bm25_topk 1.4 → 5 s, passage_extract 1.9 →
+    10 s).  A 1-slice ``parallelize`` keeps the plain LogicalRDD plan
+    shape — hint intact — with one build task.  Use this for literal
+    frames that feed joins; plain ``createDataFrame(...).coalesce(1)``
+    stays fine for frames RETURNED as results (no hint to lose)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(rows), 1), schema)
 
 
 def plan_bytes(df: DataFrame) -> int | None:

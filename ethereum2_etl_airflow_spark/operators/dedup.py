@@ -30,7 +30,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.layout import ensure_parallelism, finalize_release
+from ..functions.layout import (ensure_parallelism, finalize_release,
+                                local_frame)
 from .text import fingerprint, tokens
 
 __all__ = [
@@ -885,9 +886,9 @@ def _semantic_dedup_build(emb: DataFrame, n_cells: int,
         # semantics (ties → lower anchor rank), plan size O(1) in
         # n_cells, still no shuffle of the corpus (the partial agg
         # collapses the N·n_cells stream inside each task)
-        adf = emb.sparkSession.createDataFrame(
-            [(r, aq) for r, aq in enumerate(anchors)],
-            "__arank int, __aq array<bigint>").coalesce(1)
+        adf = local_frame(
+            emb.sparkSession, [(r, aq) for r, aq in enumerate(anchors)],
+            "__arank int, __aq array<bigint>")
         d2 = F.aggregate(
             F.zip_with("q", "__aq", lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"), lambda acc, x: acc + x)

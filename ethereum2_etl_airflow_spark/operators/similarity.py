@@ -23,7 +23,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.layout import ensure_parallelism, finalize_release
+from ..functions.layout import (ensure_parallelism, finalize_release,
+                                local_frame)
 from ..functions.vectors import dot_compact, with_normalized
 
 __all__ = ["topk_cosine_bruteforce", "partial_topk", "ann_ivf_topk",
@@ -234,8 +235,8 @@ def _ivf_scored(emb: DataFrame, query_ids: list[int], *, n_lists: int,
 
     # per-query nearest cells by centroid cosine (centroids are tiny)
     centers = [(i, [float(x) for x in C[i]]) for i in range(n_lists)]
-    centroids = emb.sparkSession.createDataFrame(
-        centers, "cell int, cvec array<double>").coalesce(1)
+    centroids = local_frame(
+        emb.sparkSession, centers, "cell int, cvec array<double>")
     q = (corpus.where(F.col(id_col).isin([int(x) for x in query_ids]))
          .select(F.col(id_col).alias("query_id"), F.col("nv").alias("qv")))
     qc = (F.broadcast(q).crossJoin(F.broadcast(centroids))
@@ -1233,9 +1234,9 @@ def hard_negatives(emb: DataFrame, positives: dict[int, int], k: int = 5,
 
     spark = emb.sparkSession
     qids = sorted(int(q) for q in positives)
-    pos = spark.createDataFrame(
-        [(int(q), int(p)) for q, p in sorted(positives.items())],
-        "query_id long, pos_id long").coalesce(1)
+    pos = local_frame(
+        spark, [(int(q), int(p)) for q, p in sorted(positives.items())],
+        "query_id long, pos_id long")
     ranking = topk_cosine_bruteforce(emb, qids, k=k + 1,
                                      id_col=id_col, vec_col=vec_col)
     w = Window.partitionBy("query_id").orderBy("rank")
@@ -1434,10 +1435,11 @@ def query_ivf_index(spark, path: str, query_ids: list[int] | None = None,
             [], "query_id long, vec_id long, rank int, cosine double")
     cells = spark.read.parquet(path + "/cells")
     if query_vectors is not None:
-        qlit = spark.createDataFrame(
+        qlit = local_frame(
+            spark,
             [(int(i), [float(x) for x in v])
              for i, v in sorted(query_vectors.items())],
-            "query_id long, embedding array<double>").coalesce(1)
+            "query_id long, embedding array<double>")
         maxabs, q8 = quantize_exprs("embedding")
         qrows = (with_normalized(qlit, "embedding", "qv")
                  .withColumn("__m", maxabs)

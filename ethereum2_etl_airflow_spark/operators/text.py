@@ -441,8 +441,8 @@ def inverted_postings(docs, k: int = 8, text_col: str = "text",
     keeps the session width.  AQE is pinned off inside the scope and
     the eager materialization (``finalize_release``) happens INSIDE
     the pin so the pinned plan is the one that executes."""
-    from ..functions.layout import (finalize_release, pinned_shuffle,
-                                    plan_width)
+    from ..functions.layout import (finalize_release, local_frame,
+                                    pinned_shuffle, plan_width)
 
     with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
                         adaptive=False):
@@ -641,8 +641,8 @@ def bm25_topk(docs, queries: dict[int, list[str]], k: int = 10,
 
     Returns (query_id, doc_id, rank, score_milli), rank 1-based by
     (score desc, doc asc)."""
-    from ..functions.layout import (finalize_release, pinned_shuffle,
-                                    plan_width)
+    from ..functions.layout import (finalize_release, local_frame,
+                                    pinned_shuffle, plan_width)
 
     with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
                         adaptive=False):
@@ -680,6 +680,7 @@ def _bm25_score(tfq, nt, queries: dict[int, list[str]], k: int,
     pass — identical math, identical output."""
     from pyspark.sql import Window
 
+    from ..functions.layout import local_frame
     from .curation import cap_per_key  # local import: avoid cycle
 
     spark = tfq.sparkSession
@@ -687,12 +688,13 @@ def _bm25_score(tfq, nt, queries: dict[int, list[str]], k: int,
     # countDistinct(doc) — without the distinct rewrite's extra
     # (term, doc) exchange (round-11, guide §2.4)
     df_t = tfq.groupBy("term").agg(F.count("*").alias("df"))
-    # coalesce(1): literal |Q·terms| rows otherwise parallelize over
-    # defaultParallelism, and the broadcast build fans 32 near-empty
-    # tasks per pass (round-12 job trace)
-    qt = spark.createDataFrame(
+    # local_frame: one broadcast-build task instead of a
+    # defaultParallelism fan-out, WITHOUT the .coalesce(1) Repartition
+    # node that loses the broadcast hint (round-12 — see layout.local_frame)
+    qt = local_frame(
+        spark,
         [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
-        "query_id long, term string").coalesce(1)
+        "query_id long, term string")
     scored = (tfq.join(F.broadcast(df_t), "term")
               .join(F.broadcast(qt), "term")
               .crossJoin(F.broadcast(nt)))
@@ -747,8 +749,8 @@ def impact_postings(docs, k: int = 8, k1_milli: int = 1200,
 
     Runs pinned + materialized like :func:`bm25_topk` (round-9); plan
     tests assert on the lazy :func:`_impact_build`."""
-    from ..functions.layout import (finalize_release, pinned_shuffle,
-                                    plan_width)
+    from ..functions.layout import (finalize_release, local_frame,
+                                    pinned_shuffle, plan_width)
 
     with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
                         adaptive=False):
@@ -846,8 +848,8 @@ def bm25_topk_from_index(index, queries: dict[int, list[str]],
     ordering contract as :func:`bm25_topk`.  Pinned + materialized like
     the builder (the serving plan's two exchanges are bounded by
     |query terms|·cap rows, so the width floor always wins)."""
-    from ..functions.layout import (finalize_release, pinned_shuffle,
-                                    plan_width)
+    from ..functions.layout import (finalize_release, local_frame,
+                                    pinned_shuffle, plan_width)
 
     with pinned_shuffle(index.sparkSession, plan_width(index, floor=8),
                         adaptive=False):
@@ -861,11 +863,14 @@ def _bm25_from_index_build(index, queries: dict[int, list[str]], k: int):
 
     from .curation import cap_per_key  # local import: avoid cycle
 
+    from ..functions.layout import local_frame
+
     spark = index.sparkSession
     all_terms = sorted({t for ts in queries.values() for t in ts})
-    qt = spark.createDataFrame(
+    qt = local_frame(
+        spark,
         [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
-        "query_id long, term string").coalesce(1)
+        "query_id long, term string")
     post = (index.where(F.col("term").isin(all_terms))
             .select("term",
                     F.explode(F.split("postings", ",")).alias("__p"))
@@ -947,10 +952,13 @@ def best_passages(docs, ranking, queries: dict[int, list[str]],
     if strategy not in ("scan", "hits"):
         raise ValueError(f"best_passages: unknown strategy {strategy!r} "
                          f"(want 'scan', 'hits' or 'auto')")
+    from ..functions.layout import local_frame
+
     spark = docs.sparkSession
-    qt = spark.createDataFrame(
+    qt = local_frame(
+        spark,
         [(qid, sorted(set(ts))) for qid, ts in sorted(queries.items())],
-        "query_id long, qterms array<string>").coalesce(1)
+        "query_id long, qterms array<string>")
     probe = (ranking.select("query_id", F.col("doc_id").alias("__rdoc"))
              .join(qt, "query_id"))
     from ..functions.layout import ensure_parallelism
@@ -1048,8 +1056,8 @@ def expand_queries(docs, queries: dict[int, list[str]], k_fb: int = 5,
     inspection/checks."""
     from pyspark.sql import Window
 
-    from ..functions.layout import (finalize_release, pinned_shuffle,
-                                    plan_width)
+    from ..functions.layout import (finalize_release, local_frame,
+                                    pinned_shuffle, plan_width)
 
     spark = docs.sparkSession
     with pinned_shuffle(docs.sparkSession, plan_width(docs, floor=8),
@@ -1089,9 +1097,9 @@ def expand_queries(docs, queries: dict[int, list[str]], k_fb: int = 5,
         # tf_all is empty then, so every scoring join below is empty
         # whatever the stats read — 0 is value-equivalent and keeps the
         # collect total
-        nt = spark.createDataFrame(
-            [(int(r["n_docs"] or 0), int(r["n_tokens"] or 0))],
-            "n_docs long, n_tokens long").coalesce(1)
+        nt = local_frame(
+            spark, [(int(r["n_docs"] or 0), int(r["n_tokens"] or 0))],
+            "n_docs long, n_tokens long")
         all_terms = sorted({t for ts in queries.values() for t in ts})
         fb = _bm25_score(tf_all.where(F.col("term").isin(all_terms)),
                          nt, queries, k_fb, k1_milli, b_milli) \
@@ -1106,10 +1114,10 @@ def expand_queries(docs, queries: dict[int, list[str]], k_fb: int = 5,
         # distinct hash set per term.
         df_t = tf_all.groupBy("term").agg(
             F.count("*").alias("df"))
-        orig = spark.createDataFrame(
+        orig = local_frame(
+            spark,
             [(qid, t) for qid, ts in sorted(queries.items())
-             for t in sorted(set(ts))],
-            "query_id long, term string").coalesce(1)
+             for t in sorted(set(ts))], "query_id long, term string")
         cand = (tf_all.join(F.broadcast(fb),
                             tf_all["doc"] == fb["doc_id"])
                 .groupBy("query_id", "term")

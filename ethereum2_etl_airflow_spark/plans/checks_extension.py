@@ -5720,8 +5720,9 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.concat(F.lit("https://"), host, F.lit("/p/"),
                           F.col("doc_id").cast("string"),
                           F.lit("?q=1")).alias("url"))
-    bl = spark.createDataFrame([("bad.net",), ("src3.site",)],
-                               "domain string").coalesce(1)
+    from ..functions.layout import local_frame
+    bl = local_frame(spark, [("bad.net",), ("src3.site",)],
+                     "domain string")
     return blocklist_filter(u, bl).orderBy("doc_id")
 
 

@@ -576,9 +576,11 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     two large sides the scale pattern is banding the range into equi-join
     buckets (as done for SimHash)."""
     o = _t(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    from ..functions.layout import local_frame
+    bands = local_frame(
+        spark,
         [(i, float(i * 100000), float((i + 1) * 100000)) for i in range(7)],
-        "band int, lo double, hi double").coalesce(1)
+        "band int, lo double, hi double")
     j = o.join(F.broadcast(bands),
                (o["o_totalprice"] >= bands["lo"])
                & (o["o_totalprice"] < bands["hi"]), "inner")

@@ -735,3 +735,27 @@ def test_inverted_postings_pinned_width(spark, sf_dir):
               re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan)}
     assert widths == {7}, plan[:1500]
     tf.unpersist()
+
+
+def test_literal_query_frames_stay_broadcast(spark, sf_dir):
+    """Round-12 regression pin: the literal query-term table must join
+    the corpus-side tf table as a BROADCAST build.  A `.coalesce(1)`
+    on the literal frame inserts a Repartition node that silently
+    drops the `F.broadcast()` hint — the tf side then shuffles per
+    consumer re-execution (measured: bm25_topk 1.4 → 5 s,
+    passage_extract 1.9 → 10 s).  `layout.local_frame` (1-slice
+    parallelize, no Repartition) is the sanctioned shape; this test
+    fails if the hint is ever lost again."""
+    from ethereum2_etl_airflow_spark.operators.text import _bm25_build
+    from ethereum2_etl_airflow_spark.plans.explain import plan_string
+    from ethereum2_etl_airflow_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_string(_bm25_build(docs, {1: ["beacon", "block"]}, 10,
+                                   1200, 750, "text", "doc_id"))
+    # two BroadcastHashJoins (df_t and qt) — no SortMergeJoin anywhere
+    # in the scoring subtree, and no Repartition/Coalesce over the
+    # literal frame
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Coalesce 1" not in plan, plan
